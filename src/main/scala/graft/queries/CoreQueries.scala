@@ -1,0 +1,483 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Core relational operator inventory (SURVEY.md §2.B / §2.C): projection,
+  * filters, aggregation, joins (broadcast / shuffle / semi / anti / outer),
+  * windows, set ops, rollup/cube/grouping sets, subqueries, scalar function
+  * families, top-k. Every query has a DuckDB-oracle SQL twin with identical
+  * column names and a total ORDER BY so results hash-match row-for-row.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double columns are cast to DECIMAL(18,2) before SUM/AVG (exact,
+  *    associative — safe under any partitioning / aggregation order);
+  *  - per-row double arithmetic is fine (identical IEEE ops both engines);
+  *  - every result carries a deterministic total sort;
+  *  - NULLS FIRST is spelled explicitly where rollup/cube introduce NULL keys.
+  *
+  * Scale notes (100 TB): all aggregates here are partial+final (map-side
+  * combine) hash aggregates; the dimension sides of every join (region,
+  * nation, customer-filtered, part) are broadcast explicitly so the fact
+  * table (lineitem) never shuffles for them; window functions partition on
+  * high-cardinality keys (custkey/user_id) so state per key stays tiny.
+  */
+object CoreQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation ---------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q11_distinct_counts" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("cnt_part"),
+        countDistinct(col("l_suppkey")).as("cnt_supp"),
+        count(lit(1)).as("cnt_rows"))
+    }),
+
+    "q19_case_buckets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "medium")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- filters + projection -----------------------------------------
+    "q02_filter_project" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_totalprice") * 0.9).as("discounted"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "q15_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // --- joins ---------------------------------------------------------
+    "q03_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q05_local_supplier" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d).join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, d)
+      val sup = Tables.supplier(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q04_semi_join" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q13_anti_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q07_left_join_counts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("order_cnt"), count(lit(1)).as("row_cnt"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- windows --------------------------------------------------------
+    "q08_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q09_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("run_total", sum(dec(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q10_window_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk"), col("drnk"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    }),
+
+    // --- set operations -------------------------------------------------
+    "q12_intersect" -> ((s, d) => {
+      val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(bigSpenders).orderBy(col("c_custkey"))
+    }),
+
+    "q14_except" -> ((s, d) => {
+      val all = Tables.customer(s, d).select(col("c_custkey"))
+      val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(bigSpenders).orderBy(col("c_custkey"))
+    }),
+
+    "q25_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(lit("cust").as("src"), col("c_custkey").as("key"))
+      val p = Tables.supplier(s, d).select(lit("supp").as("src"), col("s_suppkey").as("key"))
+      c.unionAll(p).groupBy(col("src"))
+        .agg(count(lit(1)).as("cnt"), max(col("key")).as("max_key"))
+        .orderBy(col("src"))
+    }),
+
+    // --- rollup / cube / grouping sets ----------------------------------
+    "q16_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q17_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q18_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // --- subqueries -----------------------------------------------------
+    "q20_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q21_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice > 0.98 * (SELECT max(o_totalprice) FROM orders)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q22_in_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql("""SELECT c_custkey, c_nationkey FROM customer
+              |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+              |  AND c_acctbal > 9000
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- scalar function families --------------------------------------
+    "q23_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 3).as("type3"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "o", "0").as("leeted"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q24_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    "q26_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sq"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_discount") * 100).as("ce"),
+          abs(col("l_extendedprice") - 30000.0).as("ab"),
+          (col("l_partkey") % 7).as("md"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- pivot ----------------------------------------------------------
+    "q27_pivot_status" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("yr"))
+    }),
+
+    // --- approximate (rows-only check: sketch internals differ) ---------
+    "q28_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | min(l_quantity) AS min_qty,
+        | max(l_extendedprice) AS max_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q11_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS cnt_part, count(DISTINCT l_suppkey) AS cnt_supp,
+        | count(*) AS cnt_rows FROM lineitem""".stripMargin,
+
+    "q19_case_buckets" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'medium' ELSE 'large' END AS bucket,
+        | count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_totalprice * 0.9 AS discounted
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 100000
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | count(*) AS n_items
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_left_join_counts" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS order_cnt, count(*) AS row_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_window_rank_dense" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+        |    dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+        |  FROM customer) x
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    "q12_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q25_union_all" ->
+      """SELECT src, count(*) AS cnt, max(key) AS max_key FROM (
+        |  SELECT 'cust' AS src, c_custkey AS key FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS src, s_suppkey AS key FROM supplier) u
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q18_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q20_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.98 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_in_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |  AND c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q23_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
+        | substr(p_type, 1, 3) AS type3,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, 'o', '0', 'g') AS leeted
+        |FROM part WHERE p_name LIKE '%bolt%' ORDER BY p_partkey""".stripMargin,
+
+    "q24_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        | count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sq,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        | abs(l_extendedprice - 30000.0) AS ab, l_partkey % 7 AS md
+        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q27_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+    // q28_approx_distinct: intentionally no oracle — HLL sketches differ
+    // across engines; driver records a rows-only check.
+  )
+}
