@@ -1,0 +1,60 @@
+package graft.zeek
+
+import java.io.{BufferedInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** File access + compression auto-detection for Zeek logs.
+  *
+  * The reference opens files with content-based AUTO_DETECT
+  * (src/zeek_scanner.cpp:261-262; gzip + zstd per README.md:48-52). We
+  * sniff magic bytes — so a mis-named plain file still reads, and a fake
+  * `.gz` full of garbage falls through to the header parser, which rejects
+  * it (matching the reference's error path for data/error_test/fake_gzip).
+  */
+object ZeekIO {
+
+  /** Open a (possibly compressed) file as a decompressed stream. */
+  def open(path: String, conf: Configuration): InputStream = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    sniffAndWrap(new BufferedInputStream(fs.open(p), 64 * 1024))
+  }
+
+  /** Detect gzip (1f 8b) / zstd (28 b5 2f fd) magic and wrap accordingly. */
+  def sniffAndWrap(in: BufferedInputStream): InputStream = {
+    in.mark(4)
+    val m = new Array[Int](4)
+    var n = 0
+    var eof = false
+    while (n < 4 && !eof) {
+      val b = in.read()
+      if (b < 0) eof = true else { m(n) = b; n += 1 }
+    }
+    in.reset()
+    if (n >= 2 && m(0) == 0x1f && m(1) == 0x8b) new GZIPInputStream(in, 64 * 1024)
+    else if (n >= 4 && m(0) == 0x28 && m(1) == 0xb5 && m(2) == 0x2f && m(3) == 0xfd)
+      new ZstdInputStream(in)
+    else in
+  }
+
+  /** Expand a glob (or plain path) into lexicographically sorted file
+    * paths. Empty result is an error (reference: src/zeek_scanner.cpp:
+    * 446-453; sort at :453 keeps "first file" deterministic). */
+  def expandGlob(pattern: String, conf: Configuration): Seq[String] = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = statuses.filterNot(_.isDirectory).map(_.getPath.toUri.getPath)
+    // a non-glob path to a directory: list its files
+    val expanded =
+      if (files.isEmpty && statuses.exists(_.isDirectory))
+        statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+          .filterNot(_.isDirectory).map(_.getPath.toUri.getPath)
+      else files
+    expanded.sorted.toSeq
+  }
+}

@@ -1,0 +1,161 @@
+package graft.zeek
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.types._
+
+/** Options of the Zeek source, mirroring the reference's named parameters
+  * (reference: src/zeek_scanner.cpp:455-479, README.md:66-99). */
+final case class ZeekOptions(
+    filename: Boolean = false,
+    replacePeriods: Boolean = true,
+    inet: Boolean = true,
+    unionByName: Boolean = false,
+    ignoreFileErrors: Boolean = false) extends Serializable
+
+object ZeekOptions {
+  def fromMap(m: java.util.Map[String, String]): ZeekOptions = {
+    def b(k: String, dflt: Boolean): Boolean =
+      Option(m.get(k)).map(_.trim.toLowerCase == "true").getOrElse(dflt)
+    ZeekOptions(
+      filename = b("filename", dflt = false),
+      replacePeriods = b("replace_periods", dflt = true),
+      inet = b("inet", dflt = true),
+      unionByName = b("union_by_name", dflt = false),
+      ignoreFileErrors = b("ignore_file_errors", dflt = false))
+  }
+}
+
+/** Per-file scan spec produced at bind time.
+  *
+  * @param colMap union mode only: for each union column, the source field
+  *               index in this file, or -1 if absent (→ NULL fill);
+  *               reference: src/zeek_scanner.cpp:580-589.
+  */
+final case class ZeekFileSpec(path: String, colMap: Option[Array[Int]]) extends Serializable
+
+/** Bind result: resolved files + canonical header + Spark schema. */
+final case class ZeekBind(
+    files: Seq[ZeekFileSpec],
+    header: ZeekHeader,
+    /** data columns only — excludes the filename virtual column */
+    dataSchema: StructType,
+    /** full output schema (incl. filename column when enabled) */
+    schema: StructType,
+    opts: ZeekOptions) extends Serializable {
+  def filenameIndex: Int = if (opts.filename) schema.length - 1 else -1
+}
+
+/** Bind-time schema resolution (reference: ZeekScanBind,
+  * src/zeek_scanner.cpp:439-609): glob expansion + lexicographic sort,
+  * strict first-valid-file schema or union_by_name over all files,
+  * `.`→`_` renaming, optional `filename` virtual column.
+  */
+object ZeekSchema {
+
+  def bind(paths: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
+    val files = paths.flatMap(p => ZeekIO.expandGlob(p, conf)).distinct.sorted
+    if (files.isEmpty)
+      throw new ZeekFormatException(
+        s"No files found that match the pattern \"${paths.mkString(", ")}\"")
+    if (opts.unionByName) bindUnion(files, opts, conf)
+    else bindStrict(files, opts, conf)
+  }
+
+  private def parseHeader(path: String, conf: Configuration): ZeekHeader = {
+    val in = ZeekIO.open(path, conf)
+    try ZeekHeader.parseHeaderOnly(in)
+    finally in.close()
+  }
+
+  /** Strict mode: the first valid file's header is the schema; other files
+    * are validated per-partition at scan time (src/zeek_scanner.cpp:481-505). */
+  private def bindStrict(files: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
+    var header: ZeekHeader = null
+    var err: Throwable = null
+    val it = files.iterator
+    while (header == null && it.hasNext) {
+      val f = it.next()
+      try header = parseHeader(f, conf)
+      catch {
+        case e: Exception if opts.ignoreFileErrors => if (err == null) err = e
+        case e: Exception =>
+          throw new ZeekFormatException(s"Failed to read Zeek log '$f': ${e.getMessage}")
+      }
+    }
+    if (header == null)
+      throw new ZeekFormatException(
+        s"No valid Zeek log files found matching the pattern (last error: ${Option(err).map(_.getMessage).getOrElse("none")})")
+    val specs = files.map(f => ZeekFileSpec(f, None))
+    build(specs, header, header.fields, header.types, opts)
+  }
+
+  /** union_by_name: open every file, union fields by name in first-seen
+    * order; identical lexical syntax required; same name ⇒ same Zeek type
+    * or bind error; absent fields → NULL (src/zeek_scanner.cpp:506-589). */
+  private def bindUnion(files: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
+    val headers = files.map { f =>
+      try Some(parseHeader(f, conf))
+      catch {
+        case _: Exception if opts.ignoreFileErrors => None
+        case e: Exception =>
+          throw new ZeekFormatException(s"Failed to read Zeek log '$f': ${e.getMessage}")
+      }
+    }
+    val valid = files.zip(headers).collect { case (f, Some(h)) => (f, h) }
+    if (valid.isEmpty)
+      throw new ZeekFormatException("No valid Zeek log files found matching the pattern")
+
+    val first = valid.head._2
+    // lexical syntax must agree across files (src/zeek_scanner.cpp:536-545)
+    valid.foreach { case (f, h) =>
+      if (h.separator != first.separator || h.setSeparator != first.setSeparator ||
+        h.emptyField != first.emptyField || h.unsetField != first.unsetField)
+        throw new ZeekFormatException(
+          s"union_by_name requires identical separators and NULL markers: '${valid.head._1}' vs '$f'")
+    }
+
+    val unionFields = scala.collection.mutable.LinkedHashMap.empty[String, String] // name → zeek type
+    val firstSeenIn = scala.collection.mutable.HashMap.empty[String, String]       // name → file
+    valid.foreach { case (f, h) =>
+      h.fields.indices.foreach { i =>
+        val (name, tpe) = (h.fields(i), h.types(i))
+        unionFields.get(name) match {
+          case None =>
+            unionFields(name) = tpe
+            firstSeenIn(name) = f
+          case Some(prev) if prev != tpe =>
+            throw new ZeekFormatException(
+              s"union_by_name type conflict: field '$name' has type '$prev' in file '${firstSeenIn(name)}' but type '$tpe' in file '$f'")
+          case _ =>
+        }
+      }
+    }
+    val names = unionFields.keys.toVector
+    val types = names.map(unionFields)
+
+    val specs = files.zip(headers).map {
+      case (f, Some(h)) =>
+        val idx = h.fields.zipWithIndex.toMap
+        ZeekFileSpec(f, Some(names.map(n => idx.getOrElse(n, -1)).toArray))
+      case (f, None) =>
+        // tombstone: claimed at scan, yields zero rows (src/zeek_scanner.cpp:519-526)
+        ZeekFileSpec(f, Some(Array.fill(names.length)(-1)))
+    }
+    val canonical = first.copy(fields = names, types = types)
+    build(specs, canonical, names, types, opts)
+  }
+
+  private def build(specs: Seq[ZeekFileSpec], header: ZeekHeader,
+      names: Seq[String], types: Seq[String], opts: ZeekOptions): ZeekBind = {
+    val outNames = names.map(n => if (opts.replacePeriods) n.replace('.', '_') else n)
+    val dataFields = outNames.zip(types).map { case (n, t) =>
+      val meta = new MetadataBuilder().putString(ZeekTypes.ZeekTypeMeta, t).build()
+      StructField(n, ZeekTypes.toSpark(t), nullable = true, meta)
+    }
+    val dataSchema = StructType(dataFields)
+    val full =
+      if (opts.filename) StructType(dataFields :+ StructField("filename", StringType, nullable = true))
+      else dataSchema
+    ZeekBind(specs, header, dataSchema, full, opts)
+  }
+}

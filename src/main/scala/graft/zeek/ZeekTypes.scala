@@ -1,0 +1,194 @@
+package graft.zeek
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Zeek → Spark type mapping and per-type value parsers.
+  *
+  * Mapping follows SURVEY.md §1.4 (reference: src/zeek_reader.cpp:129-163):
+  * `time` → TimestampType (epoch-seconds text → micros with the reference's
+  * double-multiply truncation), `interval` → DayTimeIntervalType (orderable,
+  * Parquet-roundtrippable), `count`/`int` → LongType, `port` → IntegerType,
+  * `addr`/`subnet` → StringType (+ inet function library; Spark has no INET
+  * type), `vector[T]`/`set[T]` → ArrayType, unknown → StringType.
+  *
+  * All parsers operate on byte slices of the raw line — no intermediate
+  * String allocation on the hot path except for doubles (which delegate to
+  * java.lang.Double for exact decimal-to-binary conversion).
+  */
+object ZeekTypes {
+
+  /** Metadata key carrying the original Zeek type of a column (lets the
+    * inet function library and tests identify addr/subnet columns). */
+  val ZeekTypeMeta = "zeek.type"
+
+  def toSpark(zeekType: String): DataType = zeekType match {
+    case "time"           => TimestampType
+    case "interval"       => DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)
+    case "string" | "enum" => StringType
+    case "addr" | "subnet" => StringType
+    case "port"           => IntegerType
+    case "count"          => LongType
+    case "int"            => LongType
+    case "bool"           => BooleanType
+    case "double"         => DoubleType
+    case t if t.startsWith("vector[") || t.startsWith("set[") =>
+      ArrayType(toSpark(innerType(t)), containsNull = true)
+    case _                => StringType // unknown Zeek types fall back to text
+  }
+
+  /** Extract T from vector[T] / set[T]; malformed brackets default to
+    * string (reference: src/zeek_reader.cpp:120-127). */
+  def innerType(t: String): String = {
+    val open = t.indexOf('[')
+    val close = t.lastIndexOf(']')
+    if (open >= 0 && close > open) t.substring(open + 1, close) else "string"
+  }
+
+  // ---- scalar parsers over byte slices --------------------------------
+  // Every parser returns the Catalyst-internal value or null on parse
+  // failure (TryCast semantics: malformed input → NULL, never an error;
+  // reference: src/zeek_scanner.cpp:806-884).
+
+  type SliceParser = (Array[Byte], Int, Int) => Any
+
+  def parserFor(zeekType: String): SliceParser = zeekType match {
+    case "time"            => parseTime
+    case "interval"        => parseInterval
+    case "port"            => parsePort
+    case "count"           => parseCount
+    case "int"             => parseInt
+    case "bool"            => parseBool
+    case "double"          => parseDouble
+    case _                 => parseString // string, enum, addr, subnet, unknown
+  }
+
+  def parseString(b: Array[Byte], s: Int, e: Int): Any =
+    UTF8String.fromBytes(b, s, e - s)
+
+  /** Epoch seconds as decimal text → micros since epoch, truncated via the
+    * same double multiply as the reference (src/zeek_scanner.cpp:23-26). */
+  def parseTime(b: Array[Byte], s: Int, e: Int): Any = {
+    val d = toDouble(b, s, e)
+    if (d.isNaN && !isLiteralNaN(b, s, e)) null
+    else java.lang.Long.valueOf((d * 1e6).toLong)
+  }
+
+  /** Seconds as decimal text → interval micros (src/zeek_scanner.cpp:28-31). */
+  def parseInterval(b: Array[Byte], s: Int, e: Int): Any = parseTime(b, s, e)
+
+  /** Unsigned 16-bit range; out-of-range or malformed → NULL (reference
+    * TryCast to USMALLINT, SURVEY.md §7.4.3). */
+  def parsePort(b: Array[Byte], s: Int, e: Int): Any = {
+    val v = parseLongRange(b, s, e, 0L, 65535L)
+    if (v == null) null else java.lang.Integer.valueOf(v.longValue.toInt)
+  }
+
+  /** Unsigned 64-bit in the reference; values above Long.MaxValue are not
+    * representable in Spark's LongType → NULL (documented deviation,
+    * SURVEY.md §1.4). */
+  def parseCount(b: Array[Byte], s: Int, e: Int): Any =
+    parseLongRange(b, s, e, 0L, Long.MaxValue)
+
+  def parseInt(b: Array[Byte], s: Int, e: Int): Any =
+    parseLongRange(b, s, e, Long.MinValue, Long.MaxValue)
+
+  /** Exactly `T` or `true` → true, anything else → false — NOT a cast, and
+    * never NULL (reference: src/zeek_scanner.cpp:163-166,838-841). */
+  def parseBool(b: Array[Byte], s: Int, e: Int): Any = {
+    val len = e - s
+    val t = (len == 1 && b(s) == 'T') ||
+      (len == 4 && b(s) == 't' && b(s + 1) == 'r' && b(s + 2) == 'u' && b(s + 3) == 'e')
+    java.lang.Boolean.valueOf(t)
+  }
+
+  def parseDouble(b: Array[Byte], s: Int, e: Int): Any = {
+    val d = toDouble(b, s, e)
+    if (d.isNaN && !isLiteralNaN(b, s, e)) null else java.lang.Double.valueOf(d)
+  }
+
+  /** Signed long parser over a byte slice with range check; returns
+    * java.lang.Long or null. Rejects empty, overflow, trailing garbage. */
+  private def parseLongRange(b: Array[Byte], s: Int, e: Int, lo: Long, hi: Long): java.lang.Long = {
+    var i = s
+    if (i >= e) return null
+    var neg = false
+    b(i) match {
+      case '-' => neg = true; i += 1
+      case '+' => i += 1
+      case _   =>
+    }
+    if (i >= e) return null
+    var v = 0L
+    while (i < e) {
+      val c = b(i)
+      if (c < '0' || c > '9') return null
+      val d = c - '0'
+      if (v > (Long.MaxValue - d) / 10) return null // overflow
+      v = v * 10 + d
+      i += 1
+    }
+    val r = if (neg) -v else v
+    if (r < lo || r > hi) null else java.lang.Long.valueOf(r)
+  }
+
+  private def toDouble(b: Array[Byte], s: Int, e: Int): Double = {
+    if (s >= e) return Double.NaN
+    try java.lang.Double.parseDouble(new String(b, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
+    catch { case _: NumberFormatException => Double.NaN }
+  }
+
+  private def isLiteralNaN(b: Array[Byte], s: Int, e: Int): Boolean =
+    e - s == 3 && (b(s) == 'n' || b(s) == 'N') &&
+      (b(s + 1) == 'a' || b(s + 1) == 'A') && (b(s + 2) == 'n' || b(s + 2) == 'N')
+
+  /** Compare a byte slice against a marker string (ASCII). */
+  def sliceEquals(b: Array[Byte], s: Int, e: Int, marker: Array[Byte]): Boolean = {
+    val len = e - s
+    if (len != marker.length) return false
+    var i = 0
+    while (i < len) {
+      if (b(s + i) != marker(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Parse a list cell (vector[T]/set[T]): split on the set separator;
+    * unset/empty cell → EMPTY array (not NULL); per-element markers and
+    * parse failures → NULL elements; sets are NOT deduplicated
+    * (reference: src/zeek_scanner.cpp:332-437, test zeek.test:49-71). */
+  final class ListParser(elemParser: SliceParser, setSep: Array[Byte],
+      unset: Array[Byte], empty: Array[Byte]) extends Serializable {
+    def parse(b: Array[Byte], s: Int, e: Int): ArrayData = {
+      if (s >= e || sliceEquals(b, s, e, unset) || sliceEquals(b, s, e, empty))
+        return new GenericArrayData(Array.empty[Any])
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var start = s
+      var i = s
+      val sep0 = if (setSep.nonEmpty) setSep(0) else ','.toByte
+      while (i <= e) {
+        val atSep = i < e && b(i) == sep0 && matchesSep(b, i, e)
+        if (i == e || atSep) {
+          out += parseElem(b, start, i)
+          start = i + setSep.length
+          i = start
+        } else i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    private def matchesSep(b: Array[Byte], i: Int, e: Int): Boolean = {
+      if (i + setSep.length > e) return false
+      var k = 0
+      while (k < setSep.length) {
+        if (b(i + k) != setSep(k)) return false
+        k += 1
+      }
+      true
+    }
+    private def parseElem(b: Array[Byte], s: Int, e: Int): Any =
+      if (sliceEquals(b, s, e, unset) || sliceEquals(b, s, e, empty)) null
+      else elemParser(b, s, e)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.zeek.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.zeek._
+
+/** Hadoop Configuration is not Serializable; ship it to executors via
+  * Hadoop's own Writable serialization (standard connector pattern). */
+final class SerializableConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Spark DataSource V2 for Zeek logs — `spark.read.format("zeek")`.
+  *
+  * Reproduces the reference's `read_zeek` table function (SURVEY.md §2.A,
+  * reference src/zeek_scanner.cpp:913-925): header-driven schema
+  * inference, strict / union_by_name multi-file resolution, projection +
+  * filter pushdown, COUNT(*) fast path, `filename` virtual column,
+  * gzip/zstd auto-detection, ignore_file_errors.
+  *
+  * Scale model: one InputPartition per file (the reference's
+  * MaxThreads = #files, generalized to a multi-node cluster by Spark's
+  * scheduler — Zeek deployments rotate logs hourly, so a 100 TB corpus is
+  * tens of thousands of files scanned fully in parallel).
+  */
+class ZeekDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zeek"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZeekDataSource.bind(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZeekTable(ZeekDataSource.bind(new CaseInsensitiveStringMap(properties)))
+}
+
+object ZeekDataSource {
+  /** Bind results are cached per options-map so inferSchema + getTable
+    * don't re-open files (union_by_name reads every header at bind). */
+  private val cache = new java.util.LinkedHashMap[Map[String, String], ZeekBind](8, 0.75f, true) {
+    override def removeEldestEntry(e: util.Map.Entry[Map[String, String], ZeekBind]): Boolean = size > 8
+  }
+
+  def bind(options: CaseInsensitiveStringMap): ZeekBind = {
+    val key = options.asCaseSensitiveMap().asScala.toMap
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val paths = extractPaths(options)
+    val opts = ZeekOptions.fromMap(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val b = ZeekSchema.bind(paths, opts, conf)
+    cache.synchronized(cache.put(key, b))
+    b
+  }
+
+  private def extractPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // DataFrameReader encodes multiple paths as a JSON string array
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val all = single ++ multi
+    if (all.isEmpty)
+      throw new ZeekFormatException("zeek source requires a path, e.g. spark.read.format(\"zeek\").load(\"/logs/*.log.gz\")")
+    all
+  }
+}
+
+class ZeekTable(bind: ZeekBind) extends Table with SupportsRead {
+  override def name(): String = s"zeek(${bind.files.head.path}${if (bind.files.size > 1) s" +${bind.files.size - 1} files" else ""})"
+  override def schema(): StructType = bind.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZeekScanBuilder(bind)
+}
+
+/** Pushdown policy (SURVEY.md S18-S21): prune columns to the required
+  * set; accept scalar-typed constant comparisons / IN / IS NULL / AND/OR
+  * for reader-side pre-parse evaluation, but report every filter as
+  * residual so Catalyst re-evaluates — pushdown is purely an I/O
+  * optimization and can never change semantics. */
+class ZeekScanBuilder(bind: ZeekBind)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = bind.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val byName = bind.schema.fields.map(f => f.name -> f.dataType).toMap
+    pushed = filters.filter { f =>
+      ZeekFilterEval.referencedIfSupported(f) match {
+        case Some(cols) => cols.forall(c => byName.get(c).exists(ZeekFilterEval.pushableType))
+        case None       => false
+      }
+    }
+    filters // all residual: Spark re-checks everything (safe by construction)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZeekScan(bind, required, pushed)
+}
+
+class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZeekScan files=${bind.files.size} required=[${required.fieldNames.mkString(",")}] pushed=[${pushed.mkString(",")}]"
+
+  /** One partition per file — the reference's MaxThreads = #files model
+    * (src/include/zeek_reader.hpp:120-122) mapped onto Spark's scheduler. */
+  override def planInputPartitions(): Array[InputPartition] =
+    bind.files.map(spec => ZeekInputPartition(spec): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf)
+  }
+}
+
+final case class ZeekInputPartition(spec: ZeekFileSpec) extends InputPartition
+
+final case class ZeekPartitionReaderFactory(
+    boundHeader: ZeekHeader,
+    dataSchema: StructType,
+    opts: ZeekOptions,
+    required: StructType,
+    pushed: Array[Filter],
+    conf: SerializableConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new ZeekPartitionReader(partition.asInstanceOf[ZeekInputPartition].spec,
+      boundHeader, dataSchema, opts, required, pushed, conf.value)
+}

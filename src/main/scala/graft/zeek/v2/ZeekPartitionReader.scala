@@ -1,0 +1,242 @@
+package graft.zeek.v2
+
+import java.io.InputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.zeek._
+
+/** Per-file reader: open (+ decompress), parse + validate header, then a
+  * single-pass tokenize / filter / emit loop (reference: ZeekScanExecute,
+  * src/zeek_scanner.cpp:670-900).
+  *
+  * Hot-path design: reused token-offset arrays, byte-slice parsers, pushed
+  * filters evaluated on their columns BEFORE the remaining columns are
+  * parsed (src/zeek_scanner.cpp:718-771), COUNT(*) path skips
+  * tokenization entirely (src/zeek_scanner.cpp:707-711).
+  */
+final class ZeekPartitionReader(
+    spec: ZeekFileSpec,
+    boundHeader: ZeekHeader,
+    dataSchema: StructType,
+    opts: ZeekOptions,
+    required: StructType,
+    pushed: Array[Filter],
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private var in: InputStream = _
+  private var lines: ByteLineReader = _
+  private var pendingBytes: Array[Byte] = _
+  private var initialized = false
+  private var finished = false
+  private var currentRow: InternalRow = _
+
+  // ---- projection plan (built at init) --------------------------------
+  private val nReq = required.length
+  private val countOnly = nReq == 0
+  private var sepByte: Byte = '\t'
+  private var unsetBytes: Array[Byte] = _
+  private var emptyBytes: Array[Byte] = _
+  private var nFileFields = 0
+  // per required column:
+  private var srcIdx: Array[Int] = _              // file field index, -1 = NULL, -2 = filename
+  private var scalarParsers: Array[ZeekTypes.SliceParser] = _
+  private var listParsers: Array[ZeekTypes.ListParser] = _
+  private var filenameValue: UTF8String = _
+  // reused token buffers:
+  private var tokStart: Array[Int] = _
+  private var tokEnd: Array[Int] = _
+  // filter plan:
+  private var filterCols: Array[Int] = _          // required indices parsed before predicate eval
+  private var postCols: Array[Int] = _            // remaining required indices
+  private var predicate: ZeekFilterEval.RowPred = _
+
+  private val emptyRow = new GenericInternalRow(Array.empty[Any])
+
+  private def init(): Unit = {
+    in = ZeekIO.open(spec.path, conf)
+    lines = new ByteLineReader(in)
+    // incremental header parse: no look-ahead, so the first data line is
+    // captured as bytes and the reader stays positioned at the second
+    val hb = new ZeekHeader.Builder
+    var headerDone = false
+    while (!headerDone && lines.next()) {
+      if (!hb.offer(lines.lineString)) {
+        pendingBytes = java.util.Arrays.copyOfRange(lines.buf, lines.lineStart, lines.lineEnd)
+        headerDone = true
+      }
+    }
+    val fileHeader = hb.build()
+
+    // strict-mode per-file validation (src/zeek_scanner.cpp:295-303)
+    if (spec.colMap.isEmpty) {
+      boundHeader.diff(fileHeader).foreach { d =>
+        throw new ZeekFormatException(
+          s"Zeek log schema mismatch: file '${spec.path}' does not match the bound schema: $d")
+      }
+    }
+
+    sepByte = fileHeader.separator.toByte
+    unsetBytes = fileHeader.unsetField.getBytes(StandardCharsets.UTF_8)
+    emptyBytes = fileHeader.emptyField.getBytes(StandardCharsets.UTF_8)
+    nFileFields = fileHeader.fields.length
+    tokStart = new Array[Int](nFileFields + 1)
+    tokEnd = new Array[Int](nFileFields + 1)
+
+    val dataIndex = dataSchema.fieldNames.zipWithIndex.toMap
+    srcIdx = new Array[Int](nReq)
+    scalarParsers = new Array[ZeekTypes.SliceParser](nReq)
+    listParsers = new Array[ZeekTypes.ListParser](nReq)
+    filenameValue = UTF8String.fromString(spec.path)
+
+    var i = 0
+    while (i < nReq) {
+      val f = required.fields(i)
+      if (opts.filename && f.name == "filename" && !dataIndex.contains("filename")) {
+        srcIdx(i) = -2
+      } else {
+        val di = dataIndex(f.name)
+        srcIdx(i) = spec.colMap.map(m => m(di)).getOrElse(di)
+        val zt = f.metadata match {
+          case m if m.contains(ZeekTypes.ZeekTypeMeta) => m.getString(ZeekTypes.ZeekTypeMeta)
+          case _ => dataSchema.fields(di).metadata.getString(ZeekTypes.ZeekTypeMeta)
+        }
+        f.dataType match {
+          case ArrayType(_, _) =>
+            listParsers(i) = new ZeekTypes.ListParser(
+              ZeekTypes.parserFor(ZeekTypes.innerType(zt)),
+              fileHeader.setSeparator.getBytes(StandardCharsets.UTF_8),
+              unsetBytes, emptyBytes)
+          case _ =>
+            scalarParsers(i) = ZeekTypes.parserFor(zt)
+        }
+      }
+      i += 1
+    }
+
+    // filter plan: evaluate pushed filters after parsing only their columns
+    val reqIndex = required.fieldNames.zipWithIndex.toMap
+    val dts = required.fields.map(f => f.name -> f.dataType).toMap
+    val supported = pushed.filter(f => ZeekFilterEval.referencedIfSupported(f).isDefined)
+    if (supported.nonEmpty) {
+      val preds = supported.map(ZeekFilterEval.compile(_, reqIndex, dts))
+      predicate = row => preds.forall(p => p(row))
+      val names = supported.flatMap(f => ZeekFilterEval.referencedIfSupported(f).get).distinct
+      filterCols = names.flatMap(reqIndex.get).toArray
+      postCols = (0 until nReq).filterNot(filterCols.contains).toArray
+    } else {
+      predicate = null
+      filterCols = Array.empty
+      postCols = (0 until nReq).toArray
+    }
+  }
+
+  override def next(): Boolean = {
+    if (finished) return false
+    if (!initialized) {
+      initialized = true
+      try init()
+      catch {
+        case e: Exception if opts.ignoreFileErrors =>
+          finished = true
+          close()
+          return false
+        case e: ZeekFormatException => throw e
+        case e: Exception =>
+          throw new ZeekFormatException(s"Failed to read Zeek log '${spec.path}': ${e.getMessage}")
+      }
+    }
+    while (true) {
+      var buf: Array[Byte] = null
+      var ls = 0
+      var le = 0
+      if (pendingBytes != null) {
+        buf = pendingBytes
+        ls = 0
+        le = pendingBytes.length
+        pendingBytes = null
+      } else {
+        val ok =
+          try lines.next()
+          catch {
+            case e: Exception if opts.ignoreFileErrors => finished = true; close(); return false
+            case e: Exception =>
+              throw new ZeekFormatException(s"Failed to read Zeek log '${spec.path}': ${e.getMessage}")
+          }
+        if (!ok) { finished = true; close(); return false }
+        buf = lines.buf
+        ls = lines.lineStart
+        le = lines.lineEnd
+      }
+      // skip blank lines and mid/trailing directives like #close
+      if (le > ls && buf(ls) != '#') {
+        if (countOnly) { currentRow = emptyRow; return true }
+        if (emitRow(buf, ls, le)) return true
+      }
+    }
+    false // unreachable
+  }
+
+  /** Tokenize + filter + build the output row. Returns false if the row
+    * was dropped by a pushed filter. */
+  private def emitRow(buf: Array[Byte], ls: Int, le: Int): Boolean = {
+    // tokenize: offsets of up to nFileFields separator-delimited slices
+    var nTok = 0
+    var start = ls
+    var i = ls
+    while (i <= le && nTok < nFileFields) {
+      if (i == le || buf(i) == sepByte) {
+        tokStart(nTok) = start
+        tokEnd(nTok) = i
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val values = new Array[Any](nReq)
+    var k = 0
+    while (k < filterCols.length) {
+      val c = filterCols(k)
+      values(c) = parseCol(c, buf, nTok)
+      k += 1
+    }
+    if (predicate != null && !predicate(values)) return false
+    k = 0
+    while (k < postCols.length) {
+      val c = postCols(k)
+      values(c) = parseCol(c, buf, nTok)
+      k += 1
+    }
+    currentRow = new GenericInternalRow(values)
+    true
+  }
+
+  private def parseCol(c: Int, buf: Array[Byte], nTok: Int): Any = {
+    val si = srcIdx(c)
+    if (si == -2) return filenameValue
+    if (si < 0 || si >= nTok) return null // absent in this file (union mode) → NULL
+    val s = tokStart(si)
+    val e = tokEnd(si)
+    val lp = listParsers(c)
+    if (lp != null) return lp.parse(buf, s, e)
+    if (ZeekTypes.sliceEquals(buf, s, e, unsetBytes) ||
+        ZeekTypes.sliceEquals(buf, s, e, emptyBytes)) null
+    else scalarParsers(c)(buf, s, e)
+  }
+
+  override def get(): InternalRow = currentRow
+
+  override def close(): Unit = {
+    if (in != null) {
+      try in.close() catch { case _: Exception => }
+      in = null
+    }
+  }
+}

@@ -1,0 +1,266 @@
+package graft.zeek
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.SparkException
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end tests of the Zeek DSv2 source over generated fixtures,
+  * covering the behavior matrix of the reference's sqllogictest corpus
+  * (SURVEY.md §5): types & values, NULL markers, lists, globs + filename,
+  * strict validation, union_by_name, ignore_file_errors, pushdown,
+  * compression. */
+class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SharedSpark.spark
+
+  private def read(path: String, opts: Map[String, String] = Map.empty) = {
+    var r = spark.read.format("zeek")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(path)
+  }
+
+  test("scalar types, values, and schema") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    val df = read(p)
+    val s = df.schema
+    assert(s.fieldNames.toSeq == Seq("ts", "uid", "id_orig_h", "id_orig_p", "id_resp_h",
+      "id_resp_p", "proto", "duration", "orig_bytes", "pkts", "local_orig", "score", "tags", "rtts"))
+    assert(s("ts").dataType == TimestampType)
+    assert(s("duration").dataType.isInstanceOf[DayTimeIntervalType])
+    assert(s("id_orig_p").dataType == IntegerType)
+    assert(s("orig_bytes").dataType == LongType)
+    assert(s("pkts").dataType == LongType)
+    assert(s("local_orig").dataType == BooleanType)
+    assert(s("score").dataType == DoubleType)
+    assert(s("tags").dataType == ArrayType(StringType))
+    assert(s("rtts").dataType.isInstanceOf[ArrayType])
+
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[Timestamp]("ts") == Timestamp.from(java.time.Instant.ofEpochSecond(1768539602L, 60078000)))
+    assert(r0.getAs[String]("uid") == "CAcq1P2phfnCTjZAHl")
+    assert(r0.getAs[String]("id_orig_h") == "192.168.10.5")
+    assert(r0.getAs[Int]("id_orig_p") == 54321)
+    assert(r0.getAs[String]("proto") == "udp")
+    assert(r0.getAs[Long]("orig_bytes") == 61L)
+    assert(r0.getAs[Long]("pkts") == -3L)
+    assert(r0.getAs[Boolean]("local_orig"))
+    assert(r0.getAs[Double]("score") == 1.5)
+    assert(r0.getSeq[String](s.fieldIndex("tags")) == Seq("alpha", "beta"))
+
+    val r1 = rows(1)
+    assert(r1.isNullAt(s.fieldIndex("duration")))  // unset marker
+    assert(r1.isNullAt(s.fieldIndex("orig_bytes")))
+    assert(!r1.getAs[Boolean]("local_orig"))       // F
+    assert(r1.isNullAt(s.fieldIndex("score")))
+    assert(r1.getSeq[String](s.fieldIndex("tags")) == Seq.empty) // (empty) → empty list
+    assert(r1.getSeq[Any](s.fieldIndex("rtts")) == Seq.empty)    // unset → empty list
+
+    val r2 = rows(2)
+    assert(r2.getAs[Int]("id_resp_p") == 65535)
+    assert(r2.isNullAt(s.fieldIndex("orig_bytes"))) // u64 max > Long.MaxValue → NULL
+    assert(r2.getAs[Boolean]("local_orig"))         // "true"
+    assert(r2.getSeq[String](s.fieldIndex("tags")) == Seq("g", null, "h")) // NULL element
+  }
+
+  test("interval values are orderable micros") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    val df = read(p).select(col("uid"), col("duration"))
+    val durs = df.filter(col("duration").isNotNull).orderBy(col("duration")).collect()
+    assert(durs.length == 2)
+    assert(durs(0).getAs[java.time.Duration]("duration") == java.time.Duration.ofNanos(62826000))
+    assert(durs(1).getAs[java.time.Duration]("duration") == java.time.Duration.ofMillis(45250))
+  }
+
+  test("malformed values become NULL, not errors") {
+    val dir = ZeekFixtures.tempDir()
+    val content = ZeekFixtures.header("t", Seq("a", "b", "c", "d"), Seq("count", "port", "double", "time")) +
+      ZeekFixtures.row("notanum", "65536", "abc", "xyz") +
+      ZeekFixtures.row("123", "80", "2.5", "1700000000.5")
+    val p = ZeekFixtures.write(dir, "t.log", content)
+    val rows = read(p).orderBy(asc_nulls_first("a")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getLong(0) == 123L && rows(1).getInt(1) == 80 && rows(1).getDouble(2) == 2.5)
+  }
+
+  test("glob + filename column + deterministic file order") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))))
+    ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", Seq(("3.0", "B1", "300"))))
+    val df = read(s"$dir/*.log", Map("filename" -> "true"))
+    assert(df.schema.fieldNames.last == "filename")
+    assert(df.count() == 3)
+    val byFile = df.groupBy("filename").count().orderBy("filename").collect()
+    assert(byFile.length == 2)
+    assert(byFile(0).getString(0).endsWith("a.log") && byFile(0).getLong(1) == 2)
+    assert(byFile(1).getString(0).endsWith("b.log") && byFile(1).getLong(1) == 1)
+    // filename is filterable (reference: src/zeek_scanner.cpp:728-735)
+    assert(df.filter(col("filename").endsWith("b.log")).count() == 1)
+  }
+
+  test("replace_periods=false keeps dotted names") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    val df = read(p, Map("replace_periods" -> "false"))
+    assert(df.schema.fieldNames.contains("id.orig_h"))
+  }
+
+  test("strict mode: schema mismatch errors name the difference") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    // extra field
+    val extra = ZeekFixtures.header("t", Seq("ts", "id", "value", "extra"),
+      Seq("time", "string", "count", "string")) + ZeekFixtures.row("2.0", "B1", "200", "x")
+    ZeekFixtures.write(dir, "b.log", extra)
+    val e1 = intercept[Exception](read(s"$dir/*.log").collect())
+    assert(e1.getMessage.contains("different field count") ||
+      Option(e1.getCause).exists(_.getMessage.contains("different field count")))
+
+    val dir2 = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir2, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    val reorder = ZeekFixtures.header("t", Seq("id", "ts", "value"),
+      Seq("string", "time", "count")) + ZeekFixtures.row("B1", "2.0", "200")
+    ZeekFixtures.write(dir2, "b.log", reorder)
+    val e2 = intercept[Exception](read(s"$dir2/*.log").collect())
+    assert(e2.getMessage.contains("field 0 differs") ||
+      Option(e2.getCause).exists(_.getMessage.contains("field 0 differs")))
+
+    val dir3 = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir3, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    val retype = ZeekFixtures.header("t", Seq("ts", "id", "value"),
+      Seq("time", "string", "string")) + ZeekFixtures.row("2.0", "B1", "200")
+    ZeekFixtures.write(dir3, "b.log", retype)
+    val e3 = intercept[Exception](read(s"$dir3/*.log").collect())
+    assert(e3.getMessage.contains("type for field 'value' differs") ||
+      Option(e3.getCause).exists(_.getMessage.contains("type for field 'value' differs")))
+  }
+
+  test("union_by_name: schema union, NULL fill, absent-column filters") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "old.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))))
+    val newer = ZeekFixtures.header("t", Seq("ts", "id", "value", "extra", "newfield"),
+      Seq("time", "string", "count", "string", "bool")) +
+      ZeekFixtures.row("3.0", "B1", "300", "x", "T") +
+      ZeekFixtures.row("4.0", "B2", "400", "y", "F")
+    ZeekFixtures.write(dir, "z_new.log", newer)
+    val df = read(s"$dir/*.log", Map("union_by_name" -> "true"))
+    assert(df.schema.fieldNames.toSeq == Seq("ts", "id", "value", "extra", "newfield"))
+    assert(df.count() == 4)
+    // rows from the old file read NULL for absent columns
+    assert(df.filter(col("extra").isNull).count() == 2)
+    assert(df.filter(col("extra").isNotNull).count() == 2)
+    assert(df.filter(col("newfield") === true).count() == 1)
+    val olds = df.filter(col("extra").isNull).select("id").collect().map(_.getString(0)).sorted
+    assert(olds.toSeq == Seq("A1", "A2"))
+  }
+
+  test("union_by_name: type conflict is a bind error") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    val conflict = ZeekFixtures.header("t", Seq("ts", "id", "value"),
+      Seq("time", "string", "string")) + ZeekFixtures.row("2.0", "B1", "xyz")
+    ZeekFixtures.write(dir, "b.log", conflict)
+    val e = intercept[Exception](read(s"$dir/*.log", Map("union_by_name" -> "true")))
+    assert(e.getMessage.contains("field 'value' has type"))
+  }
+
+  test("ignore_file_errors: corrupt files skipped, all-invalid errors") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.writeRaw(dir, "corrupted.log.gz", Array.empty[Byte])
+    ZeekFixtures.writeRaw(dir, "fake_gzip.log.gz", "this is not gzip content!!".getBytes)
+    ZeekFixtures.write(dir, "valid.log.gz",
+      ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))), gzip = true)
+    ZeekFixtures.write(dir, "valid2.log.gz",
+      ZeekFixtures.base("t", Seq(("3.0", "A3", "300"))), gzip = true)
+
+    // default: bind fails on the first invalid file
+    intercept[Exception](read(s"$dir/*.log.gz").collect())
+    // with the flag: 3 rows from the two valid files
+    val df = read(s"$dir/*.log.gz", Map("ignore_file_errors" -> "true"))
+    assert(df.count() == 3)
+    // also works with union_by_name + filename
+    val df2 = read(s"$dir/*.log.gz",
+      Map("ignore_file_errors" -> "true", "union_by_name" -> "true", "filename" -> "true"))
+    assert(df2.count() == 3)
+    assert(df2.select("filename").distinct().count() == 2)
+
+    // all-invalid glob errors even with the flag
+    val dirBad = ZeekFixtures.tempDir()
+    ZeekFixtures.writeRaw(dirBad, "x.log.gz", "garbage".getBytes)
+    val e = intercept[Exception](read(s"$dirBad/*.log.gz", Map("ignore_file_errors" -> "true")))
+    assert(e.getMessage.contains("No valid Zeek log files found"))
+  }
+
+  test("empty glob errors") {
+    val dir = ZeekFixtures.tempDir()
+    val e = intercept[Exception](read(s"$dir/*.log"))
+    assert(e.getMessage.contains("No files found"))
+  }
+
+  test("filter pushdown: results identical to post-scan semantics") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    val df = read(p)
+    assert(df.filter(col("proto") === "udp").count() == 2)
+    assert(df.filter(col("id_orig_p") > 54321).count() == 1)
+    assert(df.filter(col("uid").isin("CAcq1P2phfnCTjZAHl", "Cxxg3H3AN8vkRYeSE6")).count() == 2)
+    assert(df.filter(col("proto") === "udp" && col("id_resp_h") === "8.8.4.4").count() == 1)
+    assert(df.filter(col("proto") === "tcp" || col("id_orig_p") === 54321).count() == 2)
+    assert(df.filter(col("duration").isNull).count() == 1)
+    assert(df.filter(col("duration").isNotNull).count() == 2)
+    assert(df.filter(col("ts") > lit(Timestamp.from(java.time.Instant.ofEpochSecond(1768539602L, 500000000)))).count() == 1)
+    // filter on a column that is NOT projected
+    assert(df.filter(col("proto") === "udp").select("uid").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("CAcq1P2phfnCTjZAHl", "CmFsdZ2rTGf6Ouv2R6"))
+    // array-typed filters are declined for pushdown but still evaluated
+    assert(df.filter(array_contains(col("tags"), "alpha")).count() == 1)
+    // pushed filters visible in the scan description
+    val desc = df.filter(col("proto") === "udp").queryExecution.executedPlan.toString
+    assert(desc.contains("ZeekScan"))
+  }
+
+  test("count(*) fast path") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    assert(read(p).count() == 3)
+  }
+
+  test("compression: gzip and zstd by magic bytes, regardless of name") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log.gz", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))), gzip = true)
+    ZeekFixtures.write(dir, "b.log.zst", ZeekFixtures.base("t", Seq(("2.0", "B1", "200"))), zstd = true)
+    // misnamed: gzip content in a .log file
+    ZeekFixtures.write(dir, "c.log", ZeekFixtures.base("t", Seq(("3.0", "C1", "300"))), gzip = true)
+    assert(read(s"$dir/a.log.gz").count() == 1)
+    assert(read(s"$dir/b.log.zst").count() == 1)
+    assert(read(s"$dir/c.log").count() == 1)
+  }
+
+  test("CRLF line endings and blank lines") {
+    val dir = ZeekFixtures.tempDir()
+    val content = ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200")))
+      .replace("\n", "\r\n") + "\r\n"
+    val p = ZeekFixtures.write(dir, "t.log", content)
+    val rows = read(p).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "A1")
+    assert(rows(0).getLong(2) == 100L)
+  }
+
+  test("SQL surface: zeek format usable from SQL + typical query") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    read(p).createOrReplaceTempView("conn")
+    val out = spark.sql(
+      "SELECT proto, count(*) AS c, count(duration) AS d FROM conn GROUP BY proto ORDER BY proto")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("tcp", 1L, 1L), ("udp", 2L, 1L)))
+  }
+}
