@@ -18,8 +18,8 @@ object SparkEntry {
     CoreQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle
+    CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle
 }

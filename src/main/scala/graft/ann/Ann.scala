@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.dedup.Dedup.mix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one pass, no corpus shuffle. The baseline
+  *    and the verifier for the approximate path.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector gets a `nBits`
+  *    signature; queries probe only their bucket (plus Hamming-1 neighbors
+  *    for recall). At 100 TB the corpus is hashed once (map-only), stored
+  *    bucketed, and each query touches ~corpus/2^nBits vectors.
+  *
+  * Dot products use built-in higher-order functions (`zip_with` +
+  * `aggregate`) — codegen-friendly, no UDF on the corpus-size hot path.
+  */
+object Ann {
+
+  /** Sequential-fold dot product of two float-array columns, in double
+    * precision (deterministic: same fold order everywhere). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` and `corpus`
+    * both carry (idCol, vecCol); queries are assumed small → broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic random-hyperplane component: plane p, dimension d →
+    * pseudo-random ±1 weight (seed-free, stable across runs/JVMs). */
+  private def planeWeight(p: Int, d: Int): Double =
+    if (((mix64(p.toLong * 1000003L + d) >>> 17) & 1L) == 1L) 1.0 else -1.0
+
+  /** `nBits`-bit hyperplane signature as an int column. */
+  def lshSignature(vec: Column, nBits: Int = 12, dims: Int = 64): Column = {
+    val bits = (0 until nBits).map { p =>
+      // dot(vec, plane_p) > 0 → bit p set; plane weights are ±1 so the
+      // dot is a signed sum of vector components
+      val weighted = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d))
+      }.reduce(_ + _)
+      when(weighted > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: probe the query's bucket and all Hamming-1
+    * buckets (multi-probe for recall). Returns the same shape as
+    * [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 12, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshSignature(col("cv"), nBits, dims))
+    val probes = (0 until nBits).map(b => lit(1 << b))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsig", lshSignature(col("qv"), nBits, dims))
+      .withColumn("bucket", explode(array((lit(0) +: probes).map(m => expr("qsig") .bitwiseXOR(m)): _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select("query_id", "neighbor_id", "cos").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard via an inverted index.
+  *
+  * Scale design (100 TB): every operator is a bounded-fanout shuffle on a
+  * well-distributed key — no cross join ever materializes. MinHash bands
+  * and SimHash blocks turn the O(n²) pair space into per-bucket
+  * mini-products; the inverted-index Jaccard prunes high-document-frequency
+  * shingles (non-discriminative by definition) to bound posting-list
+  * blowup. Signature computation is embarrassingly parallel map-side work.
+  */
+object Dedup {
+
+  // ---- deterministic 64-bit mixing (stable across JVMs/runs) -----------
+  /** splitmix64 finalizer — a public-domain bit mixer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a9b4e29ae4f1L
+    z ^ (z >>> 31)
+  }
+
+  private[dedup] def hashString(s: String): Long = {
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** Distinct word n-gram shingles of a text. */
+  private[dedup] def shingles(text: String, n: Int): Array[String] = {
+    val ws = text.split("\\s+")
+    if (ws.length < n) Array(ws.mkString(" "))
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray
+  }
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact duplicate groups by canonical fingerprint; keeps the minimum id
+    * as the survivor. Map-side partial agg → one shuffle on the hash. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash signature of the text's shingle set: sigs(i) = min over
+    * shingles of (a_i * h(s) + b_i), with deterministic per-permutation
+    * coefficients. Returned as an array column of `numHashes` longs. */
+  def minhashSignature(numHashes: Int = 64, shingleSize: Int = 2): Column => Column = {
+    val f = udf { (text: String) =>
+      val hs = shingles(text, shingleSize).map(hashString) // hash each shingle once
+      val sig = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        val a = mix64(2 * i + 1) | 1L // odd multiplier
+        val b = mix64(1000003L * i)
+        var best = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = a * hs(j) + b
+          if (v < best) best = v
+          j += 1
+        }
+        sig(i) = best
+        i += 1
+      }
+      sig
+    }
+    f.apply(_)
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding: signatures are cut
+    * into `bands` bands of `numHashes/bands` rows; docs sharing any band
+    * hash become candidates. One explode (×bands) + one shuffle on the
+    * band key; bucket sizes are tiny for non-duplicate data, so the
+    * within-bucket pair product is bounded. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    val buckets = banded.groupBy("band_key").agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+    // within-bucket pairs (i < j), then global distinct
+    buckets.select(explode(expr(
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members)), n ->
+        |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+        |      'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"), (col("p.matches") * 1.0 / numHashes).as("est_jaccard"))
+      .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates → exact shingle-set
+    * Jaccard verification ≥ `threshold`. The verify join touches only
+    * candidate ids — the n² pair space never materializes. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 2): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
+    val jacc = udf { (x: String, y: String) =>
+      val sa = shingles(x, shingleSize).toSet
+      val sb = shingles(y, shingleSize).toSet
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(t.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
+      .join(t.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
+      .withColumn("jaccard", jacc(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard", "est_jaccard")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over word-bigram shingle hashes: bit j of the result
+    * is the sign of the sum of ±1 votes from each shingle's hash bit j. */
+  val simhash64: Column => Column = {
+    val f = udf { (text: String) =>
+      val counts = new Array[Int](64)
+      shingles(text, 2).foreach { w =>
+        val h = hashString(w)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    f.apply(_)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
+    * 4×16-bit block indexing: by pigeonhole, any pair within Hamming ≤ 3
+    * shares at least one exact 16-bit block, so the result is EXACTLY the
+    * brute-force pair set for maxHamming ≤ 3 (the classic 64-bit/k=3
+    * near-dup configuration). Larger thresholds would need more/narrower
+    * blocks (k+1 blocks for completeness at Hamming k) at the cost of
+    * bigger buckets. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val blocked = sh.select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))
+    val buckets = blocked.groupBy("blk", "blk_val")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets.select(explode(expr(
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members)), n ->
+        |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+        |      'hamming', bit_count(m.sim ^ n.sim)))))""".stripMargin)).as("p"))
+      .select("p.a", "p.b", "p.hamming")
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- exact n-gram Jaccard via inverted index -------------------------
+
+  /** All-pairs exact n-gram Jaccard ≥ threshold, computed with an
+    * inverted-index join: explode distinct shingles → drop shingles with
+    * document frequency > maxDf (non-discriminative, and the source of
+    * posting-list blowup) → co-count per pair → Jaccard from
+    * |A∩B| / (|A|+|B|-|A∩B|).  All shuffles key on shingle or pair ids. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 2, maxDf: Int = 100): DataFrame = {
+    val sh = udf((t: String) => shingles(t, shingleSize))
+    val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
+    val pruned = exploded.join(
+      exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf && col("df") > 1), "s")
+    val co = pruned.as("x").join(pruned.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", col("common") * 1.0 / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-stream (batch-over-log) operators: sessionization, tumbling
+  * windows, semi-structured extraction.
+  *
+  * The events table carries nanosecond parquet timestamps, which Spark's
+  * vectorized reader rejects; we read them as raw nano longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and do exact integer
+  * microsecond math — which also sidesteps any cross-engine timestamp
+  * rendering differences in the oracle comparison.
+  */
+object EventQueries {
+
+  /** events with `tus` = epoch micros (exact integer division of nanos). */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gap-based sessionization (30-minute inactivity threshold)
+    "q29_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // tumbling 1-hour windows per event type
+    "q30_event_windows" -> ((s, d) => {
+      events(s, d)
+        .groupBy((col("tus") - pmod(col("tus"), lit(3600L * 1000000L))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
+
+    // semi-structured extraction from the props JSON-ish payload
+    "q31_event_props" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(IntegerType))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q29_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |l AS (SELECT user_id, tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_event_windows" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS hour_us,
+        | event_type, count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "q31_event_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
+        | count(*) AS cnt, max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators over the documents / embeddings
+  * tables: text analysis, deduplication (exact / MinHash / SimHash /
+  * n-gram Jaccard), similarity search (brute-force + LSH), multimodal
+  * plumbing. Oracle SQL twins exist wherever the computation is
+  * ANSI-SQL-expressible with bit-identical semantics; hash/sketch-based
+  * ops are rows-only (driver's weaker check) but internally verified by
+  * ScalaTest against exact recomputation.
+  */
+object PipelineQueries {
+
+  private val stopList = TextFunctions.DefaultStopwords.map(s => s"'$s'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis --------------------------------------------------
+    "d01_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len"),
+        TextFunctions.stopwordCount(col("text")).as("stop_cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d02_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.punctCount(col("text")).as("punct_cnt"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d03_lang_guess" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.langScore(col("text"), "en").as("en_score"),
+        TextFunctions.langScore(col("text"), "es").as("es_score"),
+        TextFunctions.langGuess(col("text")).as("guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d04_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- deduplication --------------------------------------------------
+    "d05_exact_dedup" -> ((s, d) => {
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    "d06_minhash_neardups" -> ((s, d) => {
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "d07_simhash_neardups" -> ((s, d) => {
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "d08_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, shingleSize = 2, maxDf = 1000000)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- similarity search ----------------------------------------------
+    "e01_embedding_stats" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dims"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+        col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "e02_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "e03_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- multimodal plumbing (stubbed decode kernels) --------------------
+    "m01_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.decode(media).groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_frames")).as("total_frames"),
+          max(col("width")).as("max_width"),
+          min(col("height")).as("min_height"))
+        .orderBy(col("kind"))
+    }),
+
+    "m02_multimodal_frames" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.frameSample(media, stride = 4)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame_bytes"))).as("bytes_sampled"))
+        .orderBy(col("media_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "d01_token_stats" ->
+      s"""SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens, length(text) AS len,
+         | len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) AS stop_cnt
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d02_quality_score" ->
+      s"""SELECT doc_id,
+         | length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         | least(greatest(
+         |   (least(len(string_split_regex(text, '\\s+')), 200) * 1.0 / 200.0) * 0.5
+         |   + (len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) * 1.0
+         |      / len(string_split_regex(text, '\\s+'))) * 0.3
+         |   + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1)) * 0.2, 0.0), 1.0) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d03_lang_guess" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+      val en = score(TextFunctions.LangMarkers.toMap.apply("en"))
+      val es = score(TextFunctions.LangMarkers.toMap.apply("es"))
+      val de = score(TextFunctions.LangMarkers.toMap.apply("de"))
+      val fr = score(TextFunctions.LangMarkers.toMap.apply("fr"))
+      s"""WITH s AS (SELECT doc_id, $en AS en_score, $es AS es_score, $de AS de_score, $fr AS fr_score FROM documents)
+         |SELECT doc_id, en_score, es_score,
+         | CASE WHEN en_score = greatest(en_score, es_score, de_score, fr_score) AND greatest(en_score, es_score, de_score, fr_score) > 0 THEN 'en'
+         |      WHEN es_score = greatest(en_score, es_score, de_score, fr_score) AND greatest(en_score, es_score, de_score, fr_score) > 0 THEN 'es'
+         |      WHEN de_score = greatest(en_score, es_score, de_score, fr_score) AND greatest(en_score, es_score, de_score, fr_score) > 0 THEN 'de'
+         |      WHEN fr_score = greatest(en_score, es_score, de_score, fr_score) AND greatest(en_score, es_score, de_score, fr_score) > 0 THEN 'fr'
+         |      ELSE 'und' END AS guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "d04_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d05_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "d08_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "e01_embedding_stats" ->
+      """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization
+  * stats, quality scoring, stopword-based language scoring, document
+  * fingerprinting. All are composed from built-in (codegen'd) Spark
+  * functions — no UDFs — so they stay inside whole-stage codegen and cost
+  * one pass over the string at 100 TB scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the baseline tokenizer; a BPE-ish regex
+    * variant is [[bpeTokenCount]]). */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword proxy: alternating letter-runs / digit-runs /
+    * punctuation counted separately (a cheap deterministic stand-in for a
+    * real byte-pair encoder's token count). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => length(t) > 0))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(words(text), w => w.isInCollection(stopwords)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Composite quality score in [0,1]: balanced length, low punctuation
+    * density, healthy stopword ratio. Deterministic double arithmetic
+    * (identical expression order cross-engine). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val stopRatio = stopwordCount(text) * lit(1.0) / n
+    val punctRatio = punctCount(text) * lit(1.0) / greatest(length(text), lit(1))
+    val lenScore = least(n, lit(200)) * lit(1.0) / lit(200.0)
+    least(greatest(lenScore * lit(0.5) + stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2), lit(0.0)), lit(1.0))
+  }
+
+  /** Stopword-hit language scores (n-gram-free heuristic: function words
+    * are the strongest cheap signal). Returns the per-language hit counts;
+    * [[langGuess]] argmaxes them with a fixed priority order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(words(lower(text)), w => w.isInCollection(markers)))
+  }
+
+  /** Argmax of [[langScore]] with deterministic tie-break (declaration
+    * order); all-zero scores → "und" (undetermined). */
+  def langGuess(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form content fingerprint: lowercase, collapse whitespace,
+    * md5. Equal fingerprints = exact duplicates modulo
+    * case/whitespace. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}
