@@ -52,17 +52,28 @@ object Ann {
   private def planeWeight(p: Int, d: Int): Double =
     if (((mix64(p.toLong * 1000003L + d) >>> 17) & 1L) == 1L) 1.0 else -1.0
 
-  /** `nBits`-bit hyperplane signature as an int column. */
+  /** `nBits`-bit hyperplane signature as an int column. A compact UDF
+    * rather than an unrolled expression tree: nBits×dims element_at terms
+    * made Catalyst planning/codegen dominate runtime (measured 3s at
+    * sf0.1, nearly all planning). */
   def lshSignature(vec: Column, nBits: Int = 12, dims: Int = 64): Column = {
-    val bits = (0 until nBits).map { p =>
-      // dot(vec, plane_p) > 0 → bit p set; plane weights are ±1 so the
-      // dot is a signed sum of vector components
-      val weighted = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d))
-      }.reduce(_ + _)
-      when(weighted > 0, lit(1 << p)).otherwise(lit(0))
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nBits, dims)((p, d) => planeWeight(p, d))
+    val f = udf { (v: Seq[Float]) =>
+      var sig = 0
+      var p = 0
+      while (p < planes.length) {
+        val row = planes(p)
+        var s = 0.0
+        var d = 0
+        val n = math.min(row.length, v.length)
+        while (d < n) { s += v(d) * row(d); d += 1 }
+        if (s > 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
     }
-    bits.reduce(_ + _)
+    f(vec)
   }
 
   /** Approximate top-k: probe the query's bucket and all Hamming-1

@@ -41,11 +41,13 @@ object PipelineQueries {
     }),
 
     "d03_lang_guess" -> ((s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.langScore(col("text"), "en").as("en_score"),
-        TextFunctions.langScore(col("text"), "es").as("es_score"),
-        TextFunctions.langGuess(col("text")).as("guess"))
+      Tables.documents(s, d)
+        .withColumn("p", TextFunctions.langProfile(col("text")))
+        .select(
+          col("doc_id"),
+          col("p._1").as("en_score"),
+          col("p._2").as("es_score"),
+          col("p._5").as("guess"))
         .orderBy(col("doc_id"))
     }),
 

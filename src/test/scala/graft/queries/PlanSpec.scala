@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.zeek.SharedSpark
+
+/** Physical-plan assertions: the optimizations we rely on for 100 TB
+  * scale must actually appear in the executed plans — broadcast joins for
+  * dimension tables (no fact-table shuffle), parquet filter pushdown, and
+  * partial (map-side) aggregation. Plan regressions fail here before they
+  * show up as bench regressions. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: dimension side broadcast, no shuffle join on lineitem") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "fact-side shuffle join crept in:\n" + p.take(2000))
+  }
+
+  test("q05: join chain broadcasts region/nation/customer side") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q06: filters pushed to parquet scan") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("PushedFilters: [Is"),
+      "expected pushed filters in scan:\n" + p.take(2000))
+    // column pruning: only the needed columns in ReadSchema
+    assert(!p.contains("l_orderkey"), "unneeded column not pruned:\n" + p.take(2000))
+  }
+
+  test("q01: partial aggregation before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p.take(1000))
+    // partial + final pair ⇒ map-side combine happens before exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q15: top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("zeek scan: count(*) prunes all columns") {
+    val dir = graft.zeek.ZeekFixtures.tempDir()
+    val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
+    val df = spark.read.format("zeek").load(f).groupBy().count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("required=[]"), "count(*) should prune every column:\n" + p.take(2000))
+  }
+}
