@@ -33,6 +33,14 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused single-pass cosine via the native [[graft.functions.CosineSim]]
+    * expression (registered on demand): one array walk, no intermediate
+    * allocation — the hot-path scorer for corpus-scale scans. */
+  private def fastCosine(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.registerAll(spark)
+    call_function("cosine_sim", a, b)
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` and `corpus`
     * both carry (idCol, vecCol); queries are assumed small → broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -40,7 +48,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", fastCosine(corpus.sparkSession)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -89,7 +97,7 @@ object Ann {
       .withColumn("bucket", explode(array((lit(0) +: probes).map(m => expr("qsig") .bitwiseXOR(m)): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", fastCosine(corpus.sparkSession)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.select("query_id", "neighbor_id", "cos").distinct()
       .withColumn("rank", row_number().over(w))

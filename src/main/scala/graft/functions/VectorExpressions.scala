@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType}
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * The composable formulation (`aggregate(zip_with(a, b, ...))`) walks the
+  * arrays three times and allocates an intermediate array per row; these
+  * expressions do one fused pass with zero allocation — the difference is
+  * material when scoring 10^10 corpus vectors. (CodegenFallback: the eval
+  * path is already a tight primitive loop; a doGenCode variant would only
+  * save the virtual call.)
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def compute(a: ArrayData, b: ArrayData, n: Int, elemF: Boolean): Any
+
+  private lazy val elementIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null // dimension mismatch → NULL, not silent truncation
+    else compute(a, b, a.numElements(), elementIsFloat)
+  }
+
+  protected def elem(x: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+}
+
+/** cosine_sim(array<float|double>, array<float|double>) → double; NULL on
+  * zero-norm input. */
+case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, f); val y = elem(b, i, f)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** dot_product(array<float|double>, array<float|double>) → double. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += elem(a, i, f) * elem(b, i, f); i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** l2_distance(array<float|double>, array<float|double>) → double. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = elem(a, i, f) - elem(b, i, f); s += d * d; i += 1 }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_distance"
+}
+
+object VectorExpressions {
+  /** Register SQL functions cosine_sim / dot_product / l2_distance. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def binary(name: String, f: (Expression, Expression) => Expression)(es: Seq[Expression]): Expression = {
+      if (es.length != 2)
+        throw new IllegalArgumentException(s"$name requires exactly 2 arguments, got ${es.length}")
+      f(es(0), es(1))
+    }
+    reg.createOrReplaceTempFunction("cosine_sim", binary("cosine_sim", CosineSim.apply), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", binary("dot_product", DotProduct.apply), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_distance", binary("l2_distance", L2Distance.apply), "scala_udf")
+  }
+}

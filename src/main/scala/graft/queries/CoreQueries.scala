@@ -297,6 +297,14 @@ object CoreQueries {
         .orderBy(col("yr"))
     }),
 
+    // --- cross join ------------------------------------------------------
+    "q34_cross_join" -> ((s, d) => {
+      Tables.region(s, d)
+        .crossJoin(Tables.orders(s, d).select(col("o_orderstatus")).distinct())
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
     // --- approximate (rows-only check: sketch internals differ) ---------
     "q28_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
@@ -476,7 +484,12 @@ object CoreQueries {
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
-        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q34_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin
     // q28_approx_distinct: intentionally no oracle — HLL sketches differ
     // across engines; driver records a rows-only check.
   )

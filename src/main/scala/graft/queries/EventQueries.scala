@@ -53,6 +53,18 @@ object EventQueries {
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_k"))
         .orderBy(col("k_bucket"))
+    }),
+
+    // as-of join: latest prior purchase per user for every event
+    "q32_asof_join" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
+        col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asofBackward(e, p, Seq("user_id"), "tus", "tus")
+        .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -71,5 +83,12 @@ object EventQueries {
     "q31_event_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
         | count(*) AS cnt, max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q32_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |p AS (SELECT user_id, tus, event_id AS p_event_id, value AS p_value FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.tus, p.p_event_id, p.p_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
+        |ORDER BY e.event_id""".stripMargin)
 }

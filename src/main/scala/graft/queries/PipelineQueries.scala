@@ -83,6 +83,15 @@ object PipelineQueries {
     }),
 
     // --- similarity search ----------------------------------------------
+    "e04_array_funcs" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        array_max(col("embedding")).cast(DoubleType).as("arr_max"),
+        array_min(col("embedding")).cast(DoubleType).as("arr_min"),
+        expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").as("head3"))
+        .orderBy(col("vec_id"))
+    }),
+
     "e01_embedding_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -183,5 +192,11 @@ object PipelineQueries {
 
     "e01_embedding_stats" ->
       """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "e04_array_funcs" ->
+      """SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS arr_max,
+        | CAST(list_min(embedding) AS DOUBLE) AS arr_min,
+        | list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
         |FROM embeddings ORDER BY vec_id""".stripMargin)
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.zeek.SharedSpark
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("cosine_sim / dot_product / l2_distance match the composable formulation") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(2.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT cosine_sim(a, b) AS c, dot_product(a, b) AS d, l2_distance(a, b) AS l FROM vecs").collect()
+
+    val dot0 = 1.0 * 4 + 2.0 * 5 + 3.0 * 6
+    assert(math.abs(rows(0).getDouble(0) - dot0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(rows(0).getDouble(1) == dot0)
+    assert(rows(1).getDouble(0) == 0.0) // orthogonal
+    assert(rows(2).getDouble(0) == 1.0) // parallel
+    assert(math.abs(rows(2).getDouble(2) - 1.0) < 1e-12)
+
+    // against the zip_with/aggregate formulation on real embeddings
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val both = emb.crossJoin(emb.select(col("embedding").as("e2"), col("vec_id").as("v2")).limit(5))
+      .select(
+        call_function("cosine_sim", col("embedding"), col("e2")).as("fast"),
+        graft.ann.Ann.cosine(col("embedding"), col("e2")).as("slow"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("zero-norm input yields NULL") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("zv")
+    assert(spark.sql("SELECT cosine_sim(a, b) AS c FROM zv").collect().head.isNullAt(0))
+  }
+}
