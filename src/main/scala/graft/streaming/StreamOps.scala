@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: watermarked tumbling/sliding windows
+  * and stateful gap-based sessionization.
+  *
+  * These are transforms over any streaming (or batch) DataFrame with an
+  * event-time column — `readStream` → transform → `writeStream` wiring
+  * stays with the caller. State design for scale: sessionization keys on
+  * user id (high cardinality → even distribution), keeps O(1) state per
+  * key (running aggregate, not the event list), and relies on event-time
+  * timeout for eviction, so state size is bounded by concurrently-active
+  * sessions, not history.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts + sums with a watermark: late events beyond
+    * `watermarkDelay` are dropped; windows finalize (append mode) once the
+    * watermark passes their end. */
+  def windowedEventCounts(events: DataFrame, tsCol: String, typeCol: String,
+      windowLength: String = "1 hour", watermarkDelay: String = "30 minutes"): DataFrame = {
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(typeCol))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("cnt"), col("sum_value"))
+  }
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives within `gapMillis` (enforced by
+    * event-time timeout against the watermark) and is emitted exactly
+    * once. */
+  def sessionize(events: Dataset[SessionEvent], gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption
+
+          if (state.hasTimedOut) {
+            st.foreach(s => out += SessionOut(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastSeen),
+              s.nEvents, s.sumValue))
+            state.remove()
+          } else {
+            // events within a micro-batch are not ordered: sort this slice
+            val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  st = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) => // gap exceeded inside the batch: close + reopen
+                  out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.nEvents, s.sumValue)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            }
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zeek.SharedSpark
+import StreamOps._
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  // NOTE: base offset of 1 hour — an event at exactly epoch 0 sits ON the
+  // initial watermark (0) and Spark's late-row filter is strict, so it
+  // would be dropped before the stateful operator (observed empirically).
+  private val Base = 60
+  private def ts(min: Int): Timestamp = new Timestamp((Base + min) * 60000L)
+  private def mins(t: Long): Long = t / 60000L - Base
+
+  test("stateful sessionization over a memory stream emits closed sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = sessionize(input.toDS(), gapMillis = 30 * 60 * 1000L,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10min apart (one session), then a 40min gap
+      input.addData(
+        SessionEvent(1L, 1L, ts(0), 1.0),
+        SessionEvent(1L, 2L, ts(10), 2.0),
+        SessionEvent(2L, 3L, ts(5), 5.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 4L, ts(50), 3.0)) // closes user1's first session
+      q.processAllAvailable()
+      // advance the watermark far enough to time out everything open
+      input.addData(SessionEvent(9L, 99L, ts(500), 0.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(9L, 100L, ts(600), 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess").as[SessionOut].collect()
+        .map(s => (s.user_id, mins(s.session_start.getTime), mins(s.session_end.getTime), s.n_events, s.sum_value))
+        .sortBy(x => (x._1, x._2))
+      // user 1 session A: minutes 0-10, 2 events, sum 3.0
+      assert(out.contains((1L, 0L, 10L, 2L, 3.0)))
+      // user 1 session B: minute 50 alone (closed by watermark advance)
+      assert(out.contains((1L, 50L, 50L, 1L, 3.0)))
+      // user 2: single event at minute 5
+      assert(out.contains((2L, 5L, 5L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session splits inside a single micro-batch when the gap is exceeded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = sessionize(input.toDS(), gapMillis = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(7L, 1L, ts(0), 1.0),
+        SessionEvent(7L, 2L, ts(100), 1.0), // out-of-order arrival, same batch
+        SessionEvent(7L, 3L, ts(5), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess2").as[SessionOut].collect()
+      // the 0-5 minute pair closed immediately (gap to minute 100 > 30min)
+      assert(out.exists(s => s.user_id == 7L && s.n_events == 2L &&
+        mins(s.session_start.getTime) == 0L && mins(s.session_end.getTime) == 5L),
+        out.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling windows finalize and drop late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "event_type", "value")
+    val q = windowedEventCounts(df, "ts", "event_type", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("wincnt").outputMode("append").start()
+    try {
+      input.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(40), "view", 4.0))
+      q.processAllAvailable()
+      input.addData((ts(70), "click", 8.0)) // advances watermark past hour 0
+      q.processAllAvailable()
+      input.addData((ts(15), "click", 100.0)) // LATE: inside hour 0, must be dropped
+      q.processAllAvailable()
+      input.addData((ts(200), "click", 0.5)) // finalize hour 1
+      q.processAllAvailable()
+
+      val rows = spark.table("wincnt")
+        .select(col("window_start"), col("event_type"), col("cnt"), col("sum_value")).collect()
+        .map(r => (mins(r.getTimestamp(0).getTime), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), rows.toString) // late event NOT counted
+      assert(rows.contains((0L, "view", 1L, 4.0)))
+      assert(rows.contains((60L, "click", 1L, 8.0)))
+    } finally q.stop()
+  }
+}
