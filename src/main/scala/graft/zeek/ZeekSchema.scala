@@ -41,7 +41,9 @@ final case class ZeekBind(
     dataSchema: StructType,
     /** full output schema (incl. filename column when enabled) */
     schema: StructType,
-    opts: ZeekOptions) extends Serializable {
+    opts: ZeekOptions,
+    /** original path patterns (streaming re-globs them per trigger) */
+    patterns: Seq[String]) extends Serializable {
   def filenameIndex: Int = if (opts.filename) schema.length - 1 else -1
 }
 
@@ -57,8 +59,9 @@ object ZeekSchema {
     if (files.isEmpty)
       throw new ZeekFormatException(
         s"No files found that match the pattern \"${paths.mkString(", ")}\"")
-    if (opts.unionByName) bindUnion(files, opts, conf)
-    else bindStrict(files, opts, conf)
+    val b = if (opts.unionByName) bindUnion(files, opts, conf)
+            else bindStrict(files, opts, conf)
+    b.copy(patterns = paths)
   }
 
   private def parseHeader(path: String, conf: Configuration): ZeekHeader = {
@@ -156,6 +159,6 @@ object ZeekSchema {
     val full =
       if (opts.filename) StructType(dataFields :+ StructField("filename", StringType, nullable = true))
       else dataSchema
-    ZeekBind(specs, header, dataSchema, full, opts)
+    ZeekBind(specs, header, dataSchema, full, opts, Seq.empty)
   }
 }

@@ -92,7 +92,7 @@ class ZeekTable(bind: ZeekBind) extends Table with SupportsRead {
   override def name(): String = s"zeek(${bind.files.head.path}${if (bind.files.size > 1) s" +${bind.files.size - 1} files" else ""})"
   override def schema(): StructType = bind.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZeekScanBuilder(bind)
 }
@@ -142,6 +142,12 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter])
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf)
   }
+
+  /** Streaming read: each trigger re-globs the pattern; new files become
+    * the micro-batch's partitions (Zeek's hourly-rotation model). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZeekMicroBatchStream(bind, bind.patterns, required, pushed,
+      SparkSession.active.sessionState.newHadoopConf())
 }
 
 final case class ZeekInputPartition(spec: ZeekFileSpec) extends InputPartition

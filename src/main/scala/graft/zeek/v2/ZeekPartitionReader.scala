@@ -75,11 +75,17 @@ final class ZeekPartitionReader(
     }
     val fileHeader = hb.build()
 
-    // strict-mode per-file validation (src/zeek_scanner.cpp:295-303)
-    if (spec.colMap.isEmpty) {
-      boundHeader.diff(fileHeader).foreach { d =>
-        throw new ZeekFormatException(
-          s"Zeek log schema mismatch: file '${spec.path}' does not match the bound schema: $d")
+    // strict-mode per-file validation (src/zeek_scanner.cpp:295-303);
+    // union-mode files without a bind-time map (streaming arrivals) get a
+    // by-name mapping with type checking instead
+    val colMap: Option[Array[Int]] = spec.colMap.orElse {
+      if (opts.unionByName) Some(unionMapByName(fileHeader))
+      else {
+        boundHeader.diff(fileHeader).foreach { d =>
+          throw new ZeekFormatException(
+            s"Zeek log schema mismatch: file '${spec.path}' does not match the bound schema: $d")
+        }
+        None
       }
     }
 
@@ -103,7 +109,7 @@ final class ZeekPartitionReader(
         srcIdx(i) = -2
       } else {
         val di = dataIndex(f.name)
-        srcIdx(i) = spec.colMap.map(m => m(di)).getOrElse(di)
+        srcIdx(i) = colMap.map(m => m(di)).getOrElse(di)
         val zt = f.metadata match {
           case m if m.contains(ZeekTypes.ZeekTypeMeta) => m.getString(ZeekTypes.ZeekTypeMeta)
           case _ => dataSchema.fields(di).metadata.getString(ZeekTypes.ZeekTypeMeta)
@@ -216,6 +222,26 @@ final class ZeekPartitionReader(
     }
     currentRow = new GenericInternalRow(values)
     true
+  }
+
+  /** Union-mode mapping for a file not seen at bind time: match fields by
+    * (renamed) name; a shared name must carry the same Zeek type as the
+    * bound schema; unknown extra fields are ignored, absent → NULL. */
+  private def unionMapByName(fileHeader: ZeekHeader): Array[Int] = {
+    def rename(n: String) = if (opts.replacePeriods) n.replace('.', '_') else n
+    val filePos = fileHeader.fields.indices.map(i => rename(fileHeader.fields(i)) -> i).toMap
+    dataSchema.fields.map { f =>
+      filePos.get(f.name) match {
+        case Some(i) =>
+          val boundType = f.metadata.getString(ZeekTypes.ZeekTypeMeta)
+          val fileType = fileHeader.types(i)
+          if (boundType != fileType)
+            throw new ZeekFormatException(
+              s"union_by_name type conflict: field '${f.name}' has type '$boundType' in the bound schema but type '$fileType' in file '${spec.path}'")
+          i
+        case None => -1
+      }
+    }
   }
 
   private def parseCol(c: Int, buf: Array[Byte], nTok: Int): Any = {

@@ -1,0 +1,60 @@
+package graft.zeek
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming reads over a growing Zeek log directory: each trigger picks
+  * up exactly the newly-appeared files (hourly-rotation model). */
+class ZeekStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("micro-batch stream processes each file exactly once as files appear") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log",
+      ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))))
+
+    val stream = spark.readStream.format("zeek")
+      .option("filename", "true")
+      .load(s"$dir/*.log")
+    val q = stream.writeStream.format("memory").queryName("zeek_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zeek_stream").count() == 2)
+
+      // a new rotation appears
+      ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", Seq(("3.0", "B1", "300"))))
+      q.processAllAvailable()
+      val rows = spark.table("zeek_stream")
+      assert(rows.count() == 3) // +1, and a.log NOT reprocessed
+      assert(rows.filter(col("filename").endsWith("b.log")).count() == 1)
+
+      // nothing new: no duplicates
+      q.processAllAvailable()
+      assert(spark.table("zeek_stream").count() == 3)
+    } finally q.stop()
+  }
+
+  test("union_by_name stream maps late-arriving files by name") {
+    val dir = ZeekFixtures.tempDir()
+    val wide = ZeekFixtures.header("t", Seq("ts", "id", "value", "extra"),
+      Seq("time", "string", "count", "string")) + ZeekFixtures.row("1.0", "W1", "100", "x")
+    ZeekFixtures.write(dir, "a.log", wide)
+
+    val stream = spark.readStream.format("zeek")
+      .option("union_by_name", "true")
+      .load(s"$dir/*.log")
+    val q = stream.writeStream.format("memory").queryName("zeek_union_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // new file lacking `extra` (different column subset) arrives later
+      ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", Seq(("2.0", "N1", "200"))))
+      q.processAllAvailable()
+      val rows = spark.table("zeek_union_stream").orderBy("id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "N1" && rows(0).isNullAt(3)) // extra → NULL
+      assert(rows(1).getString(1) == "W1" && rows(1).getString(3) == "x")
+    } finally q.stop()
+  }
+}
