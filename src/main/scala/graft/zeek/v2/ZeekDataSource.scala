@@ -127,9 +127,28 @@ class ZeekScanBuilder(bind: ZeekBind)
 }
 
 class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size estimate = on-disk bytes × a decompression factor for
+    * compressed files — lets Catalyst/AQE make join-side decisions (e.g.
+    * broadcasting a small lookup log). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      bind.files.map { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f.path)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          val name = f.path.toLowerCase
+          if (name.endsWith(".gz") || name.endsWith(".zst")) len * 6 else len
+        } catch { case _: Exception => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"ZeekScan files=${bind.files.size} required=[${required.fieldNames.mkString(",")}] pushed=[${pushed.mkString(",")}]"
 

@@ -46,6 +46,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
   }
 
+  test("zeek scan reports statistics: small zeek table auto-broadcasts") {
+    val dir = graft.zeek.ZeekFixtures.tempDir()
+    val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
+    val zeek = spark.read.format("zeek").load(f)
+    val orders = graft.queries.Tables.orders(spark, sf)
+    val p = orders.join(zeek, orders("o_orderkey") === zeek("id_orig_p"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "small zeek side (stats-reported) should broadcast:\n" + p.take(2000))
+  }
+
   test("zeek scan: count(*) prunes all columns") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
