@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSim, DotProduct, L2Distance}
+
+/** Session extensions for cluster-wide deployment:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * injects the native vector expressions into every session's function
+  * registry (no per-session registerAll call needed). UDF-backed
+  * families (inet, sum_sq) still register per session via
+  * `InetFunctions.registerAll` / `Udafs.registerAll` — extension
+  * injection requires Expression builders. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, s"$name(a, b) - graft vector expression", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, f: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name), { es: Seq[Expression] =>
+        if (es.length != 2)
+          throw new IllegalArgumentException(s"$name requires exactly 2 arguments, got ${es.length}")
+        f(es(0), es(1))
+      }))
+    inject("cosine_sim", CosineSim.apply)
+    inject("dot_product", DotProduct.apply)
+    inject("l2_distance", L2Distance.apply)
+  }
+}

@@ -305,6 +305,16 @@ object CoreQueries {
         .orderBy(col("r_name"), col("o_orderstatus"))
     }),
 
+    // --- typed UDAF (Aggregator) -----------------------------------------
+    "q35_udaf_sumsq" -> ((s, d) => {
+      graft.functions.Udafs.registerAll(s)
+      Tables.lineitem(s, d)
+        .withColumn("q", col("l_quantity").cast(LongType))
+        .groupBy(col("l_returnflag"))
+        .agg(call_udf("sum_sq", col("q")).as("sum_sq"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- approximate (rows-only check: sketch internals differ) ---------
     "q28_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
@@ -489,7 +499,13 @@ object CoreQueries {
     "q34_cross_join" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
-        |ORDER BY r_name, o_orderstatus""".stripMargin
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q35_udaf_sumsq" ->
+      """SELECT l_returnflag,
+        | sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_sq,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     // q28_approx_distinct: intentionally no oracle — HLL sketches differ
     // across engines; driver records a rows-only check.
   )
