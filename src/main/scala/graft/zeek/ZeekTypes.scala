@@ -133,10 +133,50 @@ object ZeekTypes {
     if (r < lo || r > hi) null else java.lang.Long.valueOf(r)
   }
 
-  private def toDouble(b: Array[Byte], s: Int, e: Int): Double = {
-    if (s >= e) return Double.NaN
-    try java.lang.Double.parseDouble(new String(b, s, e - s, java.nio.charset.StandardCharsets.US_ASCII))
-    catch { case _: NumberFormatException => Double.NaN }
+  private val pow10: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
+
+  /** Decimal text → double without allocating a String for the common
+    * `[-]digits[.digits]` shape: mantissa (≤ 2^53, exact as double) over a
+    * power of ten is a single correctly-rounded division, bit-identical to
+    * Double.parseDouble. Exponents / huge mantissas / specials fall back
+    * to the JDK parser. */
+  private def toDouble(b: Array[Byte], s0: Int, e: Int): Double = {
+    if (s0 >= e) return Double.NaN
+    var i = s0
+    var neg = false
+    b(i) match {
+      case '-' => neg = true; i += 1
+      case '+' => i += 1
+      case _   =>
+    }
+    var mantissa = 0L
+    var scale = 0
+    var digits = 0
+    var seenDot = false
+    var fastOk = i < e
+    while (i < e && fastOk) {
+      val c = b(i)
+      if (c >= '0' && c <= '9') {
+        val next = mantissa * 10 + (c - '0')
+        // stay within the exact-double mantissa range (2^53); a Zeek
+        // timestamp "1768539602.060078" is 16 digits and still fits
+        if (digits >= 16 || next > (1L << 53)) fastOk = false
+        else {
+          mantissa = next
+          digits += 1
+          if (seenDot) scale += 1
+        }
+      } else if (c == '.' && !seenDot) seenDot = true
+      else fastOk = false
+      i += 1
+    }
+    if (fastOk && digits > 0) {
+      val d = mantissa.toDouble / pow10(scale)
+      if (neg) -d else d
+    } else {
+      try java.lang.Double.parseDouble(new String(b, s0, e - s0, java.nio.charset.StandardCharsets.US_ASCII))
+      catch { case _: NumberFormatException => Double.NaN }
+    }
   }
 
   private def isLiteralNaN(b: Array[Byte], s: Int, e: Int): Boolean =

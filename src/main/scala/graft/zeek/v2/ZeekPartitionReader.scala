@@ -60,6 +60,18 @@ final class ZeekPartitionReader(
 
   private val emptyRow = new GenericInternalRow(Array.empty[Any])
 
+  // UnsafeRow fast path when no array column is projected: one reused
+  // value buffer + writer, zero per-row allocation (the writer's buffer
+  // is copied by downstream operators that retain rows, so reuse is the
+  // standard source pattern)
+  private val useUnsafe: Boolean =
+    required.fields.forall(f => !f.dataType.isInstanceOf[ArrayType])
+  private val unsafeWriter =
+    if (useUnsafe && nReq > 0)
+      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(nReq)
+    else null
+  private val reusedValues = if (useUnsafe) new Array[Any](nReq) else null
+
   private def init(): Unit = {
     in = ZeekIO.open(spec.path, conf)
     lines = new ByteLineReader(in)
@@ -206,7 +218,10 @@ final class ZeekPartitionReader(
       }
       i += 1
     }
-    val values = new Array[Any](nReq)
+    val values = if (useUnsafe) {
+      java.util.Arrays.fill(reusedValues.asInstanceOf[Array[AnyRef]], 0, nReq, null)
+      reusedValues
+    } else new Array[Any](nReq)
     var k = 0
     while (k < filterCols.length) {
       val c = filterCols(k)
@@ -220,7 +235,27 @@ final class ZeekPartitionReader(
       values(c) = parseCol(c, buf, nTok)
       k += 1
     }
-    currentRow = new GenericInternalRow(values)
+    if (useUnsafe) {
+      val w = unsafeWriter
+      w.reset()
+      w.zeroOutNullBytes()
+      var i = 0
+      while (i < nReq) {
+        values(i) match {
+          case null                      => w.setNullAt(i)
+          case u: UTF8String             => w.write(i, u)
+          case l: java.lang.Long         => w.write(i, l.longValue)
+          case n: java.lang.Integer      => w.write(i, n.intValue)
+          case d: java.lang.Double       => w.write(i, d.doubleValue)
+          case b: java.lang.Boolean      => w.write(i, b.booleanValue)
+          case other                     => throw new IllegalStateException(s"unexpected value $other")
+        }
+        i += 1
+      }
+      currentRow = w.getRow
+    } else {
+      currentRow = new GenericInternalRow(values)
+    }
     true
   }
 
