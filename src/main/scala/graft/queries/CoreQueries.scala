@@ -305,6 +305,16 @@ object CoreQueries {
         .orderBy(col("r_name"), col("o_orderstatus"))
     }),
 
+    // --- skew-safe salted join (must equal the plain join → oracle) ------
+    "q36_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      graft.operators.SkewJoin.saltedEquiJoin(o, c, "o_custkey", saltBuckets = 8)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- typed UDAF (Aggregator) -----------------------------------------
     "q35_udaf_sumsq" -> ((s, d) => {
       graft.functions.Udafs.registerAll(s)
@@ -500,6 +510,12 @@ object CoreQueries {
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
         |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q36_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q35_udaf_sumsq" ->
       """SELECT l_returnflag,

@@ -103,12 +103,23 @@ class ZeekTable(bind: ZeekBind) extends Table with SupportsRead {
   * residual so Catalyst re-evaluates — pushdown is purely an I/O
   * optimization and can never change semantics. */
 class ZeekScanBuilder(bind: ZeekBind)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = bind.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Partial limit pushdown: each partition stops reading after `limit`
+    * post-filter rows (LocalLimit semantics); Spark still applies the
+    * global limit, so we return false. Saves decompress+parse I/O for
+    * `LIMIT n` exploration queries over big logs. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val byName = bind.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -123,10 +134,11 @@ class ZeekScanBuilder(bind: ZeekBind)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZeekScan(bind, required, pushed)
+  override def build(): Scan = new ZeekScan(bind, required, pushed, limit)
 }
 
-class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter])
+class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -159,7 +171,7 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter])
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
-    ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf)
+    ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf, limit)
   }
 
   /** Streaming read: each trigger re-globs the pattern; new files become
@@ -177,8 +189,9 @@ final case class ZeekPartitionReaderFactory(
     opts: ZeekOptions,
     required: StructType,
     pushed: Array[Filter],
-    conf: SerializableConf) extends PartitionReaderFactory {
+    conf: SerializableConf,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new ZeekPartitionReader(partition.asInstanceOf[ZeekInputPartition].spec,
-      boundHeader, dataSchema, opts, required, pushed, conf.value)
+      boundHeader, dataSchema, opts, required, pushed, conf.value, limit)
 }

@@ -29,7 +29,10 @@ final class ZeekPartitionReader(
     opts: ZeekOptions,
     required: StructType,
     pushed: Array[Filter],
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private var in: InputStream = _
   private var lines: ByteLineReader = _
@@ -158,6 +161,11 @@ final class ZeekPartitionReader(
 
   override def next(): Boolean = {
     if (finished) return false
+    if (limit >= 0 && emitted >= limit) { // pushed LocalLimit: stop reading early
+      finished = true
+      close()
+      return false
+    }
     if (!initialized) {
       initialized = true
       try init()
@@ -195,8 +203,8 @@ final class ZeekPartitionReader(
       }
       // skip blank lines and mid/trailing directives like #close
       if (le > ls && buf(ls) != '#') {
-        if (countOnly) { currentRow = emptyRow; return true }
-        if (emitRow(buf, ls, le)) return true
+        if (countOnly) { currentRow = emptyRow; emitted += 1; return true }
+        if (emitRow(buf, ls, le)) { emitted += 1; return true }
       }
     }
     false // unreachable
