@@ -92,6 +92,16 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // generator / lateral-view family: explode with position
+    "e05_posexplode" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     "e01_embedding_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -193,6 +203,12 @@ object PipelineQueries {
     "e01_embedding_stats" ->
       """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "e05_posexplode" ->
+      """SELECT vec_id, CAST(t.i AS INT) AS pos, CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
+        |FROM embeddings, range(1, 5) t(i)
+        |WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "e04_array_funcs" ->
       """SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS arr_max,

@@ -12,16 +12,23 @@ import java.io.InputStream
   * compacted to the buffer head, growing the buffer only if a single line
   * exceeds it.
   */
-final class ByteLineReader(in: InputStream, initialSize: Int = 64 * 1024) {
+final class ByteLineReader(in: InputStream, initialSize: Int = 64 * 1024,
+    baseOffset: Long = 0L) {
   private var buffer = new Array[Byte](initialSize)
   private var dataStart = 0 // start of unconsumed bytes
   private var dataEnd = 0   // end of valid bytes
   private var scanned = 0   // bytes from dataStart already known newline-free
   private var eof = false
+  // stream offset of buffer index 0 (advances on compaction only)
+  private var bufBase: Long = baseOffset
 
   var lineStart: Int = 0
   var lineEnd: Int = 0
   def buf: Array[Byte] = buffer
+
+  /** Absolute stream offset of the current line's first byte (for
+    * byte-range splits of uncompressed files). */
+  def lineOffset: Long = bufBase + lineStart
 
   /** Advance to the next line. Returns false at end of stream. */
   def next(): Boolean = {
@@ -49,6 +56,7 @@ final class ByteLineReader(in: InputStream, initialSize: Int = 64 * 1024) {
       // compact the partial line to the front; grow only if it fills the buffer
       if (dataStart > 0) {
         System.arraycopy(buffer, dataStart, buffer, 0, scanned)
+        bufBase += dataStart
         dataStart = 0
         dataEnd = scanned
       } else if (scanned == buffer.length) {

@@ -18,10 +18,35 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ZeekIO {
 
   /** Open a (possibly compressed) file as a decompressed stream. */
-  def open(path: String, conf: Configuration): InputStream = {
+  def open(path: String, conf: Configuration): InputStream =
+    openWithInfo(path, conf)._1
+
+  /** Open + report whether the content was compressed (compressed streams
+    * have no meaningful byte offsets, so they are never range-split). */
+  def openWithInfo(path: String, conf: Configuration): (InputStream, Boolean) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    sniffAndWrap(new BufferedInputStream(fs.open(p), 64 * 1024))
+    val buffered = new BufferedInputStream(fs.open(p), 64 * 1024)
+    val wrapped = sniffAndWrap(buffered)
+    (wrapped, wrapped ne buffered)
+  }
+
+  /** Raw positioned stream + compression sniff for ranged reads. */
+  def openRaw(path: String, conf: Configuration): (org.apache.hadoop.fs.FSDataInputStream, Boolean) = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val m = new Array[Byte](4)
+    var n = 0
+    var eof = false
+    while (n < 4 && !eof) {
+      val r = in.read(m, n, 4 - n)
+      if (r < 0) eof = true else n += r
+    }
+    val compressed =
+      (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b) ||
+      (n >= 4 && (m(0) & 0xff) == 0x28 && (m(1) & 0xff) == 0xb5 &&
+        (m(2) & 0xff) == 0x2f && (m(3) & 0xff) == 0xfd)
+    (in, compressed)
   }
 
   /** Detect gzip (1f 8b) / zstd (28 b5 2f fd) magic and wrap accordingly. */

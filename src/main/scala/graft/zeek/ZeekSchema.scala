@@ -10,7 +10,10 @@ final case class ZeekOptions(
     replacePeriods: Boolean = true,
     inet: Boolean = true,
     unionByName: Boolean = false,
-    ignoreFileErrors: Boolean = false) extends Serializable
+    ignoreFileErrors: Boolean = false,
+    /** byte-range split size for large UNCOMPRESSED files (compressed
+      * files are never split); ≤0 disables splitting */
+    splitSize: Long = 128L * 1024 * 1024) extends Serializable
 
 object ZeekOptions {
   def fromMap(m: java.util.Map[String, String]): ZeekOptions = {
@@ -21,17 +24,24 @@ object ZeekOptions {
       replacePeriods = b("replace_periods", dflt = true),
       inet = b("inet", dflt = true),
       unionByName = b("union_by_name", dflt = false),
-      ignoreFileErrors = b("ignore_file_errors", dflt = false))
+      ignoreFileErrors = b("ignore_file_errors", dflt = false),
+      splitSize = Option(m.get("split_size")).map(_.trim.toLong)
+        .getOrElse(128L * 1024 * 1024))
   }
 }
 
-/** Per-file scan spec produced at bind time.
+/** Per-file (or per-byte-range) scan spec produced at planning time.
   *
   * @param colMap union mode only: for each union column, the source field
   *               index in this file, or -1 if absent (→ NULL fill);
   *               reference: src/zeek_scanner.cpp:580-589.
+  * @param start  byte-range start for splittable (uncompressed) files;
+  *               0 = the split that also owns header parsing/validation
+  * @param end    exclusive range end; -1 = to EOF. A line belongs to the
+  *               split containing its first byte.
   */
-final case class ZeekFileSpec(path: String, colMap: Option[Array[Int]]) extends Serializable
+final case class ZeekFileSpec(path: String, colMap: Option[Array[Int]],
+    start: Long = 0L, end: Long = -1L) extends Serializable
 
 /** Bind result: resolved files + canonical header + Spark schema. */
 final case class ZeekBind(

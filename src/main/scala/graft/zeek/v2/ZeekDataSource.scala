@@ -165,9 +165,33 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
     s"ZeekScan files=${bind.files.size} required=[${required.fieldNames.mkString(",")}] pushed=[${pushed.mkString(",")}]"
 
   /** One partition per file — the reference's MaxThreads = #files model
-    * (src/include/zeek_reader.hpp:120-122) mapped onto Spark's scheduler. */
-  override def planInputPartitions(): Array[InputPartition] =
-    bind.files.map(spec => ZeekInputPartition(spec): InputPartition).toArray
+    * (src/include/zeek_reader.hpp:120-122) mapped onto Spark's scheduler —
+    * plus byte-range splits for large uncompressed files (beyond the
+    * reference: a single huge plain log no longer serializes the scan).
+    * Compression is judged by extension here; a mis-named compressed file
+    * is caught by the reader's magic-byte sniff (start-0 split reads the
+    * whole file, other splits yield 0 rows). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val split = bind.opts.splitSize
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    bind.files.flatMap { spec =>
+      val lower = spec.path.toLowerCase
+      val compressedExt = lower.endsWith(".gz") || lower.endsWith(".zst")
+      val size =
+        if (compressedExt || split <= 0) -1L
+        else try {
+          val p = new org.apache.hadoop.fs.Path(spec.path)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        } catch { case _: Exception => -1L }
+      if (size > split) {
+        val n = ((size + split - 1) / split).toInt
+        (0 until n).map { i =>
+          ZeekInputPartition(spec.copy(start = i * split,
+            end = if (i == n - 1) -1L else (i + 1) * split)): InputPartition
+        }
+      } else Seq(ZeekInputPartition(spec): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())

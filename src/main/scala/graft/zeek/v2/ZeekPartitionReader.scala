@@ -37,6 +37,7 @@ final class ZeekPartitionReader(
   private var in: InputStream = _
   private var lines: ByteLineReader = _
   private var pendingBytes: Array[Byte] = _
+  private var pendingOffset: Long = 0L
   private var initialized = false
   private var finished = false
   private var currentRow: InternalRow = _
@@ -75,8 +76,35 @@ final class ZeekPartitionReader(
     else null
   private val reusedValues = if (useUnsafe) new Array[Any](nReq) else null
 
+  private var rangeEnd: Long = -1L // exclusive; -1 = unbounded
+
   private def init(): Unit = {
-    in = ZeekIO.open(spec.path, conf)
+    if (spec.start > 0) {
+      // ranged split of an uncompressed file: the start-0 split owns
+      // header parsing/validation; here we use the bound header, seek to
+      // start-1 and discard the first (partial) line — a line belongs to
+      // the split containing its first byte.
+      val (raw, compressed) = ZeekIO.openRaw(spec.path, conf)
+      in = raw
+      if (compressed) {
+        // extension lied (plain name, compressed content): the start-0
+        // split reads the whole file; this split contributes nothing
+        finished = true
+        close()
+        return
+      }
+      raw.seek(spec.start - 1)
+      lines = new ByteLineReader(new java.io.BufferedInputStream(raw, 64 * 1024),
+        baseOffset = spec.start - 1)
+      if (!lines.next()) { finished = true; close(); return } // empty tail
+      rangeEnd = spec.end
+      setupProjection(boundHeader)
+      return
+    }
+
+    val (stream, compressed) = ZeekIO.openWithInfo(spec.path, conf)
+    in = stream
+    if (!compressed) rangeEnd = spec.end // compressed files are never range-bounded
     lines = new ByteLineReader(in)
     // incremental header parse: no look-ahead, so the first data line is
     // captured as bytes and the reader stays positioned at the second
@@ -85,11 +113,17 @@ final class ZeekPartitionReader(
     while (!headerDone && lines.next()) {
       if (!hb.offer(lines.lineString)) {
         pendingBytes = java.util.Arrays.copyOfRange(lines.buf, lines.lineStart, lines.lineEnd)
+        pendingOffset = lines.lineOffset
         headerDone = true
       }
     }
     val fileHeader = hb.build()
+    setupProjection(fileHeader)
+  }
 
+  /** Build the per-column projection/filter plan from the (validated)
+    * file header — or from the bound header for ranged splits. */
+  private def setupProjection(fileHeader: ZeekHeader): Unit = {
     // strict-mode per-file validation (src/zeek_scanner.cpp:295-303);
     // union-mode files without a bind-time map (streaming arrivals) get a
     // by-name mapping with type checking instead
@@ -178,6 +212,7 @@ final class ZeekPartitionReader(
         case e: Exception =>
           throw new ZeekFormatException(s"Failed to read Zeek log '${spec.path}': ${e.getMessage}")
       }
+      if (finished) return false // init decided this split has no data
     }
     while (true) {
       var buf: Array[Byte] = null
@@ -188,6 +223,13 @@ final class ZeekPartitionReader(
         ls = 0
         le = pendingBytes.length
         pendingBytes = null
+        if (rangeEnd >= 0 && pendingOffset >= rangeEnd) {
+          // first data line starts beyond this split (split ends inside
+          // the header region) — it belongs to a later split
+          finished = true
+          close()
+          return false
+        }
       } else {
         val ok =
           try lines.next()
@@ -197,6 +239,12 @@ final class ZeekPartitionReader(
               throw new ZeekFormatException(s"Failed to read Zeek log '${spec.path}': ${e.getMessage}")
           }
         if (!ok) { finished = true; close(); return false }
+        if (rangeEnd >= 0 && lines.lineOffset >= rangeEnd) {
+          // next line starts in a later split — this range is done
+          finished = true
+          close()
+          return false
+        }
         buf = lines.buf
         ls = lines.lineStart
         le = lines.lineEnd

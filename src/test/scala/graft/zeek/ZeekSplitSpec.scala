@@ -1,0 +1,67 @@
+package graft.zeek
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-range splitting of large uncompressed Zeek files: results must be
+  * identical to the unsplit read (every line exactly once, regardless of
+  * where split boundaries fall), and compressed content must never be
+  * split even when the extension lies. */
+class ZeekSplitSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def bigLog(rows: Int): String = {
+    val sb = new StringBuilder
+    sb.append(ZeekFixtures.header("t", Seq("ts", "id", "value"), Seq("time", "string", "count")))
+    var i = 0
+    while (i < rows) {
+      sb.append(s"$i.5\tid_$i\t${i * 3}\n")
+      i += 1
+    }
+    sb.append("#close\t2026-01-22-02-30-59\n")
+    sb.toString
+  }
+
+  test("split read == unsplit read, every row exactly once") {
+    val dir = ZeekFixtures.tempDir()
+    val content = bigLog(20000) // ~400 KB
+    val p = ZeekFixtures.write(dir, "big.log", content)
+
+    val unsplit = spark.read.format("zeek").load(p)
+    // force many tiny splits so boundaries land mid-line all over the file
+    val split = spark.read.format("zeek").option("split_size", "10000").load(p)
+    assert(split.rdd.getNumPartitions > 10, s"got ${split.rdd.getNumPartitions} partitions")
+
+    assert(split.count() == 20000)
+    val a = unsplit.select("id").collect().map(_.getString(0)).sorted
+    val b = split.select("id").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    // values survive too (sum is position-independent)
+    val sum = split.agg(org.apache.spark.sql.functions.sum("value")).collect().head.getLong(0)
+    assert(sum == (0L until 20000L).map(_ * 3).sum)
+    // filters still work across splits
+    assert(split.filter(col("id") === "id_19999").count() == 1)
+  }
+
+  test("compressed content with a lying extension is not split (no dup/loss)") {
+    val dir = ZeekFixtures.tempDir()
+    // gzip content in a plain .log name: planner will try to split by
+    // extension; the reader's sniff must collapse it to the start-0 split
+    val path = ZeekFixtures.write(dir, "lying.log", bigLog(5000), gzip = true)
+    val df = spark.read.format("zeek").option("split_size", "4000").load(path)
+    assert(df.count() == 5000)
+    assert(df.select("id").distinct().count() == 5000)
+  }
+
+  test("split boundaries exactly on newlines do not duplicate lines") {
+    val dir = ZeekFixtures.tempDir()
+    // constant-width rows so some split boundary lands exactly at a line start
+    val sb = new StringBuilder
+    sb.append(ZeekFixtures.header("t", Seq("id"), Seq("string")))
+    (0 until 1000).foreach(i => sb.append(f"x$i%08d\n")) // 10 bytes per line
+    val p = ZeekFixtures.write(dir, "fixed.log", sb.toString)
+    val df = spark.read.format("zeek").option("split_size", "100").load(p)
+    assert(df.count() == 1000)
+    assert(df.distinct().count() == 1000)
+  }
+}
