@@ -325,6 +325,15 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- percentiles (rows-only: interpolation formulas differ per engine)
+    "q37_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- approximate (rows-only check: sketch internals differ) ---------
     "q28_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d).agg(

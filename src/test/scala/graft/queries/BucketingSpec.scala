@@ -11,6 +11,19 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("partitioned write + partition-pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("yr") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(1500))
+    val expected = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() == expected)
+  }
+
   test("bucketed tables sort-merge join without exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -231,6 +231,15 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(p).count() == 3)
   }
 
+  test("Zeek.read helper mirrors read_zeek's named parameters") {
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    val df = Zeek.read(spark, p, filename = true, replacePeriods = false)
+    assert(df.schema.fieldNames.contains("id.orig_h"))
+    assert(df.schema.fieldNames.last == "filename")
+    assert(df.count() == 3)
+  }
+
   test("compression: gzip and zstd by magic bytes, regardless of name") {
     val dir = ZeekFixtures.tempDir()
     ZeekFixtures.write(dir, "a.log.gz", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))), gzip = true)
