@@ -2,26 +2,29 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for embedding math.
   *
   * The composable formulation (`aggregate(zip_with(a, b, ...))`) walks the
   * arrays three times and allocates an intermediate array per row; these
-  * expressions do one fused pass with zero allocation — the difference is
-  * material when scoring 10^10 corpus vectors. (CodegenFallback: the eval
-  * path is already a tight primitive loop; a doGenCode variant would only
-  * save the virtual call.)
+  * expressions do one fused pass with zero allocation and participate in
+  * whole-stage codegen (`doGenCode` emits the loop inline) — the
+  * difference is material when scoring 10^10 corpus vectors.
   */
-abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   protected def compute(a: ArrayData, b: ArrayData, n: Int, elemF: Boolean): Any
 
-  private lazy val elementIsFloat: Boolean =
+  /** Java source for the loop body; receives element-getter snippets. */
+  protected def loopCode(a: String, b: String, n: String, getA: String => String,
+      getB: String => String, result: String, isNull: String): String
+
+  protected lazy val elementIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -31,24 +34,49 @@ abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallb
     else compute(a, b, a.numElements(), elementIsFloat)
   }
 
-  protected def elem(x: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (elementIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${loopCode(a, b, n, i => s"(double) $a.$getter($i)",
+                i => s"(double) $b.$getter($i)", ev.value.toString, ev.isNull.toString)}
+         |}
+       """.stripMargin
+    })
+  }
 }
 
 /** cosine_sim(array<float|double>, array<float|double>) → double; NULL on
-  * zero-norm input. */
+  * zero-norm input or dimension mismatch. */
 case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
   override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = elem(a, i, f); val y = elem(b, i, f)
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+  override protected def loopCode(a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String =
+    s"""
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double x = ${getA("i")}; double y = ${getB("i")};
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |if (na == 0.0 || nb == 0.0) { $isNull = true; }
+       |else { $result = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)); }
+     """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
@@ -59,9 +87,21 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += elem(a, i, f) * elem(b, i, f); i += 1 }
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
+  override protected def loopCode(a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String =
+    s"""
+       |double dot = 0.0;
+       |for (int i = 0; i < $n; i++) { dot += ${getA("i")} * ${getB("i")}; }
+       |$result = dot;
+     """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_product"
@@ -72,9 +112,22 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
     var s = 0.0
     var i = 0
-    while (i < n) { val d = elem(a, i, f) - elem(b, i, f); s += d * d; i += 1 }
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
     java.lang.Double.valueOf(math.sqrt(s))
   }
+  override protected def loopCode(a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String =
+    s"""
+       |double s = 0.0;
+       |for (int i = 0; i < $n; i++) { double d = ${getA("i")} - ${getB("i")}; s += d * d; }
+       |$result = java.lang.Math.sqrt(s);
+     """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "l2_distance"

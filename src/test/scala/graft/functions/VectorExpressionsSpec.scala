@@ -35,6 +35,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("expressions participate in whole-stage codegen (no fallback)") {
+    VectorExpressions.registerAll(spark)
+    graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("cg_emb")
+    val df = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM cg_emb")
+    // the project containing the expression must sit inside a
+    // WholeStageCodegen span (the `*(n)` marker)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(1200))
+    // and the generated code computes the right thing (self-cosine = 1)
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
   test("zero-norm input yields NULL") {
     import spark.implicits._
     VectorExpressions.registerAll(spark)
