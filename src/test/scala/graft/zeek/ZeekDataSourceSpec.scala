@@ -231,6 +231,28 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read(p).count() == 3)
   }
 
+  test("custom lexical settings: separator, set_separator, markers") {
+    val dir = ZeekFixtures.tempDir()
+    val content =
+      "#separator \\x2C\n" +          // comma separator
+      "#set_separator,;\n" +
+      "#empty_field,EMPTYV\n" +
+      "#unset_field,NA\n" +
+      "#fields,ts,id,tags,value\n" +
+      "#types,time,string,set[string],count\n" +
+      "1.5,A1,x;y;NA,100\n" +
+      "2.5,NA,EMPTYV,NA\n"
+    val p = ZeekFixtures.write(dir, "c.log", content)
+    val df = spark.read.format("zeek").load(p)
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "A1")
+    assert(rows(0).getSeq[String](2) == Seq("x", "y", null)) // NA element → NULL
+    assert(rows(0).getLong(3) == 100L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))       // NA → NULL
+    assert(rows(1).getSeq[Any](2) == Seq.empty)              // EMPTYV → empty list
+  }
+
   test("Zeek.read helper mirrors read_zeek's named parameters") {
     val dir = ZeekFixtures.tempDir()
     val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
