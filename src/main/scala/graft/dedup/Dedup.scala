@@ -112,43 +112,57 @@ object Dedup {
     * into `bands` bands of `numHashes/bands` rows; docs sharing any band
     * hash become candidates. One explode (×bands) + one shuffle on the
     * band key; bucket sizes are tiny for non-duplicate data, so the
-    * within-bucket pair product is bounded. */
+    * within-bucket pair product is bounded. `carry` columns are shipped
+    * through the buckets so downstream verification needs no join back. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2,
+      carryText: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val carried = if (carryText) Seq(col(textCol).as("text")) else Seq.empty
+    val sig = docs.select(Seq(col(idCol).as("id"),
+      minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
+    val memberCols = Seq(col("id"), col("sig")) ++ (if (carryText) Seq(col("text")) else Nil)
+    val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    val buckets = banded.groupBy("band_key").agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+    val buckets = banded.groupBy("band_key")
+      .agg(collect_list(struct(memberCols: _*)).as("members"))
       .filter(size(col("members")) > 1)
-    // within-bucket pairs (i < j), then global distinct
-    buckets.select(explode(expr(
-      """flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2, size(members)), n ->
-        |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
-        |      'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))))))""".stripMargin)).as("p"))
-      .select(col("p.a"), col("p.b"), (col("p.matches") * 1.0 / numHashes).as("est_jaccard"))
-      .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+    val txt = if (carryText)
+      ", 'ta', if(m.id <= n.id, m.text, n.text), 'tb', if(m.id <= n.id, n.text, m.text)"
+    else ""
+    // within-bucket pairs (i < j), then global dedup
+    val pairs = buckets.select(explode(expr(
+      s"""flatten(transform(members, (m, i) ->
+         |  transform(slice(members, i + 2, size(members)), n ->
+         |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+         |      'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))$txt))))""".stripMargin)).as("p"))
+    val estCol = (col("p.matches") * 1.0 / numHashes).as("est_jaccard")
+    if (carryText)
+      pairs.select(col("p.a"), col("p.b"), estCol, col("p.ta"), col("p.tb"))
+        .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"),
+          first("ta").as("ta"), first("tb").as("tb"))
+    else
+      pairs.select(col("p.a"), col("p.b"), estCol)
+        .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates → exact shingle-set
-    * Jaccard verification ≥ `threshold`. The verify join touches only
-    * candidate ids — the n² pair space never materializes. */
+    * Jaccard verification ≥ `threshold`. Texts ride through the band
+    * buckets, so verification is a map over candidate pairs — no join
+    * back to the corpus and the n² pair space never materializes. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 2): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize)
+    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
+      shingleSize, carryText = true)
     val jacc = udf { (x: String, y: String) =>
       val sa = shingles(x, shingleSize).toSet
       val sb = shingles(y, shingleSize).toSet
       val inter = sa.intersect(sb).size
       inter.toDouble / (sa.size + sb.size - inter)
     }
-    val t = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     cands
-      .join(t.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
-      .join(t.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard", "est_jaccard")

@@ -325,6 +325,28 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- ordered collect + null-handling function family ------------------
+    "q38_collect_sorted" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q39_null_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          when(col("o_totalprice") > 300000, col("o_totalprice")).as("big_or_null"))
+        .groupBy(col("status_filled"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("status_or_null")).as("non_null_cnt"),
+          count(col("big_or_null")).as("big_cnt"))
+        .orderBy(col("status_filled"))
+    }),
+
     // --- percentiles (rows-only: interpolation formulas differ per engine)
     "q37_percentiles" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -525,6 +547,17 @@ object CoreQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 450000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_collect_sorted" ->
+      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_null_funcs" ->
+      """SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        | count(*) AS cnt,
+        | count(nullif(o_orderstatus, 'O')) AS non_null_cnt,
+        | count(CASE WHEN o_totalprice > 300000 THEN o_totalprice END) AS big_cnt
+        |FROM orders GROUP BY 1 ORDER BY status_filled""".stripMargin,
 
     "q35_udaf_sumsq" ->
       """SELECT l_returnflag,
