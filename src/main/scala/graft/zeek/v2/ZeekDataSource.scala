@@ -54,23 +54,28 @@ class ZeekDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ZeekDataSource {
-  /** Bind results are cached per options-map so inferSchema + getTable
-    * don't re-open files (union_by_name reads every header at bind). */
-  private val cache = new java.util.LinkedHashMap[Map[String, String], ZeekBind](8, 0.75f, true) {
-    override def removeEldestEntry(e: util.Map.Entry[Map[String, String], ZeekBind]): Boolean = size > 8
+  /** Bind results are cached briefly per options-map so inferSchema +
+    * getTable within one read don't re-open files (union_by_name reads
+    * every header at bind). The TTL keeps interactive re-reads fresh —
+    * without it, files added to a directory after the first read would be
+    * invisible to later reads with identical options. */
+  private val BindTtlMs = 10000L
+  private val cache = new java.util.LinkedHashMap[Map[String, String], (Long, ZeekBind)](8, 0.75f, true) {
+    override def removeEldestEntry(e: util.Map.Entry[Map[String, String], (Long, ZeekBind)]): Boolean = size > 8
   }
 
   def bind(options: CaseInsensitiveStringMap): ZeekBind = {
     val key = options.asCaseSensitiveMap().asScala.toMap
+    val now = System.currentTimeMillis()
     cache.synchronized {
       val hit = cache.get(key)
-      if (hit != null) return hit
+      if (hit != null && now - hit._1 < BindTtlMs) return hit._2
     }
     val paths = extractPaths(options)
     val opts = ZeekOptions.fromMap(options)
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val b = ZeekSchema.bind(paths, opts, conf)
-    cache.synchronized(cache.put(key, b))
+    cache.synchronized(cache.put(key, (now, b)))
     b
   }
 

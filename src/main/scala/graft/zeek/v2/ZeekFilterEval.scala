@@ -43,6 +43,9 @@ object ZeekFilterEval {
     case IsNull(a)                => Some(Seq(a))
     case IsNotNull(a)             => Some(Seq(a))
     case Not(EqualTo(a, _))       => Some(Seq(a))
+    case StringStartsWith(a, _)   => Some(Seq(a))
+    case StringEndsWith(a, _)     => Some(Seq(a))
+    case StringContains(a, _)     => Some(Seq(a))
     case And(l, r) =>
       for (a <- referencedIfSupported(l); b <- referencedIfSupported(r)) yield a ++ b
     case Or(l, r) =>
@@ -112,6 +115,15 @@ object ZeekFilterEval {
       val i = ord(a); val dt = dts(a)
       val lits = vs.map(toInternal(_, dt)).filter(_ != null)
       row => row(i) != null && lits.exists(l => cmp(dt, row(i), l) == 0)
+    case StringStartsWith(a, v) =>
+      val i = ord(a); val p = UTF8String.fromString(v)
+      row => row(i) != null && row(i).asInstanceOf[UTF8String].startsWith(p)
+    case StringEndsWith(a, v) =>
+      val i = ord(a); val p = UTF8String.fromString(v)
+      row => row(i) != null && row(i).asInstanceOf[UTF8String].endsWith(p)
+    case StringContains(a, v) =>
+      val i = ord(a); val p = UTF8String.fromString(v)
+      row => row(i) != null && row(i).asInstanceOf[UTF8String].contains(p)
     case _ => _ => true // unreachable if pre-filtered; pass rows through
   }
 }

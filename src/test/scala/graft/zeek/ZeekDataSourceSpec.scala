@@ -220,6 +220,10 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("CAcq1P2phfnCTjZAHl", "CmFsdZ2rTGf6Ouv2R6"))
     // array-typed filters are declined for pushdown but still evaluated
     assert(df.filter(array_contains(col("tags"), "alpha")).count() == 1)
+    // string prefix/suffix/contains filters (pushed as String* predicates)
+    assert(df.filter(col("uid").startsWith("CAcq")).count() == 1)
+    assert(df.filter(col("uid").endsWith("R6")).count() == 1)
+    assert(df.filter(col("uid").contains("sdZ")).count() == 1)
     // pushed filters visible in the scan description
     val desc = df.filter(col("proto") === "udp").queryExecution.executedPlan.toString
     assert(desc.contains("ZeekScan"))

@@ -35,6 +35,30 @@ class ZeekStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end: zeek directory stream through watermarked windowed aggregation") {
+    val dir = ZeekFixtures.tempDir()
+    // hour-1 and hour-2 events (epoch seconds; avoid 0 — it sits on the
+    // initial watermark and would be dropped by the strict late filter)
+    ZeekFixtures.write(dir, "h1.log", ZeekFixtures.base("t",
+      Seq(("3700.0", "A1", "10"), ("3800.0", "A2", "20"), ("7300.0", "B1", "30"))))
+    val stream = spark.readStream.format("zeek").load(s"$dir/*.log")
+    val agg = graft.streaming.StreamOps.windowedEventCounts(
+      stream, "ts", "id", "1 hour", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("zeek_win")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second rotation pushes the watermark past hour 2 → both finalize
+      ZeekFixtures.write(dir, "h2.log", ZeekFixtures.base("t", Seq(("11000.0", "C1", "5"))))
+      q.processAllAvailable()
+      val rows = spark.table("zeek_win").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((3600L, "A1", 1L)), rows.toString)
+      assert(rows.contains((3600L, "A2", 1L)))
+      assert(rows.contains((7200L, "B1", 1L)))
+    } finally q.stop()
+  }
+
   test("union_by_name stream maps late-arriving files by name") {
     val dir = ZeekFixtures.tempDir()
     val wide = ZeekFixtures.header("t", Seq("ts", "id", "value", "extra"),
