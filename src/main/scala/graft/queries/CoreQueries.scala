@@ -284,7 +284,8 @@ object CoreQueries {
           ceil(col("l_discount") * 100).as("ce"),
           abs(col("l_extendedprice") - 30000.0).as("ab"),
           (col("l_partkey") % 7).as("md"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique in the generator
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("fl"), col("sq"), col("md"), col("ce"))
     }),
 
     // --- pivot ----------------------------------------------------------
@@ -345,6 +346,67 @@ object CoreQueries {
           count(col("status_or_null")).as("non_null_cnt"),
           count(col("big_or_null")).as("big_cnt"))
         .orderBy(col("status_filled"))
+    }),
+
+    "q40_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total"))
+        .filter(col("n_orders") >= 8)
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q41_date_arith" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"))
+        .filter(col("l_orderkey") < 500)
+        // (l_orderkey, l_linenumber) is not unique in the generator —
+        // include the computed column for a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_lag_days"))
+    }),
+
+    "q42_string_split" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"),
+          regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("alpha_runs"))
+        .filter(col("p_partkey") < 200)
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q43_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"))
+        .rangeBetween(-1000L, 0L)
+      Tables.customer(s, d)
+        .withColumn("peers_within_1000",
+          count(lit(1)).over(w))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("peers_within_1000"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q44_lead_lag_defaults" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q45_bit_ops" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey").bitwiseAND(255)).as("band"),
+          (col("l_partkey").bitwiseOR(col("l_suppkey"))).as("bor"),
+          (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("bxor"),
+          shiftleft(col("l_linenumber"), 3).as("shl"))
+        // (l_orderkey, l_linenumber) is not unique in the generator
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("bxor"), col("bor"))
     }),
 
     // --- percentiles (rows-only: interpolation formulas differ per engine)
@@ -528,7 +590,8 @@ object CoreQueries {
         | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
         | CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
         | abs(l_extendedprice - 30000.0) AS ab, l_partkey % 7 AS md
-        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, fl, sq, md, ce""".stripMargin,
 
     "q27_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
@@ -551,6 +614,44 @@ object CoreQueries {
     "q38_collect_sorted" ->
       """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q40_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 8 ORDER BY o_custkey""".stripMargin,
+
+    "q41_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS ship_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber, ship_lag_days""".stripMargin,
+
+    "q42_string_split" ->
+      """SELECT p_partkey, string_split(p_name, ' ') AS words,
+        | regexp_extract_all(p_name, '[a-z]+', 0) AS alpha_runs
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "q43_window_range_frame" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS peers_within_1000
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q44_lead_lag_defaults" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1, -1) OVER w AS prev_key,
+        | lead(o_orderkey, 1, -1) OVER w AS next_key,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q45_bit_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_partkey & 255 AS band, l_partkey | l_suppkey AS bor,
+        | xor(l_partkey, l_suppkey) AS bxor,
+        | CAST(l_linenumber << 3 AS INT) AS shl
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, bxor, bor""".stripMargin,
 
     "q39_null_funcs" ->
       """SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
