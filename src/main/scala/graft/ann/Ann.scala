@@ -84,6 +84,29 @@ object Ann {
     f(vec)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold, found via hyperplane-bucket self-join with
+    * Hamming-1 multi-probe (high-cosine pairs agree on most hyperplane
+    * signs, so they collide with high probability). The corpus-scale
+    * path: each vector lands in 1 + nBits buckets; the n² pair space
+    * never materializes. */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("s", lshSignature(col("v"), nBits, dims))
+    // left side: exact bucket; right side: exact + Hamming-1 probes
+    val probes = (0 until nBits).map(b => lit(1 << b))
+    val probed = sig.withColumn("bucket",
+      explode(array((lit(0) +: probes).map(m => col("s").bitwiseXOR(m)): _*)))
+    val exact = sig.withColumn("bucket", col("s"))
+    exact.as("x").join(probed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .groupBy("a", "b").agg(max("cos").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-k: probe the query's bucket and all Hamming-1
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */

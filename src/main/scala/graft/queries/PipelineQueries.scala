@@ -126,6 +126,13 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "e06_embedding_neardups" -> ((s, d) => {
+      graft.ann.Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- multimodal plumbing (stubbed decode kernels) --------------------
     "m01_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d))

@@ -65,6 +65,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("embedding near-dup pairs: LSH-found pairs are a subset of brute force, cosine exact") {
+    import spark.implicits._
+    val brute = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Ann.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDups(emb, "vec_id", "embedding", 0.35, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    // determinism: run twice → identical
+    val lsh2 = Ann.cosineNearDups(emb, "vec_id", "embedding", 0.35, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == lsh2)
+  }
+
   test("brute-force KNN is ordered by cosine and excludes self") {
     val queries = emb.filter(col("vec_id") === 0)
     val rows = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
