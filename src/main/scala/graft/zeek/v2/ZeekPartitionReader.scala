@@ -80,10 +80,13 @@ final class ZeekPartitionReader(
 
   private def init(): Unit = {
     if (spec.start > 0) {
-      // ranged split of an uncompressed file: the start-0 split owns
-      // header parsing/validation; here we use the bound header, seek to
-      // start-1 and discard the first (partial) line — a line belongs to
-      // the split containing its first byte.
+      // ranged split of an uncompressed file: parse + validate the header
+      // from offset 0 first (cheap — a few KB) so an invalid or
+      // schema-mismatched file behaves exactly like the whole-file path
+      // (error, or zero rows under ignore_file_errors) instead of
+      // data-parsing garbage with the bound header; then seek to start-1
+      // and discard the first (partial) line — a line belongs to the
+      // split containing its first byte.
       val (raw, compressed) = ZeekIO.openRaw(spec.path, conf)
       in = raw
       if (compressed) {
@@ -93,12 +96,20 @@ final class ZeekPartitionReader(
         close()
         return
       }
+      raw.seek(0)
+      val headReader = new ByteLineReader(new java.io.BufferedInputStream(raw, 16 * 1024))
+      val hb = new ZeekHeader.Builder
+      var headerDone = false
+      while (!headerDone && headReader.next()) {
+        if (!hb.offer(headReader.lineString)) headerDone = true
+      }
+      val fileHeader = hb.build() // throws on non-zeek content
       raw.seek(spec.start - 1)
       lines = new ByteLineReader(new java.io.BufferedInputStream(raw, 64 * 1024),
         baseOffset = spec.start - 1)
       if (!lines.next()) { finished = true; close(); return } // empty tail
       rangeEnd = spec.end
-      setupProjection(boundHeader)
+      setupProjection(fileHeader)
       return
     }
 

@@ -96,7 +96,7 @@ class ZeekPropertySpec extends AnyFunSuite {
   test("generated logs round-trip: source values == independent oracle") {
     val genSchema: Gen[List[String]] =
       Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genType))
-    for (seed <- 0 until 25) {
+    for (seed <- 0 until 40) {
       val colTypes = genSchema.pureApply(Gen.Parameters.default, Seed(seed.toLong))
       val nRows = Gen.choose(0, 8).pureApply(Gen.Parameters.default, Seed(seed * 7L + 1))
       val gz = seed % 3 == 0

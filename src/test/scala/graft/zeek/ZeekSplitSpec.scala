@@ -53,6 +53,46 @@ class ZeekSplitSpec extends AnyFunSuite {
     assert(df.select("id").distinct().count() == 5000)
   }
 
+  test("invalid large plain file yields zero rows under ignore_file_errors (no garbage from ranged splits)") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "good.log", bigLog(1000))
+    // 50 KB of non-zeek content in a plain .log name — big enough to be
+    // range-split; every split must notice the invalid header
+    val garbage = new StringBuilder
+    (0 until 2000).foreach(i => garbage.append(s"random line $i with no header\n"))
+    ZeekFixtures.write(dir, "junk.log", garbage.toString)
+
+    val df = spark.read.format("zeek")
+      .option("split_size", "10000").option("ignore_file_errors", "true")
+      .load(s"$dir/*.log")
+    assert(df.count() == 1000) // only the valid file's rows
+    // and without the flag the job fails rather than emitting garbage
+    val e = intercept[Exception] {
+      spark.read.format("zeek").option("split_size", "10000")
+        .load(s"$dir/*.log").count()
+    }
+    assert(e.getMessage.contains("missing #fields") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing #fields")))
+  }
+
+  test("union_by_name with ranged splits keeps per-file column maps") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "old.log", bigLog(5000))
+    val wide = new StringBuilder
+    wide.append(ZeekFixtures.header("t", Seq("ts", "id", "value", "extra"),
+      Seq("time", "string", "count", "string")))
+    (0 until 5000).foreach(i => wide.append(s"$i.5\twid_$i\t${i}\tx$i\n"))
+    ZeekFixtures.write(dir, "wide.log", wide.toString)
+
+    val df = spark.read.format("zeek")
+      .option("split_size", "20000").option("union_by_name", "true")
+      .load(s"$dir/*.log")
+    assert(df.rdd.getNumPartitions > 4)
+    assert(df.count() == 10000)
+    assert(df.filter(col("extra").isNull).count() == 5000)  // old.log rows
+    assert(df.filter(col("extra").isNotNull).count() == 5000)
+  }
+
   test("split boundaries exactly on newlines do not duplicate lines") {
     val dir = ZeekFixtures.tempDir()
     // constant-width rows so some split boundary lands exactly at a line start
