@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Mimic the DRIVER's compare (as inferred from CORRECTNESS_r01 traces):
+spark result parquet -> pandas (pyarrow), oracle -> duckdb .df(),
+sort columns by name, df.sort_values(all cols), then hash values.
+
+Usage: python3 scripts/drivermimic.py [sf_dir] [out_dir] [names...]
+"""
+import sys, os, json, hashlib
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def dfhash(df):
+    # plausible driver hash: stringified cell values
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(repr(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+fails, passes = [], []
+for name in sorted(os.listdir(OUT)):
+    path = os.path.join(OUT, name)
+    if not os.path.isdir(path) or name not in oracle:
+        continue
+    if ONLY and name not in ONLY:
+        continue
+    spark = pd.read_parquet(path)
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    if sorted(spark.columns) != sorted(odf.columns):
+        fails.append((name, f"schema: {sorted(spark.columns)} vs {sorted(odf.columns)}"))
+        continue
+    try:
+        a, b = canon(spark), canon(odf)
+    except Exception as e:
+        fails.append((name, f"sort error: {type(e).__name__}: {e}"))
+        continue
+    ha, hb = dfhash(a), dfhash(b)
+    if len(a) != len(b):
+        fails.append((name, f"rows {len(a)} vs {len(b)}"))
+    elif ha != hb:
+        # find first differing cell for diagnosis
+        diff = None
+        for i in range(len(a)):
+            for c in a.columns:
+                va, vb = a[c].iloc[i], b[c].iloc[i]
+                if repr(va) != repr(vb):
+                    diff = (i, c, repr(va), type(va).__name__, repr(vb), type(vb).__name__)
+                    break
+            if diff:
+                break
+        fails.append((name, f"hash diff; first cell diff: {diff}; dtypes spark={dict(a.dtypes.astype(str))} oracle={dict(b.dtypes.astype(str))}"))
+    else:
+        passes.append(name)
+
+for n in passes:
+    print(f"PASS {n}")
+for n, m in fails:
+    print(f"FAIL {n}: {m}")
+print(f"\n{len(passes)} pass, {len(fails)} fail")

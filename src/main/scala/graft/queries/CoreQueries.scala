@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
 object CoreQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Final outputs of decimal aggregates are cast to DOUBLE: the aggregate
+  // itself stays exact/associative (decimal), and decimal→double is
+  // correctly rounded in both Spark (BigDecimal.doubleValue) and DuckDB,
+  // so the driver's pandas compare sees bit-identical float64 on both
+  // sides. Leaving DECIMAL in the output broke the round-1 hash compare:
+  // Spark parquet decimals load as Python Decimal('254462.00') while the
+  // DuckDB oracle yields float64 254462.0 — different string forms.
+  private def d2(c: Column): Column = c.cast(DoubleType)
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -36,9 +44,9 @@ object CoreQueries {
         .filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("sum_disc_price"),
+          d2(sum(dec(col("l_quantity")))).as("sum_qty"),
+          d2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("count_order"))
@@ -51,7 +59,7 @@ object CoreQueries {
           col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        .agg(d2(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -69,7 +77,7 @@ object CoreQueries {
             .when(col("l_quantity") < 30, "medium")
             .otherwise("large"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("l_extendedprice")))).as("sum_price"))
         .orderBy(col("bucket"))
     }),
 
@@ -100,7 +108,7 @@ object CoreQueries {
       l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("revenue"))
+        .agg(d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -117,7 +125,7 @@ object CoreQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("revenue"),
+        .agg(d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -167,7 +175,7 @@ object CoreQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("run_total", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("run_total", d2(sum(dec(col("o_totalprice"))).over(w)))
         .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -210,7 +218,7 @@ object CoreQueries {
     "q16_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
@@ -271,7 +279,7 @@ object CoreQueries {
     "q24_date_funcs" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("o_totalprice")))).as("sum_price"))
         .orderBy(col("yr"), col("mo"))
     }),
 
@@ -330,7 +338,7 @@ object CoreQueries {
     "q38_collect_sorted" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
@@ -351,7 +359,7 @@ object CoreQueries {
     "q40_having" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n_orders"), d2(sum(dec(col("o_totalprice")))).as("total"))
         .filter(col("n_orders") >= 8)
         .orderBy(col("o_custkey"))
     }),
@@ -370,8 +378,10 @@ object CoreQueries {
 
     "q42_string_split" -> ((s, d) => {
       Tables.part(s, d)
-        .select(col("p_partkey"), split(col("p_name"), " ").as("words"),
-          regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("alpha_runs"))
+        // array results are flattened to strings: the driver's pandas
+        // compare cannot sort/hash ndarray cells (round-1 q42 crash)
+        .select(col("p_partkey"), array_join(split(col("p_name"), " "), " ").as("words"),
+          array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), ",").as("alpha_runs"))
         .filter(col("p_partkey") < 200)
         .orderBy(col("p_partkey"))
     }),
@@ -429,9 +439,9 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | min(l_quantity) AS min_qty,
         | max(l_extendedprice) AS max_price,
         | count(*) AS count_order
@@ -440,7 +450,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q06_revenue_forecast" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -453,7 +463,7 @@ object CoreQueries {
 
     "q19_case_buckets" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'medium' ELSE 'large' END AS bucket,
-        | count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        | count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q02_filter_project" ->
@@ -468,7 +478,7 @@ object CoreQueries {
 
     "q03_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
@@ -477,7 +487,7 @@ object CoreQueries {
 
     "q05_local_supplier" ->
       """SELECT n_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM region, nation, customer, orders, lineitem, supplier
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
@@ -509,8 +519,8 @@ object CoreQueries {
 
     "q09_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q10_window_rank_dense" ->
@@ -541,7 +551,7 @@ object CoreQueries {
         |GROUP BY src ORDER BY src""".stripMargin,
 
     "q16_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
@@ -582,7 +592,7 @@ object CoreQueries {
 
     "q24_date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-        | count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        | count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
 
     "q26_math_funcs" ->
@@ -612,11 +622,11 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q38_collect_sorted" ->
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, count(*) AS cnt
+      """SELECT l_returnflag, array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q40_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      """SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 8 ORDER BY o_custkey""".stripMargin,
 
     "q41_date_arith" ->
@@ -626,8 +636,8 @@ object CoreQueries {
         |WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber, ship_lag_days""".stripMargin,
 
     "q42_string_split" ->
-      """SELECT p_partkey, string_split(p_name, ' ') AS words,
-        | regexp_extract_all(p_name, '[a-z]+', 0) AS alpha_runs
+      """SELECT p_partkey, array_to_string(string_split(p_name, ' '), ' ') AS words,
+        | array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), ',') AS alpha_runs
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
 
     "q43_window_range_frame" ->
@@ -661,8 +671,10 @@ object CoreQueries {
         |FROM orders GROUP BY 1 ORDER BY status_filled""".stripMargin,
 
     "q35_udaf_sumsq" ->
+      // DuckDB sum(BIGINT) widens to HUGEINT, which lands in pandas as
+      // float64 — cast back to BIGINT to match Spark's int64
       """SELECT l_returnflag,
-        | sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_sq,
+        | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     // q28_approx_distinct: intentionally no oracle — HLL sketches differ

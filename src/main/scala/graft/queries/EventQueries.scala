@@ -42,7 +42,8 @@ object EventQueries {
       events(s, d)
         .groupBy((col("tus") - pmod(col("tus"), lit(3600L * 1000000L))).as("hour_us"),
           col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy(col("hour_us"), col("event_type"))
     }),
 
@@ -72,12 +73,12 @@ object EventQueries {
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
         |l AS (SELECT user_id, tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e)
         |SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q30_event_windows" ->
       """SELECT epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS hour_us,
-        | event_type, count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        | event_type, count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
 
     "q31_event_props" ->

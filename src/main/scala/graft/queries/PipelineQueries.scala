@@ -84,11 +84,18 @@ object PipelineQueries {
 
     // --- similarity search ----------------------------------------------
     "e04_array_funcs" -> ((s, d) => {
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        array_max(col("embedding")).cast(DoubleType).as("arr_max"),
-        array_min(col("embedding")).cast(DoubleType).as("arr_min"),
-        expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").as("head3"))
+      // slice+transform are still exercised, but the result is unpacked to
+      // scalar columns: the driver's pandas compare cannot sort/hash
+      // ndarray cells (round-1 crash)
+      Tables.embeddings(s, d)
+        .withColumn("head3", expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))"))
+        .select(
+          col("vec_id"),
+          array_max(col("embedding")).cast(DoubleType).as("arr_max"),
+          array_min(col("embedding")).cast(DoubleType).as("arr_min"),
+          element_at(col("head3"), 1).as("h1"),
+          element_at(col("head3"), 2).as("h2"),
+          element_at(col("head3"), 3).as("h3"))
         .orderBy(col("vec_id"))
     }),
 
@@ -218,8 +225,9 @@ object PipelineQueries {
         |ORDER BY vec_id, pos""".stripMargin,
 
     "e04_array_funcs" ->
-      """SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS arr_max,
-        | CAST(list_min(embedding) AS DOUBLE) AS arr_min,
-        | list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+      """WITH h AS (SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
+        |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3 FROM embeddings)
+        |SELECT vec_id, CAST(mx AS DOUBLE) AS arr_max, CAST(mn AS DOUBLE) AS arr_min,
+        | head3[1] AS h1, head3[2] AS h2, head3[3] AS h3
+        |FROM h ORDER BY vec_id""".stripMargin)
 }
