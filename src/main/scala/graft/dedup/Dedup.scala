@@ -87,6 +87,7 @@ object Dedup {
     * coefficients. Returned as an array column of `numHashes` longs. */
   def minhashSignature(numHashes: Int = 64, shingleSize: Int = 2): Column => Column = {
     val f = udf { (text: String) =>
+      if (text == null) null else {
       val hs = shingleHashes(text, shingleSize)
       val sig = new Array[Long](numHashes)
       var i = 0
@@ -104,6 +105,7 @@ object Dedup {
         i += 1
       }
       sig
+      }
     }
     f.apply(_)
   }
@@ -157,10 +159,13 @@ object Dedup {
     val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
       shingleSize, carryText = true)
     val jacc = udf { (x: String, y: String) =>
-      val sa = shingles(x, shingleSize).toSet
-      val sb = shingles(y, shingleSize).toSet
-      val inter = sa.intersect(sb).size
-      inter.toDouble / (sa.size + sb.size - inter)
+      if (x == null || y == null) None // SQL null-propagation, not an NPE
+      else {
+        val sa = shingles(x, shingleSize).toSet
+        val sb = shingles(y, shingleSize).toSet
+        val inter = sa.intersect(sb).size
+        Some(inter.toDouble / (sa.size + sb.size - inter))
+      }
     }
     cands
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
@@ -174,19 +179,22 @@ object Dedup {
     * is the sign of the sum of ±1 votes from each shingle's hash bit j. */
   val simhash64: Column => Column = {
     val f = udf { (text: String) =>
-      val counts = new Array[Int](64)
-      shingles(text, 2).foreach { w =>
-        val h = hashString(w)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
+      if (text == null) None // SQL null-propagation, not an NPE
+      else {
+        val counts = new Array[Int](64)
+        shingles(text, 2).foreach { w =>
+          val h = hashString(w)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
         }
+        var out = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+        Some(out)
       }
-      var out = 0L
-      var j = 0
-      while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
-      out
     }
     f.apply(_)
   }
@@ -226,7 +234,7 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|).  All shuffles key on shingle or pair ids. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 2, maxDf: Int = 100): DataFrame = {
-    val sh = udf((t: String) => shingles(t, shingleSize))
+    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
     val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
     val pruned = exploded.join(

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,24 +19,45 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  protected def compute(a: ArrayData, b: ArrayData, n: Int, elemF: Boolean): Any
+  protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any
 
   /** Java source for the loop body; receives element-getter snippets. */
   protected def loopCode(a: String, b: String, n: String, getA: String => String,
       getB: String => String, result: String, isNull: String): String
 
-  protected lazy val elementIsFloat: Boolean =
+  private def floatElem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+
+  /** Each side independently array<float> or array<double>; anything else
+    * (array<int>, scalar, ...) is an analysis error — the element getters
+    * are width-specific, so a wrong-width read would silently return
+    * garbage numbers instead of failing. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (floatElem(left.dataType), floatElem(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  protected lazy val leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) null // dimension mismatch → NULL, not silent truncation
-    else compute(a, b, a.numElements(), elementIsFloat)
+    else compute(a, b, a.numElements(), leftIsFloat, rightIsFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = if (elementIsFloat) "getFloat" else "getDouble"
+    val getterA = if (leftIsFloat) "getFloat" else "getDouble"
+    val getterB = if (rightIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       s"""
@@ -43,8 +65,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${loopCode(a, b, n, i => s"(double) $a.$getter($i)",
-                i => s"(double) $b.$getter($i)", ev.value.toString, ev.isNull.toString)}
+         |  ${loopCode(a, b, n, i => s"(double) $a.$getterA($i)",
+                i => s"(double) $b.$getterB($i)", ev.value.toString, ev.isNull.toString)}
          |}
        """.stripMargin
     })
@@ -54,12 +76,12 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 /** cosine_sim(array<float|double>, array<float|double>) → double; NULL on
   * zero-norm input or dimension mismatch. */
 case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
-  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -84,12 +106,12 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
 
 /** dot_product(array<float|double>, array<float|double>) → double. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
-  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any = {
     var dot = 0.0
     var i = 0
     while (i < n) {
-      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       i += 1
     }
@@ -109,12 +131,12 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
 
 /** l2_distance(array<float|double>, array<float|double>) → double. */
 case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
-  override protected def compute(a: ArrayData, b: ArrayData, n: Int, f: Boolean): Any = {
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any = {
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (f) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y
       s += d * d
       i += 1

@@ -20,9 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Supported join types: the right side is replicated `saltBuckets`
+    * times, so any type that emits unmatched RIGHT rows (right/full
+    * outer) would emit each of them once per salt bucket — wrong
+    * results, not just wrong performance. Flip the inputs and use
+    * left_outer instead. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedEquiJoin does not support join type '$joinType': the right side " +
+        "is replicated per salt bucket, so right/full outer joins would " +
+        "duplicate unmatched right rows; use left-side variants instead")
     val leftCols = left.columns
     // deterministic per-row salt: hash of the full row spreads even
     // identical rows (hash collisions only reduce spreading, never break

@@ -84,16 +84,19 @@ object TextFunctions {
     val markerSets: Seq[(String, Set[String])] =
       LangMarkers.map { case (l, ms) => l -> ms.toSet }
     val f = udf { (text: String) =>
-      val ws = text.toLowerCase.split("\\s+")
-      val scores = markerSets.map { case (l, ms) =>
-        var c = 0
-        var i = 0
-        while (i < ws.length) { if (ms.contains(ws(i))) c += 1; i += 1 }
-        l -> c
+      if (text == null) null // SQL null-propagation, not an NPE
+      else {
+        val ws = text.toLowerCase.split("\\s+")
+        val scores = markerSets.map { case (l, ms) =>
+          var c = 0
+          var i = 0
+          while (i < ws.length) { if (ms.contains(ws(i))) c += 1; i += 1 }
+          l -> c
+        }
+        val mx = scores.map(_._2).max
+        val guess = if (mx <= 0) "und" else scores.find(_._2 == mx).get._1
+        (scores(0)._2, scores(1)._2, scores(2)._2, scores(3)._2, guess)
       }
-      val mx = scores.map(_._2).max
-      val guess = if (mx <= 0) "und" else scores.find(_._2 == mx).get._1
-      (scores(0)._2, scores(1)._2, scores(2)._2, scores(3)._2, guess)
     }
     c => f(c)
   }

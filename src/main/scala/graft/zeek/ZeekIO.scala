@@ -73,12 +73,15 @@ object ZeekIO {
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    val files = statuses.filterNot(_.isDirectory).map(_.getPath.toUri.getPath)
+    // .toString keeps the fully-qualified URI (scheme + authority):
+    // .toUri.getPath would strip "s3a://bucket" and make later opens
+    // resolve against the default filesystem
+    val files = statuses.filterNot(_.isDirectory).map(_.getPath.toString)
     // a non-glob path to a directory: list its files
     val expanded =
       if (files.isEmpty && statuses.exists(_.isDirectory))
         statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
-          .filterNot(_.isDirectory).map(_.getPath.toUri.getPath)
+          .filterNot(_.isDirectory).map(_.getPath.toString)
       else files
     expanded.sorted.toSeq
   }

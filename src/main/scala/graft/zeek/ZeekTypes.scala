@@ -199,15 +199,20 @@ object ZeekTypes {
     * unset/empty cell → EMPTY array (not NULL); per-element markers and
     * parse failures → NULL elements; sets are NOT deduplicated
     * (reference: src/zeek_scanner.cpp:332-437, test zeek.test:49-71). */
-  final class ListParser(elemParser: SliceParser, setSep: Array[Byte],
+  final class ListParser(elemParser: SliceParser, setSepIn: Array[Byte],
       unset: Array[Byte], empty: Array[Byte]) extends Serializable {
+    // an empty #set_separator would make matchesSep trivially true while
+    // `start` never advances — infinite loop on any cell containing the
+    // fallback char; normalize to the Zeek default "," instead
+    private val setSep: Array[Byte] =
+      if (setSepIn.isEmpty) Array(','.toByte) else setSepIn
     def parse(b: Array[Byte], s: Int, e: Int): ArrayData = {
       if (s >= e || sliceEquals(b, s, e, unset) || sliceEquals(b, s, e, empty))
         return new GenericArrayData(Array.empty[Any])
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var start = s
       var i = s
-      val sep0 = if (setSep.nonEmpty) setSep(0) else ','.toByte
+      val sep0 = setSep(0)
       while (i <= e) {
         val atSep = i < e && b(i) == sep0 && matchesSep(b, i, e)
         if (i == e || atSep) {

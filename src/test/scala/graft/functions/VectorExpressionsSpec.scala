@@ -56,4 +56,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("zv")
     assert(spark.sql("SELECT cosine_sim(a, b) AS c FROM zv").collect().head.isNullAt(0))
   }
+
+  test("mixed array<float>/array<double> inputs use per-side getters") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("mixed_vecs")
+    val r = spark.sql(
+      "SELECT dot_product(a, b) AS d, cosine_sim(a, b) AS c FROM mixed_vecs").collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("non-float element types are an analysis error, not garbage numbers") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+      .createOrReplaceTempView("int_vecs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(a, b) FROM int_vecs").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
+  }
 }

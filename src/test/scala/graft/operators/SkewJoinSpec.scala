@@ -35,4 +35,16 @@ class SkewJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a", Some("hot")), (9L, "no-match", None)))
   }
+
+  test("right/full outer join types are rejected (replication would duplicate unmatched right rows)") {
+    import spark.implicits._
+    val left = Seq((1L, "a")).toDF("k", "payload")
+    val right = Seq((1L, "hot"), (2L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedEquiJoin(left, right, "k", 4, jt)
+      }
+      assert(e.getMessage.contains("does not support join type"), jt)
+    }
+  }
 }

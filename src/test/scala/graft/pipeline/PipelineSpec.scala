@@ -44,6 +44,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
 
+  test("NULL text propagates as NULL through the text/dedup UDFs (no NPE)") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world hello"), (2L, null: String)).toDF("doc_id", "text")
+    // minhash signature + simhash + langProfile: null in → null out
+    val r = df.select(
+      Dedup.minhashSignature(16, 2)(col("text")).as("sig"),
+      Dedup.simhash64(col("text")).as("sim"),
+      TextFunctions.langProfile(col("text")).as("p"))
+      .orderBy(col("doc_id")).collect()
+    assert(!r(0).isNullAt(0) && !r(0).isNullAt(1) && !r(0).isNullAt(2))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1) && r(1).isNullAt(2))
+    // pipeline entry points run end-to-end over a corpus containing a NULL
+    assert(Dedup.simhashNearDups(df, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2, 100).count() == 0)
+    assert(Dedup.minhashNearDups(df, "doc_id", "text", 0.5).count() == 0)
+  }
+
   test("exact dedup groups: fingerprint is whitespace/case-insensitive") {
     import spark.implicits._
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")

@@ -52,6 +52,19 @@ class ZeekHeaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("#fields has 2"))
   }
 
+  test("empty #set_separator falls back to ',' instead of looping forever") {
+    // regression: with an empty separator, matchesSep was trivially true
+    // and `start` never advanced — infinite loop appending elements
+    val lp = new ZeekTypes.ListParser(
+      ZeekTypes.parserFor("string"), Array.empty[Byte],
+      "-".getBytes, "(empty)".getBytes)
+    val cell = "a,b,c".getBytes
+    val arr = lp.parse(cell, 0, cell.length)
+    assert(arr.numElements() == 3)
+    assert(arr.getUTF8String(0).toString == "a")
+    assert(arr.getUTF8String(2).toString == "c")
+  }
+
   test("schema diff categories") {
     val h1 = ZeekHeader.Default.copy(fields = Vector("a", "b"), types = Vector("count", "string"))
     assert(h1.diff(h1.copy()).isEmpty)
