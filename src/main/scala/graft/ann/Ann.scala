@@ -107,6 +107,22 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (a, b), a < b,
+    * with cosine ≥ threshold. All-pairs by construction (quadratic — the
+    * oracle-checkable ground truth, same role as the exact n-gram
+    * Jaccard); [[cosineNearDups]] is the sub-quadratic scale path. The
+    * self-join is a blocked nested loop over broadcast batches; the
+    * fused native cosine keeps the inner loop allocation-free. */
+  def cosineNearDupsExact(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val x = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val y = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    x.join(y, col("a") < col("b"))
+      .withColumn("cos", fastCosine(corpus.sparkSession)(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** Approximate top-k: probe the query's bucket and all Hamming-1
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */

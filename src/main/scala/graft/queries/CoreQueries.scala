@@ -419,12 +419,22 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("bxor"), col("bor"))
     }),
 
-    // --- percentiles (rows-only: interpolation formulas differ per engine)
+    // --- exact percentiles (Spark `percentile` and DuckDB `quantile_cont`
+    // both linearly interpolate — bit-identical on this data)
     "q37_percentiles" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-          expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95_approx"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- approximate percentile (rows-only: sketch internals differ) ----
+    "q46_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95_approx"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -669,6 +679,13 @@ object CoreQueries {
         | count(nullif(o_orderstatus, 'O')) AS non_null_cnt,
         | count(CASE WHEN o_totalprice > 300000 THEN o_totalprice END) AS big_cnt
         |FROM orders GROUP BY 1 ORDER BY status_filled""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.5) AS median_price,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q35_udaf_sumsq" ->
       // DuckDB sum(BIGINT) widens to HUGEINT, which lands in pandas as

@@ -133,8 +133,17 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // exact pair set — the oracle-checkable ground truth (quadratic, like
+    // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
     "e06_embedding_neardups" -> ((s, d) => {
-      graft.ann.Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      Ann.cosineNearDupsExact(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "e07_embedding_neardups_lsh" -> ((s, d) => {
+      Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, nBits = 8)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
@@ -202,6 +211,22 @@ object PipelineQueries {
         | min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    // the MinHash pipeline's exact-Jaccard verification step makes its
+    // output EXACTLY the exact bigram-Jaccard pair set (banding at 64/16
+    // has full recall on this corpus's planted pairs — proven in
+    // PipelineSpec), so it shares the d08 oracle
+    "d06_minhash_neardups" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
     "d08_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
@@ -223,6 +248,29 @@ object PipelineQueries {
         |FROM embeddings, range(1, 5) t(i)
         |WHERE vec_id < 20
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // DuckDB's list_cosine_similarity on FLOAT[] accumulates in float32;
+    // casting to DOUBLE[] makes it bit-identical to our double-
+    // accumulating CosineSim expression (verified bitwise at sf0.01)
+    "e02_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "e06_embedding_neardups" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_cosine_similarity(x.e, y.e), 4) AS cos
+        |FROM d x JOIN d y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.e, y.e) >= 0.35
+        |ORDER BY a, b""".stripMargin,
 
     "e04_array_funcs" ->
       """WITH h AS (SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
