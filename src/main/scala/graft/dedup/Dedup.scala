@@ -150,14 +150,21 @@ object Dedup {
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates → exact shingle-set
-    * Jaccard verification ≥ `threshold`. Texts ride through the band
-    * buckets, so verification is a map over candidate pairs — no join
-    * back to the corpus and the n² pair space never materializes. */
+    * Jaccard verification ≥ `threshold`. Candidates carry only ids, and
+    * verification joins the (few) candidate pairs back to the corpus for
+    * their texts: the band-bucket shuffle then moves 64-long signatures
+    * instead of full documents replicated once per band — at corpus
+    * scale that is the difference between shuffling ~0.5 KB/doc and
+    * ~16× the corpus text volume. The text joins are equi-joins of a
+    * tiny pair set against the corpus, which AQE plans as broadcast
+    * joins whenever the candidate set is small (the normal case —
+    * near-dup density is low). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 2): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
-      shingleSize, carryText = true)
+      shingleSize, carryText = false)
+    val t = docs.select(col(idCol), col(textCol))
     val jacc = udf { (x: String, y: String) =>
       if (x == null || y == null) None // SQL null-propagation, not an NPE
       else {
@@ -168,6 +175,8 @@ object Dedup {
       }
     }
     cands
+      .join(t.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
+      .join(t.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard", "est_jaccard")
