@@ -18,8 +18,10 @@ object SparkEntry {
     CoreQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
+      ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle
+    CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle ++
+      ExtendedQueries.oracle
 }

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Second wave of the SURVEY.md §2.B/§2.C operator inventory: JSON
+  * extraction, extended string functions, edit distance, arg-max /
+  * median aggregates, ordered string aggregation, boolean/bitwise
+  * aggregates, unpivot, first/last/nth window values, full outer join,
+  * correlated aggregate subqueries.
+  *
+  * Same determinism rules as [[CoreQueries]]: decimal-exact aggregation
+  * cast to DOUBLE at the end, total ORDER BY, alias parity with the
+  * DuckDB oracle.
+  */
+object ExtendedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- JSON extraction (distinct from q31's regexp path) --------------
+    "q47_json_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy((col("k") % 5).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_k"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // --- extended string family -----------------------------------------
+    "q48_string_funcs2" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, ".").as("lp"),
+          rpad(col("p_brand"), 12, ".").as("rp"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), "o").as("pos_o"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"),
+          expr("repeat(p_brand, 2)").as("rep2"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q49_edit_distance" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lit("promo burnished copper")).as("lev"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev_bt"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- arg-max / arg-min / median aggregates ---------------------------
+    "q50_argmax_median" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(max_by(col("p_name"), struct(col("p_retailprice"), col("p_partkey"))).as("priciest"),
+          min_by(col("p_name"), struct(col("p_retailprice"), col("p_partkey"))).as("cheapest"),
+          expr("percentile(p_retailprice, 0.5)").as("median_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // --- ordered string aggregation --------------------------------------
+    "q51_string_agg" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- boolean / conditional / bitwise aggregates ----------------------
+    "q52_bool_bit_aggs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(bool_or(col("l_quantity") > 49).as("any_big"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          count_if(col("l_discount") > 0.05).as("n_disc"),
+          bit_or(col("l_linenumber")).as("b_or"),
+          bit_and(col("l_linenumber")).as("b_and"),
+          bit_xor(col("l_linenumber")).as("b_xor"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- unpivot (wide → long) -------------------------------------------
+    "q53_unpivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+      wide.unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+          "status", "cnt")
+        .orderBy(col("yr"), col("status"))
+    }),
+
+    // --- first/last/nth window values ------------------------------------
+    "q54_first_last_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // --- full outer join --------------------------------------------------
+    "q55_full_outer" -> ((s, d) => {
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "cust_only")
+            .otherwise("both").as("side"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    }),
+
+    // --- correlated aggregate subquery ------------------------------------
+    "q56_correlated_agg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      // orders worth more than 2× their customer's total/count (decimal-
+      // exact comparison: no division, no doubles)
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders o
+              |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+              |      2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+              |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q47_json_funcs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
+        | count(*) AS cnt,
+        | max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        | min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q48_string_funcs2" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '.') AS lp, rpad(p_brand, 12, '.') AS rp,
+        | translate(p_name, 'aeiou', 'AEIOU') AS tr, reverse(p_name) AS rev,
+        | strpos(p_name, 'o') AS pos_o, left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+        | repeat(p_brand, 2) AS rep2
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "q49_edit_distance" ->
+      """SELECT p_partkey, levenshtein(p_name, 'promo burnished copper') AS lev,
+        | levenshtein(p_brand, p_type) AS lev_bt
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+
+    "q50_argmax_median" ->
+      // arg_max with a struct tiebreaker isn't available in DuckDB, so the
+      // oracle spells out max_by(name, struct(price, key)) semantics with
+      // row_number windows (price DESC,key DESC / price ASC,key ASC)
+      """WITH r AS (SELECT p_brand, p_name,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey DESC) AS rx,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn
+        |  FROM part),
+        |g AS (SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS median_price, count(*) AS cnt
+        |      FROM part GROUP BY p_brand)
+        |SELECT g.p_brand, mx.p_name AS priciest, mn.p_name AS cheapest, g.median_price, g.cnt
+        |FROM g
+        |JOIN (SELECT p_brand, p_name FROM r WHERE rx = 1) mx USING (p_brand)
+        |JOIN (SELECT p_brand, p_name FROM r WHERE rn = 1) mn USING (p_brand)
+        |ORDER BY p_brand""".stripMargin,
+
+    "q51_string_agg" ->
+      """SELECT c_mktsegment,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS cnt
+        |FROM customer WHERE c_acctbal > 9900
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q52_bool_bit_aggs" ->
+      """SELECT l_returnflag,
+        | bool_or(l_quantity > 49) AS any_big,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+        | CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
+        | CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+        | CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q53_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, status, CAST(cnt AS BIGINT) AS cnt
+        |FROM wide UNPIVOT (cnt FOR status IN ("F", "O", "P"))
+        |ORDER BY yr, status""".stripMargin,
+
+    "q54_first_last_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key,
+        | nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q55_full_outer" ->
+      """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+        |big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+        |        WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |      WHEN o_custkey IS NULL THEN 'cust_only'
+        |      ELSE 'both' END AS side,
+        | CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
+        |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q56_correlated_agg" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+        |      2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+}
