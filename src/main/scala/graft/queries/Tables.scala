@@ -21,7 +21,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read the nanos as raw longs (callers do exact integer
+    * microsecond math — see EventQueries). Set here so EVERY events
+    * consumer is safe regardless of call order. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

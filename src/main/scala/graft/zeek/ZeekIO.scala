@@ -66,6 +66,22 @@ object ZeekIO {
     else in
   }
 
+  /** Like [[expandGlob]] but returns (path, modificationTime) pairs —
+    * the streaming source's watermark bookkeeping needs the mtimes. */
+  def expandGlobWithTimes(pattern: String, conf: Configuration): Seq[(String, Long)] = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = statuses.filterNot(_.isDirectory)
+      .map(s => (s.getPath.toString, s.getModificationTime))
+    val expanded =
+      if (files.isEmpty && statuses.exists(_.isDirectory))
+        statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+          .filterNot(_.isDirectory).map(s => (s.getPath.toString, s.getModificationTime))
+      else files
+    expanded.sortBy(_._1).toSeq
+  }
+
   /** Expand a glob (or plain path) into lexicographically sorted file
     * paths. Empty result is an error (reference: src/zeek_scanner.cpp:
     * 446-453; sort at :453 keeps "first file" deterministic). */

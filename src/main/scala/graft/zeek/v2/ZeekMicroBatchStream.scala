@@ -8,26 +8,65 @@ import org.apache.spark.sql.types.StructType
 
 import graft.zeek._
 
-/** Streaming offset = the set of files already processed. Zeek rotates
-  * logs hourly, so a stream over a glob sees a slowly-growing file set;
-  * each micro-batch processes exactly the newly-appeared files.
+/** Streaming offset for the growing-directory source, compacted to a
+  * modification-time watermark.
   *
-  * Scale note: the offset JSON carries the full seen-file list, which is
-  * fine up to ~10^5 files per checkpoint; beyond that a production
-  * source would switch to a compacted seen-files log (the approach of
-  * Spark's own FileStreamSource) — same read path, different bookkeeping.
+  * A file is "processed under offset o" iff `mtime < o.watermark`, or
+  * `mtime == o.watermark && o.boundary contains it`. The offset therefore
+  * carries only the files AT the watermark tick (bounded by files per
+  * mtime granule — typically one rotation's worth), not every file ever
+  * seen: checkpoints stay O(1)-ish forever instead of growing with
+  * stream age (the round-1 full-list format broke down past ~10^5
+  * files).
+  *
+  * Correctness invariant (documented, same as Spark's FileStreamSource
+  * maxAge regime): rotated log files are immutable once created and
+  * appear with monotonically non-decreasing mtimes. A file back-dated
+  * below the watermark after the fact would be skipped.
+  *
+  * Legacy round-1 offsets (a bare JSON array of paths) still
+  * deserialize; the first batch planned from one uses exact
+  * set-difference semantics and subsequent offsets are written in the
+  * compact format.
   */
-case class ZeekOffset(files: Seq[String]) extends Offset {
+case class ZeekOffset(watermark: Long, boundary: Seq[String],
+    legacySeen: Option[Seq[String]] = None) extends Offset {
+
+  /** Has `path` (with mtime `t`) already been processed under this offset? */
+  def processed(path: String, t: Long): Boolean = legacySeen match {
+    case Some(seen) => seen.contains(path)
+    case None => t < watermark || (t == watermark && boundary.contains(path))
+  }
+
   override def json(): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    mapper.writeValueAsString(files.toArray)
+    legacySeen match {
+      case Some(seen) => mapper.writeValueAsString(seen.toArray)
+      case None =>
+        val node = mapper.createObjectNode()
+        node.put("wm", watermark)
+        val arr = node.putArray("boundary")
+        boundary.foreach(arr.add)
+        mapper.writeValueAsString(node)
+    }
   }
 }
 
 object ZeekOffset {
+  val Empty: ZeekOffset = ZeekOffset(Long.MinValue, Seq.empty)
+
   def fromJson(json: String): ZeekOffset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    ZeekOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+    val node = mapper.readTree(json)
+    if (node.isArray) {
+      // legacy round-1 format: full seen-file list
+      val files = (0 until node.size).map(node.get(_).asText())
+      ZeekOffset(Long.MinValue, Seq.empty, legacySeen = Some(files))
+    } else {
+      val arr = node.get("boundary")
+      val boundary = (0 until arr.size).map(arr.get(_).asText())
+      ZeekOffset(node.get("wm").asLong(), boundary)
+    }
   }
 }
 
@@ -43,21 +82,31 @@ class ZeekMicroBatchStream(
     pushed: Array[Filter],
     conf: Configuration) extends MicroBatchStream {
 
-  private def currentFiles(): Seq[String] =
+  private def currentFiles(): Seq[(String, Long)] =
     patterns.flatMap(p =>
-      try ZeekIO.expandGlob(p, conf)
+      try ZeekIO.expandGlobWithTimes(p, conf)
       catch { case _: ZeekFormatException => Seq.empty } // empty glob: no files yet
-    ).distinct.sorted
+    ).distinct.sortBy(_._1)
 
-  override def initialOffset(): Offset = ZeekOffset(Seq.empty)
+  override def initialOffset(): Offset = ZeekOffset.Empty
 
-  override def latestOffset(): Offset = ZeekOffset(currentFiles())
+  override def latestOffset(): Offset = {
+    val files = currentFiles()
+    if (files.isEmpty) ZeekOffset.Empty
+    else {
+      val wm = files.map(_._2).max
+      ZeekOffset(wm, files.collect { case (p, t) if t == wm => p })
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = ZeekOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[ZeekOffset].files.toSet
-    val newFiles = end.asInstanceOf[ZeekOffset].files.filterNot(seen)
+    val s = start.asInstanceOf[ZeekOffset]
+    val e = end.asInstanceOf[ZeekOffset]
+    val newFiles = currentFiles()
+      .filter { case (p, t) => e.processed(p, t) && !s.processed(p, t) }
+      .map(_._1)
     newFiles.map(f => ZeekInputPartition(ZeekFileSpec(f, None)): InputPartition).toArray
   }
 

@@ -46,6 +46,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
   }
 
+  test("q55: full outer join aggregates the big side before joining") {
+    val p = plan("q55_full_outer")
+    // the orders side is pre-aggregated to one row per custkey, so the
+    // full outer join's inputs are both dimension-sized
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q47: json scan prunes to props column only") {
+    val p = plan("q47_json_funcs")
+    assert(!p.contains("user_id"), "unneeded column not pruned:\n" + p.take(2000))
+  }
+
+  test("d06: minhash band shuffle carries no text column") {
+    val q = graft.SparkEntry.queries("d06_minhash_neardups")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the collect_list bucket aggregation must see only (id, sig), not the
+    // document text — text joins back in only at the (tiny) pair stage
+    val bucketAgg = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    assert(!bucketAgg.contains("text"), "band buckets should not carry text:\n" + bucketAgg)
+  }
+
+  test("e02: brute-force knn broadcasts the query side, corpus never shuffles before scoring") {
+    val q = graft.SparkEntry.queries("e02_knn_brute")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set should broadcast:\n" + p.take(2000))
+  }
+
   test("zeek scan reports statistics: small zeek table auto-broadcasts") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)

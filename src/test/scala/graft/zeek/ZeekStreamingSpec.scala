@@ -81,4 +81,25 @@ class ZeekStreamingSpec extends AnyFunSuite {
       assert(rows(1).getString(1) == "W1" && rows(1).getString(3) == "x")
     } finally q.stop()
   }
+
+  test("compact offsets: watermark semantics, json round-trip, legacy fallback") {
+    import graft.zeek.v2.ZeekOffset
+    val o = ZeekOffset(1000L, Seq("f3", "f4"))
+    // below watermark: processed regardless of boundary membership
+    assert(o.processed("f1", 999L))
+    // at watermark: only boundary files are processed
+    assert(o.processed("f3", 1000L) && !o.processed("f9", 1000L))
+    // above watermark: new
+    assert(!o.processed("f5", 1001L))
+    // round-trip through the checkpoint JSON
+    val rt = ZeekOffset.fromJson(o.json())
+    assert(rt == o, rt.toString)
+    // the offset size is bounded by the boundary, not stream age
+    assert(!o.json().contains("f1"))
+    // legacy round-1 format (bare array) still deserializes with exact
+    // set-difference semantics
+    val legacy = ZeekOffset.fromJson("""["a.log","b.log"]""")
+    assert(legacy.processed("a.log", 5L) && !legacy.processed("c.log", 0L))
+    assert(ZeekOffset.fromJson(legacy.json()) == legacy)
+  }
 }
