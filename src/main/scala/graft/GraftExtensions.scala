@@ -10,15 +10,15 @@ import graft.functions.{CosineSim, DotProduct, L2Distance}
   *
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   *
-  * injects the native vector expressions into every session's function
-  * registry (no per-session registerAll call needed). UDF-backed
-  * families (inet, sum_sq) still register per session via
-  * `InetFunctions.registerAll` / `Udafs.registerAll` — extension
-  * injection requires Expression builders. */
+  * injects the native vector and inet expressions into every session's
+  * function registry (no per-session registerAll call needed). The one
+  * remaining UDF-backed family (the sum_sq UDAF) still registers per
+  * session via `Udafs.registerAll` — extension injection requires
+  * Expression builders. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name, s"$name(a, b) - graft vector expression", "")
+    new ExpressionInfo("graft", null, name, s"$name - graft expression", "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, f: (Expression, Expression) => Expression): Unit =
@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", CosineSim.apply)
     inject("dot_product", DotProduct.apply)
     inject("l2_distance", L2Distance.apply)
+    graft.inet.InetExpressions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
   }
 }

@@ -193,12 +193,12 @@ object InetFunctions {
   def inet_equal(a: Column, b: Column): Column = equalUdf(a, b)
 
   /** Register SQL-callable versions: inet_normalize, inet_contains,
-    * is_ipv4, is_ipv6, inet_equal. */
+    * is_ipv4, is_ipv6, inet_equal — backed by codegen-native
+    * [[InetExpressions]] (StaticInvoke), not ScalaUDF wrappers. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("inet_normalize", normalizeUdf)
-    spark.udf.register("inet_contains", containsUdf)
-    spark.udf.register("is_ipv4", isV4Udf)
-    spark.udf.register("is_ipv6", isV6Udf)
-    spark.udf.register("inet_equal", equalUdf)
+    val reg = spark.sessionState.functionRegistry
+    InetExpressions.all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

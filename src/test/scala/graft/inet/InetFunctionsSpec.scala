@@ -75,4 +75,22 @@ class InetFunctionsSpec extends AnyFunSuite {
     assert(v6 == 1)
     assert(df.filter(InetFunctions.is_ipv6(col("id_resp_h"))).count() == 1)
   }
+
+  test("SQL inet functions are codegen-native (StaticInvoke, no ScalaUDF)") {
+    val spark = SharedSpark.spark
+    InetFunctions.registerAll(spark)
+    // non-foldable input (range), so the expression survives into the
+    // physical plan instead of constant-folding to a LocalTableScan
+    val df = spark.range(3).selectExpr(
+      "concat('10.1.2.', CAST(id AS STRING)) AS a")
+      .selectExpr("inet_contains('10.0.0.0/8', a) AS hit", "inet_normalize(a) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(1500))
+    assert(plan.contains("*(1)"), "expected whole-stage codegen span:\n" + plan.take(1500))
+    val r = df.collect()
+    assert(r.forall(_.getBoolean(0)) && r.map(_.getString(1)).sorted.head == "10.1.2.0")
+    // null propagation preserved (UDF semantics)
+    assert(spark.sql("SELECT inet_contains(NULL, '1.2.3.4')").collect().head.isNullAt(0))
+    assert(spark.sql("SELECT inet_normalize('not-an-ip')").collect().head.isNullAt(0))
+  }
 }
