@@ -130,6 +130,46 @@ object ExtendedQueries {
         .orderBy(col("custkey"))
     }),
 
+    // --- date parts / truncation ------------------------------------------
+    "q57_date_parts" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+          (dayofweek(col("o_orderdate")) - 1).as("dw"),
+          dayofyear(col("o_orderdate")).as("dy"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          quarter(col("o_orderdate")).as("q"),
+          // date outputs are cast to timestamp: Spark parquet DATE loads
+          // into pandas as datetime.date objects while the DuckDB oracle
+          // yields datetime64 — timestamps round-trip identically
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          last_day(col("o_orderdate")).cast(TimestampType).as("mend"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q58_interval_arith" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).cast(TimestampType).as("plus3m"),
+          date_add(col("o_orderdate").cast(DateType), 45).cast(TimestampType).as("plus45d"),
+          date_sub(col("o_orderdate").cast(DateType), 7).cast(TimestampType).as("minus7d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- map construction / access ---------------------------------------
+    "q59_map_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 300)
+        .withColumn("m", map(lit("brand"), col("p_brand"), lit("type"), col("p_type")))
+        .select(col("p_partkey"),
+          element_at(col("m"), "brand").as("mb"),
+          size(col("m")).as("msize"),
+          array_join(map_keys(col("m")), ",").as("mkeys"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- correlated aggregate subquery ------------------------------------
     "q56_correlated_agg" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -227,6 +267,30 @@ object ExtendedQueries {
         | CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
         |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q57_date_parts" ->
+      """SELECT o_orderkey,
+        | CAST(dayofweek(o_orderdate) AS INT) AS dw,
+        | CAST(dayofyear(o_orderdate) AS INT) AS dy,
+        | CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS mend
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q58_interval_arith" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+        | CAST(CAST(o_orderdate AS DATE) + 45 AS TIMESTAMP) AS plus45d,
+        | CAST(CAST(o_orderdate AS DATE) - 7 AS TIMESTAMP) AS minus7d
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q59_map_funcs" ->
+      """SELECT p_partkey,
+        | map(['brand','type'], [p_brand, p_type])['brand'][1] AS mb,
+        | CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS msize,
+        | array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS mkeys
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
 
     "q56_correlated_agg" ->
       """SELECT o_orderkey, o_custkey FROM orders o
