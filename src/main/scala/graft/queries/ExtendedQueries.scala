@@ -170,6 +170,35 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // --- statistical aggregates via exact moments --------------------------
+    // Built-in corr/stddev accumulate doubles in partition order (non-
+    // deterministic cross-engine); computing the moments as exact decimal
+    // sums and combining them in double afterwards is order-independent
+    // and bit-identical in both engines.
+    // Second variable is l_discount (≤ 0.11), not l_extendedprice: every
+    // moment's scaled integer then stays far below 2^53 through ~sf100,
+    // where decimal→double is a single correctly-rounded step in both
+    // engines. (DuckDB converts int128-backed decimals via
+    // (double)int128 / 10^scale — TWO roundings once the scaled value
+    // exceeds 2^53, which made Σ(price²) differ in the last ulp.)
+    "q60_stats_moments" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_discount"))
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"), sum(y * y).cast(DoubleType).as("syy"))
+      m.select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_qty"),
+          (((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)) /
+            (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)) *
+             sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)))).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- correlated aggregate subquery ------------------------------------
     "q56_correlated_agg" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -291,6 +320,22 @@ object ExtendedQueries {
         | CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS msize,
         | array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS mkeys
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "q60_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+        |  ((sxy - sx * sy / n) / (n - 1)) /
+        |    (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q56_correlated_agg" ->
       """SELECT o_orderkey, o_custkey FROM orders o
