@@ -114,6 +114,18 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // --- distribution window functions ------------------------------------
+    "q61_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- full outer join --------------------------------------------------
     "q55_full_outer" -> ((s, d) => {
       val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
@@ -284,6 +296,13 @@ object ExtendedQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q61_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM customer WHERE c_custkey < 500
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q55_full_outer" ->
       """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
