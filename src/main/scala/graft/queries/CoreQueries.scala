@@ -215,24 +215,39 @@ object CoreQueries {
     }),
 
     // --- rollup / cube / grouping sets ----------------------------------
+    // Grouping lattices run over a PRE-AGGREGATED base: Spark's Expand
+    // operator replicates its input once per grouping set, so expanding
+    // the raw fact table triples/quadruples the rows flowing into the
+    // aggregate. count/sum are reassociable, so aggregating to the full
+    // grouping key first (map-side combine, one tiny result) and then
+    // expanding THAT is semantically identical — at 100 TB it is the
+    // difference between expanding 10^12 rows and expanding a few
+    // thousand.
     "q16_rollup" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("l_quantity")))).as("sum_qty"))
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("c"), sum(dec(col("l_quantity"))).as("q"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("c")).as("cnt"), d2(sum(col("q"))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
     "q17_cube" -> ((s, d) => {
-      Tables.orders(s, d)
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"))
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("c")).as("cnt"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
     "q18_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
-              |FROM lineitem
+      s.sql("""WITH base AS (
+              |  SELECT l_returnflag, l_linestatus, count(*) AS c
+              |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+              |SELECT l_returnflag, l_linestatus, sum(c) AS cnt
+              |FROM base
               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
