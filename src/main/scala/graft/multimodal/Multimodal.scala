@@ -70,6 +70,27 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  case class ResizedRow(media_id: Long, kind: String, width: Int,
+      height: Int, content: Array[Byte])
+
+  /** Resize image rows to `(tw, th)` (stub: the fake pixel space is the
+    * content bytes; resampling keeps a proportional byte subset —
+    * deterministic, shape-correct). Non-image rows pass through
+    * unchanged. Runs partition-local like [[decode]]. */
+  def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val d = decodeStub(r)
+      if (r.kind == "image" && d.width > 0 && d.height > 0) {
+        val ratio = math.min(1.0, (tw.toLong * th).toDouble / (d.width.toLong * d.height))
+        val outLen = math.max(1, (r.content.length * ratio).toInt)
+        val step = math.max(1, r.content.length / outLen)
+        val out = Array.range(0, r.content.length, step).map(r.content(_))
+        ResizedRow(r.media_id, r.kind, math.min(tw, d.width), math.min(th, d.height), out)
+      } else ResizedRow(r.media_id, r.kind, d.width, d.height, r.content)
+    })
+  }
+
   /** Build a deterministic media corpus out of the documents table (the
     * container ships no binary fixtures): content = UTF-8 bytes of the
     * text, kind round-robins image/audio/video. */

@@ -166,6 +166,16 @@ object PipelineQueries {
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"),
           sum(length(col("frame_bytes"))).as("bytes_sampled"))
         .orderBy(col("media_id"))
+    }),
+
+    "m03_multimodal_resize" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.resize(media, 32, 32).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_files"),
+          max(col("width")).as("max_w"), max(col("height")).as("max_h"),
+          sum(length(col("content"))).as("total_bytes"))
+        .orderBy(col("kind"))
     }))
 
   val oracle: Map[String, String] = Map(

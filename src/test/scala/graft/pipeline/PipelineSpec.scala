@@ -148,6 +148,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("resize: images shrink deterministically, non-images pass through") {
+    val media = Multimodal.fromDocuments(spark, docs)
+    val out = Multimodal.resize(media, 32, 32).collect()
+    val in = media.collect().map(r => r.media_id -> r).toMap
+    assert(out.length == in.size)
+    out.foreach { r =>
+      if (r.kind == "image") {
+        assert(r.width <= 32 && r.height <= 32)
+        assert(r.content.length <= in(r.media_id).content.length)
+      } else {
+        assert(r.content.sameElements(in(r.media_id).content))
+      }
+    }
+    // deterministic: second run bit-identical
+    val again = Multimodal.resize(media, 32, 32).collect()
+    assert(out.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
