@@ -78,7 +78,10 @@ object Bench {
       headline.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { // fatal errors (OOM etc.) must still kill the run
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+        }
       }
     }
     run("q11_distinct_counts") // parquet footer/filesystem cache for sfDir

@@ -121,8 +121,12 @@ object Dedup {
       carryText: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val carried = if (carryText) Seq(col(textCol).as("text")) else Seq.empty
+    // drop null-text docs BEFORE banding: their null signatures would all
+    // collide into one bucket per band (hash(band, null) is a constant)
+    // and generate O(k²) pairs that the downstream verify only discards
     val sig = docs.select(Seq(col(idCol).as("id"),
       minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
+      .filter(col("sig").isNotNull)
     val memberCols = Seq(col("id"), col("sig")) ++ (if (carryText) Seq(col("text")) else Nil)
     val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -218,6 +222,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull) // null text → no signature → no buckets
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))

@@ -67,13 +67,17 @@ object ZeekIO {
   }
 
   /** Like [[expandGlob]] but returns (path, modificationTime) pairs —
-    * the streaming source's watermark bookkeeping needs the mtimes. */
+    * the streaming source's watermark bookkeeping needs the mtimes.
+    * Paths are fully-qualified URIs: `.getPath.toString` keeps scheme +
+    * authority, where `.toUri.getPath` would strip "s3a://bucket" and
+    * make later opens resolve against the default filesystem. */
   def expandGlobWithTimes(pattern: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files = statuses.filterNot(_.isDirectory)
       .map(s => (s.getPath.toString, s.getModificationTime))
+    // a non-glob path to a directory: list its files
     val expanded =
       if (files.isEmpty && statuses.exists(_.isDirectory))
         statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
@@ -85,20 +89,6 @@ object ZeekIO {
   /** Expand a glob (or plain path) into lexicographically sorted file
     * paths. Empty result is an error (reference: src/zeek_scanner.cpp:
     * 446-453; sort at :453 keeps "first file" deterministic). */
-  def expandGlob(pattern: String, conf: Configuration): Seq[String] = {
-    val p = new Path(pattern)
-    val fs = p.getFileSystem(conf)
-    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    // .toString keeps the fully-qualified URI (scheme + authority):
-    // .toUri.getPath would strip "s3a://bucket" and make later opens
-    // resolve against the default filesystem
-    val files = statuses.filterNot(_.isDirectory).map(_.getPath.toString)
-    // a non-glob path to a directory: list its files
-    val expanded =
-      if (files.isEmpty && statuses.exists(_.isDirectory))
-        statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
-          .filterNot(_.isDirectory).map(_.getPath.toString)
-      else files
-    expanded.sorted.toSeq
-  }
+  def expandGlob(pattern: String, conf: Configuration): Seq[String] =
+    expandGlobWithTimes(pattern, conf).map(_._1)
 }

@@ -32,10 +32,24 @@ import graft.zeek._
 case class ZeekOffset(watermark: Long, boundary: Seq[String],
     legacySeen: Option[Seq[String]] = None) extends Offset {
 
+  @transient private lazy val boundarySet: Set[String] = boundary.toSet
+  // Round-1 offsets stored scheme-stripped paths (the old expandGlob used
+  // .toUri.getPath) while current listings are fully-qualified URIs —
+  // match on both forms so a legacy checkpoint doesn't re-ingest the
+  // whole directory after upgrade. Sets, not Seq.contains: the legacy
+  // transition batch is O(listed × seen) otherwise.
+  @transient private lazy val legacySet: Option[Set[String]] =
+    legacySeen.map(seen => seen.toSet ++ seen.map(stripScheme))
+
+  private def stripScheme(p: String): String = {
+    val u = new java.net.URI(p)
+    if (u.getScheme == null) p else u.getPath
+  }
+
   /** Has `path` (with mtime `t`) already been processed under this offset? */
-  def processed(path: String, t: Long): Boolean = legacySeen match {
-    case Some(seen) => seen.contains(path)
-    case None => t < watermark || (t == watermark && boundary.contains(path))
+  def processed(path: String, t: Long): Boolean = legacySet match {
+    case Some(seen) => seen.contains(path) || seen.contains(stripScheme(path))
+    case None => t < watermark || (t == watermark && boundarySet.contains(path))
   }
 
   override def json(): String = {
@@ -82,11 +96,10 @@ class ZeekMicroBatchStream(
     pushed: Array[Filter],
     conf: Configuration) extends MicroBatchStream {
 
+  // expandGlobWithTimes returns empty for an empty glob (no throw) —
+  // "no files yet" is a normal streaming state
   private def currentFiles(): Seq[(String, Long)] =
-    patterns.flatMap(p =>
-      try ZeekIO.expandGlobWithTimes(p, conf)
-      catch { case _: ZeekFormatException => Seq.empty } // empty glob: no files yet
-    ).distinct.sortBy(_._1)
+    patterns.flatMap(ZeekIO.expandGlobWithTimes(_, conf)).distinct.sortBy(_._1)
 
   override def initialOffset(): Offset = ZeekOffset.Empty
 
@@ -101,6 +114,13 @@ class ZeekMicroBatchStream(
 
   override def deserializeOffset(json: String): Offset = ZeekOffset.fromJson(json)
 
+  /** The batch for (start, end] is derived by re-listing the directory
+    * and keeping files processed under `end` but not under `start`.
+    * Replay determinism therefore also rests on the immutability
+    * invariant above: a file DELETED between offset commit and a
+    * checkpoint replay cannot be resurrected (same regime as Spark's
+    * FileStreamSource with a maxAge/compacted log — log retention must
+    * exceed the checkpoint-recovery window). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ZeekOffset]
     val e = end.asInstanceOf[ZeekOffset]

@@ -101,5 +101,12 @@ class ZeekStreamingSpec extends AnyFunSuite {
     val legacy = ZeekOffset.fromJson("""["a.log","b.log"]""")
     assert(legacy.processed("a.log", 5L) && !legacy.processed("c.log", 0L))
     assert(ZeekOffset.fromJson(legacy.json()) == legacy)
+    // round-1 checkpoints stored scheme-stripped paths while listings now
+    // return fully-qualified URIs — both forms must match, else a legacy
+    // checkpoint re-ingests the whole directory after upgrade
+    val legacyStripped = ZeekOffset.fromJson("""["/logs/a.log"]""")
+    assert(legacyStripped.processed("file:/logs/a.log", 5L))
+    assert(legacyStripped.processed("/logs/a.log", 5L))
+    assert(!legacyStripped.processed("file:/logs/b.log", 5L))
   }
 }
