@@ -135,6 +135,24 @@ class ZeekReferenceCorpusSpec extends AnyFunSuite {
       .getMessage.contains("field 'value' has type"))
   }
 
+  test("inet semantics over dns.log (zeek_inet.test)") {
+    assume(have)
+    import graft.inet.InetFunctions
+    val dns = zeek("dns.log.gz") // addr columns are strings + zeek.type metadata (SURVEY §1.4)
+    val first = dns.orderBy(col("ts")).limit(1)
+      .select("id_orig_h", "id_resp_h").collect().head
+    assert(first.getString(0) == "10.20.40.41" && first.getString(1) == "8.8.4.4")
+    // addr columns carry their Zeek type in metadata (inet=true default)
+    assert(dns.schema("id_orig_h").metadata.getString(ZeekTypes.ZeekTypeMeta) == "addr")
+    // equality-as-ip (the '...'::inet casts) via inet_equal — matches the
+    // post-scan filtering the reference does for INET predicates
+    assert(dns.filter(InetFunctions.inet_equal(col("id_orig_h"), lit("10.20.40.41"))).count() == 2)
+    assert(dns.filter(InetFunctions.inet_equal(col("id_orig_h"), lit("127.0.0.1"))).count() == 0)
+    // mixed: pushed-down native predicate AND post-scan inet predicate
+    assert(dns.filter(col("proto") === "udp" &&
+      InetFunctions.inet_equal(col("id_resp_h"), lit("8.8.4.4"))).count() == 2)
+  }
+
   test("ignore_file_errors over the reference error fixtures (zeek_ignore_file_errors.test)") {
     assume(have)
     // single invalid files error even with ignore_file_errors (no valid schema source)
