@@ -123,6 +123,102 @@ object Ann {
       .select("a", "b", "cos")
   }
 
+  /** IVF (inverted-file) ANN index: a coarse k-means quantizer
+    * partitions the corpus into `nLists` cells; a query scores only the
+    * `nProbe` cells whose centroids are nearest. The complement to the
+    * hyperplane-LSH path: recall is tuned by nProbe instead of bit
+    * width, and cell sizes adapt to the data distribution.
+    *
+    * Training runs Lloyd's iterations on a deterministic sample
+    * COLLECTED TO THE DRIVER — at corpus scale the quantizer is always
+    * trained on a bounded sample (FAISS-style); only assignment (one
+    * map-side argmin pass) and the per-cell probe join are distributed.
+    * Deterministic: sample by id order, centroids seeded from evenly
+    * spaced sample points, fixed iteration count — same index every
+    * run. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, sampleCap: Int = 4096, iters: Int = 8): Array[Array[Float]] = {
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "ivf: empty corpus")
+    val k = math.min(nLists, sample.length)
+    val dims = sample.head.length
+    // evenly spaced seeds over the (id-ordered) sample
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dims) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dims)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var d2 = 0.0
+      var d = 0
+      val n = math.min(v.length, cv.length)
+      while (d < n) { val diff = v(d) - cv(d); d2 += diff * diff; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top `nProbe` nearest centroids of a vector (probe list). */
+  private def probeList(v: Array[Float], cs: Array[Array[Float]], nProbe: Int): Array[Int] = {
+    cs.indices.map { c =>
+      val cv = cs(c)
+      var d2 = 0.0
+      var d = 0
+      val n = math.min(v.length, cv.length)
+      while (d < n) { val diff = v(d) - cv(d); d2 += diff * diff; d += 1 }
+      (c, d2)
+    }.sortBy(_._2).take(nProbe).map(_._1).toArray
+  }
+
+  /** Approximate top-k via the IVF index: corpus vectors are assigned to
+    * their nearest cell (one map-side pass, shuffle on cell id only);
+    * each query joins against its `nProbe` nearest cells. At 100 TB the
+    * assignment is computed once and persisted as a bucketed/partitioned
+    * layout, and every query touches ~nProbe/nLists of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cs = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val bc = spark.sparkContext.broadcast(cs)
+    val assign = udf((v: Seq[Float]) =>
+      if (v == null) null else Integer.valueOf(nearestCentroid(v.toArray, bc.value)))
+    val probes = udf((v: Seq[Float]) =>
+      if (v == null) null else probeList(v.toArray, bc.value, nProbe))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", assign(col("cv")))
+      .filter(col("cell").isNotNull)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probes(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", fastCosine(spark)(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select("query_id", "neighbor_id", "cos").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: probe the query's bucket and all Hamming-1
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */

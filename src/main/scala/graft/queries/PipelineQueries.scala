@@ -135,6 +135,14 @@ object PipelineQueries {
 
     // exact pair set — the oracle-checkable ground truth (quadratic, like
     // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
+    "e08_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "e06_embedding_neardups" -> ((s, d) => {
       Ann.cosineNearDupsExact(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35)

@@ -82,6 +82,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: deterministic index, recall against brute-force KNN") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall (ivf=${ivf.size} brute=${brute.size})")
+    // deterministic: rebuilt index returns the identical result set
+    val again = Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+    // centroid training is stable across calls
+    val c1 = Ann.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val c2 = Ann.ivfCentroids(emb, "vec_id", "embedding", 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("embedding near-dup pairs: LSH-found pairs are a subset of brute force, cosine exact") {
     import spark.implicits._
     val brute = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
