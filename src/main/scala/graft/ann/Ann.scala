@@ -138,9 +138,14 @@ object Ann {
     * run. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, sampleCap: Int = 4096, iters: Int = 8): Array[Array[Float]] = {
-    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+    // null embeddings are excluded from training too (ivfTopK filters them
+    // only at assignment); element reads are width-agnostic so float[] and
+    // double[] corpora both train, matching the rest of the vector API
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol))
       .limit(sampleCap).collect()
-      .map(_.getSeq[Float](1).toArray)
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     require(sample.nonEmpty, "ivf: empty corpus")
     val k = math.min(nLists, sample.length)
     val dims = sample.head.length

@@ -110,15 +110,30 @@ object Dedup {
     f.apply(_)
   }
 
+  /** Deterministic hot-bucket cap: a bucket with more than `cap` members
+    * (an identical/boilerplate-document flood) would expand O(k²) pairs
+    * inside a single task. Over the cap, keep a pseudo-random but
+    * deterministic sample of `cap` members — ordered by hash of id with
+    * id tie-break — so task time stays bounded; recall for the degenerate
+    * flood degrades gracefully (exact-duplicate floods belong to
+    * [[exactDupGroups]] anyway). Buckets at or under the cap are
+    * untouched, so normal corpora see identical results. */
+  private def capMembers(cap: Int): Column =
+    when(size(col("members")) <= cap, col("members"))
+      .otherwise(expr(
+        s"transform(slice(array_sort(transform(members, m -> struct(hash(m.id) AS hk, m.id AS tid, m AS m))), 1, $cap), e -> e.m)"))
+
   /** Candidate near-duplicate pairs via LSH banding: signatures are cut
     * into `bands` bands of `numHashes/bands` rows; docs sharing any band
     * hash become candidates. One explode (×bands) + one shuffle on the
     * band key; bucket sizes are tiny for non-duplicate data, so the
-    * within-bucket pair product is bounded. `carry` columns are shipped
-    * through the buckets so downstream verification needs no join back. */
+    * within-bucket pair product is bounded — and `bucketCap` bounds it
+    * deterministically even for pathological floods. `carry` columns are
+    * shipped through the buckets so downstream verification needs no
+    * join back. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2,
-      carryText: Boolean = false): DataFrame = {
+      carryText: Boolean = false, bucketCap: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val carried = if (carryText) Seq(col(textCol).as("text")) else Seq.empty
     // drop null-text docs BEFORE banding: their null signatures would all
@@ -134,6 +149,7 @@ object Dedup {
     val buckets = banded.groupBy("band_key")
       .agg(collect_list(struct(memberCols: _*)).as("members"))
       .filter(size(col("members")) > 1)
+      .withColumn("members", capMembers(bucketCap))
     val txt = if (carryText)
       ", 'ta', if(m.id <= n.id, m.text, n.text), 'tb', if(m.id <= n.id, n.text, m.text)"
     else ""
@@ -159,15 +175,16 @@ object Dedup {
     * their texts: the band-bucket shuffle then moves 64-long signatures
     * instead of full documents replicated once per band — at corpus
     * scale that is the difference between shuffling ~0.5 KB/doc and
-    * ~16× the corpus text volume. The text joins are equi-joins of a
-    * tiny pair set against the corpus, which AQE plans as broadcast
-    * joins whenever the candidate set is small (the normal case —
-    * near-dup density is low). */
+    * ~16× the corpus text volume. The candidate pair set is explicitly
+    * broadcast onto both text joins: near-dup density is low and
+    * `bucketCap` bounds the pair count, so the pair side is always the
+    * small side — the corpus is then streamed map-side with no shuffle
+    * or sort, instead of AQE discovering that after a shuffle stage. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 2): DataFrame = {
+      shingleSize: Int = 2, bucketCap: Int = 1000): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
-      shingleSize, carryText = false)
+      shingleSize, carryText = false, bucketCap = bucketCap)
     val t = docs.select(col(idCol), col(textCol))
     val jacc = udf { (x: String, y: String) =>
       if (x == null || y == null) None // SQL null-propagation, not an NPE
@@ -178,8 +195,9 @@ object Dedup {
         Some(inter.toDouble / (sa.size + sb.size - inter))
       }
     }
-    cands
+    val withA = broadcast(cands)
       .join(t.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
+    broadcast(withA)
       .join(t.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
@@ -218,9 +236,10 @@ object Dedup {
     * brute-force pair set for maxHamming ≤ 3 (the classic 64-bit/k=3
     * near-dup configuration). Larger thresholds would need more/narrower
     * blocks (k+1 blocks for completeness at Hamming k) at the cost of
-    * bigger buckets. */
+    * bigger buckets. `bucketCap` bounds the per-bucket pair expansion for
+    * identical-document floods (see [[capMembers]]). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .filter(col("sim").isNotNull) // null text → no signature → no buckets
     val blocked = sh.select(col("id"), col("sim"),
@@ -229,6 +248,7 @@ object Dedup {
     val buckets = blocked.groupBy("blk", "blk_val")
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
       .filter(size(col("members")) > 1)
+      .withColumn("members", capMembers(bucketCap))
     buckets.select(explode(expr(
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members)), n ->

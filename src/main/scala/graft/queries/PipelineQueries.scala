@@ -133,8 +133,6 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // exact pair set — the oracle-checkable ground truth (quadratic, like
-    // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
     "e08_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -143,6 +141,8 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // exact pair set — the oracle-checkable ground truth (quadratic, like
+    // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
     "e06_embedding_neardups" -> ((s, d) => {
       Ann.cosineNearDupsExact(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35)
@@ -232,7 +232,10 @@ object PipelineQueries {
     // the MinHash pipeline's exact-Jaccard verification step makes its
     // output EXACTLY the exact bigram-Jaccard pair set (banding at 64/16
     // has full recall on this corpus's planted pairs — proven in
-    // PipelineSpec), so it shares the d08 oracle
+    // PipelineSpec), so it shares the d08 oracle. NOTE this equivalence is
+    // corpus-dependent: banding recall is probabilistic, so on a different
+    // corpus/SF a mismatch here should be triaged as an LSH recall miss
+    // (a pair below the banding collision curve), not a MinHash bug
     "d06_minhash_neardups" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),

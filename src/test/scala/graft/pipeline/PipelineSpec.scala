@@ -44,6 +44,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
 
+  test("hot-bucket cap bounds pair expansion for identical-document floods") {
+    // 10k identical docs collapse into ONE bucket per band/block — uncapped
+    // that is ~50M pairs per band; with the cap the clique is a bounded
+    // deterministic sample and the job completes in bounded task time
+    val flood = spark.range(0, 10000).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated verbatim across the whole flood").as("text"))
+    val mh = Dedup.minhashCandidates(flood, "doc_id", "text", bucketCap = 50).count()
+    assert(mh > 0 && mh <= 50L * 49 / 2, s"minhash pairs=$mh")
+    val sh = Dedup.simhashNearDups(flood, "doc_id", "text", maxHamming = 3,
+      bucketCap = 50).count()
+    assert(sh > 0 && sh <= 50L * 49 / 2, s"simhash pairs=$sh")
+    // determinism of the capped sample: same pair set on a second run
+    val p1 = Dedup.minhashCandidates(flood, "doc_id", "text", bucketCap = 50)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.minhashCandidates(flood, "doc_id", "text", bucketCap = 50)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p2)
+  }
+
   test("NULL text propagates as NULL through the text/dedup UDFs (no NPE)") {
     import spark.implicits._
     val df = Seq((1L, "hello world hello"), (2L, null: String)).toDF("doc_id", "text")
