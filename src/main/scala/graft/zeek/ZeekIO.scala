@@ -66,25 +66,48 @@ object ZeekIO {
     else in
   }
 
-  /** Like [[expandGlob]] but returns (path, modificationTime) pairs —
-    * the streaming source's watermark bookkeeping needs the mtimes.
+  /** Glob-expansion result: one listed file with the metadata the rest of
+    * the source needs, captured from the SAME `FileStatus` the listing
+    * already holds — planning must never re-stat files (one RPC per file
+    * per query is seconds of sequential driver time at the reference's
+    * files=threads scale model). */
+  final case class GlobFile(path: String, mtime: Long, length: Long)
+
+  /** Like [[expandGlob]] but returns full [[GlobFile]] metadata — the
+    * streaming source's watermark bookkeeping needs mtimes, and the batch
+    * planner needs lengths (split planning + size statistics).
     * Paths are fully-qualified URIs: `.getPath.toString` keeps scheme +
     * authority, where `.toUri.getPath` would strip "s3a://bucket" and
     * make later opens resolve against the default filesystem. */
-  def expandGlobWithTimes(pattern: String, conf: Configuration): Seq[(String, Long)] = {
+  def expandGlobMeta(pattern: String, conf: Configuration): Seq[GlobFile] = {
     val p = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files = statuses.filterNot(_.isDirectory)
-      .map(s => (s.getPath.toString, s.getModificationTime))
+      .map(s => GlobFile(s.getPath.toString, s.getModificationTime, s.getLen))
     // a non-glob path to a directory: list its files
     val expanded =
       if (files.isEmpty && statuses.exists(_.isDirectory))
         statuses.filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
-          .filterNot(_.isDirectory).map(s => (s.getPath.toString, s.getModificationTime))
+          .filterNot(_.isDirectory)
+          .map(s => GlobFile(s.getPath.toString, s.getModificationTime, s.getLen))
       else files
-    expanded.sortBy(_._1).toSeq
+    expanded.sortBy(_.path).toSeq
   }
+
+  /** (path, modificationTime) pairs — see [[expandGlobMeta]]. */
+  def expandGlobWithTimes(pattern: String, conf: Configuration): Seq[(String, Long)] =
+    expandGlobMeta(pattern, conf).map(f => (f.path, f.mtime))
+
+  /** The `filename` virtual column's display form: local `file:` URIs
+    * render as plain paths — matching the reference scanner's filename
+    * output for local logs — while other schemes (s3a://bucket/…) keep
+    * the full URI so files on different stores stay distinguishable.
+    * Internal opens always use the fully-qualified path. */
+  def displayPath(path: String): String =
+    if (path.startsWith("file:"))
+      try new Path(path).toUri.getPath catch { case _: Exception => path }
+    else path
 
   /** Expand a glob (or plain path) into lexicographically sorted file
     * paths. Empty result is an error (reference: src/zeek_scanner.cpp:

@@ -13,7 +13,11 @@ final case class ZeekOptions(
     ignoreFileErrors: Boolean = false,
     /** byte-range split size for large UNCOMPRESSED files (compressed
       * files are never split); ≤0 disables splitting */
-    splitSize: Long = 128L * 1024 * 1024) extends Serializable
+    splitSize: Long = 128L * 1024 * 1024,
+    /** streaming only: mtime slack window (ms) behind the watermark in
+      * which files are tracked by path identity — absorbs preserved-mtime
+      * copies and clock skew between writers; see ZeekOffset */
+    streamMtimeSlackMs: Long = 5L * 60 * 1000) extends Serializable
 
 object ZeekOptions {
   def fromMap(m: java.util.Map[String, String]): ZeekOptions = {
@@ -26,7 +30,9 @@ object ZeekOptions {
       unionByName = b("union_by_name", dflt = false),
       ignoreFileErrors = b("ignore_file_errors", dflt = false),
       splitSize = Option(m.get("split_size")).map(_.trim.toLong)
-        .getOrElse(128L * 1024 * 1024))
+        .getOrElse(128L * 1024 * 1024),
+      streamMtimeSlackMs = Option(m.get("stream_mtime_slack_ms")).map(_.trim.toLong)
+        .getOrElse(5L * 60 * 1000))
   }
 }
 
@@ -39,9 +45,13 @@ object ZeekOptions {
   *               0 = the split that also owns header parsing/validation
   * @param end    exclusive range end; -1 = to EOF. A line belongs to the
   *               split containing its first byte.
+  * @param length on-disk byte length captured at bind from the glob's own
+  *               FileStatus (-1 = unknown, e.g. streaming specs) — split
+  *               planning and size statistics read this instead of
+  *               issuing one getFileStatus RPC per file per query
   */
 final case class ZeekFileSpec(path: String, colMap: Option[Array[Int]],
-    start: Long = 0L, end: Long = -1L) extends Serializable
+    start: Long = 0L, end: Long = -1L, length: Long = -1L) extends Serializable
 
 /** Bind result: resolved files + canonical header + Spark schema. */
 final case class ZeekBind(
@@ -65,12 +75,14 @@ final case class ZeekBind(
 object ZeekSchema {
 
   def bind(paths: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
-    val files = paths.flatMap(p => ZeekIO.expandGlob(p, conf)).distinct.sorted
+    val metas = paths.flatMap(p => ZeekIO.expandGlobMeta(p, conf))
+    val lengths = metas.map(m => m.path -> m.length).toMap
+    val files = metas.map(_.path).distinct.sorted
     if (files.isEmpty)
       throw new ZeekFormatException(
         s"No files found that match the pattern \"${paths.mkString(", ")}\"")
-    val b = if (opts.unionByName) bindUnion(files, opts, conf)
-            else bindStrict(files, opts, conf)
+    val b = if (opts.unionByName) bindUnion(files, lengths, opts, conf)
+            else bindStrict(files, lengths, opts, conf)
     b.copy(patterns = paths)
   }
 
@@ -82,7 +94,8 @@ object ZeekSchema {
 
   /** Strict mode: the first valid file's header is the schema; other files
     * are validated per-partition at scan time (src/zeek_scanner.cpp:481-505). */
-  private def bindStrict(files: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
+  private def bindStrict(files: Seq[String], lengths: Map[String, Long],
+      opts: ZeekOptions, conf: Configuration): ZeekBind = {
     var header: ZeekHeader = null
     var err: Throwable = null
     val it = files.iterator
@@ -98,14 +111,15 @@ object ZeekSchema {
     if (header == null)
       throw new ZeekFormatException(
         s"No valid Zeek log files found matching the pattern (last error: ${Option(err).map(_.getMessage).getOrElse("none")})")
-    val specs = files.map(f => ZeekFileSpec(f, None))
+    val specs = files.map(f => ZeekFileSpec(f, None, length = lengths.getOrElse(f, -1L)))
     build(specs, header, header.fields, header.types, opts)
   }
 
   /** union_by_name: open every file, union fields by name in first-seen
     * order; identical lexical syntax required; same name ⇒ same Zeek type
     * or bind error; absent fields → NULL (src/zeek_scanner.cpp:506-589). */
-  private def bindUnion(files: Seq[String], opts: ZeekOptions, conf: Configuration): ZeekBind = {
+  private def bindUnion(files: Seq[String], lengths: Map[String, Long],
+      opts: ZeekOptions, conf: Configuration): ZeekBind = {
     val headers = files.map { f =>
       try Some(parseHeader(f, conf))
       catch {
@@ -149,10 +163,12 @@ object ZeekSchema {
     val specs = files.zip(headers).map {
       case (f, Some(h)) =>
         val idx = h.fields.zipWithIndex.toMap
-        ZeekFileSpec(f, Some(names.map(n => idx.getOrElse(n, -1)).toArray))
+        ZeekFileSpec(f, Some(names.map(n => idx.getOrElse(n, -1)).toArray),
+          length = lengths.getOrElse(f, -1L))
       case (f, None) =>
         // tombstone: claimed at scan, yields zero rows (src/zeek_scanner.cpp:519-526)
-        ZeekFileSpec(f, Some(Array.fill(names.length)(-1)))
+        ZeekFileSpec(f, Some(Array.fill(names.length)(-1)),
+          length = lengths.getOrElse(f, -1L))
     }
     val canonical = first.copy(fields = names, types = types)
     build(specs, canonical, names, types, opts)

@@ -150,19 +150,15 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
 
   /** Size estimate = on-disk bytes × a decompression factor for
     * compressed files — lets Catalyst/AQE make join-side decisions (e.g.
-    * broadcasting a small lookup log). */
+    * broadcasting a small lookup log). Lengths come from the bind-time
+    * glob listing carried in each [[ZeekFileSpec]]: planning issues ZERO
+    * filesystem RPCs (asserted by ZeekPlanTimeFsSpec). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      bind.files.map { f =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(f.path)
-          val len = p.getFileSystem(conf).getFileStatus(p).getLen
-          val name = f.path.toLowerCase
-          if (name.endsWith(".gz") || name.endsWith(".zst")) len * 6 else len
-        } catch { case _: Exception => 0L }
-      }.sum
-    }
+    private val bytes: Long = bind.files.map { f =>
+      val len = math.max(f.length, 0L)
+      val name = f.path.toLowerCase
+      if (name.endsWith(".gz") || name.endsWith(".zst")) len * 6 else len
+    }.sum
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
@@ -178,16 +174,11 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
     * whole file, other splits yield 0 rows). */
   override def planInputPartitions(): Array[InputPartition] = {
     val split = bind.opts.splitSize
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     bind.files.flatMap { spec =>
       val lower = spec.path.toLowerCase
       val compressedExt = lower.endsWith(".gz") || lower.endsWith(".zst")
-      val size =
-        if (compressedExt || split <= 0) -1L
-        else try {
-          val p = new org.apache.hadoop.fs.Path(spec.path)
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        } catch { case _: Exception => -1L }
+      // bind-time length; -1 (unknown) disables splitting — no FS RPCs here
+      val size = if (compressedExt || split <= 0) -1L else spec.length
       if (size > split) {
         val n = ((size + split - 1) / split).toInt
         (0 until n).map { i =>

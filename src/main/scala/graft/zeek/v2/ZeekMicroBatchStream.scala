@@ -9,28 +9,33 @@ import org.apache.spark.sql.types.StructType
 import graft.zeek._
 
 /** Streaming offset for the growing-directory source, compacted to a
-  * modification-time watermark.
+  * modification-time watermark plus a recent-files window (the same
+  * regime as Spark's FileStreamSource with a compacted log + maxAge).
   *
-  * A file is "processed under offset o" iff `mtime < o.watermark`, or
-  * `mtime == o.watermark && o.boundary contains it`. The offset therefore
-  * carries only the files AT the watermark tick (bounded by files per
-  * mtime granule — typically one rotation's worth), not every file ever
-  * seen: checkpoints stay O(1)-ish forever instead of growing with
-  * stream age (the round-1 full-list format broke down past ~10^5
-  * files).
+  * A file is "processed under offset o" iff `mtime < o.watermark -
+  * o.slack` (below the window), or its path is in `o.boundary` (the
+  * files listed within the window when the offset was taken). Inside
+  * the slack window files are tracked BY PATH IDENTITY, so
+  *  - a late-arriving file whose preserved mtime lands behind the
+  *    watermark (rsync/copy with old mtimes, multi-writer clock skew)
+  *    is still picked up, as long as it lands within the window, and
+  *  - a file whose mtime is touched after ingestion (a glob matching
+  *    the live, still-appended log) is NOT re-ingested while it stays
+  *    in the window.
+  * The offset carries only the window's files — bounded by rotation
+  * rate × slack, not stream age (the round-1 full-list format broke
+  * down past ~10^5 files).
   *
-  * Correctness invariant (documented, same as Spark's FileStreamSource
-  * maxAge regime): rotated log files are immutable once created and
-  * appear with monotonically non-decreasing mtimes. A file back-dated
-  * below the watermark after the fact would be skipped.
+  * Remaining documented invariant: a file that first appears with an
+  * mtime below the WINDOW is assumed already processed and skipped —
+  * the stream logs a warning when it sees that happen.
   *
-  * Legacy round-1 offsets (a bare JSON array of paths) still
-  * deserialize; the first batch planned from one uses exact
-  * set-difference semantics and subsequent offsets are written in the
-  * compact format.
+  * Legacy offsets still deserialize: round-1 bare path arrays use exact
+  * set-difference semantics, round-2 `{wm, boundary}` objects are the
+  * `slack = 0` case of the window semantics.
   */
 case class ZeekOffset(watermark: Long, boundary: Seq[String],
-    legacySeen: Option[Seq[String]] = None) extends Offset {
+    slack: Long = 0L, legacySeen: Option[Seq[String]] = None) extends Offset {
 
   @transient private lazy val boundarySet: Set[String] = boundary.toSet
   // Round-1 offsets stored scheme-stripped paths (the old expandGlob used
@@ -41,15 +46,18 @@ case class ZeekOffset(watermark: Long, boundary: Seq[String],
   @transient private lazy val legacySet: Option[Set[String]] =
     legacySeen.map(seen => seen.toSet ++ seen.map(stripScheme))
 
-  private def stripScheme(p: String): String = {
-    val u = new java.net.URI(p)
-    if (u.getScheme == null) p else u.getPath
-  }
+  // hadoop Path tolerates characters that java.net.URI rejects (space,
+  // '%'): a legacy checkpoint containing one must not crash planning
+  private def stripScheme(p: String): String =
+    try new org.apache.hadoop.fs.Path(p).toUri.getPath
+    catch { case _: Exception => p }
 
   /** Has `path` (with mtime `t`) already been processed under this offset? */
   def processed(path: String, t: Long): Boolean = legacySet match {
     case Some(seen) => seen.contains(path) || seen.contains(stripScheme(path))
-    case None => t < watermark || (t == watermark && boundarySet.contains(path))
+    case None =>
+      (watermark != Long.MinValue && t < watermark - slack) ||
+        boundarySet.contains(path)
   }
 
   override def json(): String = {
@@ -59,6 +67,7 @@ case class ZeekOffset(watermark: Long, boundary: Seq[String],
       case None =>
         val node = mapper.createObjectNode()
         node.put("wm", watermark)
+        if (slack != 0L) node.put("slack", slack)
         val arr = node.putArray("boundary")
         boundary.foreach(arr.add)
         mapper.writeValueAsString(node)
@@ -79,7 +88,8 @@ object ZeekOffset {
     } else {
       val arr = node.get("boundary")
       val boundary = (0 until arr.size).map(arr.get(_).asText())
-      ZeekOffset(node.get("wm").asLong(), boundary)
+      val slack = Option(node.get("slack")).map(_.asLong()).getOrElse(0L)
+      ZeekOffset(node.get("wm").asLong(), boundary, slack)
     }
   }
 }
@@ -96,6 +106,14 @@ class ZeekMicroBatchStream(
     pushed: Array[Filter],
     conf: Configuration) extends MicroBatchStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ZeekMicroBatchStream])
+
+  // paths this stream instance has already seen in a listing — used only
+  // to warn (once) when a file FIRST appears already below the window;
+  // bounded by the directory's listing size, driver-side only
+  @transient private val listedBefore = scala.collection.mutable.HashSet.empty[String]
+  @transient private var firstPlan = true
+
   // expandGlobWithTimes returns empty for an empty glob (no throw) —
   // "no files yet" is a normal streaming state
   private def currentFiles(): Seq[(String, Long)] =
@@ -107,8 +125,9 @@ class ZeekMicroBatchStream(
     val files = currentFiles()
     if (files.isEmpty) ZeekOffset.Empty
     else {
+      val slack = bind.opts.streamMtimeSlackMs
       val wm = files.map(_._2).max
-      ZeekOffset(wm, files.collect { case (p, t) if t == wm => p })
+      ZeekOffset(wm, files.collect { case (p, t) if t >= wm - slack => p }, slack)
     }
   }
 
@@ -124,7 +143,21 @@ class ZeekMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ZeekOffset]
     val e = end.asInstanceOf[ZeekOffset]
-    val newFiles = currentFiles()
+    val listed = currentFiles()
+    // a file FIRST listed with an mtime already below the start window is
+    // assumed processed and skipped — surface the silent skip (not on the
+    // first batch after (re)start, where every old file is legitimately
+    // "already processed" per the recovered offset)
+    if (!firstPlan) listed.foreach { case (p, t) =>
+      if (!listedBefore.contains(p) && s.processed(p, t))
+        log.warn(s"zeek stream: newly listed file '$p' (mtime $t) falls below " +
+          s"the committed watermark window (wm=${s.watermark}, slack=${s.slack}) — " +
+          "treating as already processed; back-dated files outside the " +
+          "stream_mtime_slack_ms window are skipped")
+    }
+    firstPlan = false
+    listedBefore ++= listed.map(_._1)
+    val newFiles = listed
       .filter { case (p, t) => e.processed(p, t) && !s.processed(p, t) }
       .map(_._1)
     newFiles.map(f => ZeekInputPartition(ZeekFileSpec(f, None)): InputPartition).toArray

@@ -160,7 +160,7 @@ final class ZeekPartitionReader(
     srcIdx = new Array[Int](nReq)
     scalarParsers = new Array[ZeekTypes.SliceParser](nReq)
     listParsers = new Array[ZeekTypes.ListParser](nReq)
-    filenameValue = UTF8String.fromString(spec.path)
+    filenameValue = UTF8String.fromString(ZeekIO.displayPath(spec.path))
 
     var i = 0
     while (i < nReq) {

@@ -1,0 +1,75 @@
+package graft.zeek
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path => HPath, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zeek.v2.ZeekScan
+
+/** Local filesystem that counts metadata/open RPCs — planning must issue
+  * none: file lengths are captured once at bind from the glob listing and
+  * carried in each ZeekFileSpec. At the reference's files=threads scale
+  * model (tens of thousands of rotated logs) one getFileStatus per file
+  * per query is seconds of sequential driver time before the first task. */
+class CountingLocalFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("countfs:///")
+  override def getFileStatus(f: HPath): FileStatus = {
+    CountingLocalFs.statCalls.incrementAndGet()
+    super.getFileStatus(f)
+  }
+  override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
+    CountingLocalFs.openCalls.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingLocalFs {
+  val statCalls = new AtomicInteger(0)
+  val openCalls = new AtomicInteger(0)
+  def reset(): Unit = { statCalls.set(0); openCalls.set(0) }
+}
+
+class ZeekPlanTimeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("plan time issues zero filesystem RPCs; splits use bind-time lengths") {
+    val dir = ZeekFixtures.tempDir()
+    val rows = (1 to 200).map(i => (s"$i.0", f"ID$i%05d", s"$i"))
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", rows))
+    ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", rows.take(50)))
+
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setClass("fs.countfs.impl", classOf[CountingLocalFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val bind = ZeekSchema.bind(Seq(s"countfs:$dir/*.log"),
+      ZeekOptions(splitSize = 1024), conf)
+    assert(bind.files.forall(_.length > 0), "bind must carry real lengths")
+
+    CountingLocalFs.reset()
+    val scan = new ZeekScan(bind, bind.schema,
+      Array.empty[org.apache.spark.sql.sources.Filter])
+    val parts = scan.planInputPartitions()
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong > 0)
+    // a.log is ~4KB > 1KB split size → byte-range splits from the carried length
+    assert(parts.length > bind.files.size, s"expected splits, got ${parts.length}")
+    assert(CountingLocalFs.statCalls.get == 0,
+      s"planning made ${CountingLocalFs.statCalls.get} getFileStatus calls")
+    assert(CountingLocalFs.openCalls.get == 0,
+      s"planning opened ${CountingLocalFs.openCalls.get} files")
+  }
+
+  test("filename column golden form: plain path for local files") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log",
+      ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    val df = spark.read.format("zeek").option("filename", "true").load(s"$dir/*.log")
+    val fn = df.select("filename").distinct().collect().map(_.getString(0))
+    // the reference scanner reports plain paths for local logs — pin the
+    // exact form (no "file:" scheme) as the documented output
+    assert(fn.toSeq == Seq(s"$dir/a.log"), fn.mkString(","))
+  }
+}

@@ -108,5 +108,44 @@ class ZeekStreamingSpec extends AnyFunSuite {
     assert(legacyStripped.processed("file:/logs/a.log", 5L))
     assert(legacyStripped.processed("/logs/a.log", 5L))
     assert(!legacyStripped.processed("file:/logs/b.log", 5L))
+    // a legacy path containing a URI-illegal character must not crash
+    // offset evaluation (it used to throw URISyntaxException)
+    val legacyOdd = ZeekOffset.fromJson("""["/logs/with space/a%.log"]""")
+    assert(legacyOdd.processed("/logs/with space/a%.log", 5L))
+    assert(!legacyOdd.processed("/logs/other.log", 5L))
+  }
+
+  test("slack window: path identity for files near the watermark") {
+    import graft.zeek.v2.ZeekOffset
+    val w = ZeekOffset(10000L, Seq("r1", "r2"), slack = 2000L)
+    assert(w.processed("old", 7999L))    // below the window: assumed done
+    assert(!w.processed("late", 8500L))  // in-window, NOT listed → next batch ingests it
+    assert(w.processed("r1", 8500L))     // in-window, listed when offset was taken
+    assert(w.processed("r2", 12000L))    // mtime touched after ingest → no re-ingest
+    assert(!w.processed("new", 11000L))  // above watermark, unlisted
+    val rt = ZeekOffset.fromJson(w.json())
+    assert(rt == w, rt.toString)
+  }
+
+  test("back-dated file within the slack window is still ingested") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log",
+      ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+    val stream = spark.readStream.format("zeek").load(s"$dir/*.log")
+    val q = stream.writeStream.format("memory").queryName("zeek_backdate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zeek_backdate").count() == 1)
+      // a file copied in with a PRESERVED OLD mtime (rsync-style), 60s
+      // behind the committed watermark but inside the 5-minute slack
+      // window — the round-2 watermark-only offset silently dropped this
+      val aMtime = new java.io.File(s"$dir/a.log").lastModified()
+      val cPath = ZeekFixtures.write(dir, "c.log",
+        ZeekFixtures.base("t", Seq(("2.0", "C1", "300"))))
+      assert(new java.io.File(cPath).setLastModified(aMtime - 60000L))
+      q.processAllAvailable()
+      assert(spark.table("zeek_backdate").count() == 2)
+    } finally q.stop()
   }
 }
