@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`): no shuffle, one decoder instantiation per partition,
   * vectorizable batch shape.
   *
-  * NOTE: the actual codec kernels are STUBS (this container has no
-  * image/audio libraries): [[decodeStub]] derives deterministic fake
-  * dimensions/samples from the bytes. The Spark-side plumbing — schema,
-  * partitioning, batch iteration, typed encoders — is real and tested;
-  * swapping in a real decoder changes only the function body.
+  * Codec status: IMAGE decode/resize is REAL — JDK `javax.imageio`
+  * handles PNG/JPEG/BMP/GIF/WBMP with no external dependency; bytes that
+  * fail image decode fall back to the deterministic [[decodeStub]].
+  * Audio/video kernels remain stubs (those codecs genuinely aren't in
+  * this environment): [[decodeStub]] derives deterministic fake
+  * dimensions/samples from the bytes, so the plumbing — schema,
+  * partitioning, batch iteration, typed encoders — is exercised end to
+  * end either way.
   */
 object Multimodal {
 
@@ -48,10 +51,57 @@ object Multimodal {
     DecodedRow(r.media_id, r.kind, r.source, w, h, frames, hist)
   }
 
+  final case class DecodedImage(width: Int, height: Int, feature: Array[Float])
+
+  /** Real image decode via JDK ImageIO. Returns None when the bytes are
+    * not a decodable image (the caller falls back to [[decodeStub]]).
+    * Feature = 8-bin luminance histogram, L1-normalized, computed over a
+    * ≤256×256 subsample grid so huge images stay O(1) per row. */
+  def decodeImageBytes(b: Array[Byte]): Option[DecodedImage] = {
+    if (b == null || b.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](8)
+      val stepX = math.max(1, w / 256)
+      val stepY = math.max(1, h / 256)
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      var j = 0
+      while (j < 8) { hist(j) /= math.max(n, 1); j += 1 }
+      Some(DecodedImage(w, h, hist))
+    }
+  }
+
+  /** Decode one row: real ImageIO for image rows, stub otherwise. */
+  def decodeMedia(r: MediaRow): DecodedRow =
+    if (r.kind == "image")
+      decodeImageBytes(r.content) match {
+        case Some(d) => DecodedRow(r.media_id, r.kind, r.source, d.width, d.height, 1, d.feature)
+        case None    => decodeStub(r)
+      }
+    else decodeStub(r)
+
   /** Decode a media dataset partition-by-partition. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decodeMedia))
   }
 
   /** Sample every `stride`-th frame of video rows (stub: frames are
@@ -73,21 +123,53 @@ object Multimodal {
   case class ResizedRow(media_id: Long, kind: String, width: Int,
       height: Int, content: Array[Byte])
 
-  /** Resize image rows to `(tw, th)` (stub: the fake pixel space is the
-    * content bytes; resampling keeps a proportional byte subset —
-    * deterministic, shape-correct). Non-image rows pass through
-    * unchanged. Runs partition-local like [[decode]]. */
+  /** Real image resize: bilinear scale-to-fit within `(tw, th)` keeping
+    * aspect ratio (never upscales), re-encoded as PNG. Returns None for
+    * bytes that are not a decodable image. */
+  def resizeImageBytes(b: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val scale = math.min(1.0, math.min(tw.toDouble / img.getWidth, th.toDouble / img.getHeight))
+      val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+      val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some((nw, nh, baos.toByteArray))
+    }
+  }
+
+  /** Resize image rows to fit `(tw, th)`: real ImageIO resample for
+    * decodable images; the deterministic byte-subset stub for image rows
+    * whose bytes aren't a real image (the synthetic corpus); non-image
+    * rows pass through unchanged. Runs partition-local like [[decode]]. */
   def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val d = decodeStub(r)
-      if (r.kind == "image" && d.width > 0 && d.height > 0) {
-        val ratio = math.min(1.0, (tw.toLong * th).toDouble / (d.width.toLong * d.height))
-        val outLen = math.max(1, (r.content.length * ratio).toInt)
-        val step = math.max(1, r.content.length / outLen)
-        val out = Array.range(0, r.content.length, step).map(r.content(_))
-        ResizedRow(r.media_id, r.kind, math.min(tw, d.width), math.min(th, d.height), out)
-      } else ResizedRow(r.media_id, r.kind, d.width, d.height, r.content)
+      val real = if (r.kind == "image") resizeImageBytes(r.content, tw, th) else None
+      real match {
+        case Some((nw, nh, bytes)) => ResizedRow(r.media_id, r.kind, nw, nh, bytes)
+        case None =>
+          val d = decodeStub(r)
+          if (r.kind == "image" && d.width > 0 && d.height > 0) {
+            val ratio = math.min(1.0, (tw.toLong * th).toDouble / (d.width.toLong * d.height))
+            val outLen = math.max(1, (r.content.length * ratio).toInt)
+            val step = math.max(1, r.content.length / outLen)
+            val out = Array.range(0, r.content.length, step).map(r.content(_))
+            ResizedRow(r.media_id, r.kind, math.min(tw, d.width), math.min(th, d.height), out)
+          } else ResizedRow(r.media_id, r.kind, d.width, d.height, r.content)
+      }
     })
   }
 
