@@ -56,8 +56,10 @@ object Ann {
   }
 
   /** Deterministic random-hyperplane component: plane p, dimension d →
-    * pseudo-random ±1 weight (seed-free, stable across runs/JVMs). */
-  private def planeWeight(p: Int, d: Int): Double =
+    * pseudo-random ±1 weight (seed-free, stable across runs/JVMs).
+    * private[graft]: the oracle twin embeds the same weights as SQL
+    * literals, so both engines hash one source of truth. */
+  private[graft] def planeWeight(p: Int, d: Int): Double =
     if (((mix64(p.toLong * 1000003L + d) >>> 17) & 1L) == 1L) 1.0 else -1.0
 
   /** `nBits`-bit hyperplane signature as an int column. A compact UDF
@@ -228,13 +230,59 @@ object Ann {
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 12, dims: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nBits: Int = 12, dims: Int = 64): DataFrame =
+    bucketTopK(corpus, queries, idCol, vecCol, k, nBits,
+      lshSignature(_, nBits, dims))
+
+  /** Integer-quantized hyperplane signature: element d contributes
+    * `floor(v(d) * 1024)` — an exact integer — times the deterministic
+    * ±1 plane weight; the bit is the sign of the integer sum. Every step
+    * is integer arithmetic, so ANY engine reproduces the signature
+    * bit-exactly (the float variant's near-zero dot products could flip
+    * a sign under a different summation order). [[lshSignature]] remains
+    * the production scorer; this variant exists so the whole LSH
+    * pipeline — signature, banding, Hamming-1 multiprobe, cosine top-k —
+    * is hash-checkable against the DuckDB oracle, which embeds the same
+    * plane weights as SQL literals. */
+  def lshSignatureQuantized(vec: Column, nBits: Int = 8, dims: Int = 64): Column = {
+    val planes: Array[Array[Long]] =
+      Array.tabulate(nBits, dims)((p, d) => if (planeWeight(p, d) > 0) 1L else -1L)
+    val f = udf { (v: Seq[Float]) =>
+      var sig = 0
+      var p = 0
+      while (p < planes.length) {
+        val row = planes(p)
+        var s = 0L
+        var d = 0
+        val n = math.min(row.length, v.length)
+        while (d < n) { s += row(d) * math.floor(v(d).toDouble * 1024.0).toLong; d += 1 }
+        if (s > 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+    f(vec)
+  }
+
+  /** [[lshTopK]] with the integer-quantized signature — the
+    * oracle-checkable LSH path. */
+  def lshTopKQuantized(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8, dims: Int = 64): DataFrame =
+    bucketTopK(corpus, queries, idCol, vecCol, k, nBits,
+      lshSignatureQuantized(_, nBits, dims))
+
+  /** Shared bucket-probe top-k: corpus hashed once map-side, queries
+    * probe their bucket plus all Hamming-1 neighbors, candidates scored
+    * by exact cosine, ranked per query. */
+  private def bucketTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int,
+      sigOf: Column => Column): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshSignature(col("cv"), nBits, dims))
+      .withColumn("bucket", sigOf(col("cv")))
     val probes = (0 until nBits).map(b => lit(1 << b))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qsig", lshSignature(col("qv"), nBits, dims))
-      .withColumn("bucket", explode(array((lit(0) +: probes).map(m => expr("qsig") .bitwiseXOR(m)): _*)))
+      .withColumn("qsig", sigOf(col("qv")))
+      .withColumn("bucket", explode(array((lit(0) +: probes).map(m => expr("qsig").bitwiseXOR(m)): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCosine(corpus.sparkSession)(col("qv"), col("cv")))

@@ -126,6 +126,13 @@ object ExtendedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- mode aggregate (deterministic tie-break) -------------------------
+    "q62_mode" -> ((s, d) => {
+      graft.operators.ModeOp.modeBy(Tables.orders(s, d),
+        Seq("o_orderstatus"), "o_orderpriority")
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- full outer join --------------------------------------------------
     "q55_full_outer" -> ((s, d) => {
       val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
@@ -303,6 +310,14 @@ object ExtendedQueries {
         |FROM customer WHERE c_custkey < 500
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q62_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS mode_n
+        |           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY mode_n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_val, mode_n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q55_full_outer" ->
       """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),

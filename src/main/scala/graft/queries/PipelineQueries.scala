@@ -21,6 +21,13 @@ object PipelineQueries {
 
   private val stopList = TextFunctions.DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The deterministic ±1 hyperplane weights as a SQL VALUES list — the
+    * e03b oracle reproduces the quantized LSH pipeline from the same
+    * source of truth as the Spark side. */
+  private def lshPlanesValues(nBits: Int, dims: Int): String =
+    (for (p <- 0 until nBits; d <- 0 until dims)
+      yield s"($p,$d,${if (Ann.planeWeight(p, d) > 0) 1 else -1})").mkString(",")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis --------------------------------------------------
     "d01_token_stats" -> ((s, d) => {
@@ -129,6 +136,33 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hash-checkable LSH: the integer-quantized signature is bit-exact in
+    // any engine, so the DuckDB twin reproduces the ENTIRE pipeline —
+    // signature, buckets, Hamming-1 probes, cosine top-k — from the same
+    // plane weights embedded as SQL literals. This is the primary
+    // correctness evidence for the LSH path (e03 keeps the float
+    // signature the production scorer uses).
+    "e03b_ann_lsh_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopKQuantized(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hash-checkable IVF: probing ALL cells makes IVF ≡ brute force
+    // EXACTLY — any vector lost or duplicated by quantizer training,
+    // cell assignment, the probe join, or ranking breaks the hash
+    // against the brute-force oracle. Partial-probe recall is covered in
+    // PipelineSpec; e08 keeps the production nProbe.
+    "e08b_ann_ivf_fullprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 7, nLists = 16, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -292,6 +326,46 @@ object PipelineQueries {
         |FROM d x JOIN d y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.e, y.e) >= 0.35
         |ORDER BY a, b""".stripMargin,
+
+    // full quantized-LSH twin: integer signature arithmetic is bit-exact
+    // across engines; floor(v*1024) is exact (×1024 is a power of two)
+    "e03b_ann_lsh_quantized" ->
+      s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+         |       FROM emb, range(1, 65) t(i)),
+         |bits AS (SELECT un.vec_id, planes.p,
+         |   CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+         | FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+         |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+         |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
+         |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
+         |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
+         |q AS (SELECT emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
+         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id CROSS JOIN masks
+         |      WHERE emb.vec_id < 5),
+         |scored AS (SELECT DISTINCT q.query_id, corpus.neighbor_id,
+         |             list_cosine_similarity(q.qe, corpus.cv) AS cos
+         |           FROM q JOIN corpus ON q.bucket = corpus.bucket
+         |           WHERE q.query_id <> corpus.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe IVF ≡ exact brute-force top-k (see the query comment)
+    "e08b_ann_ivf_fullprobe" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 7
+        |ORDER BY query_id, rank""".stripMargin,
 
     "e04_array_funcs" ->
       """WITH h AS (SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
