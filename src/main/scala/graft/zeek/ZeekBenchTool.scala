@@ -77,22 +77,34 @@ object ZeekBenchTool {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // steady-state timing: run once to compile codegen + warm the JIT,
+    // then time a FRESH plan (same codegen cache, no shuffle reuse —
+    // re-collecting the same DataFrame object would skip the scan stage
+    // entirely via shuffle-output reuse and report fantasy numbers)
     def time(name: String)(body: => Any): Unit = {
+      body // warm-up execution
       val t0 = System.nanoTime()
       val res = body
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"$name%-28s $sec%7.2f s  ${totalRows / sec / 1e6}%6.2f Mrows/s  ($res)")
     }
 
-    val df = spark.read.format("zeek").load(s"$dir/*.log.gz")
-    time("count(*) zero-parse")(df.count())
-    time("count(*) again (warm)")(df.count())
-    time("pushed filter count")(df.filter(col("proto") === "udp").count())
+    def mkDf() = spark.read.format("zeek").load(s"$dir/*.log.gz")
+    val scalarCols = mkDf().schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }
+    time("count(*) zero-parse")(mkDf().count())
+    time("pushed filter count")(mkDf().filter(col("proto") === "udp").count())
     time("2-col projection agg")(
-      df.groupBy(col("proto")).agg(sum(col("orig_bytes"))).collect().length)
+      mkDf().groupBy(col("proto")).agg(sum(col("orig_bytes"))).collect().length)
     time("full-width scan")(
-      df.agg(count(col("uid")), sum(col("orig_bytes")), sum(col("resp_pkts")),
+      mkDf().agg(count(col("uid")), sum(col("orig_bytes")), sum(col("resp_pkts")),
         max(col("duration")), countDistinct(col("conn_state"))).collect().length)
+    // every scalar column parsed (20 cols; the set[string] column would
+    // force the generic row path) — the full-parse throughput metric
+    time("wide scalar parse (20 col)")(
+      mkDf().agg(scalarCols.map(c => count(col(c)).as(s"n_$c")).head,
+        scalarCols.map(c => count(col(c)).as(s"n_$c")).tail: _*).collect().length)
     spark.stop()
   }
 }

@@ -179,6 +179,79 @@ object ZeekTypes {
     }
   }
 
+  /** Type codes for the primitive (boxing-free) UnsafeRow fast path. */
+  final val TcString = 0
+  final val TcCount = 1
+  final val TcInt = 2
+  final val TcPort = 3
+  final val TcTime = 4 // time + interval: both epoch/interval micros as long
+  final val TcBool = 5
+  final val TcDouble = 6
+
+  def typeCodeFor(zeekType: String): Int = zeekType match {
+    case "time" | "interval" => TcTime
+    case "port"              => TcPort
+    case "count"             => TcCount
+    case "int"               => TcInt
+    case "bool"              => TcBool
+    case "double"            => TcDouble
+    case _                   => TcString // string, enum, addr, subnet, unknown
+  }
+
+  /** Boxing-free parsers for the UnsafeRow direct-write path: each returns
+    * the primitive and reports NULL through `lastNull` (one instance per
+    * partition reader — single-threaded by construction). Semantics match
+    * the boxed [[SliceParser]]s exactly; both are covered by the same
+    * property tests. */
+  final class PrimParsers {
+    var lastNull: Boolean = false
+
+    def longIn(b: Array[Byte], s: Int, e: Int, lo: Long, hi: Long): Long = {
+      lastNull = true
+      var i = s
+      if (i >= e) return 0L
+      var neg = false
+      b(i) match {
+        case '-' => neg = true; i += 1
+        case '+' => i += 1
+        case _   =>
+      }
+      if (i >= e) return 0L
+      var v = 0L
+      while (i < e) {
+        val c = b(i)
+        if (c < '0' || c > '9') return 0L
+        val d = c - '0'
+        if (v > (Long.MaxValue - d) / 10) return 0L // overflow
+        v = v * 10 + d
+        i += 1
+      }
+      val r = if (neg) -v else v
+      if (r < lo || r > hi) return 0L
+      lastNull = false
+      r
+    }
+
+    def timeMicros(b: Array[Byte], s: Int, e: Int): Long = {
+      val d = toDouble(b, s, e)
+      if (d.isNaN && !isLiteralNaN(b, s, e)) { lastNull = true; 0L }
+      else { lastNull = false; (d * 1e6).toLong }
+    }
+
+    def dbl(b: Array[Byte], s: Int, e: Int): Double = {
+      val d = toDouble(b, s, e)
+      if (d.isNaN && !isLiteralNaN(b, s, e)) { lastNull = true; 0.0 }
+      else { lastNull = false; d }
+    }
+
+    def bool(b: Array[Byte], s: Int, e: Int): Boolean = {
+      lastNull = false
+      val len = e - s
+      (len == 1 && b(s) == 'T') ||
+        (len == 4 && b(s) == 't' && b(s + 1) == 'r' && b(s + 2) == 'u' && b(s + 3) == 'e')
+    }
+  }
+
   private def isLiteralNaN(b: Array[Byte], s: Int, e: Int): Boolean =
     e - s == 3 && (b(s) == 'n' || b(s) == 'N') &&
       (b(s + 1) == 'a' || b(s + 1) == 'A') && (b(s + 2) == 'n' || b(s + 2) == 'N')

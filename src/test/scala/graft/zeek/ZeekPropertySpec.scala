@@ -93,6 +93,35 @@ class ZeekPropertySpec extends AnyFunSuite {
       catch { case _: Exception => null }
   }
 
+  test("primitive (boxing-free) parsers agree with boxed parsers on arbitrary cells") {
+    val prim = new ZeekTypes.PrimParsers
+    val primTypes = Seq("count", "int", "port", "time", "interval", "double", "bool")
+    for (tpe <- primTypes; seed <- 0 until 400) {
+      val cell = genCell(tpe).pureApply(Gen.Parameters.default, Seed(tpe.hashCode * 100000L + seed))
+      val b = cell.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val boxed = ZeekTypes.parserFor(tpe)(b, 0, b.length)
+      val direct: Any = ZeekTypes.typeCodeFor(tpe) match {
+        case ZeekTypes.TcCount =>
+          val v = prim.longIn(b, 0, b.length, 0L, Long.MaxValue)
+          if (prim.lastNull) null else java.lang.Long.valueOf(v)
+        case ZeekTypes.TcInt =>
+          val v = prim.longIn(b, 0, b.length, Long.MinValue, Long.MaxValue)
+          if (prim.lastNull) null else java.lang.Long.valueOf(v)
+        case ZeekTypes.TcPort =>
+          val v = prim.longIn(b, 0, b.length, 0L, 65535L)
+          if (prim.lastNull) null else java.lang.Integer.valueOf(v.toInt)
+        case ZeekTypes.TcTime =>
+          val v = prim.timeMicros(b, 0, b.length)
+          if (prim.lastNull) null else java.lang.Long.valueOf(v)
+        case ZeekTypes.TcBool => java.lang.Boolean.valueOf(prim.bool(b, 0, b.length))
+        case ZeekTypes.TcDouble =>
+          val v = prim.dbl(b, 0, b.length)
+          if (prim.lastNull) null else java.lang.Double.valueOf(v)
+      }
+      assert(direct == boxed, s"type=$tpe cell='$cell' boxed=$boxed direct=$direct")
+    }
+  }
+
   test("generated logs round-trip: source values == independent oracle") {
     val genSchema: Gen[List[String]] =
       Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genType))
