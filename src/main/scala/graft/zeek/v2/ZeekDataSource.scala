@@ -109,13 +109,30 @@ class ZeekTable(bind: ZeekBind) extends Table with SupportsRead {
   * optimization and can never change semantics. */
 class ZeekScanBuilder(bind: ZeekBind)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = bind.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var countStars: Int = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** COUNT(*) pushdown: each partition emits ONE row carrying its line
+    * count — no tokenization, no per-row iteration through the scan exec;
+    * Spark sums the partials. Anything beyond ungrouped COUNT(*) is
+    * declined (and Spark only attempts the pushdown when no post-scan
+    * filters remain, which — since every zeek filter is reported residual
+    * — means exactly the unfiltered case). */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    if (aggregation.aggregateExpressions.isEmpty ||
+        !aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return false
+    countStars = aggregation.aggregateExpressions.length
+    true
+  }
 
   /** Partial limit pushdown: each partition stops reading after `limit`
     * post-filter rows (LocalLimit semantics); Spark still applies the
@@ -139,7 +156,40 @@ class ZeekScanBuilder(bind: ZeekBind)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZeekScan(bind, required, pushed, limit)
+  override def build(): Scan =
+    if (countStars > 0) new ZeekCountScan(bind, countStars)
+    else new ZeekScan(bind, required, pushed, limit)
+}
+
+/** Scan for a pushed ungrouped COUNT(*): partitions are the same
+  * file/range splits as [[ZeekScan]], but each emits a single row with
+  * its count. Per-file schema validation and ignore_file_errors semantics
+  * are identical to a data scan (the reference errors on a mismatched
+  * file even for counts). */
+class ZeekCountScan(bind: ZeekBind, nCounts: Int) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      org.apache.spark.sql.types.StructField(s"count_star_$i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZeekCountScan files=${bind.files.size} pushed=[COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] = ZeekPlanning.partitions(bind)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    ZeekCountReaderFactory(bind.header, bind.dataSchema, bind.opts, conf, nCounts)
+  }
+}
+
+final case class ZeekCountReaderFactory(
+    boundHeader: ZeekHeader,
+    dataSchema: StructType,
+    opts: ZeekOptions,
+    conf: SerializableConf,
+    nCounts: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new ZeekCountPartitionReader(partition.asInstanceOf[ZeekInputPartition].spec,
+      boundHeader, dataSchema, opts, conf.value, nCounts)
 }
 
 class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
@@ -172,7 +222,27 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
     * Compression is judged by extension here; a mis-named compressed file
     * is caught by the reader's magic-byte sniff (start-0 split reads the
     * whole file, other splits yield 0 rows). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = ZeekPlanning.partitions(bind)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf, limit)
+  }
+
+  /** Streaming read: each trigger re-globs the pattern; new files become
+    * the micro-batch's partitions (Zeek's hourly-rotation model). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZeekMicroBatchStream(bind, bind.patterns, required, pushed,
+      SparkSession.active.sessionState.newHadoopConf())
+}
+
+final case class ZeekInputPartition(spec: ZeekFileSpec) extends InputPartition
+
+/** One partition per file — the reference's MaxThreads = #files model —
+  * plus byte-range splits of large uncompressed files, computed purely
+  * from bind-time lengths (no filesystem RPCs at plan time). */
+object ZeekPlanning {
+  def partitions(bind: ZeekBind): Array[InputPartition] = {
     val split = bind.opts.splitSize
     bind.files.flatMap { spec =>
       val lower = spec.path.toLowerCase
@@ -188,20 +258,7 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
       } else Seq(ZeekInputPartition(spec): InputPartition)
     }.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
-    ZeekPartitionReaderFactory(bind.header, bind.dataSchema, bind.opts, required, pushed, conf, limit)
-  }
-
-  /** Streaming read: each trigger re-globs the pattern; new files become
-    * the micro-batch's partitions (Zeek's hourly-rotation model). */
-  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZeekMicroBatchStream(bind, bind.patterns, required, pushed,
-      SparkSession.active.sessionState.newHadoopConf())
 }
-
-final case class ZeekInputPartition(spec: ZeekFileSpec) extends InputPartition
 
 final case class ZeekPartitionReaderFactory(
     boundHeader: ZeekHeader,

@@ -86,11 +86,19 @@ class PlanSpec extends AnyFunSuite {
       "small zeek side (stats-reported) should broadcast:\n" + p.take(2000))
   }
 
-  test("zeek scan: count(*) prunes all columns") {
+  test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
     val df = spark.read.format("zeek").load(f).groupBy().count()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("required=[]"), "count(*) should prune every column:\n" + p.take(2000))
+    // the scan itself answers COUNT(*): one row per partition, no
+    // per-row iteration through the scan exec
+    assert(p.contains("ZeekCountScan"), "count(*) should push into the scan:\n" + p.take(2000))
+    assert(df.collect().head.getLong(0) == 3L)
+    // a grouped count is NOT pushed — the data scan stays
+    val grouped = spark.read.format("zeek").load(f).groupBy("proto").count()
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert(!gp.contains("ZeekCountScan"), gp.take(2000))
+    assert(gp.contains("required=[proto]"), "grouped count prunes to the key:\n" + gp.take(2000))
   }
 }
