@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTER assignment: connected components over the
+  * near-dup pair graph, labeling every document with the smallest doc id
+  * reachable through near-dup edges. The step a real dedup pipeline runs
+  * after pair generation — "keep one document per cluster" needs the
+  * transitive closure, not just pairs (A~B, B~C must collapse A,B,C
+  * even when A~C was never emitted).
+  *
+  * Algorithm: iterative min-label propagation (the standard Pregel-style
+  * formulation expressed as DataFrame joins). Each round every node
+  * takes the min of its label and its neighbors' labels; rounds needed =
+  * component diameter. Near-dup clusters are tiny and shallow in
+  * practice, so this converges in a handful of rounds; each round is one
+  * shuffle join keyed on node id. The driver loop only checks a
+  * converged-count — all data stays distributed, and `localCheckpoint`
+  * cuts the growing lineage so round N doesn't replay rounds 1..N-1.
+  */
+object DedupClusters {
+
+  /** Label every node with the min id of its connected component.
+    *
+    * @param nodes one column `id` (every document, including singletons)
+    * @param edges columns `a`, `b` (undirected pairs)
+    * @return (id, cluster) where cluster = min reachable id
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // symmetric neighbor list; self-loops are harmless but add work
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label among the node itself and its neighbors' current labels
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full pipeline: MinHash near-dup pairs → connected components →
+    * (doc_id, cluster, cluster_size). Deterministic given the corpus. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, threshold)
+      .select(col("a"), col("b"))
+    val nodes = docs.select(col(idCol).as("id"))
+    val labels = connectedComponents(nodes, pairs)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.text.TextFunctions
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DedupClusters}
 import graft.ann.Ann
 import graft.multimodal.Multimodal
 
@@ -87,6 +87,88 @@ object PipelineQueries {
         threshold = 0.5, shingleSize = 2, maxDf = 1000000)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // near-dup CLUSTERS: transitive closure over the near-dup pair graph
+    // (A~B, B~C collapses {A,B,C}) — the assignment step a dedup pipeline
+    // runs after pair generation. Spark side is iterative min-label
+    // propagation; the oracle is a recursive CTE over the SAME pair set
+    // (d06 proved the pair sets identical).
+    "d09_dedup_clusters" -> ((s, d) => {
+      DedupClusters.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing (offset binning): documents are packed into
+    // fixed-token-capacity training bins per source shard, in doc order —
+    // bin = floor(exclusive-cumulative-tokens / capacity). One window
+    // pass; at scale each shard packs independently (partitioned window,
+    // no global sort).
+    "d10_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 2048.0).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tf-idf: top-3 terms per document by tf * ln(N/df), deterministic
+    // tie-break on the term. The full-corpus df table is the one shuffle;
+    // scoring is a broadcast of the (tiny) per-term df onto the token
+    // stream at scale.
+    "d11_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val n = docs.count()
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // vocabulary building: top-200 tokens by document frequency with a
+    // deterministic tie-break — the corpus pass a tokenizer-training
+    // pipeline runs. Distinct-per-doc then one count shuffle.
+    "d12_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val w = Window.orderBy(col("df").desc, col("term").asc)
+      toks.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 200)
+        .orderBy(col("rank"))
+    }),
+
+    // deterministic stratified sample: k docs per source shard, selected
+    // by md5-of-id order — a seeded "random" both engines reproduce
+    // bit-exactly. The pattern for train/eval splits at corpus scale.
+    "d13_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .orderBy(col("source"), col("rn"))
     }),
 
     // --- similarity search ----------------------------------------------
@@ -293,6 +375,63 @@ object PipelineQueries {
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // transitive closure of the exact near-dup pair graph (same pair CTE
+    // as d06/d08) via a recursive CTE; min reachable id = cluster label
+    "d09_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
+        |          JOIN sizes sb ON co.b = sb.doc_id
+        |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
+        |          UNION
+        |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+        |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
+
+    "d10_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(floor(cum / 2048.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "d11_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY term),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, round(score, 4) AS score, rank
+        |FROM r WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""".stripMargin,
+
+    "d12_vocab" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM toks WHERE term <> '' GROUP BY term),
+        |r AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rank FROM df)
+        |SELECT term, df, rank FROM r WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    "d13_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source, lang,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |FROM documents)
+        |SELECT doc_id, source, lang, rn FROM r WHERE rn <= 20
+        |ORDER BY source, rn""".stripMargin,
 
     "e01_embedding_stats" ->
       """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.zeek.SharedSpark
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DedupClusters}
 import graft.ann.Ann
 import graft.text.TextFunctions
 import graft.multimodal.Multimodal
@@ -42,6 +42,19 @@ class PipelineSpec extends AnyFunSuite {
     val blocked = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
+  }
+
+  test("connected components: chains collapse, singletons stay, labels are min ids") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1-4 edge), pair 10-11, singleton 20,
+    // and a cycle 30-31-32
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 30L, 31L, 32L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (30L, 31L), (31L, 32L), (32L, 30L)).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
   test("hot-bucket cap bounds pair expansion for identical-document floods") {
