@@ -56,6 +56,24 @@ object EventQueries {
         .orderBy(col("k_bucket"))
     }),
 
+    // time-series gap fill: hourly counts per event type with ZERO rows
+    // for empty hours — spine (generated hour series) × type dims, left
+    // join of the aggregated counts. The spine/dims sides are tiny (hours
+    // × types), so at scale this is two broadcasts onto a one-shuffle agg.
+    "q33_gapfill" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("hour_us", col("tus") - pmod(col("tus"), lit(3600L * 1000000L)))
+      val bounds = e.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L * 1000000L))).as("hour_us"))
+      val types = e.select(col("event_type")).distinct()
+      val counts = e.groupBy(col("hour_us"), col("event_type")).agg(count(lit(1)).as("cnt"))
+      spine.crossJoin(types)
+        .join(counts, Seq("hour_us", "event_type"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
+
     // as-of join: latest prior purchase per user for every event
     "q32_asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
@@ -85,6 +103,18 @@ object EventQueries {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
         | count(*) AS cnt, max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q33_gapfill" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS hour_us,
+        |            event_type FROM events),
+        |b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM e),
+        |spine AS (SELECT unnest(range(lo, hi + 3600000000, 3600000000)) AS hour_us FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT hour_us, event_type, count(*) AS cnt FROM e GROUP BY 1, 2)
+        |SELECT s.hour_us, t.event_type, coalesce(c.cnt, 0) AS cnt
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN c ON c.hour_us = s.hour_us AND c.event_type = t.event_type
+        |ORDER BY s.hour_us, t.event_type""".stripMargin,
 
     "q32_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

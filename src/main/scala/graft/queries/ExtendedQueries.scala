@@ -126,6 +126,20 @@ object ExtendedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- lateral join (correlated per-row top-n subquery) -----------------
+    "q63_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer_v c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_v o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 100
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // --- mode aggregate (deterministic tie-break) -------------------------
     "q62_mode" -> ((s, d) => {
       graft.operators.ModeOp.modeBy(Tables.orders(s, d),
@@ -310,6 +324,15 @@ object ExtendedQueries {
         |FROM customer WHERE c_custkey < 500
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q63_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q62_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS mode_n

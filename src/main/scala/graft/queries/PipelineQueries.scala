@@ -198,6 +198,20 @@ object PipelineQueries {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // per-label embedding centroids over the first 8 dimensions — the
+    // class-prototype computation (avg is order-insensitive to 1e-13 at
+    // this scale; round(4) pins the cross-engine value)
+    "e09_label_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast(DoubleType)), 4).as("centroid"),
+          count(lit(1)).as("n"))
+        .select(col("label"), (col("pos") + 1).as("pos"), col("centroid"), col("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     "e01_embedding_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -436,6 +450,13 @@ object PipelineQueries {
     "e01_embedding_stats" ->
       """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "e09_label_centroids" ->
+      """SELECT label, CAST(t.i AS INT) AS pos,
+        | round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 4) AS centroid,
+        | count(*) AS n
+        |FROM embeddings, range(1, 9) t(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "e05_posexplode" ->
       """SELECT vec_id, CAST(t.i AS INT) AS pos, CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
