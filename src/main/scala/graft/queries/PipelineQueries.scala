@@ -21,6 +21,16 @@ object PipelineQueries {
 
   private val stopList = TextFunctions.DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of [[TextFunctions.qualityScore]] — shared by the d02
+    * oracle and the d14 cleaned-corpus filter. */
+  private def qualitySql(textCol: String): String =
+    s"""least(greatest(
+       |   (least(len(string_split_regex($textCol, '\\s+')), 200) * 1.0 / 200.0) * 0.5
+       |   + (len(list_filter(string_split_regex($textCol, '\\s+'), w -> w IN ($stopList))) * 1.0
+       |      / len(string_split_regex($textCol, '\\s+'))) * 0.3
+       |   + (1.0 - (length($textCol) - length(regexp_replace($textCol, '[.,;:!?]', '', 'g'))) * 1.0
+       |      / greatest(length($textCol), 1)) * 0.2, 0.0), 1.0)""".stripMargin
+
   /** The deterministic ±1 hyperplane weights as a SQL VALUES list — the
     * e03b oracle reproduces the quantized LSH pipeline from the same
     * source of truth as the Spark side. */
@@ -169,6 +179,23 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .orderBy(col("source"), col("rn"))
+    }),
+
+    // cleaned-corpus capstone: the full curation pipeline composed —
+    // keep ONE doc per near-dup cluster (the min-id survivor from d09),
+    // drop low-quality docs (d02's score), keep English. The shape every
+    // pretraining-data pipeline ends with.
+    "d14_clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      docs.join(clusters, "doc_id")
+        .filter(col("doc_id") === col("cluster")) // near-dup cluster survivor
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- similarity search ----------------------------------------------
@@ -325,12 +352,7 @@ object PipelineQueries {
     "d02_quality_score" ->
       s"""SELECT doc_id,
          | length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
-         | least(greatest(
-         |   (least(len(string_split_regex(text, '\\s+')), 200) * 1.0 / 200.0) * 0.5
-         |   + (len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) * 1.0
-         |      / len(string_split_regex(text, '\\s+'))) * 0.3
-         |   + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
-         |      / greatest(length(text), 1)) * 0.2, 0.0), 1.0) AS quality
+         | ${qualitySql("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d03_lang_guess" -> {
@@ -410,6 +432,30 @@ object PipelineQueries {
         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
         |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
+
+    "d14_clean_corpus" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
+         |          JOIN sizes sb ON co.b = sb.doc_id
+         |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
+         |          UNION
+         |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+         |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+         |SELECT d.doc_id, d.source,
+         |  len(string_split_regex(d.text, '\\s+')) AS n_tokens, sz.cluster_size
+         |FROM documents d JOIN lab ON d.doc_id = lab.id JOIN sz USING (cluster)
+         |WHERE d.doc_id = lab.cluster
+         |  AND ${qualitySql("d.text")} >= 0.35
+         |  AND d.lang = 'en'
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d10_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
