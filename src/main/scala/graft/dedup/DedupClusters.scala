@@ -23,6 +23,14 @@ object DedupClusters {
 
   /** Label every node with the min id of its connected component.
     *
+    * Only nodes that actually appear in an edge enter the propagation
+    * loop — the near-dup graph is a vanishing fraction of the corpus, so
+    * each round shuffles the (tiny) touched subgraph, not every
+    * document; singletons get `cluster = id` in one final left join.
+    * Convergence is detected by a monotone checksum (labels only ever
+    * decrease, so sum(cluster) is strictly decreasing until fixpoint) —
+    * one cheap aggregate per round instead of a change-detection join.
+    *
     * @param nodes one column `id` (every document, including singletons)
     * @param edges columns `a`, `b` (undirected pairs)
     * @return (id, cluster) where cluster = min reachable id
@@ -34,8 +42,15 @@ object DedupClusters {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
+    val touched = sym.select(col("src").as("id")).distinct()
 
-    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+
+    var labels = touched.withColumn("cluster", col("id")).localCheckpoint(true)
+    var prevSum = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -44,17 +59,27 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val cand = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jump (path halving): also adopt the label OF the label —
+      // collapses a length-k chain in O(log k) rounds instead of k
+      // (labels always hold reachable node ids, so the min stays within
+      // the component)
+      val next = cand.as("c")
+        .join(labels.select(col("id").as("jid"), col("cluster").as("jcl")),
+          col("c.cluster") === col("jid"), "left")
+        .select(col("c.id").as("id"),
+          least(col("c.cluster"), coalesce(col("jcl"), col("c.cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      converged = changed == 0
+      val nextSum = checksum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    labels
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Full pipeline: MinHash near-dup pairs → connected components →
