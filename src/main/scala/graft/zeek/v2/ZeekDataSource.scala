@@ -156,9 +156,37 @@ class ZeekScanBuilder(bind: ZeekBind)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    if (countStars > 0) new ZeekCountScan(bind, countStars)
-    else new ZeekScan(bind, required, pushed, limit)
+  /** Filename-predicate file pruning — the partition-pruning analog for
+    * a rotated-log directory: a filter that references ONLY the
+    * `filename` virtual column is evaluated against each file's display
+    * path at plan time, and non-matching files never open. At the
+    * reference's files=threads scale model (hourly rotation → tens of
+    * thousands of files) `filename LIKE '%2026-01-16%'` turns a
+    * directory scan into a handful of file reads. The filter is still
+    * residual, so Spark re-checks rows — pruning can never change
+    * semantics. */
+  private def pruneFilesByFilename(b: ZeekBind): ZeekBind = {
+    if (!b.opts.filename || b.dataSchema.fieldNames.contains("filename")) return b
+    val fnameFilters = pushed.filter(f =>
+      ZeekFilterEval.referencedIfSupported(f).exists(cols =>
+        cols.nonEmpty && cols.forall(_ == "filename")))
+    if (fnameFilters.isEmpty) return b
+    val reqIndex = Map("filename" -> 0)
+    val dts = Map("filename" -> (org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
+    val preds = fnameFilters.map(ZeekFilterEval.compile(_, reqIndex, dts))
+    val kept = b.files.filter { spec =>
+      val row: Array[Any] = Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ZeekIO.displayPath(spec.path)))
+      preds.forall(p => p(row))
+    }
+    b.copy(files = kept)
+  }
+
+  override def build(): Scan = {
+    val pruned = pruneFilesByFilename(bind)
+    if (countStars > 0) new ZeekCountScan(pruned, countStars)
+    else new ZeekScan(pruned, required, pushed, limit)
+  }
 }
 
 /** Scan for a pushed ungrouped COUNT(*): partitions are the same

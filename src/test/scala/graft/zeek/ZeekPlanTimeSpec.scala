@@ -62,6 +62,24 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
       s"planning opened ${CountingLocalFs.openCalls.get} files")
   }
 
+  test("filename predicates prune whole files at plan time") {
+    val dir = ZeekFixtures.tempDir()
+    for (n <- Seq("a", "b", "c"))
+      ZeekFixtures.write(dir, s"$n.log",
+        ZeekFixtures.base("t", Seq(("1.0", s"${n.toUpperCase}1", "100"))))
+    val df = spark.read.format("zeek").option("filename", "true").load(s"$dir/*.log")
+      .filter(col("filename").endsWith("b.log"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("files=1"), "filename filter should prune to one file:\n" + plan.take(2000))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "B1")
+    // pruning to nothing yields zero rows, not an error
+    assert(spark.read.format("zeek").option("filename", "true").load(s"$dir/*.log")
+      .filter(col("filename").endsWith("zzz.log")).count() == 0)
+    // unfiltered read still sees every file
+    assert(spark.read.format("zeek").option("filename", "true").load(s"$dir/*.log").count() == 3)
+  }
+
   test("filename column golden form: plain path for local files") {
     val dir = ZeekFixtures.tempDir()
     ZeekFixtures.write(dir, "a.log",
