@@ -68,6 +68,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!bucketAgg.contains("text"), "band buckets should not carry text:\n" + bucketAgg)
   }
 
+  test("d06: candidate pair set broadcasts onto the text join-back") {
+    val q = graft.SparkEntry.queries("d06_minhash_neardups")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the corpus must stream map-side through BroadcastHashJoins — a
+    // SortMergeJoin here means the whole corpus shuffled for a tiny pair set
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the join-back:\n" + p.take(2000))
+  }
+
+  test("d13: stratified sample sorts within shards, not globally") {
+    val q = graft.SparkEntry.queries("d13_stratified_sample")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the row_number window partitions by source → per-shard sort; the
+    // only global ordering is the final (post-filter, tiny) ORDER BY
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("e02: brute-force knn broadcasts the query side, corpus never shuffles before scoring") {
     val q = graft.SparkEntry.queries("e02_knn_brute")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
