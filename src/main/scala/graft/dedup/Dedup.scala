@@ -255,8 +255,8 @@ object Dedup {
         |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
         |      'hamming', bit_count(m.sim ^ n.sim)))))""".stripMargin)).as("p"))
       .select("p.a", "p.b", "p.hamming")
+      .filter(col("hamming") <= maxHamming) // filter BEFORE the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- exact n-gram Jaccard via inverted index -------------------------
