@@ -259,6 +259,27 @@ object Dedup {
       .distinct()
   }
 
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Cross-corpus contamination pairs: every (corpus doc, eval doc) pair
+    * sharing at least `minShared` distinct word n-gram shingles — the
+    * benchmark-decontamination pass a training pipeline runs against its
+    * eval sets before training. Inverted-index join keyed on the
+    * shingle; the eval side is tiny by construction (an eval set is
+    * thousands of docs, the corpus billions), so at scale the eval
+    * shingle table broadcasts and the corpus stream never shuffles. */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      minShared: Int = 3): DataFrame = {
+    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    val c = corpus.select(col(idCol).as("corpus_id"), explode(sh(col(textCol))).as("s"))
+    val e = evalSet.select(col(idCol).as("eval_id"), explode(sh(col(textCol))).as("s"))
+    c.join(broadcast(e), "s")
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- exact n-gram Jaccard via inverted index -------------------------
 
   /** All-pairs exact n-gram Jaccard ≥ threshold, computed with an

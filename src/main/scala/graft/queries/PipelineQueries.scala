@@ -198,6 +198,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination: corpus docs sharing >= 3 distinct
+    // bigrams with any "eval set" doc (doc_id < 20 stands in for the
+    // benchmark). Eval shingles broadcast; the corpus never shuffles.
+    "d15_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", shingleSize = 2, minShared = 3)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // --- similarity search ----------------------------------------------
     "e04_array_funcs" -> ((s, d) => {
       // slice+transform are still exercised, but the result is unpacked to
@@ -456,6 +467,17 @@ object PipelineQueries {
          |  AND ${qualitySql("d.text")} >= 0.35
          |  AND d.lang = 'en'
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d15_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |hits AS (SELECT c.doc_id AS corpus_id, v.doc_id AS eval_id, count(*) AS n_shared
+        |         FROM e c JOIN e v ON c.s = v.s
+        |         WHERE c.doc_id >= 20 AND v.doc_id < 20
+        |         GROUP BY 1, 2)
+        |SELECT corpus_id, eval_id, n_shared FROM hits WHERE n_shared >= 3
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "d10_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
