@@ -198,6 +198,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-document repetition: 1 - distinct/total bigram ratio — the
+    // boilerplate/looping-text quality signal (high repetition → drop).
+    // Pure map-side expression work.
+    "d16_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("bgs", expr(
+          "filter(transform(toks, (w, i) -> IF(i < size(toks) - 1, concat(w, ' ', toks[i+1]), NULL)), x -> x IS NOT NULL)"))
+        .filter(size(col("bgs")) > 0)
+        .select(col("doc_id"),
+          size(col("bgs")).as("n_bigrams"),
+          size(array_distinct(col("bgs"))).as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("bgs"))) / size(col("bgs")).cast(DoubleType), 4).as("repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 3 distinct
     // bigrams with any "eval set" doc (doc_id < 20 stands in for the
     // benchmark). Eval shingles broadcast; the corpus never shuffles.
@@ -467,6 +483,15 @@ object PipelineQueries {
          |  AND ${qualitySql("d.text")} >= 0.35
          |  AND d.lang = 'en'
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d16_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(range(1, len(string_split_regex(lower(text), '\s+'))),
+        |    i -> string_split_regex(lower(text), '\s+')[i] || ' ' || string_split_regex(lower(text), '\s+')[i+1]) AS bgs
+        |FROM documents)
+        |SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct,
+        |  round(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 4) AS repetition
+        |FROM b WHERE len(bgs) > 0 ORDER BY doc_id""".stripMargin,
 
     "d15_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

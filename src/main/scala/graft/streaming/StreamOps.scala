@@ -30,6 +30,18 @@ object StreamOps {
         col("cnt"), col("sum_value"))
   }
 
+  /** Streaming exact dedup on a fingerprint column: each document is
+    * emitted at most once per watermark horizon. State holds only the
+    * fingerprint keys inside the watermark window
+    * (`dropDuplicatesWithinWatermark`), so it is bounded by arrival rate
+    * × delay — the streaming twin of [[graft.dedup.Dedup.exactDupGroups]]
+    * for continuous ingestion pipelines. */
+  def dedupStream(docs: DataFrame, tsCol: String, fpCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

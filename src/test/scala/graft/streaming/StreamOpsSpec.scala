@@ -99,4 +99,24 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.contains((60L, "click", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("streaming exact dedup emits each fingerprint once within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDS().toDF("ts", "fp", "doc_id")
+    val q = dedupStream(df, "ts", "fp", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "aaa", 1L), (ts(1), "bbb", 2L), (ts(2), "aaa", 3L))
+      q.processAllAvailable()
+      // duplicate arriving in a later batch, still within the watermark
+      input.addData((ts(5), "aaa", 4L), (ts(6), "ccc", 5L))
+      q.processAllAvailable()
+      val fps = spark.table("dedup_stream").select("fp").collect().map(_.getString(0))
+      assert(fps.sorted.toSeq == Seq("aaa", "bbb", "ccc"),
+        s"each fingerprint exactly once, got ${fps.mkString(",")}")
+    } finally q.stop()
+  }
 }
