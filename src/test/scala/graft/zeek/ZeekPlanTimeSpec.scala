@@ -62,6 +62,18 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
       s"planning opened ${CountingLocalFs.openCalls.get} files")
   }
 
+  test("pushed COUNT(*) sums byte-range split partials exactly") {
+    val dir = ZeekFixtures.tempDir()
+    val rows = (1 to 500).map(i => (s"$i.0", f"ID$i%05d", s"$i"))
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", rows))
+    val df = spark.read.format("zeek").option("split_size", "1024").load(s"$dir/a.log")
+      .groupBy().count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ZeekCountScan"), p.take(2000))
+    // header lines live in split 0 only; each split counts its own range
+    assert(df.collect().head.getLong(0) == 500L)
+  }
+
   test("filename predicates prune whole files at plan time") {
     val dir = ZeekFixtures.tempDir()
     for (n <- Seq("a", "b", "c"))
