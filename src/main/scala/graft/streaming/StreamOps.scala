@@ -42,6 +42,25 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same key whose timestamp falls in
+    * `[left.ts - lookback, left.ts]` (e.g. clicks joined to the
+    * impressions that preceded them). Both sides carry watermarks, so
+    * Spark bounds the join state to the lookback + delay horizon — the
+    * state-cleanup condition a production stream-stream join needs.
+    * The right side's key column is exposed as `r_<key>` in the output. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withColumnRenamed(keyCol, s"r_$keyCol")
+      .withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(
+      s"""$keyCol = r_$keyCol AND
+         |$rightTs >= $leftTs - INTERVAL $lookback AND
+         |$rightTs <= $leftTs""".stripMargin))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -100,6 +100,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val joined = intervalJoin(
+      clicks.toDS().toDF("uid", "cts", "click"),
+      imps.toDS().toDF("uid", "its", "imp"),
+      "uid", "cts", "its", lookback = "30 minutes", watermarkDelay = "0 seconds")
+    val q = joined.select("uid", "click", "imp")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0), "i1"), (1L, ts(100), "i2"), (2L, ts(5), "i3"))
+      clicks.addData((1L, ts(20), "c1")) // pairs with i1 (20min back), not i2 (future)
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      imps.addData((9L, ts(500), "ix"))
+      clicks.addData((9L, ts(500), "cx"))
+      q.processAllAvailable()
+      val rows = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows.contains((1L, "c1", "i1")), rows.toString)
+      assert(!rows.exists(r => r._2 == "c1" && r._3 == "i2"), "future impression joined")
+      assert(!rows.exists(_._3 == "i3"), "other user's impression joined")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits each fingerprint once within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
