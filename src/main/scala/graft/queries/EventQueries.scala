@@ -74,6 +74,23 @@ object EventQueries {
         .orderBy(col("hour_us"), col("event_type"))
     }),
 
+    // Spark's native session_window operator (gap-merged sessions as a
+    // first-class grouping) — the oracle rebuilds the same sessions with
+    // the lag/cumsum islands formulation. Session start = first event,
+    // end = last event + gap; exact integer microsecond math.
+    "q64_session_window" -> ((s, d) => {
+      events(s, d)
+        .withColumn("tts", expr("timestamp_micros(tus)"))
+        .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start_us"))
+    }),
+
     // as-of join: latest prior purchase per user for every event
     "q32_asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
@@ -115,6 +132,22 @@ object EventQueries {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN c ON c.hour_us = s.hour_us AND c.event_type = t.event_type
         |ORDER BY s.hour_us, t.event_type""".stripMargin,
+
+    "q64_session_window" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),
+        |l AS (SELECT user_id, value, tus, event_id,
+        |        CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |             OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e),
+        |g AS (SELECT user_id, value, tus,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM l)
+        |SELECT user_id, min(tus) AS sess_start_us, max(tus) + 1800000000 AS sess_end_us,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q32_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
