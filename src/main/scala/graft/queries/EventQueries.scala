@@ -91,6 +91,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("sess_start_us"))
     }),
 
+    // forward fill (IGNORE NULLS window): carry the last purchase value
+    // forward over each user's event stream — the time-series
+    // carry-forward primitive. No arithmetic on the filled value, so the
+    // hash matches bit-exactly.
+    "q65_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("user_id") < 50)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase", last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("tus"), col("event_id"), col("last_purchase"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     // as-of join: latest prior purchase per user for every event
     "q32_asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
@@ -148,6 +164,15 @@ object EventQueries {
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q65_forward_fill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |             CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |           FROM events WHERE user_id < 50)
+        |SELECT user_id, tus, event_id,
+        |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM e ORDER BY user_id, tus, event_id""".stripMargin,
 
     "q32_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
