@@ -126,6 +126,17 @@ object ExtendedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- bucketed range join (point-in-interval, no nested loop) ----------
+    "q66_range_join" -> ((s, d) => {
+      val intervals = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+      val points = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+        "price", "lo", "hi", bucketWidth = 50.0)
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_in_range"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- lateral join (correlated per-row top-n subquery) -----------------
     "q63_lateral" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -324,6 +335,13 @@ object ExtendedQueries {
         |FROM customer WHERE c_custkey < 500
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q66_range_join" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice - 5.0 AS lo, p_retailprice + 5.0 AS hi FROM part),
+        |l AS (SELECT l_extendedprice AS price FROM lineitem)
+        |SELECT p_partkey, count(*) AS n_in_range
+        |FROM p JOIN l ON l.price >= p.lo AND l.price <= p.hi
+        |GROUP BY 1 ORDER BY p_partkey""".stripMargin,
 
     "q63_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
