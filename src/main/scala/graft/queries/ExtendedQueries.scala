@@ -126,6 +126,18 @@ object ExtendedQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- hash-threshold sampled distinct (deterministic sketch core) ------
+    // the 1/256 hash-sample estimator behind adaptive-sampling distinct
+    // sketches, made cross-engine deterministic via md5 — unlike HLL
+    // (q28, rows-only) this one hash-checks exactly
+    "q67_sampled_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), md5(col("l_orderkey").cast("string")).as("h"))
+        .filter(substring(col("h"), 1, 2) === "00")
+        .agg((countDistinct(col("l_orderkey")) * 256).as("est_distinct"),
+          count(lit(1)).as("n_sampled"))
+    }),
+
     // --- bucketed range join (point-in-interval, no nested loop) ----------
     "q66_range_join" -> ((s, d) => {
       val intervals = Tables.part(s, d).select(col("p_partkey"),
@@ -335,6 +347,10 @@ object ExtendedQueries {
         |FROM customer WHERE c_custkey < 500
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q67_sampled_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) * 256 AS est_distinct, count(*) AS n_sampled
+        |FROM lineitem WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) = '00'""".stripMargin,
 
     "q66_range_join" ->
       """WITH p AS (SELECT p_partkey, p_retailprice - 5.0 AS lo, p_retailprice + 5.0 AS hi FROM part),
