@@ -175,11 +175,13 @@ object Dedup {
     * their texts: the band-bucket shuffle then moves 64-long signatures
     * instead of full documents replicated once per band — at corpus
     * scale that is the difference between shuffling ~0.5 KB/doc and
-    * ~16× the corpus text volume. The candidate pair set is explicitly
-    * broadcast onto both text joins: near-dup density is low and
-    * `bucketCap` bounds the pair count, so the pair side is always the
-    * small side — the corpus is then streamed map-side with no shuffle
-    * or sort, instead of AQE discovering that after a shuffle stage. */
+    * ~16× the corpus text volume. The text join-back broadcasts ONLY the
+    * id-tagged pair rows (no text in the broadcast, so its size is a few
+    * dozen bytes per candidate pair): the corpus streams map-side through
+    * one BroadcastHashJoin, and matched texts regroup to pairs via one
+    * shuffle whose volume is 2×pairs — which degrades gracefully (plain
+    * shuffle) if a pathological corpus produces a huge candidate set,
+    * where broadcasting text-carrying rows would OOM. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 2, bucketCap: Int = 1000): DataFrame = {
@@ -195,10 +197,18 @@ object Dedup {
         Some(inter.toDouble / (sa.size + sb.size - inter))
       }
     }
-    val withA = broadcast(cands)
-      .join(t.select(col(idCol).as("a"), col(textCol).as("ta")), "a")
-    broadcast(withA)
-      .join(t.select(col(idCol).as("b"), col(textCol).as("tb")), "b")
+    // one row per pair ENDPOINT (ids only) → broadcast onto the corpus →
+    // regroup matched texts per pair
+    val tagged = cands.select(col("a"), col("b"), col("est_jaccard"),
+      explode(array(
+        struct(lit("a").as("role"), col("a").as("id")),
+        struct(lit("b").as("role"), col("b").as("id")))).as("m"))
+      .select(col("a"), col("b"), col("est_jaccard"), col("m.role"), col("m.id"))
+    val matched = t.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(broadcast(tagged), "id")
+    matched.groupBy("a", "b", "est_jaccard")
+      .agg(max(when(col("role") === "a", col("txt"))).as("ta"),
+        max(when(col("role") === "b", col("txt"))).as("tb"))
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard", "est_jaccard")

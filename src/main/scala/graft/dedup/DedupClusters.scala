@@ -27,9 +27,8 @@ object DedupClusters {
     * loop — the near-dup graph is a vanishing fraction of the corpus, so
     * each round shuffles the (tiny) touched subgraph, not every
     * document; singletons get `cluster = id` in one final left join.
-    * Convergence is detected by a monotone checksum (labels only ever
-    * decrease, so sum(cluster) is strictly decreasing until fixpoint) —
-    * one cheap aggregate per round instead of a change-detection join.
+    * Convergence is an exact change-detection join over the touched
+    * subgraph — type-agnostic, so non-numeric ids (UUIDs) work too.
     *
     * @param nodes one column `id` (every document, including singletons)
     * @param edges columns `a`, `b` (undirected pairs)
@@ -44,13 +43,7 @@ object DedupClusters {
       .localCheckpoint(true)
     val touched = sym.select(col("src").as("id")).distinct()
 
-    def checksum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
-    }
-
     var labels = touched.withColumn("cluster", col("id")).localCheckpoint(true)
-    var prevSum = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -72,9 +65,11 @@ object DedupClusters {
         .select(col("c.id").as("id"),
           least(col("c.cluster"), coalesce(col("jcl"), col("c.cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val nextSum = checksum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // exact change detection over the touched subgraph (small by
+      // construction); works for any id type
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).limit(1).count()
+      converged = changed == 0
       labels = next
       iter += 1
     }

@@ -48,17 +48,19 @@ object StreamOps {
     * impressions that preceded them). Both sides carry watermarks, so
     * Spark bounds the join state to the lookback + delay horizon — the
     * state-cleanup condition a production stream-stream join needs.
-    * The right side's key column is exposed as `r_<key>` in the output. */
+    * EVERY right-side column is exposed with an `r_` prefix in the
+    * output, so both streams may freely share column names (including
+    * the common case of both calling their event-time column `ts`). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, lookback: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withColumnRenamed(keyCol, s"r_$keyCol")
-      .withWatermark(rightTs, watermarkDelay)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTs", watermarkDelay)
     l.join(r, expr(
       s"""$keyCol = r_$keyCol AND
-         |$rightTs >= $leftTs - INTERVAL $lookback AND
-         |$rightTs <= $leftTs""".stripMargin))
+         |r_$rightTs >= $leftTs - INTERVAL $lookback AND
+         |r_$rightTs <= $leftTs""".stripMargin))
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -156,6 +156,10 @@ class ZeekMicroBatchStream(
           "stream_mtime_slack_ms window are skipped")
     }
     firstPlan = false
+    // keep only the CURRENT listing: rotated-out files drop from the set,
+    // so it stays bounded by directory size, not stream age (a file that
+    // vanishes and reappears below the window merely re-warns)
+    listedBefore.clear()
     listedBefore ++= listed.map(_._1)
     val newFiles = listed
       .filter { case (p, t) => e.processed(p, t) && !s.processed(p, t) }

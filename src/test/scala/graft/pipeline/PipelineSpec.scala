@@ -57,6 +57,16 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("connected components works with non-numeric (string) ids") {
+    import spark.implicits._
+    val nodes = Seq("uuid-a", "uuid-b", "uuid-c", "uuid-d").toDF("id")
+    val edges = Seq(("uuid-b", "uuid-c"), ("uuid-c", "uuid-a")).toDF("a", "b")
+    val got = DedupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("uuid-a" -> "uuid-a", "uuid-b" -> "uuid-a",
+      "uuid-c" -> "uuid-a", "uuid-d" -> "uuid-d"))
+  }
+
   test("hot-bucket cap bounds pair expansion for identical-document floods") {
     // 10k identical docs collapse into ONE bucket per band/block — uncapped
     // that is ~50M pairs per band; with the cap the clique is a bounded

@@ -105,11 +105,13 @@ class StreamOpsSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
     val imps = MemoryStream[(Long, Timestamp, String)]
+    // both sides deliberately share ALL column names — the r_ prefixing
+    // must keep the join unambiguous
     val joined = intervalJoin(
-      clicks.toDS().toDF("uid", "cts", "click"),
-      imps.toDS().toDF("uid", "its", "imp"),
-      "uid", "cts", "its", lookback = "30 minutes", watermarkDelay = "0 seconds")
-    val q = joined.select("uid", "click", "imp")
+      clicks.toDS().toDF("uid", "ts", "tag"),
+      imps.toDS().toDF("uid", "ts", "tag"),
+      "uid", "ts", "ts", lookback = "30 minutes", watermarkDelay = "0 seconds")
+    val q = joined.select(col("uid"), col("tag").as("click"), col("r_tag").as("imp"))
       .writeStream.format("memory").queryName("ivj").outputMode("append").start()
     try {
       imps.addData((1L, ts(0), "i1"), (1L, ts(100), "i2"), (2L, ts(5), "i3"))

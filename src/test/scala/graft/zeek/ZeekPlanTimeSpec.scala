@@ -62,6 +62,24 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
       s"planning opened ${CountingLocalFs.openCalls.get} files")
   }
 
+  test("columnar and row readers produce identical results (kept-in-sync guard)") {
+    // the per-cell parse logic exists in writeDirect (row) and writeRow
+    // (columnar); this pins them bit-identical over every scalar type,
+    // NULL markers, and malformed cells so a change to one copy cannot
+    // silently diverge the other
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+    def read(columnar: Boolean) = {
+      System.setProperty("graft.zeek.columnar", columnar.toString)
+      try {
+        // drop the list columns so BOTH paths are eligible
+        val df = spark.read.format("zeek").option("filename", "true").load(s"$dir/conn.log")
+        df.drop("tags", "rtts").collect().map(_.toString).sorted.toSeq
+      } finally System.clearProperty("graft.zeek.columnar")
+    }
+    assert(read(columnar = true) == read(columnar = false))
+  }
+
   test("pushed COUNT(*) sums byte-range split partials exactly") {
     val dir = ZeekFixtures.tempDir()
     val rows = (1 to 500).map(i => (s"$i.0", f"ID$i%05d", s"$i"))
