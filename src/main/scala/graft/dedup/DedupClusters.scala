@@ -53,24 +53,22 @@ object DedupClusters {
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
       val cand = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
       // pointer jump (path halving): also adopt the label OF the label —
       // collapses a length-k chain in O(log k) rounds instead of k
       // (labels always hold reachable node ids, so the min stays within
-      // the component)
+      // the component). The previous label rides along, so change
+      // detection is a filter over the checkpointed result — exact, any
+      // id type, no extra join.
       val next = cand.as("c")
         .join(labels.select(col("id").as("jid"), col("cluster").as("jcl")),
           col("c.cluster") === col("jid"), "left")
-        .select(col("c.id").as("id"),
+        .select(col("c.id").as("id"), col("c.prev").as("prev"),
           least(col("c.cluster"), coalesce(col("jcl"), col("c.cluster"))).as("cluster"))
         .localCheckpoint(true)
-      // exact change detection over the touched subgraph (small by
-      // construction); works for any id type
-      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).limit(1).count() == 0
+      labels = next.select("id", "cluster")
       iter += 1
     }
     nodes.join(labels, Seq("id"), "left")
