@@ -89,14 +89,64 @@ object Multimodal {
     }
   }
 
-  /** Decode one row: real ImageIO for image rows, stub otherwise. */
-  def decodeMedia(r: MediaRow): DecodedRow =
-    if (r.kind == "image")
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      nFrames: Int, feature: Array[Float])
+
+  /** Real audio decode via JDK javax.sound (WAV/AIFF/AU — PCM containers
+    * built into the JDK, no external codec). Returns None when the bytes
+    * are not a decodable audio stream (caller falls back to the stub).
+    * Feature = 8-bin absolute-amplitude histogram over up to 64k
+    * samples, L1-normalized. */
+  def decodeAudioBytes(b: Array[Byte]): Option[DecodedAudio] = {
+    if (b == null || b.length == 0) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (in == null) None
+    else
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength.toInt
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val hist = new Array[Float](8)
+        val buf = new Array[Byte](math.min(
+          math.max(frames, 1) * fmt.getFrameSize, 64 * 1024))
+        val read = in.read(buf)
+        var n = 0
+        var i = 0
+        while (i + bytesPerSample <= math.max(read, 0)) {
+          // amplitude from the sample's most significant byte (covers
+          // 8/16-bit PCM either endianness well enough for a histogram)
+          val msb = if (fmt.isBigEndian) buf(i) else buf(i + bytesPerSample - 1)
+          hist(math.min(7, math.abs(msb.toInt) >> 4)) += 1f
+          n += 1
+          i += bytesPerSample
+        }
+        var j = 0
+        while (j < 8) { hist(j) /= math.max(n, 1); j += 1 }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels,
+          math.max(frames, 0), hist))
+      } catch { case _: Exception => None }
+      finally in.close()
+  }
+
+  /** Decode one row: real ImageIO for image rows, real javax.sound for
+    * audio rows (sample rate → width, channels → height, PCM frames →
+    * n_frames), stub otherwise (video codecs aren't in the JDK). */
+  def decodeMedia(r: MediaRow): DecodedRow = r.kind match {
+    case "image" =>
       decodeImageBytes(r.content) match {
         case Some(d) => DecodedRow(r.media_id, r.kind, r.source, d.width, d.height, 1, d.feature)
         case None    => decodeStub(r)
       }
-    else decodeStub(r)
+    case "audio" =>
+      decodeAudioBytes(r.content) match {
+        case Some(d) => DecodedRow(r.media_id, r.kind, r.source, d.sampleRate, d.channels, d.nFrames, d.feature)
+        case None    => decodeStub(r)
+      }
+    case _ => decodeStub(r)
+  }
 
   /** Decode a media dataset partition-by-partition. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {

@@ -46,6 +46,35 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(d(5L).n_frames > 1)
   }
 
+  test("audio decode reports true sample rate / channels / frames for WAV bytes") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 440-sample deterministic 16-bit mono WAV at 8kHz, generated in-test
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](440 * 2)
+    for (i <- 0 until 440) {
+      val v = (math.sin(i * 0.2) * 1000).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 440), AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "fx"),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), "fx"), // stub fallback
+      Multimodal.MediaRow(3L, "image", wav, "fx")).toDS() // kind gates the decoder
+    val d = Multimodal.decode(media).collect().map(r => r.media_id -> r).toMap
+    assert(d(1L).width == 8000, "sample rate")     // width carries Hz
+    assert(d(1L).height == 1, "channels")
+    assert(d(1L).n_frames == 440, "PCM frames")
+    assert(math.abs(d(1L).feature.sum - 1.0f) < 1e-3)
+    assert(d(2L).n_frames == 1 + "not audio".getBytes("UTF-8").length / 16) // stub formula
+    assert(d(3L).width == 16 + (wav(0) & 0x3f))     // image decode fails -> stub
+  }
+
   test("resize scales to fit, preserves aspect, output decodes to claimed size") {
     import spark.implicits._
     val media = Seq(
