@@ -220,8 +220,11 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCosine(spark)(col("qv"), col("cv")))
+    // no distinct needed: each corpus vector lives in exactly one cell and
+    // a query's nProbe probe cells are distinct, so every (query, neighbor)
+    // candidate appears at most once — the ranking window is the only shuffle
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.select("query_id", "neighbor_id", "cos").distinct()
+    scored.select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -286,8 +289,12 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCosine(corpus.sparkSession)(col("qv"), col("cv")))
+    // no distinct needed: a corpus vector's bucket is its signature (exactly
+    // one), and a query's 1 + nBits probe buckets are distinct XORs of qsig,
+    // so every (query, neighbor) candidate appears at most once — dropping
+    // the dedup saves a full shuffle+aggregate before the ranking window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.select("query_id", "neighbor_id", "cos").distinct()
+    scored.select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

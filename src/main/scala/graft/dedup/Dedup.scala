@@ -153,12 +153,17 @@ object Dedup {
     val txt = if (carryText)
       ", 'ta', if(m.id <= n.id, m.text, n.text), 'tb', if(m.id <= n.id, n.text, m.text)"
     else ""
-    // within-bucket pairs (i < j), then global dedup
+    // within-bucket pairs (i < j), then global dedup. The member array is
+    // bound ONCE as a lambda variable (`transform(array(members), ms -> …)`)
+    // so the capped-array expression upstream is evaluated a single time per
+    // bucket even though the pair expansion references it three times —
+    // projection collapse can otherwise inline a non-trivial producer per use.
     val pairs = buckets.select(explode(expr(
-      s"""flatten(transform(members, (m, i) ->
-         |  transform(slice(members, i + 2, size(members)), n ->
-         |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
-         |      'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))$txt))))""".stripMargin)).as("p"))
+      s"""flatten(flatten(transform(array(members), ms ->
+         |  transform(ms, (m, i) ->
+         |    transform(slice(ms, i + 2, size(ms)), n ->
+         |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+         |        'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))$txt))))))""".stripMargin)).as("p"))
     val estCol = (col("p.matches") * 1.0 / numHashes).as("est_jaccard")
     if (carryText)
       pairs.select(col("p.a"), col("p.b"), estCol, col("p.ta"), col("p.tb"))
@@ -259,11 +264,13 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
       .filter(size(col("members")) > 1)
       .withColumn("members", capMembers(bucketCap))
+    // member array bound once as a lambda var — see minhashCandidates
     buckets.select(explode(expr(
-      """flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2, size(members)), n ->
-        |    named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
-        |      'hamming', bit_count(m.sim ^ n.sim)))))""".stripMargin)).as("p"))
+      """flatten(flatten(transform(array(members), ms ->
+        |  transform(ms, (m, i) ->
+        |    transform(slice(ms, i + 2, size(ms)), n ->
+        |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+        |        'hamming', bit_count(m.sim ^ n.sim)))))))""".stripMargin)).as("p"))
       .select("p.a", "p.b", "p.hamming")
       .filter(col("hamming") <= maxHamming) // filter BEFORE the dedup shuffle
       .distinct()

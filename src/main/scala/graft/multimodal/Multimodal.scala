@@ -53,12 +53,44 @@ object Multimodal {
 
   final case class DecodedImage(width: Int, height: Int, feature: Array[Float])
 
+  /** Magic-byte sniff for the image containers the JDK's ImageIO actually
+    * decodes: PNG, JPEG, GIF, BMP, TIFF. Rows that don't start with a
+    * known signature skip decoder construction entirely — on a corpus
+    * whose binary column is mostly non-media (or mislabeled), the
+    * per-row cost is a few byte compares instead of an exception-driven
+    * failed decode. (WBMP has no usable signature and is not sniffed;
+    * such bytes take the stub path.) */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && {
+      val b0 = b(0) & 0xff; val b1 = b(1) & 0xff; val b2 = b(2) & 0xff; val b3 = b(3) & 0xff
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') ||  // PNG
+      (b0 == 0xff && b1 == 0xd8 && b2 == 0xff) ||             // JPEG
+      (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||   // GIF87a/89a
+      (b0 == 'B' && b1 == 'M') ||                             // BMP
+      (b0 == 'I' && b1 == 'I' && b2 == 42 && b3 == 0) ||      // TIFF LE
+      (b0 == 'M' && b1 == 'M' && b2 == 0 && b3 == 42)         // TIFF BE
+    }
+
+  /** Magic-byte sniff for the audio containers javax.sound decodes:
+    * RIFF/WAVE, FORM/AIFF(-C), and `.snd` (AU). */
+  def looksLikeAudio(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && {
+      def at(i: Int, c: Char) = (b(i) & 0xff) == c
+      (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) ||
+      (at(0, 'F') && at(1, 'O') && at(2, 'R') && at(3, 'M') &&
+        at(8, 'A') && at(9, 'I') && at(10, 'F')) ||
+      (at(0, '.') && at(1, 's') && at(2, 'n') && at(3, 'd'))
+    }
+
   /** Real image decode via JDK ImageIO. Returns None when the bytes are
-    * not a decodable image (the caller falls back to [[decodeStub]]).
+    * not a decodable image (the caller falls back to [[decodeStub]]);
+    * bytes without a known image signature are rejected by
+    * [[looksLikeImage]] before any decoder is constructed.
     * Feature = 8-bin luminance histogram, L1-normalized, computed over a
     * ≤256×256 subsample grid so huge images stay O(1) per row. */
   def decodeImageBytes(b: Array[Byte]): Option[DecodedImage] = {
-    if (b == null || b.length == 0) return None
+    if (!looksLikeImage(b)) return None
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -98,7 +130,7 @@ object Multimodal {
     * Feature = 8-bin absolute-amplitude histogram over up to 64k
     * samples, L1-normalized. */
   def decodeAudioBytes(b: Array[Byte]): Option[DecodedAudio] = {
-    if (b == null || b.length == 0) return None
+    if (!looksLikeAudio(b)) return None
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(b))
@@ -177,7 +209,7 @@ object Multimodal {
     * aspect ratio (never upscales), re-encoded as PNG. Returns None for
     * bytes that are not a decodable image. */
   def resizeImageBytes(b: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Array[Byte])] = {
-    if (b == null || b.length == 0) return None
+    if (!looksLikeImage(b)) return None
     javax.imageio.ImageIO.setUseCache(false)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))

@@ -136,14 +136,17 @@ object PipelineQueries {
       val toks = docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("term"))
         .filter(col("term") =!= "")
-      val n = docs.count()
+      // corpus size N enters the plan as a broadcast 1-row aggregate
+      // (not a driver-side docs.count()): tf-idf is one Spark job
+      val n = docs.select(count(lit(1)).cast("double").as("corpus_n"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
       tf.join(df, "term")
-        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("corpus_n") / col("df")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3 && col("doc_id") < 50)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -153,17 +156,23 @@ object PipelineQueries {
 
     // vocabulary building: top-200 tokens by document frequency with a
     // deterministic tie-break — the corpus pass a tokenizer-training
-    // pipeline runs. Distinct-per-doc then one count shuffle.
+    // pipeline runs. Distinct-per-doc then one count shuffle. The top-200
+    // cut is orderBy().limit() — a TakeOrderedAndProject (per-partition
+    // bounded heaps + one 200-row driver merge), NOT a row_number over an
+    // unpartitioned window, which would sort the entire distinct-term
+    // table through a single task at corpus scale. The rank window then
+    // runs over the already-bounded 200 rows.
     "d12_vocab" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
         .filter(col("term") =!= "")
         .distinct()
+      val top = toks.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(200)
       val w = Window.orderBy(col("df").desc, col("term").asc)
-      toks.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 200)
+      top.withColumn("rank", row_number().over(w))
         .orderBy(col("rank"))
     }),
 
