@@ -35,7 +35,15 @@ object DedupClusters {
     * @return (id, cluster) where cluster = min reachable id
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * ran (including the final no-change round that proves convergence) —
+    * the observable for the pointer-jumping complexity guarantee: a
+    * length-k chain must converge in O(log k) rounds, not k. */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     // symmetric neighbor list; self-loops are harmless but add work
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -71,8 +79,8 @@ object DedupClusters {
       labels = next.select("id", "cluster")
       iter += 1
     }
-    nodes.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")), iter)
   }
 
   /** Full pipeline: MinHash near-dup pairs → connected components →

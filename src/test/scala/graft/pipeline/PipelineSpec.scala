@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("connected components: pointer jumping converges in O(log k) rounds on a long chain") {
+    import spark.implicits._
+    // a planted 64-node chain has diameter 63: naive min-label propagation
+    // needs 63 rounds (and would bust maxIter = 20); path halving must
+    // collapse it in ~log2(63) + a constant, each round one shuffle join
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = DedupClusters.connectedComponentsWithRounds(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), "whole chain must collapse to min id 1")
+    assert(rounds <= 12, s"pointer jumping should need ~log2($n) rounds, took $rounds")
+  }
+
   test("connected components works with non-numeric (string) ids") {
     import spark.implicits._
     val nodes = Seq("uuid-a", "uuid-b", "uuid-c", "uuid-d").toDF("id")

@@ -85,6 +85,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q66: interval join is a bucket equi-join, not a broadcast nested loop") {
+    val p = plan("q66_range_join")
+    // Spark's default plan for a pure range predicate is a nested-loop
+    // join (quadratic per pair of partitions at scale); the bucketed
+    // formulation must plan as an equi-join on the bucket key with the
+    // BETWEEN as a residual condition
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to nested loop:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("d12: vocab top-200 is TakeOrderedAndProject, not a global window sort") {
+    val q = graft.SparkEntry.queries("d12_vocab")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // orderBy().limit() plans per-partition bounded heaps + one tiny merge;
+    // a row_number window over the whole term table would be a single-task
+    // global sort at corpus scale
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("e02: brute-force knn broadcasts the query side, corpus never shuffles before scoring") {
     val q = graft.SparkEntry.queries("e02_knn_brute")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
