@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`): no shuffle, one decoder instantiation per partition,
   * vectorizable batch shape.
   *
-  * Codec status: IMAGE decode/resize is REAL — JDK `javax.imageio`
-  * handles PNG/JPEG/BMP/GIF/WBMP with no external dependency; bytes that
-  * fail image decode fall back to the deterministic [[decodeStub]].
-  * Audio/video kernels remain stubs (those codecs genuinely aren't in
-  * this environment): [[decodeStub]] derives deterministic fake
-  * dimensions/samples from the bytes, so the plumbing — schema,
-  * partitioning, batch iteration, typed encoders — is exercised end to
-  * end either way.
+  * Codec status: IMAGE decode/resize is REAL (JDK `javax.imageio`:
+  * PNG/JPEG/BMP/GIF/TIFF), AUDIO decode is REAL (JDK `javax.sound`:
+  * WAV/AIFF/AU PCM), VIDEO container metadata + frame demux is REAL
+  * ([[VideoContainers]]: MP4 box tree + sample tables, AVI avih/movi) —
+  * only video PIXEL decode is stubbed (no codec in the JDK). Rows whose
+  * bytes carry no recognized magic signature skip decoder construction
+  * entirely and fall back to the deterministic [[decodeStub]], so the
+  * plumbing — schema, partitioning, batch iteration, typed encoders —
+  * is exercised end to end either way.
   */
 object Multimodal {
 
@@ -165,7 +166,10 @@ object Multimodal {
 
   /** Decode one row: real ImageIO for image rows, real javax.sound for
     * audio rows (sample rate → width, channels → height, PCM frames →
-    * n_frames), stub otherwise (video codecs aren't in the JDK). */
+    * n_frames), real MP4/AVI container metadata for video rows (true
+    * dims/frame count from the sample tables; pixel decode needs codecs
+    * the JDK lacks, so the feature stays the byte histogram), stub for
+    * bytes that are none of these. */
   def decodeMedia(r: MediaRow): DecodedRow = r.kind match {
     case "image" =>
       decodeImageBytes(r.content) match {
@@ -177,6 +181,13 @@ object Multimodal {
         case Some(d) => DecodedRow(r.media_id, r.kind, r.source, d.sampleRate, d.channels, d.nFrames, d.feature)
         case None    => decodeStub(r)
       }
+    case "video" if VideoContainers.looksLikeVideo(r.content) =>
+      VideoContainers.parse(r.content) match {
+        case Some((meta, _)) =>
+          DecodedRow(r.media_id, r.kind, r.source, meta.width, meta.height,
+            meta.nFrames, decodeStub(r).feature)
+        case None => decodeStub(r)
+      }
     case _ => decodeStub(r)
   }
 
@@ -186,16 +197,32 @@ object Multimodal {
     media.mapPartitions(_.map(decodeMedia))
   }
 
-  /** Sample every `stride`-th frame of video rows (stub: frames are
-    * 64-byte windows of the content). Non-video rows pass through with a
-    * single pseudo-frame. */
+  /** Sample every `stride`-th frame of video rows. Real MP4/AVI
+    * containers are demuxed — frame_bytes are the ACTUAL sample byte
+    * ranges from the container's sample tables (stsz/stsc/stco, movi
+    * chunks); bytes that aren't a parseable container fall back to the
+    * deterministic stub (64-byte windows). Non-video rows pass through
+    * with a single pseudo-frame. Partition-local, no shuffle. */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       if (r.kind == "video") {
-        val n = 1 + r.content.length / 64
-        (0 until n by stride).map(f => (r.media_id, f,
-          java.util.Arrays.copyOfRange(r.content, f * 64, math.min((f + 1) * 64, r.content.length))))
+        val real =
+          if (VideoContainers.looksLikeVideo(r.content))
+            VideoContainers.parse(r.content).map(_._2).filter(_.nonEmpty)
+          else None
+        real match {
+          case Some(samples) =>
+            (0 until samples.length by stride).map { f =>
+              val (off, len) = samples(f)
+              (r.media_id, f, java.util.Arrays.copyOfRange(
+                r.content, off.toInt, off.toInt + len))
+            }
+          case None =>
+            val n = 1 + r.content.length / 64
+            (0 until n by stride).map(f => (r.media_id, f,
+              java.util.Arrays.copyOfRange(r.content, f * 64, math.min((f + 1) * 64, r.content.length))))
+        }
       } else {
         Seq((r.media_id, 0, r.content))
       }
