@@ -17,7 +17,15 @@ final case class ZeekOptions(
     /** streaming only: mtime slack window (ms) behind the watermark in
       * which files are tracked by path identity — absorbs preserved-mtime
       * copies and clock skew between writers; see ZeekOffset */
-    streamMtimeSlackMs: Long = 5L * 60 * 1000) extends Serializable
+    streamMtimeSlackMs: Long = 5L * 60 * 1000,
+    /** streaming only: reuse the previous trigger's directory listing
+      * while the watched directories' own mtimes are unchanged (one
+      * getFileStatus per directory per trigger instead of a full glob of
+      * thousands of rotated logs). None = auto: enabled on filesystems
+      * whose directory mtime tracks child membership (local/HDFS),
+      * disabled elsewhere (object-store "directories" don't update, so a
+      * cache there would go permanently stale). */
+    streamListingCache: Option[Boolean] = None) extends Serializable
 
 object ZeekOptions {
   def fromMap(m: java.util.Map[String, String]): ZeekOptions = {
@@ -32,7 +40,9 @@ object ZeekOptions {
       splitSize = Option(m.get("split_size")).map(_.trim.toLong)
         .getOrElse(128L * 1024 * 1024),
       streamMtimeSlackMs = Option(m.get("stream_mtime_slack_ms")).map(_.trim.toLong)
-        .getOrElse(5L * 60 * 1000))
+        .getOrElse(5L * 60 * 1000),
+      streamListingCache = Option(m.get("stream_listing_cache"))
+        .map(_.trim.toLowerCase == "true"))
   }
 }
 

@@ -94,9 +94,10 @@ object ZeekOffset {
   }
 }
 
-/** Micro-batch streaming over a Zeek log directory: each trigger re-globs
-  * the pattern and plans one partition per newly-appeared file. Schema is
-  * fixed at stream start (the bind); new files are validated against it
+/** Micro-batch streaming over a Zeek log directory: each trigger lists
+  * the pattern (through a dir-mtime-keyed cache — see `currentFiles`)
+  * and plans one partition per newly-appeared file. Schema is fixed at
+  * stream start (the bind); new files are validated against it
   * per-partition exactly like the batch path (strict) or mapped by name
   * (union_by_name). */
 class ZeekMicroBatchStream(
@@ -114,10 +115,81 @@ class ZeekMicroBatchStream(
   @transient private val listedBefore = scala.collection.mutable.HashSet.empty[String]
   @transient private var firstPlan = true
 
+  // ---- per-trigger listing cache --------------------------------------
+  // Each trigger needs the listing twice (latestOffset + plan); without a
+  // cache that is 2 full globs per trigger over what the reference's
+  // rotation model makes thousands of files. While every watched
+  // directory's own mtime is unchanged, the previous listing is reused —
+  // one getFileStatus per directory instead of a full glob. POSIX/HDFS
+  // dir mtimes change on child add/remove/rename, which is exactly the
+  // membership the glob discovers; appends to existing files don't
+  // refresh the cache, which is fine because ingestion is per-file
+  // appearance (see ZeekOffset). Guards:
+  //  - dirs modified within MtimeGranularityMs of the cached listing are
+  //    never trusted (a file created in the same mtime tick as the glob
+  //    would otherwise hide until the next membership change);
+  //  - glob characters in directory components, or filesystems whose
+  //    scheme isn't known to maintain dir mtimes (object stores), disable
+  //    the cache entirely unless stream_listing_cache=true forces it.
+  private val MtimeGranularityMs = 2000L
+  private val dirMtimeSchemes = Set("file", "hdfs", "viewfs", "countfs")
+  @transient private var cachedListing: Seq[(String, Long)] = _
+  @transient private var cachedDirState: Seq[Long] = _
+  @transient private var cachedAtMs: Long = 0L
+
+  private def hasGlob(s: String): Boolean = s.exists("*?[]{}\\".contains(_))
+
+  /** The directories whose mtimes key the cache, or None when caching is
+    * unsafe for these patterns/filesystem. */
+  @transient private lazy val watchDirs: Option[Seq[org.apache.hadoop.fs.Path]] = {
+    val enabled = bind.opts.streamListingCache
+    if (enabled.contains(false)) None
+    else {
+      val dirs = patterns.map { pat =>
+        val p = new org.apache.hadoop.fs.Path(pat)
+        val parent = if (p.getParent == null) p else p.getParent
+        if (hasGlob(p.getName)) parent // glob in the filename only
+        else {
+          // plain path: a directory pattern watches itself, a file (or
+          // not-yet-existing path) watches its parent
+          try if (p.getFileSystem(conf).getFileStatus(p).isDirectory) p else parent
+          catch { case scala.util.control.NonFatal(_) => parent }
+        }
+      }
+      val ok = dirs.forall(p => !hasGlob(p.toString)) &&
+        (enabled.contains(true) || dirs.forall { p =>
+          dirMtimeSchemes.contains(Option(p.toUri.getScheme).getOrElse("file"))
+        })
+      if (ok) Some(dirs.distinct) else None
+    }
+  }
+
+  private def dirMtimes(dirs: Seq[org.apache.hadoop.fs.Path]): Seq[Long] =
+    dirs.map { d =>
+      try d.getFileSystem(conf).getFileStatus(d).getModificationTime
+      catch { case _: java.io.IOException => -1L } // missing dir: state -1
+    }
+
   // expandGlobWithTimes returns empty for an empty glob (no throw) —
   // "no files yet" is a normal streaming state
-  private def currentFiles(): Seq[(String, Long)] =
+  private def listNow(): Seq[(String, Long)] =
     patterns.flatMap(ZeekIO.expandGlobWithTimes(_, conf)).distinct.sortBy(_._1)
+
+  private def currentFiles(): Seq[(String, Long)] = watchDirs match {
+    case None => listNow()
+    case Some(dirs) =>
+      val state = dirMtimes(dirs)
+      val fresh = cachedListing != null && state == cachedDirState &&
+        state.forall(m => cachedAtMs > m + MtimeGranularityMs)
+      if (fresh) cachedListing
+      else {
+        val listing = listNow()
+        cachedDirState = state
+        cachedAtMs = System.currentTimeMillis()
+        cachedListing = listing
+        listing
+      }
+  }
 
   override def initialOffset(): Offset = ZeekOffset.Empty
 

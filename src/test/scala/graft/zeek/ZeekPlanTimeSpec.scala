@@ -24,12 +24,17 @@ class CountingLocalFs extends RawLocalFileSystem {
     CountingLocalFs.openCalls.incrementAndGet()
     super.open(f, bufferSize)
   }
+  override def listStatus(f: HPath): Array[FileStatus] = {
+    CountingLocalFs.listCalls.incrementAndGet()
+    super.listStatus(f)
+  }
 }
 
 object CountingLocalFs {
   val statCalls = new AtomicInteger(0)
   val openCalls = new AtomicInteger(0)
-  def reset(): Unit = { statCalls.set(0); openCalls.set(0) }
+  val listCalls = new AtomicInteger(0)
+  def reset(): Unit = { statCalls.set(0); openCalls.set(0); listCalls.set(0) }
 }
 
 class ZeekPlanTimeSpec extends AnyFunSuite {
@@ -108,6 +113,53 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
       .filter(col("filename").endsWith("zzz.log")).count() == 0)
     // unfiltered read still sees every file
     assert(spark.read.format("zeek").option("filename", "true").load(s"$dir/*.log").count() == 3)
+  }
+
+  test("streaming listing cache: unchanged dir mtime skips the re-glob") {
+    val dir = ZeekFixtures.tempDir()
+    for (n <- Seq("a", "b", "c"))
+      ZeekFixtures.write(dir, s"$n.log",
+        ZeekFixtures.base("t", Seq(("1.0", s"${n.toUpperCase}1", "100"))))
+    // back-date the directory so the same-mtime-tick guard trusts the cache
+    dir.toFile.setLastModified(System.currentTimeMillis() - 10000)
+
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setClass("fs.countfs.impl", classOf[CountingLocalFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val bind = ZeekSchema.bind(Seq(s"countfs:$dir/*.log"), ZeekOptions(), conf)
+    val stream = new graft.zeek.v2.ZeekMicroBatchStream(bind, bind.patterns,
+      bind.schema, Array.empty, conf)
+
+    val o1 = stream.latestOffset() // populates the cache
+    CountingLocalFs.reset()
+    val o2 = stream.latestOffset()
+    assert(o2 == o1)
+    assert(CountingLocalFs.listCalls.get == 0,
+      s"cached trigger re-listed the directory ${CountingLocalFs.listCalls.get} times")
+    assert(CountingLocalFs.statCalls.get <= 1, // the one dir-mtime validity probe
+      s"cached trigger made ${CountingLocalFs.statCalls.get} stat calls")
+
+    // membership change (new rotation) must invalidate the cache
+    ZeekFixtures.write(dir, "d.log",
+      ZeekFixtures.base("t", Seq(("2.0", "D1", "200"))))
+    val o3 = stream.latestOffset().asInstanceOf[graft.zeek.v2.ZeekOffset]
+    assert(o3.boundary.exists(_.endsWith("d.log")),
+      s"new file missed after dir change: ${o3.boundary}")
+
+    // a dir modified within the granularity window is never served cached
+    CountingLocalFs.reset()
+    stream.latestOffset()
+    assert(CountingLocalFs.listCalls.get > 0,
+      "freshly-modified dir must re-list (same-tick create could hide)")
+
+    // explicit opt-out always re-globs
+    val noCache = new graft.zeek.v2.ZeekMicroBatchStream(
+      bind.copy(opts = ZeekOptions(streamListingCache = Some(false))),
+      bind.patterns, bind.schema, Array.empty, conf)
+    noCache.latestOffset()
+    CountingLocalFs.reset()
+    noCache.latestOffset()
+    assert(CountingLocalFs.listCalls.get > 0)
   }
 
   test("filename column golden form: plain path for local files") {
