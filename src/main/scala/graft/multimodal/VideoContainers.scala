@@ -43,11 +43,23 @@ object VideoContainers {
   def looksLikeVideo(b: Array[Byte]): Boolean = looksLikeMp4(b) || looksLikeAvi(b)
 
   /** Parse metadata + frame byte ranges from a real container; None for
-    * anything that isn't (or is too corrupt to read). */
+    * anything that isn't (or is too corrupt to read). A container that
+    * parses but yields no signal at all (no dims, no frames — e.g. an
+    * MP4 whose moov carries no decodable video trak) is treated as
+    * unparseable so callers fall back to their deterministic stub
+    * instead of emitting all-zero metadata. The guard catches Throwable
+    * (not just NonFatal) because a corrupt header must never kill a
+    * Spark task. */
   def parse(b: Array[Byte]): Option[(VideoMeta, Array[(Long, Int)])] =
-    if (looksLikeMp4(b)) parseMp4(b)
-    else if (looksLikeAvi(b)) parseAvi(b)
-    else None
+    try {
+      val parsed =
+        if (looksLikeMp4(b)) parseMp4(b)
+        else if (looksLikeAvi(b)) parseAvi(b)
+        else None
+      parsed.filter { case (m, samples) =>
+        m.width != 0 || m.height != 0 || m.nFrames != 0 || samples.nonEmpty
+      }
+    } catch { case _: Throwable => None }
 
   // ---- byte readers ----------------------------------------------------
   private def be16(b: Array[Byte], i: Int): Int =
@@ -221,18 +233,28 @@ object VideoContainers {
     var frameCount = 0
 
     // RIFF chunks: [fourcc][size LE][data][pad-to-even]; LIST carries a
-    // 4-byte list type then sub-chunks
-    def walk(start: Int, end: Int): Unit = {
-      var pos = start
-      while (pos + 8 <= end) {
+    // 4-byte list type then sub-chunks. Iterative with an explicit
+    // worklist: nesting depth is bounded only by input bytes (each LIST
+    // level costs 12 bytes), so recursion would let a ~100KB file of
+    // nested LISTs overflow the JVM stack. On LIST we push the current
+    // level's continuation, then the list body — same depth-first chunk
+    // order as recursion.
+    var work = List((12, b.length))
+    while (work.nonEmpty) {
+      var (pos, end) = work.head
+      work = work.tail
+      var descended = false
+      while (!descended && pos + 8 <= end) {
         val id = fourcc(b, pos)
         val size = le32(b, pos + 4).toInt
         val dataStart = pos + 8
         var dataEnd = dataStart + size
         if (size < 0 || dataEnd > end) dataEnd = end
+        val next = dataEnd + (size & 1) // chunks pad to even byte boundaries
         id match {
           case "LIST" if dataStart + 4 <= dataEnd =>
-            walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+            work = (dataStart + 4, dataEnd) :: (next, end) :: work
+            descended = true // skip the list-type fourcc, walk its chunks
           case "avih" if dataStart + 40 <= dataEnd =>
             usPerFrame = le32(b, dataStart)
             nFrames = le32(b, dataStart + 16).toInt
@@ -246,10 +268,9 @@ object VideoContainers {
               frameCount += 1
             }
         }
-        pos = dataEnd + (size & 1) // chunks pad to even byte boundaries
+        if (!descended) pos = next
       }
     }
-    walk(12, b.length)
 
     val fs = frames.result()
     if (nFrames == 0) nFrames = fs.length

@@ -132,37 +132,82 @@ class ZeekMicroBatchStream(
   //    scheme isn't known to maintain dir mtimes (object stores), disable
   //    the cache entirely unless stream_listing_cache=true forces it.
   private val MtimeGranularityMs = 2000L
-  private val dirMtimeSchemes = Set("file", "hdfs", "viewfs", "countfs")
+  /** Filesystems whose directory mtime tracks child membership. Extend
+    * via hadoop conf `graft.zeek.stream.cache.schemes` (comma-separated)
+    * for custom FileSystem impls with POSIX-style dir mtimes. */
+  private val dirMtimeSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs") ++
+      conf.getTrimmedStrings("graft.zeek.stream.cache.schemes").toSet
   @transient private var cachedListing: Seq[(String, Long)] = _
   @transient private var cachedDirState: Seq[Long] = _
   @transient private var cachedAtMs: Long = 0L
 
   private def hasGlob(s: String): Boolean = s.exists("*?[]{}\\".contains(_))
 
-  /** The directories whose mtimes key the cache, or None when caching is
-    * unsafe for these patterns/filesystem. */
-  @transient private lazy val watchDirs: Option[Seq[org.apache.hadoop.fs.Path]] = {
+  /** The scheme of the filesystem the path actually resolves to. A
+    * scheme-less pattern resolves against fs.defaultFS — which on a
+    * cluster may be an object store — so the URI's own (null) scheme
+    * must not default to "file": ask the resolved FileSystem instead
+    * (getScheme, or its canonical URI for impls that don't override
+    * getScheme, e.g. RawLocalFileSystem). An unresolvable path yields
+    * "" = not allowlisted = no cache (safe). */
+  private def fsScheme(p: org.apache.hadoop.fs.Path): String =
+    try {
+      val fs = p.getFileSystem(conf)
+      try fs.getScheme
+      catch {
+        case _: UnsupportedOperationException =>
+          Option(fs.getUri.getScheme).getOrElse("")
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  // The watched-dir resolution is cached, but must be re-evaluated when
+  // a plain pattern that was MISSING at resolution time (and therefore
+  // fell back to watching its parent) later appears: if it was created
+  // as a directory, files landing inside it never bump the parent's
+  // mtime, so the stale fallback would hide new files forever.
+  @transient private var resolvedWatch: Option[Option[Seq[org.apache.hadoop.fs.Path]]] = None
+  @transient private var missingPlain: Seq[org.apache.hadoop.fs.Path] = Seq.empty
+
+  private def resolveWatchDirs(): Option[Seq[org.apache.hadoop.fs.Path]] = {
     val enabled = bind.opts.streamListingCache
     if (enabled.contains(false)) None
     else {
+      val missing = Seq.newBuilder[org.apache.hadoop.fs.Path]
       val dirs = patterns.map { pat =>
         val p = new org.apache.hadoop.fs.Path(pat)
         val parent = if (p.getParent == null) p else p.getParent
         if (hasGlob(p.getName)) parent // glob in the filename only
         else {
-          // plain path: a directory pattern watches itself, a file (or
-          // not-yet-existing path) watches its parent
+          // plain path: a directory pattern watches itself, a file
+          // watches its parent; a not-yet-existing path watches the
+          // parent provisionally and is re-resolved when it appears
           try if (p.getFileSystem(conf).getFileStatus(p).isDirectory) p else parent
-          catch { case scala.util.control.NonFatal(_) => parent }
+          catch { case scala.util.control.NonFatal(_) => missing += p; parent }
         }
       }
+      missingPlain = missing.result()
       val ok = dirs.forall(p => !hasGlob(p.toString)) &&
-        (enabled.contains(true) || dirs.forall { p =>
-          dirMtimeSchemes.contains(Option(p.toUri.getScheme).getOrElse("file"))
-        })
+        (enabled.contains(true) || dirs.forall(p => dirMtimeSchemes.contains(fsScheme(p))))
       if (ok) Some(dirs.distinct) else None
     }
   }
+
+  /** The directories whose mtimes key the cache, or None when caching is
+    * unsafe for these patterns/filesystem. */
+  private def watchDirs: Option[Seq[org.apache.hadoop.fs.Path]] = {
+    val reResolve = resolvedWatch.isEmpty ||
+      (missingPlain.nonEmpty && missingPlain.exists(pathExists))
+    if (reResolve) {
+      resolvedWatch = Some(resolveWatchDirs())
+      cachedListing = null // watched set changed: old dir mtimes don't apply
+    }
+    resolvedWatch.get
+  }
+
+  private def pathExists(p: org.apache.hadoop.fs.Path): Boolean =
+    try { p.getFileSystem(conf).getFileStatus(p); true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def dirMtimes(dirs: Seq[org.apache.hadoop.fs.Path]): Seq[Long] =
     dirs.map { d =>

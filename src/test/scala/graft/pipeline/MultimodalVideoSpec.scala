@@ -143,6 +143,48 @@ class MultimodalVideoSpec extends AnyFunSuite {
     assert(got(4L).length == 1) // non-video passthrough
   }
 
+  test("avi: pathological LIST nesting parses without stack overflow") {
+    // 60k nested LISTs cost only ~720KB of input but would be 60k stack
+    // frames under a recursive walk — the iterative worklist must still
+    // find the avih buried at the innermost level
+    val depth = 60000
+    val avih = cc("avih") ++ le32(56) ++ (
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(4) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(320) ++ le32(240) ++ new Array[Byte](16))
+    val out = new java.io.ByteArrayOutputStream(12 * depth + avih.length + 12)
+    // nested(d) length = 12*d + avih.length; wrapper at remaining-depth d
+    // carries size = 4 (list type) + nested(d-1) length
+    out.write(cc("RIFF")); out.write(le32(4L + 12L * depth + avih.length)); out.write(cc("AVI "))
+    var d = depth
+    while (d >= 1) {
+      out.write(cc("LIST")); out.write(le32(4L + 12L * (d - 1) + avih.length)); out.write(cc("nest"))
+      d -= 1
+    }
+    out.write(avih)
+    val bytes = out.toByteArray
+    assert(VideoContainers.looksLikeAvi(bytes))
+    val (meta, _) = VideoContainers.parse(bytes).get
+    assert(meta.width == 320 && meta.height == 240 && meta.nFrames == 4)
+  }
+
+  test("mp4 with a moov but no decodable video trak falls back to the stub") {
+    // readable moov + mvhd, but no trak at all: all-zero dims/frames must
+    // not leak into decodeMedia output — the deterministic stub applies,
+    // same as any other undecodable row
+    val ftyp = box("ftyp", cc("isom"), be32(512), cc("isomiso2"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0),
+      be32(0), be32(0), be32(1000), be32(2500), new Array[Byte](80))
+    val bytes = ftyp ++ box("moov", mvhd)
+    assert(VideoContainers.looksLikeMp4(bytes))
+    assert(VideoContainers.parse(bytes).isEmpty,
+      "degenerate container metadata must parse to None")
+    val got = Multimodal.decodeMedia(Multimodal.MediaRow(9L, "video", bytes, "t"))
+    val want = Multimodal.decodeStub(Multimodal.MediaRow(9L, "video", bytes, "t"))
+    assert(got.width == want.width && got.height == want.height &&
+      got.n_frames == want.n_frames && got.feature.sameElements(want.feature))
+  }
+
   test("corrupt containers never throw: truncated/oversized boxes clamp") {
     val (mp4, _) = buildMp4()
     // truncations at every prefix length must parse-or-None, never throw

@@ -126,6 +126,9 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
     val conf = spark.sessionState.newHadoopConf()
     conf.setClass("fs.countfs.impl", classOf[CountingLocalFs],
       classOf[org.apache.hadoop.fs.FileSystem])
+    // the test FS is not in the built-in dir-mtime allowlist — opt it in
+    // through the documented extension key
+    conf.setStrings("graft.zeek.stream.cache.schemes", "countfs")
     val bind = ZeekSchema.bind(Seq(s"countfs:$dir/*.log"), ZeekOptions(), conf)
     val stream = new graft.zeek.v2.ZeekMicroBatchStream(bind, bind.patterns,
       bind.schema, Array.empty, conf)
@@ -160,6 +163,46 @@ class ZeekPlanTimeSpec extends AnyFunSuite {
     CountingLocalFs.reset()
     noCache.latestOffset()
     assert(CountingLocalFs.listCalls.get > 0)
+  }
+
+  test("streaming listing cache: a watched path created after stream start is re-resolved") {
+    // a plain (non-glob) pattern that doesn't exist at the first trigger
+    // provisionally watches its PARENT; once the path is created as a
+    // directory, files landing inside it never bump the parent's mtime —
+    // the watched set must be re-resolved or the cache goes stale forever
+    val root = ZeekFixtures.tempDir()
+    val seed = ZeekFixtures.tempDir()
+    ZeekFixtures.write(seed, "seed.log",
+      ZeekFixtures.base("t", Seq(("1.0", "S1", "100"))))
+    val conf = spark.sessionState.newHadoopConf()
+    val bind = ZeekSchema.bind(Seq(s"$seed/*.log"), ZeekOptions(), conf)
+    val logs = root.resolve("logs")
+    val stream = new graft.zeek.v2.ZeekMicroBatchStream(
+      bind, Seq(logs.toString), bind.schema, Array.empty, conf)
+
+    // trigger 1: path missing → empty, parent provisionally watched
+    assert(stream.latestOffset() == graft.zeek.v2.ZeekOffset.Empty)
+
+    // the path appears as a directory; back-date mtimes so the
+    // same-mtime-tick guard would otherwise trust a cached listing
+    java.nio.file.Files.createDirectories(logs)
+    val old = System.currentTimeMillis() - 10000
+    root.toFile.setLastModified(old)
+    logs.toFile.setLastModified(old)
+    // trigger 2: still empty, but the watch must move onto `logs` itself
+    assert(stream.latestOffset() == graft.zeek.v2.ZeekOffset.Empty)
+    root.toFile.setLastModified(old)
+    logs.toFile.setLastModified(old)
+    stream.latestOffset() // trigger 3: caches the (empty) listing of `logs`
+
+    // a file inside `logs` bumps logs' mtime but NOT the parent's — a
+    // stale parent watch would serve the cached empty listing forever
+    ZeekFixtures.write(logs, "x.log",
+      ZeekFixtures.base("t", Seq(("2.0", "X1", "200"))))
+    root.toFile.setLastModified(old)
+    val o = stream.latestOffset().asInstanceOf[graft.zeek.v2.ZeekOffset]
+    assert(o.boundary.exists(_.endsWith("x.log")),
+      s"file created inside a late-appearing watched dir was missed: ${o.boundary}")
   }
 
   test("filename column golden form: plain path for local files") {
