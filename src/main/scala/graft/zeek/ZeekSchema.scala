@@ -25,7 +25,14 @@ final case class ZeekOptions(
       * whose directory mtime tracks child membership (local/HDFS),
       * disabled elsewhere (object-store "directories" don't update, so a
       * cache there would go permanently stale). */
-    streamListingCache: Option[Boolean] = None) extends Serializable
+    streamListingCache: Option[Boolean] = None,
+    /** streaming only: admission control — cap each micro-batch at this
+      * many newly-appeared files (oldest first). A restart against a
+      * large rotated-log backlog otherwise plans one giant batch. */
+    maxFilesPerTrigger: Option[Int] = None,
+    /** streaming only: cap each micro-batch at this many bytes of new
+      * files (always admits at least one file so progress is made). */
+    maxBytesPerTrigger: Option[Long] = None) extends Serializable
 
 object ZeekOptions {
   def fromMap(m: java.util.Map[String, String]): ZeekOptions = {
@@ -42,7 +49,9 @@ object ZeekOptions {
       streamMtimeSlackMs = Option(m.get("stream_mtime_slack_ms")).map(_.trim.toLong)
         .getOrElse(5L * 60 * 1000),
       streamListingCache = Option(m.get("stream_listing_cache"))
-        .map(_.trim.toLowerCase == "true"))
+        .map(_.trim.toLowerCase == "true"),
+      maxFilesPerTrigger = Option(m.get("max_files_per_trigger")).map(_.trim.toInt),
+      maxBytesPerTrigger = Option(m.get("max_bytes_per_trigger")).map(_.trim.toLong))
   }
 }
 

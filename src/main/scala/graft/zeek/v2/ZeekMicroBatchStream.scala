@@ -2,7 +2,7 @@ package graft.zeek.v2
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -105,7 +105,7 @@ class ZeekMicroBatchStream(
     patterns: Seq[String],
     required: StructType,
     pushed: Array[Filter],
-    conf: Configuration) extends MicroBatchStream {
+    conf: Configuration) extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[ZeekMicroBatchStream])
 
@@ -138,7 +138,7 @@ class ZeekMicroBatchStream(
   private val dirMtimeSchemes: Set[String] =
     Set("file", "hdfs", "viewfs") ++
       conf.getTrimmedStrings("graft.zeek.stream.cache.schemes").toSet
-  @transient private var cachedListing: Seq[(String, Long)] = _
+  @transient private var cachedListing: Seq[ZeekIO.GlobFile] = _
   @transient private var cachedDirState: Seq[Long] = _
   @transient private var cachedAtMs: Long = 0L
 
@@ -215,12 +215,12 @@ class ZeekMicroBatchStream(
       catch { case _: java.io.IOException => -1L } // missing dir: state -1
     }
 
-  // expandGlobWithTimes returns empty for an empty glob (no throw) —
-  // "no files yet" is a normal streaming state
-  private def listNow(): Seq[(String, Long)] =
-    patterns.flatMap(ZeekIO.expandGlobWithTimes(_, conf)).distinct.sortBy(_._1)
+  // expandGlobMeta returns empty for an empty glob (no throw) — "no
+  // files yet" is a normal streaming state
+  private def listNow(): Seq[ZeekIO.GlobFile] =
+    patterns.flatMap(ZeekIO.expandGlobMeta(_, conf)).distinct.sortBy(_.path)
 
-  private def currentFiles(): Seq[(String, Long)] = watchDirs match {
+  private def currentFiles(): Seq[ZeekIO.GlobFile] = watchDirs match {
     case None => listNow()
     case Some(dirs) =>
       val state = dirMtimes(dirs)
@@ -239,12 +239,98 @@ class ZeekMicroBatchStream(
   override def initialOffset(): Offset = ZeekOffset.Empty
 
   override def latestOffset(): Offset = {
-    val files = currentFiles()
+    val files = listingForOffsets()
     if (files.isEmpty) ZeekOffset.Empty
     else {
       val slack = bind.opts.streamMtimeSlackMs
-      val wm = files.map(_._2).max
-      ZeekOffset(wm, files.collect { case (p, t) if t >= wm - slack => p }, slack)
+      val wm = files.map(_.mtime).max
+      ZeekOffset(wm, files.collect { case f if f.mtime >= wm - slack => f.path }, slack)
+    }
+  }
+
+  // ---- admission control ----------------------------------------------
+  // At the reference's rotation model a restart (or a first run against
+  // an existing directory) finds a large backlog; without a cap that is
+  // ONE batch holding every file — no early commits, no incremental
+  // progress, and a failure replays everything. A capped batch admits
+  // the K oldest unprocessed files (mtime, then path — deterministic)
+  // under an offset that leaves the watermark untouched, so the
+  // remaining backlog stays "unprocessed" and drains over subsequent
+  // triggers; the first uncapped batch re-compacts the offset back to
+  // watermark + window form.
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = bind.opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      bind.opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Trigger.AvailableNow: snapshot the listing once; every subsequent
+    * (rate-limited) batch of the run admits only snapshot files, so the
+    * query drains exactly the start-time backlog and stops. */
+  @transient private var availableNowSnapshot: Option[Seq[ZeekIO.GlobFile]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listNow())
+
+  private def listingForOffsets(): Seq[ZeekIO.GlobFile] =
+    availableNowSnapshot.getOrElse(currentFiles())
+
+  /** Most restrictive (files, bytes) caps in `limit`; None = uncapped.
+    * Row-based limits are not satisfiable before parsing and are
+    * ignored, matching Spark's own file source. */
+  private def caps(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
+    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+        case ((fa, ba), (fb, bb)) =>
+          ((fa.toSeq ++ fb.toSeq).minOption, (ba.toSeq ++ bb.toSeq).minOption)
+      }
+    case _ => (None, None)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ZeekOffset]
+    val (maxFiles, maxBytes) = caps(limit)
+    if (maxFiles.isEmpty && maxBytes.isEmpty) return latestOffset()
+
+    val listed = listingForOffsets()
+    val backlog = listed.filterNot(f => s.processed(f.path, f.mtime))
+      .sortBy(f => (f.mtime, f.path))
+    val admitted = {
+      var bytes = 0L
+      var n = 0
+      backlog.takeWhile { f =>
+        bytes += math.max(f.length, 0); n += 1
+        // always admit the first file, else a file larger than the byte
+        // cap would wedge the stream
+        n == 1 || (maxFiles.forall(n <= _) && maxBytes.forall(bytes <= _))
+      }
+    }
+    if (admitted.isEmpty) start // no new data: engine sees offset unchanged
+    else if (admitted.length == backlog.length) latestOffset() // caught up: compact
+    else s.legacySeen match {
+      // Capped batch: the watermark must NOT advance — every un-admitted
+      // backlog file has to stay unprocessed — so the end offset keeps
+      // the start's below-window line and carries the admitted paths
+      // (plus the start's still-relevant window files) in the boundary.
+      // The boundary grows with the backlog while rate-limited and
+      // re-compacts on the first uncapped batch.
+      case None =>
+        ZeekOffset(s.watermark, (s.boundary ++ admitted.map(_.path)).distinct, s.slack)
+      // a legacy (round-1 full-list) start offset tracks processed files
+      // ONLY through its seen-set — append to it rather than building a
+      // watermark offset that would forget the legacy files
+      case Some(seen) =>
+        ZeekOffset(Long.MinValue, Seq.empty,
+          legacySeen = Some((seen ++ admitted.map(_.path)).distinct))
     }
   }
 
@@ -265,9 +351,9 @@ class ZeekMicroBatchStream(
     // assumed processed and skipped — surface the silent skip (not on the
     // first batch after (re)start, where every old file is legitimately
     // "already processed" per the recovered offset)
-    if (!firstPlan) listed.foreach { case (p, t) =>
-      if (!listedBefore.contains(p) && s.processed(p, t))
-        log.warn(s"zeek stream: newly listed file '$p' (mtime $t) falls below " +
+    if (!firstPlan) listed.foreach { f =>
+      if (!listedBefore.contains(f.path) && s.processed(f.path, f.mtime))
+        log.warn(s"zeek stream: newly listed file '${f.path}' (mtime ${f.mtime}) falls below " +
           s"the committed watermark window (wm=${s.watermark}, slack=${s.slack}) — " +
           "treating as already processed; back-dated files outside the " +
           "stream_mtime_slack_ms window are skipped")
@@ -277,11 +363,11 @@ class ZeekMicroBatchStream(
     // so it stays bounded by directory size, not stream age (a file that
     // vanishes and reappears below the window merely re-warns)
     listedBefore.clear()
-    listedBefore ++= listed.map(_._1)
-    val newFiles = listed
-      .filter { case (p, t) => e.processed(p, t) && !s.processed(p, t) }
-      .map(_._1)
-    newFiles.map(f => ZeekInputPartition(ZeekFileSpec(f, None)): InputPartition).toArray
+    listedBefore ++= listed.map(_.path)
+    listed
+      .filter(f => e.processed(f.path, f.mtime) && !s.processed(f.path, f.mtime))
+      .map(f => ZeekInputPartition(ZeekFileSpec(f.path, None, length = f.length)): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

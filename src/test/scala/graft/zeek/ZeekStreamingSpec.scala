@@ -127,6 +127,67 @@ class ZeekStreamingSpec extends AnyFunSuite {
     assert(rt == w, rt.toString)
   }
 
+  test("admission control: capped offsets drain a backlog oldest-first, then compact") {
+    import graft.zeek.v2.{ZeekInputPartition, ZeekOffset}
+    val dir = ZeekFixtures.tempDir()
+    for (i <- 1 to 5) {
+      val p = ZeekFixtures.write(dir, s"f$i.log",
+        ZeekFixtures.base("t", Seq((s"$i.0", s"F$i", s"$i"))))
+      // strictly increasing mtimes pin the admission order
+      assert(new java.io.File(p).setLastModified(1600000000000L + i * 10000L))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val bind = ZeekSchema.bind(Seq(s"$dir/*.log"),
+      ZeekOptions(maxFilesPerTrigger = Some(2)), conf)
+    val stream = new graft.zeek.v2.ZeekMicroBatchStream(bind, bind.patterns,
+      bind.schema, Array.empty, conf)
+    val limit = stream.getDefaultReadLimit
+    assert(limit.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
+
+    var s = stream.initialOffset()
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var done = false
+    while (!done && batches.length < 10) {
+      val e = stream.latestOffset(s, limit)
+      if (e == s) done = true
+      else {
+        batches += stream.planInputPartitions(s, e)
+          .map(_.asInstanceOf[ZeekInputPartition].spec.path.split('/').last).toSeq
+        s = e
+      }
+    }
+    assert(batches.map(_.size).toSeq == Seq(2, 2, 1), batches.toString)
+    assert(batches.flatten.toSeq ==
+      (1 to 5).map(i => s"f$i.log"), "oldest-first admission order")
+    // the catching-up batch must compact back to watermark form
+    val fin = s.asInstanceOf[ZeekOffset]
+    assert(fin.watermark != Long.MinValue && fin.legacySeen.isEmpty, fin.toString)
+    // idle stream: offset unchanged
+    assert(stream.latestOffset(s, limit) == s)
+  }
+
+  test("Trigger.AvailableNow drains the start-time backlog in capped batches, then stops") {
+    val dir = ZeekFixtures.tempDir()
+    for (i <- 1 to 5) {
+      val p = ZeekFixtures.write(dir, s"f$i.log",
+        ZeekFixtures.base("t", Seq((s"$i.0", s"F$i", s"$i"))))
+      assert(new java.io.File(p).setLastModified(1600000000000L + i * 10000L))
+    }
+    val stream = spark.readStream.format("zeek")
+      .option("max_files_per_trigger", "2")
+      .load(s"$dir/*.log")
+    val q = stream.writeStream.format("memory").queryName("zeek_rate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      assert(spark.table("zeek_rate").count() == 5)
+      // one row per file → batch input sizes show the 2/2/1 rate limit
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes == Seq(2, 2, 1), sizes.toString)
+    } finally q.stop()
+  }
+
   test("back-dated file within the slack window is still ingested") {
     val dir = ZeekFixtures.tempDir()
     ZeekFixtures.write(dir, "a.log",
