@@ -195,10 +195,11 @@ object ZeekSchema {
 
   private def build(specs: Seq[ZeekFileSpec], header: ZeekHeader,
       names: Seq[String], types: Seq[String], opts: ZeekOptions): ZeekBind = {
-    val outNames = names.map(n => if (opts.replacePeriods) n.replace('.', '_') else n)
-    val dataFields = outNames.zip(types).map { case (n, t) =>
-      val meta = new MetadataBuilder().putString(ZeekTypes.ZeekTypeMeta, t).build()
-      StructField(n, ZeekTypes.toSpark(t), nullable = true, meta)
+    val dataFields = names.zip(types).map { case (orig, t) =>
+      val n = if (opts.replacePeriods) orig.replace('.', '_') else orig
+      val mb = new MetadataBuilder().putString(ZeekTypes.ZeekTypeMeta, t)
+      if (n != orig) mb.putString(ZeekTypes.ZeekNameMeta, orig)
+      StructField(n, ZeekTypes.toSpark(t), nullable = true, mb.build())
     }
     val dataSchema = StructType(dataFields)
     val full =

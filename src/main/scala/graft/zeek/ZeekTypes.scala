@@ -23,6 +23,11 @@ object ZeekTypes {
     * inet function library and tests identify addr/subnet columns). */
   val ZeekTypeMeta = "zeek.type"
 
+  /** Metadata key carrying a column's ORIGINAL Zeek field name when
+    * `replace_periods` renamed it (id.orig_h → id_orig_h) — the writer
+    * restores it so a read→write round trip preserves `#fields`. */
+  val ZeekNameMeta = "zeek.name"
+
   def toSpark(zeekType: String): DataType = zeekType match {
     case "time"           => TimestampType
     case "interval"       => DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)

@@ -45,12 +45,24 @@ final class SerializableConf(@transient var value: Configuration) extends Serial
 class ZeekDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zeek"
 
+  /** Strict for reads — a pattern matching no files is an error
+    * (reference: src/zeek_scanner.cpp:446-453) — EXCEPT that the no-files
+    * case returns an empty sentinel schema: DataFrameWriter resolves the
+    * table through inferSchema before a write, and a sink must be able to
+    * target a directory that does not hold logs yet. Reads of such a
+    * target still fail with the same error, at scan planning (the same
+    * point the reference errors: its table function binds at query
+    * time). All other bind errors (corrupt headers etc.) stay load-time. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZeekDataSource.bind(options).schema
+    try ZeekDataSource.bind(options).schema
+    catch {
+      case e: ZeekFormatException if e.getMessage.startsWith("No files found") =>
+        new StructType()
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ZeekTable(ZeekDataSource.bind(new CaseInsensitiveStringMap(properties)))
+    new ZeekTable(new CaseInsensitiveStringMap(properties))
 }
 
 object ZeekDataSource {
@@ -63,6 +75,11 @@ object ZeekDataSource {
   private val cache = new java.util.LinkedHashMap[Map[String, String], (Long, ZeekBind)](8, 0.75f, true) {
     override def removeEldestEntry(e: util.Map.Entry[Map[String, String], (Long, ZeekBind)]): Boolean = size > 8
   }
+
+  /** Drop every cached bind — called after a sink commit so a read that
+    * follows a write in the same TTL window re-lists the directory
+    * instead of planning against deleted/stale part files. */
+  def clearBindCache(): Unit = cache.synchronized(cache.clear())
 
   def bind(options: CaseInsensitiveStringMap): ZeekBind = {
     val key = options.asCaseSensitiveMap().asScala.toMap
@@ -93,13 +110,34 @@ object ZeekDataSource {
   }
 }
 
-class ZeekTable(bind: ZeekBind) extends Table with SupportsRead {
-  override def name(): String = s"zeek(${bind.files.head.path}${if (bind.files.size > 1) s" +${bind.files.size - 1} files" else ""})"
-  override def schema(): StructType = bind.schema
+/** Binds lazily: reads resolve files/schema at scan planning (cached —
+  * see [[ZeekDataSource.bind]]); writes never bind, they only need the
+  * query schema ([[ZeekWriteBuilder]]). ACCEPT_ANY_SCHEMA defers write
+  * schema checks to the sink (the sentinel table schema is empty for a
+  * fresh target directory; the sink validates against any existing logs
+  * itself). */
+class ZeekTable(props: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private lazy val bind = ZeekDataSource.bind(props)
+  override def name(): String = s"zeek(${Option(props.get("path")).getOrElse("?")})"
+  override def schema(): StructType =
+    try bind.schema
+    catch { // same sentinel as inferSchema — write relations resolve eagerly
+      case e: ZeekFormatException if e.getMessage.startsWith("No files found") =>
+        new StructType()
+    }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZeekScanBuilder(bind)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val dir = Option(props.get("path")).getOrElse(
+      throw new ZeekFormatException("zeek sink requires a path: df.write.format(\"zeek\").save(\"/out/dir\")"))
+    new ZeekWriteBuilder(info, dir, props)
+  }
 }
 
 /** Pushdown policy (SURVEY.md S18-S21): prune columns to the required

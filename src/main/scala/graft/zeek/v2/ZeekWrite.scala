@@ -1,0 +1,173 @@
+package graft.zeek.v2
+
+import java.io.OutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.zeek._
+
+/** Zeek TSV sink — `df.write.format("zeek").mode("append"|"overwrite")
+  * .save(dir)`. The reference has no writer; this closes the loop so a
+  * pipeline can land results as rotated zeek logs that this source (and
+  * zeek tooling) reads straight back. Rendering is the exact inverse of
+  * the scanner (see [[graft.zeek.ZeekWriteCore]]).
+  *
+  * Layout and scale model mirror the read side: ONE log file per input
+  * partition (`part-NNNNN-<task>-<epoch>.log[.gz]`), written through the
+  * Hadoop FileSystem API (works on HDFS/object stores), no driver-side
+  * data movement. Tasks write to a dot-prefixed temp name and rename on
+  * task commit, so concurrent readers and task retries never observe a
+  * half-written log; speculative duplicates are impossible to commit
+  * twice under distinct names + rename-if-absent semantics.
+  *
+  * Options: `compression` = gzip|none (default none), `zeek_path` = the
+  * `#path` directive value (default: target directory's base name).
+  * Appending to a directory that already holds zeek logs validates
+  * field/type compatibility up front (the strict reader would otherwise
+  * reject the mix at read time).
+  */
+class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
+    props: CaseInsensitiveStringMap) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val gzip = Option(props.get("compression")).map(_.trim.toLowerCase) match {
+        case None | Some("none") | Some("uncompressed") => false
+        case Some("gzip") | Some("gz")                  => true
+        case Some(other) =>
+          throw new ZeekFormatException(s"zeek sink: unsupported compression '$other' (gzip|none)")
+      }
+      val pathName = Option(props.get("zeek_path")).getOrElse {
+        val base = new Path(dir).getName
+        val dot = base.indexOf('.')
+        if (dot > 0) base.substring(0, dot) else base
+      }
+      new ZeekBatchWrite(info.schema(), dir, pathName, gzip, truncateFirst,
+        new SerializableConf(org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()))
+    }
+  }
+}
+
+class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
+    gzip: Boolean, truncateFirst: Boolean, conf: SerializableConf) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    ZeekWriteCore.columns(schema) // validate renderability on the driver, not mid-task
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (truncateFirst && fs.exists(dirPath)) {
+      // overwrite: drop previous log part-files (ours or not), keep the dir
+      fs.listStatus(dirPath).filterNot(_.isDirectory)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.endsWith(".log") || n.endsWith(".log.gz") || n.startsWith(".zeek-")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    fs.mkdirs(dirPath)
+    if (!truncateFirst) validateAppendCompatible(fs, dirPath)
+    ZeekWriterFactory(schema, dir, pathName, gzip, conf)
+  }
+
+  /** Appending mismatched columns would poison the directory for the
+    * strict reader — fail fast against the existing canonical header. */
+  private def validateAppendCompatible(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: Path): Unit = {
+    val existing = if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dirPath).filterNot(_.isDirectory)
+        .filter(s => s.getPath.getName.endsWith(".log") || s.getPath.getName.endsWith(".log.gz"))
+    existing.headOption.foreach { s =>
+      val in = ZeekIO.open(s.getPath.toString, conf.value)
+      val header = try ZeekHeader.parseHeaderOnly(in) finally in.close()
+      val cols = ZeekWriteCore.columns(schema)
+      if (header.fields != cols.map(_.name).toSeq || header.types != cols.map(_.zeekType).toSeq)
+        throw new ZeekFormatException(
+          s"zeek sink: append schema (${cols.map(c => s"${c.name}:${c.zeekType}").mkString(", ")}) " +
+            s"does not match existing log '${s.getPath.getName}' " +
+            s"(${header.fields.zip(header.types).map { case (f, t) => s"$f:$t" }.mkString(", ")}); " +
+            "use mode(\"overwrite\") or a fresh directory")
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ZeekDataSource.clearBindCache() // a same-TTL read must see the new parts
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // best effort: clear any in-progress temps this job left behind
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(".zeek-"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+}
+
+final case class ZeekTaskCommit(path: String) extends WriterCommitMessage
+
+final case class ZeekWriterFactory(schema: StructType, dir: String,
+    pathName: String, gzip: Boolean, conf: SerializableConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf)
+}
+
+class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
+    gzip: Boolean, partitionId: Int, taskId: Long,
+    conf: SerializableConf) extends DataWriter[InternalRow] {
+
+  private val cols = ZeekWriteCore.columns(schema)
+  private val ext = if (gzip) ".log.gz" else ".log"
+  private val finalName = f"part-$partitionId%05d-$taskId$ext"
+  private val tmpPath = new Path(dir, s".zeek-$finalName.inprogress")
+  private val finalPath = new Path(dir, finalName)
+  private val fs = tmpPath.getFileSystem(conf.value)
+
+  private var out: OutputStream = _
+  private var rows = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val raw = fs.create(tmpPath, true)
+    out = if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
+    write(ZeekWriteCore.header(cols, pathName, System.currentTimeMillis()))
+  }
+
+  private def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
+
+  override def write(record: InternalRow): Unit = {
+    ensureOpen()
+    write(ZeekWriteCore.renderRow(cols, record))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    // partition 0 always emits a file (a header-only log is valid — an
+    // empty frame round-trips to an empty table with schema); other empty
+    // partitions emit nothing
+    if (rows == 0 && partitionId == 0) ensureOpen()
+    if (out != null) {
+      write(ZeekWriteCore.footer(System.currentTimeMillis()))
+      out.close()
+      out = null
+      if (!fs.rename(tmpPath, finalPath))
+        throw new ZeekFormatException(s"zeek sink: could not commit '$finalPath'")
+      ZeekTaskCommit(finalPath.toString)
+    } else ZeekTaskCommit("")
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit =
+    if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
+}

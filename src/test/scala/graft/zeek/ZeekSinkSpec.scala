@@ -1,0 +1,134 @@
+package graft.zeek
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The zeek TSV sink: df.write.format("zeek") — round trips through the
+  * reader byte-semantics (markers, types, renamed fields) and behaves
+  * like a proper v2 sink (append validation, overwrite, gzip, temps). */
+class ZeekSinkSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** Driver-side sink errors may arrive wrapped in SparkException. */
+  private def chainMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+  private def read(path: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("zeek")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("renderMicros re-parses to the exact micros for adversarial values") {
+    // the scanner truncates (double * 1e6).toLong — the writer must emit
+    // text that survives that truncation for ANY micros value
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(0L, 1L, -1L, 999999L, 1000000L, 1612345678123456L,
+      253402300799999999L /* year 9999 */, -62135596800000000L) ++
+      (1 to 20000).map(_ => rnd.nextLong() % 2000000000000000L)
+    cases.foreach { m =>
+      val s = ZeekWriteCore.renderMicros(m)
+      val back = (java.lang.Double.parseDouble(s) * 1e6).toLong
+      if (math.abs(m) < (1L << 53))
+        assert(back == m, s"micros $m rendered '$s' re-parsed $back")
+      else // beyond double's µs precision: best effort within the grid
+        assert(math.abs(back - m) <= 128, s"micros $m rendered '$s' re-parsed $back")
+    }
+  }
+
+  test("full-type round trip: read → write → read is value-identical") {
+    val dir = ZeekFixtures.tempDir()
+    val content = ZeekFixtures.header("rt",
+      Seq("ts", "dur", "id.orig_h", "n", "pt", "ok", "ratio", "tags", "durs"),
+      Seq("time", "interval", "addr", "count", "port", "bool", "double",
+        "vector[string]", "vector[interval]")) +
+      ZeekFixtures.row("1432054234.119645", "0.056402", "10.0.0.1", "7", "443",
+        "T", "2.25", "a,b,c", "1.5,0.25") +
+      ZeekFixtures.row("-", "-", "-", "-", "-", "F", "-3.5", "(empty)", "-") +
+      ZeekFixtures.row("1.000001", "3.141592", "fe80::1", "0", "0", "-",
+        "0.0", "x,-,(empty)", "0.000001")
+    ZeekFixtures.write(dir, "rt.log", content)
+
+    val orig = read(s"$dir/*.log")
+    val out = ZeekFixtures.tempDir()
+    orig.write.format("zeek").mode("append").save(out.toString)
+
+    val back = read(s"$out/*.log")
+    assert(back.schema == orig.schema, "schema (incl. zeek metadata) must survive")
+    assert(collectSorted(back) == collectSorted(orig))
+
+    // renamed fields restore their dotted #fields form
+    val firstFile = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".log")).head
+    val text = new String(java.nio.file.Files.readAllBytes(firstFile.toPath), "UTF-8")
+    assert(text.contains("id.orig_h"), "zeek.name metadata must restore the original field")
+    assert(text.startsWith("#separator \\x09\n"))
+    assert(text.contains("#types\ttime\tinterval\taddr\tcount\tport\tbool\tdouble\tvector[string]\tvector[interval]"))
+  }
+
+  test("reference corpus round trip: dns.log.gz written and re-read identically") {
+    val data = new java.io.File("/root/reference/data")
+    assume(data.isDirectory, "reference tree not present")
+    val orig = read("/root/reference/data/dns.log.gz")
+    val out = ZeekFixtures.tempDir()
+    orig.write.format("zeek").mode("append").option("compression", "gzip").save(out.toString)
+    val files = new java.io.File(out.toString).listFiles().map(_.getName).filter(_.endsWith(".log.gz"))
+    assert(files.nonEmpty, "gzip option must produce .log.gz parts")
+    val back = read(s"$out/*.log.gz")
+    assert(back.schema == orig.schema)
+    assert(collectSorted(back) == collectSorted(orig))
+  }
+
+  test("append to an existing directory accumulates; mismatched schema is rejected") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("n", "s").repartition(1)
+    df.write.format("zeek").mode("append").save(out.toString)
+    df.write.format("zeek").mode("append").save(out.toString)
+    assert(read(s"$out/*.log").count() == 4)
+
+    val bad = Seq(("x", 1L)).toDF("different", "cols")
+    val e = intercept[Exception](
+      bad.write.format("zeek").mode("append").save(out.toString))
+    assert(chainMessages(e).contains("does not match existing log"), chainMessages(e))
+
+    // overwrite replaces the previous parts
+    Seq((9L, "z")).toDF("n", "s").repartition(1)
+      .write.format("zeek").mode("overwrite").save(out.toString)
+    val after = read(s"$out/*.log")
+    assert(after.count() == 1 && after.select("s").as[String].head() == "z")
+  }
+
+  test("empty frame writes a header-only log that reads back as schema + 0 rows") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("n", "s").filter(col("n") < 0).repartition(2)
+    df.write.format("zeek").mode("append").save(out.toString)
+    val back = read(s"$out/*.log")
+    assert(back.columns.toSeq == Seq("n", "s"))
+    assert(back.count() == 0)
+    // no in-progress temps left behind
+    assert(!new java.io.File(out.toString).listFiles().exists(_.getName.contains("inprogress")))
+  }
+
+  test("derived zeek types for plain Spark frames; unsupported types fail fast") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    val df = Seq((1L, 2, true, 1.5, "x", Seq(1L, 2L)))
+      .toDF("a", "b", "c", "d", "e", "f").repartition(1)
+    df.write.format("zeek").mode("append").save(out.toString)
+    val back = read(s"$out/*.log")
+    // int/bool/double/string/vector[int] — count/int widths collapse to long
+    assert(back.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("bigint", "bigint", "boolean", "double", "string", "array<bigint>"))
+    assert(back.count() == 1)
+
+    val e = intercept[Exception](
+      Seq((1L, BigDecimal(1))).toDF("n", "dec")
+        .write.format("zeek").mode("append").save(ZeekFixtures.tempDir().toString))
+    assert(chainMessages(e).contains("cannot write column"), chainMessages(e))
+  }
+}
