@@ -31,6 +31,14 @@ object PipelineQueries {
        |   + (1.0 - (length($textCol) - length(regexp_replace($textCol, '[.,;:!?]', '', 'g'))) * 1.0
        |      / greatest(length($textCol), 1)) * 0.2, 0.0), 1.0)""".stripMargin
 
+  /** d17's PII patterns — restricted to the dialect subset shared by
+    * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle):
+    * character classes, bounded repeats, \b. No backreferences or
+    * lookaround, so both engines match identically. */
+  private[queries] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[queries] val PiiIdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
   /** The deterministic ±1 hyperplane weights as a SQL VALUES list — the
     * e03b oracle reproduces the quantized LSH pipeline from the same
     * source of truth as the Spark side. */
@@ -220,6 +228,52 @@ object PipelineQueries {
           size(col("bgs")).as("n_bigrams"),
           size(array_distinct(col("bgs"))).as("n_distinct"),
           round(lit(1.0) - size(array_distinct(col("bgs"))) / size(col("bgs")).cast(DoubleType), 4).as("repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: scrub emails / IPv4s / SSN-shaped ids before
+    // training. The corpus text carries no PII, so a deterministic PII
+    // suffix is appended first (identically in the oracle) and the
+    // redactor runs on that. Map-only, codegen'd regexp — no shuffle; at
+    // 100 TB this is embarrassingly parallel scan work.
+    "d17_pii_redact" -> ((s, d) => {
+      val pii = Tables.documents(s, d).withColumn("pii_text",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com from 10."), (col("doc_id") % 256).cast(StringType),
+          lit("."), ((col("doc_id") * 7) % 256).cast(StringType), lit(".1 id "),
+          format_string("%03d-%02d-%04d",
+            col("doc_id") % 1000, col("doc_id") % 100, col("doc_id") % 10000)))
+      Seq(PiiEmailRe, PiiIpRe, PiiIdRe).zip(Seq("<EMAIL>", "<IP>", "<ID>"))
+        .foldLeft(pii) { case (df, (re, tag)) =>
+          df.withColumn("pii_text", regexp_replace(col("pii_text"), re, tag))
+        }
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit("<EMAIL>"), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("pii_text"), lit("<IP>"), lit(0))).cast(LongType).as("n_ips"),
+          size(regexp_extract_all(col("pii_text"), lit("<ID>"), lit(0))).cast(LongType).as("n_ids"),
+          col("pii_text").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // paragraph-level exact dedup: "paragraphs" are 10-token windows
+    // (the synthetic corpus has no newlines); each distinct paragraph is
+    // kept at its globally-first (doc_id, idx) occurrence and documents
+    // are reassembled from their surviving paragraphs. One shuffle,
+    // keyed by paragraph content; at 100 TB key by md5(paragraph) and
+    // carry the text alongside — same plan shape, narrower sort keys.
+    "d18_paragraph_dedup" -> ((s, d) => {
+      val paras = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as(Seq("idx", "para")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("para")).orderBy(col("doc_id"), col("idx"))
+      paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(idx, para))), x -> x.para), ' | ')")
+            .as("dedup_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -501,6 +555,36 @@ object PipelineQueries {
         |SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct,
         |  round(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 4) AS repetition
         |FROM b WHERE len(bgs) > 0 ORDER BY doc_id""".stripMargin,
+
+    "d17_pii_redact" ->
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256)
+         |    || '.' || ((doc_id * 7) % 256) || '.1 id '
+         |    || printf('%03d-%02d-%04d', doc_id % 1000, doc_id % 100, doc_id % 10000) AS t0
+         |FROM documents),
+         |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t0,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'),
+         |    '$PiiIpRe', '<IP>', 'g'),
+         |    '$PiiIdRe', '<ID>', 'g') AS redacted FROM pii)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(redacted, '<IP>')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(redacted, '<ID>')) AS BIGINT) AS n_ids,
+         |  redacted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "d18_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        |        i -> {'idx': CAST(i AS INT),
+        |              'para': array_to_string(ws[(i*10+1):(i*10+10)], ' ')})) AS u
+        |      FROM t),
+        |k AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |        row_number() OVER (PARTITION BY u.para ORDER BY doc_id, u.idx) AS rn FROM p)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(para, ' | ' ORDER BY idx) AS dedup_text
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d15_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
