@@ -38,24 +38,74 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  private def gzip: Boolean =
+    Option(props.get("compression")).map(_.trim.toLowerCase) match {
+      case None | Some("none") | Some("uncompressed") => false
+      case Some("gzip") | Some("gz")                  => true
+      case Some(other) =>
+        throw new ZeekFormatException(s"zeek sink: unsupported compression '$other' (gzip|none)")
+    }
+
+  private def pathName: String = Option(props.get("zeek_path")).getOrElse {
+    val base = new Path(dir).getName
+    val dot = base.indexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  private def conf = new SerializableConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val gzip = Option(props.get("compression")).map(_.trim.toLowerCase) match {
-        case None | Some("none") | Some("uncompressed") => false
-        case Some("gzip") | Some("gz")                  => true
-        case Some(other) =>
-          throw new ZeekFormatException(s"zeek sink: unsupported compression '$other' (gzip|none)")
-      }
-      val pathName = Option(props.get("zeek_path")).getOrElse {
-        val base = new Path(dir).getName
-        val dot = base.indexOf('.')
-        if (dot > 0) base.substring(0, dot) else base
-      }
-      new ZeekBatchWrite(info.schema(), dir, pathName, gzip, truncateFirst,
-        new SerializableConf(org.apache.spark.sql.SparkSession.active
-          .sessionState.newHadoopConf()))
+    override def toBatch: BatchWrite =
+      new ZeekBatchWrite(info.schema(), dir, pathName, gzip, truncateFirst, conf)
+
+    /** Streaming: one log per epoch per partition, named
+      * `part-e<epoch>-p<partition>.log[.gz]` — the rotation model zeek
+      * itself uses, and exactly what the zeek SOURCE ingests per trigger.
+      * Final names are DETERMINISTIC in (epoch, partition): a replayed
+      * epoch re-renders the same batch and overwrites the same files, so
+      * recovery is idempotent (no manifest needed); a speculative twin
+      * loses the rename race but leaves identical content. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (truncateFirst)
+        throw new ZeekFormatException(
+          "zeek streaming sink supports append output mode only (logs are rotations, not snapshots)")
+      new ZeekStreamingWrite(info.schema(), dir, pathName, gzip, conf)
     }
   }
+}
+
+class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
+    gzip: Boolean, conf: SerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    ZeekWriteCore.columns(schema) // validate on the driver
+    val dirPath = new Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
+    ZeekStreamingWriterFactory(schema, dir, pathName, gzip, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ZeekDataSource.clearBindCache()
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(".zeek-"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+}
+
+final case class ZeekStreamingWriterFactory(schema: StructType, dir: String,
+    pathName: String, gzip: Boolean, conf: SerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf,
+      epoch = Some(epochId))
 }
 
 class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
@@ -122,12 +172,18 @@ final case class ZeekWriterFactory(schema: StructType, dir: String,
 
 class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     gzip: Boolean, partitionId: Int, taskId: Long,
-    conf: SerializableConf) extends DataWriter[InternalRow] {
+    conf: SerializableConf, epoch: Option[Long] = None) extends DataWriter[InternalRow] {
 
   private val cols = ZeekWriteCore.columns(schema)
   private val ext = if (gzip) ".log.gz" else ".log"
-  private val finalName = f"part-$partitionId%05d-$taskId$ext"
-  private val tmpPath = new Path(dir, s".zeek-$finalName.inprogress")
+  // batch names carry the task id (several appends to one directory must
+  // not collide); streaming names are deterministic in (epoch, partition)
+  // so epoch replays overwrite instead of duplicating
+  private val finalName = epoch match {
+    case Some(e) => f"part-e$e%05d-p$partitionId%05d$ext"
+    case None    => f"part-$partitionId%05d-$taskId$ext"
+  }
+  private val tmpPath = new Path(dir, s".zeek-$finalName.$taskId.inprogress")
   private val finalPath = new Path(dir, finalName)
   private val fs = tmpPath.getFileSystem(conf.value)
 
@@ -149,14 +205,18 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    // partition 0 always emits a file (a header-only log is valid — an
-    // empty frame round-trips to an empty table with schema); other empty
-    // partitions emit nothing
-    if (rows == 0 && partitionId == 0) ensureOpen()
+    // batch partition 0 always emits a file (a header-only log is valid —
+    // an empty frame round-trips to an empty table with schema); all
+    // other empty partitions — and every empty streaming epoch partition
+    // — emit nothing
+    if (rows == 0 && partitionId == 0 && epoch.isEmpty) ensureOpen()
     if (out != null) {
       write(ZeekWriteCore.footer(System.currentTimeMillis()))
       out.close()
       out = null
+      // streaming epoch replay: the deterministic name already exists —
+      // replace it (same data re-rendered), keeping recovery idempotent
+      if (epoch.isDefined && fs.exists(finalPath)) fs.delete(finalPath, false)
       if (!fs.rename(tmpPath, finalPath))
         throw new ZeekFormatException(s"zeek sink: could not commit '$finalPath'")
       ZeekTaskCommit(finalPath.toString)

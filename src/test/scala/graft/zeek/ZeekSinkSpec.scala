@@ -114,6 +114,38 @@ class ZeekSinkSpec extends AnyFunSuite {
     assert(!new java.io.File(out.toString).listFiles().exists(_.getName.contains("inprogress")))
   }
 
+  test("streaming sink: epoch-named rotations that the zeek source reads back") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = ZeekFixtures.tempDir()
+    val cp = ZeekFixtures.tempDir()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("n", "s").repartition(1)
+      .writeStream.format("zeek")
+      .option("checkpointLocation", cp.toString)
+      .option("zeek_path", "relay")
+      .start(out.toString)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val names = new java.io.File(out.toString).listFiles().map(_.getName)
+        .filter(_.endsWith(".log")).sorted.toSeq
+      assert(names.forall(_.matches("part-e\\d{5}-p\\d{5}\\.log")), names.toString)
+      assert(names.size == 2, s"one log per non-empty epoch: $names")
+      val back = read(s"$out/*.log")
+      assert(back.count() == 3)
+      assert(collectSorted(back.select("n", "s")) ==
+        Seq("[1,a]", "[2,b]", "[3,c]"))
+      // the #path directive carries the configured rotation name
+      val text = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(out.toString, names.head).toPath), "UTF-8")
+      assert(text.contains("#path\trelay"))
+    } finally q.stop()
+  }
+
   test("derived zeek types for plain Spark frames; unsupported types fail fast") {
     val out = ZeekFixtures.tempDir()
     import spark.implicits._
