@@ -126,7 +126,10 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
     }
     fs.mkdirs(dirPath)
     if (!truncateFirst) validateAppendCompatible(fs, dirPath)
-    ZeekWriterFactory(schema, dir, pathName, gzip, conf)
+    // job tag disambiguates part names across CONCURRENT applications
+    // appending to the same directory (task ids restart per application)
+    val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
+    ZeekWriterFactory(schema, dir, pathName, gzip, jobTag, conf)
   }
 
   /** Appending mismatched columns would poison the directory for the
@@ -165,23 +168,27 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
 final case class ZeekTaskCommit(path: String) extends WriterCommitMessage
 
 final case class ZeekWriterFactory(schema: StructType, dir: String,
-    pathName: String, gzip: Boolean, conf: SerializableConf) extends DataWriterFactory {
+    pathName: String, gzip: Boolean, jobTag: String,
+    conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf)
+    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf,
+      jobTag = jobTag)
 }
 
 class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     gzip: Boolean, partitionId: Int, taskId: Long,
-    conf: SerializableConf, epoch: Option[Long] = None) extends DataWriter[InternalRow] {
+    conf: SerializableConf, epoch: Option[Long] = None,
+    jobTag: String = "") extends DataWriter[InternalRow] {
 
   private val cols = ZeekWriteCore.columns(schema)
   private val ext = if (gzip) ".log.gz" else ".log"
-  // batch names carry the task id (several appends to one directory must
-  // not collide); streaming names are deterministic in (epoch, partition)
-  // so epoch replays overwrite instead of duplicating
+  // batch names carry the task id + a per-job tag (several appends — even
+  // from concurrent applications — must not collide); streaming names are
+  // deterministic in (epoch, partition) so epoch replays overwrite
+  // instead of duplicating
   private val finalName = epoch match {
     case Some(e) => f"part-e$e%05d-p$partitionId%05d$ext"
-    case None    => f"part-$partitionId%05d-$taskId$ext"
+    case None    => f"part-$partitionId%05d-$taskId-$jobTag$ext"
   }
   private val tmpPath = new Path(dir, s".zeek-$finalName.$taskId.inprogress")
   private val finalPath = new Path(dir, finalName)
