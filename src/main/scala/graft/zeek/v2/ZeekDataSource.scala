@@ -60,9 +60,14 @@ class ZeekDataSource extends TableProvider with DataSourceRegister {
         new StructType()
     }
 
+  /** Lets the session catalog hand us a declared schema (`CREATE TABLE …
+    * USING zeek` + `INSERT INTO`); reads still derive truth from the log
+    * headers and reject a mismatching declaration at scan planning. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ZeekTable(new CaseInsensitiveStringMap(properties))
+    new ZeekTable(new CaseInsensitiveStringMap(properties), Option(schema))
 }
 
 object ZeekDataSource {
@@ -112,26 +117,48 @@ object ZeekDataSource {
 
 /** Binds lazily: reads resolve files/schema at scan planning (cached —
   * see [[ZeekDataSource.bind]]); writes never bind, they only need the
-  * query schema ([[ZeekWriteBuilder]]). ACCEPT_ANY_SCHEMA defers write
-  * schema checks to the sink (the sentinel table schema is empty for a
-  * fresh target directory; the sink validates against any existing logs
-  * itself). */
-class ZeekTable(props: CaseInsensitiveStringMap)
+  * write schema ([[ZeekWriteBuilder]]).
+  *
+  * Write schema resolution: while the table schema is the empty sentinel
+  * (fresh target directory, no declared schema) ACCEPT_ANY_SCHEMA lets
+  * the query's own schema through; once a real schema exists (log
+  * headers, or a catalog declaration) Spark's output resolver validates
+  * appends against it — `INSERT INTO` renames positionally to the
+  * declared names, DataFrame appends match by name. Overwriting a
+  * directory with a DIFFERENT schema therefore needs the directory
+  * cleared first (same as re-declaring any table). */
+class ZeekTable(props: CaseInsensitiveStringMap,
+    provided: Option[StructType] = None)
     extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val bind = ZeekDataSource.bind(props)
   override def name(): String = s"zeek(${Option(props.get("path")).getOrElse("?")})"
   override def schema(): StructType =
-    try bind.schema
-    catch { // same sentinel as inferSchema — write relations resolve eagerly
-      case e: ZeekFormatException if e.getMessage.startsWith("No files found") =>
-        new StructType()
+    provided.filter(_.nonEmpty).getOrElse {
+      try bind.schema
+      catch { // same sentinel as inferSchema — write relations resolve eagerly
+        case e: ZeekFormatException if e.getMessage.startsWith("No files found") =>
+          new StructType()
+      }
     }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+    if (schema().isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog-declared schema must agree with the log headers — the
+    // headers are the ground truth the scan produces
+    provided.filter(_.nonEmpty).foreach { p =>
+      val declared = p.fields.map(f => (f.name, f.dataType)).toSeq
+      val actual = bind.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (declared != actual)
+        throw new ZeekFormatException(
+          s"declared schema ${declared.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")} " +
+            s"does not match the log header schema ${actual.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
+    }
     new ZeekScanBuilder(bind)
+  }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val dir = Option(props.get("path")).getOrElse(

@@ -123,6 +123,21 @@ class PlanSpec extends AnyFunSuite {
       "small zeek side (stats-reported) should broadcast:\n" + p.take(2000))
   }
 
+  test("d17: pii redaction is a map-only scan — no hash shuffle") {
+    // the only exchange allowed is the final ORDER BY's range partition
+    // (driver-compare determinism), never a hash shuffle of the corpus
+    val p = plan("d17_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "regex redaction must not shuffle (pure per-row work):\n" + p.take(2000))
+  }
+
+  test("d18: paragraph dedup shuffles exactly twice (content window + doc regroup)") {
+    val p = plan("d18_paragraph_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected the para-keyed window shuffle + the doc_id regroup, found $exchanges:\n" + p.take(3000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)

@@ -146,6 +146,24 @@ class ZeekSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SQL DDL surface: CREATE TABLE USING zeek + INSERT INTO + SELECT") {
+    val out = ZeekFixtures.tempDir()
+    spark.sql(s"CREATE TABLE zeek_sql_sink (n BIGINT, s STRING) USING zeek OPTIONS (path '$out')")
+    try {
+      spark.sql("INSERT INTO zeek_sql_sink VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM zeek_sql_sink").head().getLong(0) == 2)
+      spark.sql("INSERT INTO zeek_sql_sink VALUES (3, 'c')")
+      assert(spark.table("zeek_sql_sink").count() == 3)
+      // INSERT resolves positionally against the DECLARED schema — the
+      // written #fields carry the declared names, not VALUES' col1/col2
+      val f = new java.io.File(out.toString).listFiles()
+        .filter(_.getName.endsWith(".log")).head
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(text.contains("#fields\tn\ts"), text.take(400))
+      assert(text.contains("#types\tint\tstring"), text.take(400))
+    } finally spark.sql("DROP TABLE zeek_sql_sink")
+  }
+
   test("derived zeek types for plain Spark frames; unsupported types fail fast") {
     val out = ZeekFixtures.tempDir()
     import spark.implicits._
