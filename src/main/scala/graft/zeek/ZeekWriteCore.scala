@@ -125,7 +125,14 @@ object ZeekWriteCore {
   }
 
   /** Per-column renderers for a row schema (unset/empty markers applied
-    * here; the scanner maps them back to NULL / empty). */
+    * here; the scanner maps them back to NULL / empty).
+    *
+    * Known format ambiguity (inherent, shared with the reference): a
+    * SINGLETON list whose one element is NULL or the empty string
+    * renders as `-` / `(empty)` — byte-identical to the unset/empty
+    * markers — so it re-reads as an EMPTY list. No zeek text can
+    * represent `[null]`; such values normalize to `[]` across a round
+    * trip. Multi-element lists with null/empty elements are exact. */
   def columns(schema: StructType): Array[ColumnSpec] =
     schema.fields.map { f =>
       val zt = zeekTypeOf(f) // validate first: names the COLUMN on failure

@@ -26,8 +26,9 @@ import graft.zeek._
   * half-written log; speculative duplicates are impossible to commit
   * twice under distinct names + rename-if-absent semantics.
   *
-  * Options: `compression` = gzip|none (default none), `zeek_path` = the
-  * `#path` directive value (default: target directory's base name).
+  * Options: `compression` = gzip|zstd|none (default none; both match the
+  * reader's magic-byte sniffing), `zeek_path` = the `#path` directive
+  * value (default: target directory's base name).
   * Appending to a directory that already holds zeek logs validates
   * field/type compatibility up front (the strict reader would otherwise
   * reject the mix at read time).
@@ -38,12 +39,13 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  private def gzip: Boolean =
+  private def codec: String =
     Option(props.get("compression")).map(_.trim.toLowerCase) match {
-      case None | Some("none") | Some("uncompressed") => false
-      case Some("gzip") | Some("gz")                  => true
+      case None | Some("none") | Some("uncompressed") => "none"
+      case Some("gzip") | Some("gz")                  => "gzip"
+      case Some("zstd") | Some("zst")                 => "zstd"
       case Some(other) =>
-        throw new ZeekFormatException(s"zeek sink: unsupported compression '$other' (gzip|none)")
+        throw new ZeekFormatException(s"zeek sink: unsupported compression '$other' (gzip|zstd|none)")
     }
 
   private def pathName: String = Option(props.get("zeek_path")).getOrElse {
@@ -57,7 +59,7 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ZeekBatchWrite(info.schema(), dir, pathName, gzip, truncateFirst, conf)
+      new ZeekBatchWrite(info.schema(), dir, pathName, codec, truncateFirst, conf)
 
     /** Streaming: one log per epoch per partition, named
       * `part-e<epoch>-p<partition>.log[.gz]` — the rotation model zeek
@@ -70,13 +72,13 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
       if (truncateFirst)
         throw new ZeekFormatException(
           "zeek streaming sink supports append output mode only (logs are rotations, not snapshots)")
-      new ZeekStreamingWrite(info.schema(), dir, pathName, gzip, conf)
+      new ZeekStreamingWrite(info.schema(), dir, pathName, codec, conf)
     }
   }
 }
 
 class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
-    gzip: Boolean, conf: SerializableConf)
+    codec: String, conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -84,7 +86,7 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     ZeekWriteCore.columns(schema) // validate on the driver
     val dirPath = new Path(dir)
     dirPath.getFileSystem(conf.value).mkdirs(dirPath)
-    ZeekStreamingWriterFactory(schema, dir, pathName, gzip, conf)
+    ZeekStreamingWriterFactory(schema, dir, pathName, codec, conf)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -100,16 +102,16 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
 }
 
 final case class ZeekStreamingWriterFactory(schema: StructType, dir: String,
-    pathName: String, gzip: Boolean, conf: SerializableConf)
+    pathName: String, codec: String, conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf,
+    new ZeekDataWriter(schema, dir, pathName, codec, partitionId, taskId, conf,
       epoch = Some(epochId))
 }
 
 class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
-    gzip: Boolean, truncateFirst: Boolean, conf: SerializableConf) extends BatchWrite {
+    codec: String, truncateFirst: Boolean, conf: SerializableConf) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     ZeekWriteCore.columns(schema) // validate renderability on the driver, not mid-task
@@ -120,7 +122,8 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
       fs.listStatus(dirPath).filterNot(_.isDirectory)
         .filter { s =>
           val n = s.getPath.getName
-          n.endsWith(".log") || n.endsWith(".log.gz") || n.startsWith(".zeek-")
+          n.endsWith(".log") || n.endsWith(".log.gz") || n.endsWith(".log.zst") ||
+            n.startsWith(".zeek-")
         }
         .foreach(s => fs.delete(s.getPath, false))
     }
@@ -129,7 +132,7 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
     // job tag disambiguates part names across CONCURRENT applications
     // appending to the same directory (task ids restart per application)
     val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
-    ZeekWriterFactory(schema, dir, pathName, gzip, jobTag, conf)
+    ZeekWriterFactory(schema, dir, pathName, codec, jobTag, conf)
   }
 
   /** Appending mismatched columns would poison the directory for the
@@ -138,7 +141,10 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
       dirPath: Path): Unit = {
     val existing = if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(dirPath).filterNot(_.isDirectory)
-        .filter(s => s.getPath.getName.endsWith(".log") || s.getPath.getName.endsWith(".log.gz"))
+        .filter { s =>
+          val n = s.getPath.getName
+          n.endsWith(".log") || n.endsWith(".log.gz") || n.endsWith(".log.zst")
+        }
     existing.headOption.foreach { s =>
       val in = ZeekIO.open(s.getPath.toString, conf.value)
       val header = try ZeekHeader.parseHeaderOnly(in) finally in.close()
@@ -168,20 +174,24 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
 final case class ZeekTaskCommit(path: String) extends WriterCommitMessage
 
 final case class ZeekWriterFactory(schema: StructType, dir: String,
-    pathName: String, gzip: Boolean, jobTag: String,
+    pathName: String, codec: String, jobTag: String,
     conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZeekDataWriter(schema, dir, pathName, gzip, partitionId, taskId, conf,
+    new ZeekDataWriter(schema, dir, pathName, codec, partitionId, taskId, conf,
       jobTag = jobTag)
 }
 
 class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
-    gzip: Boolean, partitionId: Int, taskId: Long,
+    codec: String, partitionId: Int, taskId: Long,
     conf: SerializableConf, epoch: Option[Long] = None,
     jobTag: String = "") extends DataWriter[InternalRow] {
 
   private val cols = ZeekWriteCore.columns(schema)
-  private val ext = if (gzip) ".log.gz" else ".log"
+  private val ext = codec match {
+    case "gzip" => ".log.gz"
+    case "zstd" => ".log.zst"
+    case _      => ".log"
+  }
   // batch names carry the task id + a per-job tag (several appends — even
   // from concurrent applications — must not collide); streaming names are
   // deterministic in (epoch, partition) so epoch replays overwrite
@@ -199,7 +209,11 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
 
   private def ensureOpen(): Unit = if (out == null) {
     val raw = fs.create(tmpPath, true)
-    out = if (gzip) new GZIPOutputStream(raw, 64 * 1024) else raw
+    out = codec match {
+      case "gzip" => new GZIPOutputStream(raw, 64 * 1024)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case _      => raw
+    }
     write(ZeekWriteCore.header(cols, pathName, System.currentTimeMillis()))
   }
 

@@ -156,4 +156,44 @@ class ZeekPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("generated logs round-trip through the SINK: read(write(read(x))) == read(x)") {
+    // same generator as above, pushed through df.write.format("zeek"):
+    // whatever the source can produce, the sink must re-encode losslessly
+    // (markers, malformed-input NULLs, list shapes, every codec)
+    val genSchema: Gen[List[String]] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genType))
+    for (seed <- 100 until 125) {
+      val colTypes = genSchema.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val nRows = Gen.choose(0, 8).pureApply(Gen.Parameters.default, Seed(seed * 7L + 1))
+      val fields = colTypes.indices.map(i => s"c$i")
+      val rowGens = colTypes.map(genCell)
+      val rows: Seq[Seq[String]] = (0 until nRows).map { r =>
+        rowGens.zipWithIndex.map { case (g, i) =>
+          g.pureApply(Gen.Parameters.default, Seed(seed * 100000L + r * 1000L + i))
+        }
+      }
+      val content = ZeekFixtures.header("prop", fields, colTypes) +
+        rows.map(_.mkString("\t") + "\n").mkString
+      val dir = ZeekFixtures.tempDir()
+      val path = ZeekFixtures.write(dir, "p.log", content)
+
+      val orig = spark.read.format("zeek").load(path)
+      val out = ZeekFixtures.tempDir()
+      val codec = Seq("none", "gzip", "zstd")(seed % 3)
+      orig.write.format("zeek").mode("append").option("compression", codec).save(out.toString)
+      val back = spark.read.format("zeek").load(s"$out/*")
+      assert(back.schema == orig.schema, s"seed=$seed codec=$codec")
+      // inherent format ambiguity: [null] / [""] render as the unset /
+      // empty markers and re-read as [] (see ZeekWriteCore.columns doc)
+      def norm(v: Any): Any = v match {
+        case s: scala.collection.Seq[_] =>
+          if (s.length == 1 && (s.head == null || s.head == "")) Nil else s.toList
+        case other => other
+      }
+      def dump(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(norm).mkString("|")).sorted.toSeq
+      assert(dump(back) == dump(orig), s"seed=$seed codec=$codec")
+    }
+  }
 }

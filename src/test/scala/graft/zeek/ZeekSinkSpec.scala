@@ -82,6 +82,18 @@ class ZeekSinkSpec extends AnyFunSuite {
     assert(collectSorted(back) == collectSorted(orig))
   }
 
+  test("zstd compression round-trips through the reader's magic-byte sniff") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("n", "s").repartition(1)
+    df.write.format("zeek").mode("append").option("compression", "zstd").save(out.toString)
+    val files = new java.io.File(out.toString).listFiles().map(_.getName).filter(_.endsWith(".log.zst"))
+    assert(files.nonEmpty, "zstd option must produce .log.zst parts")
+    val back = read(s"$out/*.log.zst")
+    assert(back.count() == 2)
+    assert(collectSorted(back.select("n", "s")) == Seq("[1,alpha]", "[2,beta]"))
+  }
+
   test("append to an existing directory accumulates; mismatched schema is rejected") {
     val out = ZeekFixtures.tempDir()
     import spark.implicits._
