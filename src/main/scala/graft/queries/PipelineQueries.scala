@@ -415,6 +415,28 @@ object PipelineQueries {
         .orderBy(col("kind"))
     }),
 
+    // hash-checkable multimodal twin: magic-byte container sniff + byte
+    // length + md5 digest over the binary content column — the part of
+    // the media pipeline that IS deterministic SQL, mirrored in DuckDB
+    // over the same BLOBs (decode internals stay rows-only in m01-m03).
+    // Map-only: no shuffle before the final ORDER BY.
+    "m04_media_sniff" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
+      val magic = upper(hex(substring(col("content"), 1, 4)))
+      media.select(col("media_id"), col("kind"),
+        length(col("content")).cast(LongType).as("n_bytes"),
+        md5(col("content")).as("digest"),
+        magic.as("magic4"),
+        when(magic.startsWith("89504E47"), "png")
+          .when(magic.startsWith("FFD8FF"), "jpeg")
+          .when(magic.startsWith("474946"), "gif")
+          .when(magic.startsWith("52494646"), "riff")
+          .when(upper(hex(substring(col("content"), 5, 4))) === "66747970", "mp4")
+          .when(magic.startsWith("464F524D"), "form")
+          .otherwise("none").as("container"))
+        .orderBy(col("media_id"))
+    }),
+
     "m02_multimodal_frames" -> ((s, d) => {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
       Multimodal.frameSample(media, stride = 4)
@@ -555,6 +577,24 @@ object PipelineQueries {
         |SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct,
         |  round(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 4) AS repetition
         |FROM b WHERE len(bgs) > 0 ORDER BY doc_id""".stripMargin,
+
+    "m04_media_sniff" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT)) AS kind,
+        |  encode(text) AS content, text FROM documents)
+        |SELECT media_id, kind,
+        |  CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  upper(substring(hex(content), 1, 8)) AS magic4,
+        |  CASE
+        |    WHEN upper(substring(hex(content), 1, 8)) LIKE '89504E47%' THEN 'png'
+        |    WHEN upper(substring(hex(content), 1, 8)) LIKE 'FFD8FF%' THEN 'jpeg'
+        |    WHEN upper(substring(hex(content), 1, 8)) LIKE '474946%' THEN 'gif'
+        |    WHEN upper(substring(hex(content), 1, 8)) LIKE '52494646%' THEN 'riff'
+        |    WHEN upper(substring(hex(content), 9, 8)) = '66747970' THEN 'mp4'
+        |    WHEN upper(substring(hex(content), 1, 8)) LIKE '464F524D%' THEN 'form'
+        |    ELSE 'none' END AS container
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "d17_pii_redact" ->
       s"""WITH pii AS (SELECT doc_id,

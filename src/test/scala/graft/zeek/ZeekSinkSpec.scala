@@ -158,6 +158,35 @@ class ZeekSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zeek-to-zeek streaming relay: rotated logs in, typed rotations out") {
+    // the full loop the sink exists for: ingest a rotating log directory
+    // as a stream and land it as zeek-format rotations elsewhere, types
+    // intact (#types time/string/count, not strings)
+    val in = ZeekFixtures.tempDir()
+    val out = ZeekFixtures.tempDir()
+    val cp = ZeekFixtures.tempDir()
+    ZeekFixtures.write(in, "a.log",
+      ZeekFixtures.base("t", Seq(("1.5", "A1", "100"), ("2.5", "A2", "200"))))
+    val q = spark.readStream.format("zeek").load(s"$in/*.log")
+      .writeStream.format("zeek")
+      .option("checkpointLocation", cp.toString)
+      .start(out.toString)
+    try {
+      q.processAllAvailable()
+      assert(read(s"$out/*.log").count() == 2)
+      ZeekFixtures.write(in, "b.log",
+        ZeekFixtures.base("t", Seq(("3.5", "B1", "300"))))
+      q.processAllAvailable()
+      val back = read(s"$out/*.log")
+      assert(back.count() == 3)
+      // zeek types survived the relay via column metadata
+      val f = new java.io.File(out.toString).listFiles()
+        .filter(_.getName.endsWith(".log")).head
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(text.contains("#types\ttime\tstring\tcount"), text.take(400))
+    } finally q.stop()
+  }
+
   test("SQL DDL surface: CREATE TABLE USING zeek + INSERT INTO + SELECT") {
     val out = ZeekFixtures.tempDir()
     spark.sql(s"CREATE TABLE zeek_sql_sink (n BIGINT, s STRING) USING zeek OPTIONS (path '$out')")
