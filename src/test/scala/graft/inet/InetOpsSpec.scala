@@ -1,0 +1,86 @@
+package graft.inet
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zeek.SharedSpark
+
+/** The CIDR containment JOIN: must equal the brute-force cross-join ×
+  * inet_contains result exactly, while planning as an equi-join (the
+  * 100 TB shape) rather than a nested loop. */
+class InetOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def bruteForce(logs: org.apache.spark.sql.DataFrame,
+      nets: org.apache.spark.sql.DataFrame) =
+    logs.crossJoin(nets).where(InetFunctions.inet_contains(col("cidr"), col("addr")))
+
+  test("cidrJoin == cross-join + contains on generated v4/v6 data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val addrs = ((1 to 300).map { i =>
+      s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+    } ++ (1 to 60).map(_ => f"2001:db8:${rnd.nextInt(0x10000)}%x::${rnd.nextInt(0x10000)}%x") ++
+      Seq("not an ip", "10.0.0.300", null)).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }
+    val logs = addrs.toDF("log_id", "addr")
+    val nets = Seq(
+      "10.0.0.0/8", "192.168.0.0/16", "172.16.0.0/12", "0.0.0.0/0",
+      s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.0.0/16",
+      s"${rnd.nextInt(256)}.0.0.0/6",         // shorter than the bucket: expands
+      "203.0.113.7",                           // bare host route
+      "2001:db8::/32", "::/0", "garbage/8", "10.1.2.0/33")
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("net_id", "cidr")
+
+    val got = InetOps.cidrJoin(logs, col("addr"), nets, col("cidr"))
+      .select("log_id", "net_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForce(logs, nets)
+      .select("log_id", "net_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test data must produce matches")
+    assert(got == want,
+      s"missing=${(want -- got).take(10)} extra=${(got -- want).take(10)}")
+  }
+
+  test("cidrJoin at smaller bucket widths stays exact") {
+    import spark.implicits._
+    val logs = Seq((1L, "10.1.2.3"), (2L, "10.200.0.1"), (3L, "11.0.0.1"),
+      (4L, "fe80::1"), (5L, "feff::2")).toDF("log_id", "addr")
+    val nets = Seq((1L, "10.0.0.0/7"), (2L, "fe80::/10"), (3L, "10.1.0.0/16"))
+      .toDF("net_id", "cidr")
+    for (k <- Seq(1, 4, 8, 12, 16)) {
+      val got = InetOps.cidrJoin(logs, col("addr"), nets, col("cidr"), bucketBits = k)
+        .select("log_id", "net_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteForce(logs, nets)
+        .select("log_id", "net_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"bucketBits=$k")
+    }
+  }
+
+  test("cidrJoin plans an equi-join, not a nested loop") {
+    import spark.implicits._
+    val logs = (1 to 100).map(i => (i.toLong, s"10.0.0.$i")).toDF("log_id", "addr")
+    val nets = Seq((1L, "10.0.0.0/8"), (2L, "192.168.0.0/16")).toDF("net_id", "cidr")
+    val p = InetOps.cidrJoin(logs, col("addr"), nets, col("cidr"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "containment join must not be a nested loop:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("subnet bucket expansion is exactly 2^(bucketBits - prefix), capped by family") {
+    assert(InetOps.cidrBuckets("10.0.0.0/16", 16).length == 1)
+    assert(InetOps.cidrBuckets("10.0.0.0/24", 16).length == 1)
+    assert(InetOps.cidrBuckets("10.0.0.0/8", 16).length == 256)
+    assert(InetOps.cidrBuckets("10.0.0.0/14", 16).length == 4)
+    assert(InetOps.cidrBuckets("1.2.3.4", 16).length == 1) // host route
+    assert(InetOps.cidrBuckets("junk", 16).isEmpty)
+    assert(InetOps.cidrBuckets("10.0.0.0/33", 16).isEmpty)
+    assert(InetOps.cidrBuckets("10.0.0.0/x", 16).isEmpty)
+    // the expanded ids line up with address buckets
+    val b = InetOps.cidrBuckets("10.4.0.0/14", 16)
+    for (a <- Seq("10.4.0.1", "10.5.255.254", "10.6.0.0", "10.7.9.9"))
+      assert(b.contains(InetOps.addrBucket(a, 16).get), a)
+    assert(!b.contains(InetOps.addrBucket("10.8.0.0", 16).get))
+  }
+}
