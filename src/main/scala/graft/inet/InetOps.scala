@@ -72,7 +72,27 @@ object InetOps {
     *                   buckets; 16 suits real-world intel lists.
     */
   def cidrJoin(logs: DataFrame, addr: Column, nets: DataFrame, cidr: Column,
-      bucketBits: Int = 16): DataFrame = {
+      bucketBits: Int = 16): DataFrame =
+    bucketed(logs, addr, nets, cidr, bucketBits, "inner")
+      .drop("__inet_bucket")
+
+  /** `logs` rows whose address falls in AT LEAST one subnet — each log
+    * row at most once, regardless of how many subnets match (the "flag
+    * intel hits" form). Same bucketed equi-join shape as [[cidrJoin]]. */
+  def cidrSemiJoin(logs: DataFrame, addr: Column, nets: DataFrame, cidr: Column,
+      bucketBits: Int = 16): DataFrame =
+    bucketed(logs, addr, nets, cidr, bucketBits, "left_semi")
+
+  /** `logs` rows whose address matches NO subnet (the "egress to
+    * unknown destinations" form). Unparseable addresses match nothing,
+    * so they are KEPT — same as `NOT (addr <<= any)` over NULL-safe
+    * containment. */
+  def cidrAntiJoin(logs: DataFrame, addr: Column, nets: DataFrame, cidr: Column,
+      bucketBits: Int = 16): DataFrame =
+    bucketed(logs, addr, nets, cidr, bucketBits, "left_anti")
+
+  private def bucketed(logs: DataFrame, addr: Column, nets: DataFrame,
+      cidr: Column, bucketBits: Int, joinType: String): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 16, "bucketBits must be in [1,16]")
     val bucketOfAddr = udf((a: String) =>
       if (a == null) None else addrBucket(a, bucketBits))
@@ -80,8 +100,17 @@ object InetOps {
       if (c == null) Seq.empty[Int] else cidrBuckets(c, bucketBits))
     val l = logs.withColumn("__inet_bucket", bucketOfAddr(addr))
     val n = nets.withColumn("__inet_bucket", explode(bucketsOfCidr(cidr)))
-    l.join(n, "__inet_bucket")
-      .where(InetFunctions.inet_contains(cidr, addr))
-      .drop("__inet_bucket")
+    joinType match {
+      case "inner" =>
+        l.join(n, Seq("__inet_bucket"), "inner")
+          .where(InetFunctions.inet_contains(cidr, addr))
+      case semiOrAnti =>
+        // semi/anti must apply the containment residual INSIDE the join
+        // condition (a post-join filter cannot express "no subnet
+        // matches"); the bucket equality keeps it an equi-join
+        val cond = l("__inet_bucket") === n("__inet_bucket") &&
+          InetFunctions.inet_contains(cidr, addr)
+        l.join(n, cond, semiOrAnti).drop("__inet_bucket")
+    }
   }
 }

@@ -56,6 +56,30 @@ class InetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cidrSemiJoin / cidrAntiJoin partition the log set exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val logs = ((1 to 200).map { i =>
+      (i.toLong, s"${rnd.nextInt(64)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}")
+    } ++ Seq((900L, "junk"), (901L, null.asInstanceOf[String]))).toDF("log_id", "addr")
+    val nets = Seq("10.0.0.0/8", "17.32.0.0/11", "0.0.0.0/2", "21.1.0.0/16")
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("net_id", "cidr")
+
+    val semi = InetOps.cidrSemiJoin(logs, col("addr"), nets, col("cidr"))
+      .select("log_id").as[Long].collect().toSet
+    val anti = InetOps.cidrAntiJoin(logs, col("addr"), nets, col("cidr"))
+      .select("log_id").as[Long].collect().toSet
+    val wantSemi = bruteForce(logs, nets).select("log_id").as[Long].collect().toSet
+    val all = logs.select("log_id").as[Long].collect().toSet
+    assert(semi == wantSemi)
+    assert(anti == (all -- wantSemi), "anti must be the exact complement")
+    assert(semi.intersect(anti).isEmpty && (semi ++ anti) == all)
+    // each semi row appears ONCE even when several subnets match
+    assert(InetOps.cidrSemiJoin(logs, col("addr"), nets, col("cidr")).count() == semi.size)
+    // unparseable / null addresses match nothing → anti keeps them
+    assert(anti.contains(900L) && anti.contains(901L))
+  }
+
   test("cidrJoin plans an equi-join, not a nested loop") {
     import spark.implicits._
     val logs = (1 to 100).map(i => (i.toLong, s"10.0.0.$i")).toDF("log_id", "addr")
@@ -66,6 +90,28 @@ class InetOpsSpec extends AnyFunSuite {
       "containment join must not be a nested loop:\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("security pipeline e2e: zeek conn logs × intel subnets → zeek-format hits") {
+    // the full composition the library exists for: ingest real zeek
+    // logs, containment-join against an intel list, land the hits as
+    // zeek-format output that reads straight back with types intact
+    import graft.zeek.ZeekFixtures
+    import spark.implicits._
+    val in = ZeekFixtures.tempDir()
+    ZeekFixtures.write(in, "conn.log", ZeekFixtures.connContent)
+    val conn = spark.read.format("zeek").load(s"$in/*.log")
+    val intel = Seq((1L, "8.8.0.0/16", "dns-providers"), (2L, "2001:4860::/32", "goog-v6"))
+      .toDF("intel_id", "cidr", "tag")
+    val hits = InetOps.cidrJoin(conn, col("id_resp_h"), intel, col("cidr"))
+      .select(col("ts"), col("uid"), col("id_resp_h"), col("tag"))
+    val out = ZeekFixtures.tempDir()
+    hits.write.format("zeek").mode("append").option("zeek_path", "intel_hits").save(out.toString)
+    val back = spark.read.format("zeek").load(s"$out/*.log")
+    assert(back.count() == 3) // 8.8.8.8, 8.8.4.4, and the goog v6 addr
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      "time typing must survive the whole pipeline")
+    assert(back.select("tag").distinct().count() == 2)
   }
 
   test("subnet bucket expansion is exactly 2^(bucketBits - prefix), capped by family") {
