@@ -181,7 +181,11 @@ object InetFunctions {
   // ---- Spark registration ---------------------------------------------
 
   private val normalizeUdf = udf((s: String) => normalize(s))
-  private val containsUdf = udf((c: String, a: String) => contains(c, a))
+  /** Single shared instance so [[graft.plans.InetContainsPrefixRule]]
+    * can recognize the Column-API containment predicate by identity. */
+  private[graft] val containsFunction: (String, String) => java.lang.Boolean =
+    (c, a) => contains(c, a)
+  private val containsUdf = udf(containsFunction)
   private val isV4Udf = udf((s: String) => isIpv4(s))
   private val isV6Udf = udf((s: String) => isIpv6(s))
   private val equalUdf = udf((a: String, b: String) => inetEqual(a, b))

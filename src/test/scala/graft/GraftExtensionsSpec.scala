@@ -39,4 +39,56 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(SharedSpark.spark)
     }
   }
+
+  test("optimizer rule: literal-CIDR containment pushes a prefix predicate into the zeek scan") {
+    import org.apache.spark.sql.functions._
+    import graft.zeek.ZeekFixtures
+    SharedSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val dir = ZeekFixtures.tempDir()
+      ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+      def conn = s.read.format("zeek").load(s"$dir/*.log")
+
+      // /16 over the SQL (StaticInvoke) form: prefix reaches the scan
+      val df = conn.filter(expr("inet_contains('8.8.0.0/16', id_resp_h)"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("StringStartsWith(id_resp_h,8.8.)"),
+        "implied prefix must be pushed into the zeek scan:\n" + plan.take(2500))
+      assert(df.collect().map(_.getAs[String]("id_resp_h")).toSet == Set("8.8.8.8", "8.8.4.4"))
+
+      // Column-API (ScalaUDF) form matches by function identity
+      val viaUdf = conn.filter(
+        graft.inet.InetFunctions.inet_contains(lit("8.8.0.0/16"), col("id_resp_h")))
+      assert(viaUdf.queryExecution.executedPlan.toString
+        .contains("StringStartsWith(id_resp_h,8.8.)"))
+      assert(viaUdf.count() == 2)
+
+      // host route (/32 implied) becomes a pushed equality
+      val eq = conn.filter(expr("inet_contains('8.8.8.8', id_resp_h)"))
+      assert(eq.queryExecution.executedPlan.toString.contains("EqualTo(id_resp_h,8.8.8.8)"))
+      assert(eq.count() == 1)
+
+      // non-octet-aligned and v6 CIDRs: NO rewrite, semantics intact
+      val odd = conn.filter(expr("inet_contains('8.8.0.0/12', id_resp_h)"))
+      assert(!odd.queryExecution.executedPlan.toString.contains("StringStartsWith"))
+      assert(odd.count() == 2)
+      val v6 = conn.filter(expr("inet_contains('2001:4860::/32', id_resp_h)"))
+      assert(!v6.queryExecution.executedPlan.toString.contains("StringStartsWith"))
+      assert(v6.count() == 1)
+
+      // non-literal CIDR (column vs column): untouched
+      val dyn = conn.filter(expr("inet_contains(concat(id_orig_h, '/32'), id_resp_h)"))
+      assert(dyn.count() == 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(SharedSpark.spark)
+      SparkSession.setActiveSession(SharedSpark.spark)
+    }
+  }
 }
