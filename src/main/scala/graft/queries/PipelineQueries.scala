@@ -397,6 +397,24 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // semantic dedup capstone: exact cosine pairs → connected components
+    // → cluster assignment, all hash-checked (the embedding-space analog
+    // of d09; e06 already proved the pair sets identical cross-engine, so
+    // this verifies the CLUSTERING over them end to end). The scale path
+    // swaps the quadratic pair generator for e07's LSH pairs — the CC
+    // stage is shared and scale-safe (pointer jumping, touched subgraph).
+    "e10_embedding_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Ann.cosineNearDupsExact(emb, "vec_id", "embedding",
+        threshold = 0.35).select(col("a"), col("b"))
+      val labels = DedupClusters.connectedComponents(
+        emb.select(col("vec_id").as("id")), pairs)
+      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("vec_id"), col("cluster"), col("cluster_size"))
+        .orderBy(col("vec_id"))
+    }),
+
     "e07_embedding_neardups_lsh" -> ((s, d) => {
       Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, nBits = 8)
@@ -712,6 +730,20 @@ object PipelineQueries {
         |FROM d x JOIN d y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.e, y.e) >= 0.35
         |ORDER BY a, b""".stripMargin,
+
+    // embedding clusters: e06's exact pair set + d09's recursive closure
+    "e10_embedding_clusters" ->
+      """WITH RECURSIVE d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b FROM d x JOIN d y ON x.vec_id < y.vec_id
+        |          WHERE list_cosine_similarity(x.e, y.e) >= 0.35),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT vec_id AS id, vec_id AS root FROM embeddings
+        |          UNION
+        |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+        |SELECT lab.id AS vec_id, lab.cluster, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
 
     // full quantized-LSH twin: integer signature arithmetic is bit-exact
     // across engines; floor(v*1024) is exact (×1024 is a power of two)
