@@ -63,6 +63,24 @@ object StreamOps {
          |r_$rightTs <= $leftTs""".stripMargin))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but a
+    * left row with no right match within the lookback window is still
+    * emitted (right columns NULL) once the watermark passes its join
+    * horizon — the "enrich if seen, pass through regardless" shape
+    * (e.g. conn events with/without a matching alert). Same bounded
+    * state: the time-interval condition lets Spark evict both sides. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rightTs", watermarkDelay)
+    l.join(r, expr(
+      s"""$keyCol = r_$keyCol AND
+         |r_$rightTs >= $leftTs - INTERVAL $lookback AND
+         |r_$rightTs <= $leftTs""".stripMargin), "left_outer")
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -129,6 +129,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched left rows with NULL right side") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val conns = MemoryStream[(Long, Timestamp, String)]
+    val alerts = MemoryStream[(Long, Timestamp, String)]
+    val joined = intervalJoinLeftOuter(
+      conns.toDS().toDF("uid", "ts", "tag"),
+      alerts.toDS().toDF("uid", "ts", "tag"),
+      "uid", "ts", "ts", lookback = "30 minutes", watermarkDelay = "0 seconds")
+    val q = joined.select(col("uid"), col("tag").as("conn"), col("r_tag").as("alert"))
+      .writeStream.format("memory").queryName("ivjlo").outputMode("append").start()
+    try {
+      alerts.addData((1L, ts(0), "a1")) // matches uid 1 only
+      conns.addData((1L, ts(20), "c1"), (2L, ts(20), "c2"))
+      q.processAllAvailable()
+      // unmatched rows finalize only once the watermark passes their join
+      // horizon — advance both sides well beyond it
+      alerts.addData((9L, ts(500), "ax"))
+      conns.addData((9L, ts(500), "cx"))
+      q.processAllAvailable()
+      alerts.addData((9L, ts(900), "ay"))
+      conns.addData((9L, ts(900), "cy"))
+      q.processAllAvailable()
+      val rows = spark.table("ivjlo").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows.contains((1L, "c1", Some("a1"))), rows.toString)
+      assert(rows.contains((2L, "c2", None)), "unmatched conn must pass through: " + rows)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits each fingerprint once within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
