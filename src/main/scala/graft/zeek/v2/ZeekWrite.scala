@@ -54,12 +54,20 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
     if (dot > 0) base.substring(0, dot) else base
   }
 
+  private def maxRowsPerFile: Long =
+    Option(props.get("max_rows_per_file")).map(_.trim.toLong) match {
+      case Some(n) if n <= 0 =>
+        throw new ZeekFormatException("zeek sink: max_rows_per_file must be positive")
+      case Some(n) => n
+      case None    => Long.MaxValue
+    }
+
   private def conf = new SerializableConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ZeekBatchWrite(info.schema(), dir, pathName, codec, truncateFirst, conf)
+      new ZeekBatchWrite(info.schema(), dir, pathName, codec, truncateFirst, maxRowsPerFile, conf)
 
     /** Streaming: one log per epoch per partition, named
       * `part-e<epoch>-p<partition>.log[.gz]` — the rotation model zeek
@@ -72,13 +80,13 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
       if (truncateFirst)
         throw new ZeekFormatException(
           "zeek streaming sink supports append output mode only (logs are rotations, not snapshots)")
-      new ZeekStreamingWrite(info.schema(), dir, pathName, codec, conf)
+      new ZeekStreamingWrite(info.schema(), dir, pathName, codec, maxRowsPerFile, conf)
     }
   }
 }
 
 class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
-    codec: String, conf: SerializableConf)
+    codec: String, maxRowsPerFile: Long, conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -86,7 +94,7 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     ZeekWriteCore.columns(schema) // validate on the driver
     val dirPath = new Path(dir)
     dirPath.getFileSystem(conf.value).mkdirs(dirPath)
-    ZeekStreamingWriterFactory(schema, dir, pathName, codec, conf)
+    ZeekStreamingWriterFactory(schema, dir, pathName, codec, maxRowsPerFile, conf)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -102,16 +110,17 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
 }
 
 final case class ZeekStreamingWriterFactory(schema: StructType, dir: String,
-    pathName: String, codec: String, conf: SerializableConf)
+    pathName: String, codec: String, maxRowsPerFile: Long, conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new ZeekDataWriter(schema, dir, pathName, codec, partitionId, taskId, conf,
-      epoch = Some(epochId))
+      epoch = Some(epochId), maxRowsPerFile = maxRowsPerFile)
 }
 
 class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
-    codec: String, truncateFirst: Boolean, conf: SerializableConf) extends BatchWrite {
+    codec: String, truncateFirst: Boolean, maxRowsPerFile: Long,
+    conf: SerializableConf) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     ZeekWriteCore.columns(schema) // validate renderability on the driver, not mid-task
@@ -132,7 +141,7 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
     // job tag disambiguates part names across CONCURRENT applications
     // appending to the same directory (task ids restart per application)
     val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
-    ZeekWriterFactory(schema, dir, pathName, codec, jobTag, conf)
+    ZeekWriterFactory(schema, dir, pathName, codec, jobTag, maxRowsPerFile, conf)
   }
 
   /** Appending mismatched columns would poison the directory for the
@@ -174,17 +183,18 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
 final case class ZeekTaskCommit(path: String) extends WriterCommitMessage
 
 final case class ZeekWriterFactory(schema: StructType, dir: String,
-    pathName: String, codec: String, jobTag: String,
+    pathName: String, codec: String, jobTag: String, maxRowsPerFile: Long,
     conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZeekDataWriter(schema, dir, pathName, codec, partitionId, taskId, conf,
-      jobTag = jobTag)
+      jobTag = jobTag, maxRowsPerFile = maxRowsPerFile)
 }
 
 class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     codec: String, partitionId: Int, taskId: Long,
     conf: SerializableConf, epoch: Option[Long] = None,
-    jobTag: String = "") extends DataWriter[InternalRow] {
+    jobTag: String = "", maxRowsPerFile: Long = Long.MaxValue)
+    extends DataWriter[InternalRow] {
 
   private val cols = ZeekWriteCore.columns(schema)
   private val ext = codec match {
@@ -192,29 +202,51 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     case "zstd" => ".log.zst"
     case _      => ".log"
   }
-  // batch names carry the task id + a per-job tag (several appends — even
-  // from concurrent applications — must not collide); streaming names are
-  // deterministic in (epoch, partition) so epoch replays overwrite
-  // instead of duplicating
-  private val finalName = epoch match {
-    case Some(e) => f"part-e$e%05d-p$partitionId%05d$ext"
-    case None    => f"part-$partitionId%05d-$taskId-$jobTag$ext"
+
+  /** Batch names carry the task id + a per-job tag (several appends —
+    * even from concurrent applications — must not collide); streaming
+    * names are deterministic in (epoch, partition) so epoch replays
+    * overwrite instead of duplicating. With `max_rows_per_file` a task
+    * rolls through `-rN` suffixed files (the size axis of zeek's own
+    * rotation model) — roll points are data-deterministic, so streaming
+    * names stay replay-stable. */
+  private def finalName(roll: Int): String = {
+    val suffix = if (maxRowsPerFile == Long.MaxValue) "" else s"-r$roll"
+    epoch match {
+      case Some(e) => f"part-e$e%05d-p$partitionId%05d$suffix$ext"
+      case None    => f"part-$partitionId%05d-$taskId-$jobTag$suffix$ext"
+    }
   }
-  private val tmpPath = new Path(dir, s".zeek-$finalName.$taskId.inprogress")
-  private val finalPath = new Path(dir, finalName)
-  private val fs = tmpPath.getFileSystem(conf.value)
+
+  private val fs = new Path(dir).getFileSystem(conf.value)
 
   private var out: OutputStream = _
-  private var rows = 0L
+  private var roll = 0
+  private var fileRows = 0L
+  private var anyRows = false
+  // closed rolls stay TEMPS until task commit — a task that dies after
+  // rolling must leave nothing visible, and its retry must not duplicate
+  private val closed = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+  private var currentTmp: Path = _
 
   private def ensureOpen(): Unit = if (out == null) {
-    val raw = fs.create(tmpPath, true)
+    currentTmp = new Path(dir, s".zeek-${finalName(roll)}.$taskId.inprogress")
+    val raw = fs.create(currentTmp, true)
     out = codec match {
       case "gzip" => new GZIPOutputStream(raw, 64 * 1024)
       case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
       case _      => raw
     }
     write(ZeekWriteCore.header(cols, pathName, System.currentTimeMillis()))
+    fileRows = 0L
+  }
+
+  private def closeCurrentFile(): Unit = if (out != null) {
+    write(ZeekWriteCore.footer(System.currentTimeMillis()))
+    out.close()
+    out = null
+    closed += ((currentTmp, new Path(dir, finalName(roll))))
+    roll += 1
   }
 
   private def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
@@ -222,7 +254,9 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
   override def write(record: InternalRow): Unit = {
     ensureOpen()
     write(ZeekWriteCore.renderRow(cols, record))
-    rows += 1
+    fileRows += 1
+    anyRows = true
+    if (fileRows >= maxRowsPerFile) closeCurrentFile()
   }
 
   override def commit(): WriterCommitMessage = {
@@ -230,23 +264,22 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     // an empty frame round-trips to an empty table with schema); all
     // other empty partitions — and every empty streaming epoch partition
     // — emit nothing
-    if (rows == 0 && partitionId == 0 && epoch.isEmpty) ensureOpen()
-    if (out != null) {
-      write(ZeekWriteCore.footer(System.currentTimeMillis()))
-      out.close()
-      out = null
+    if (!anyRows && partitionId == 0 && epoch.isEmpty) ensureOpen()
+    closeCurrentFile()
+    closed.foreach { case (tmp, fin) =>
       // streaming epoch replay: the deterministic name already exists —
       // replace it (same data re-rendered), keeping recovery idempotent
-      if (epoch.isDefined && fs.exists(finalPath)) fs.delete(finalPath, false)
-      if (!fs.rename(tmpPath, finalPath))
-        throw new ZeekFormatException(s"zeek sink: could not commit '$finalPath'")
-      ZeekTaskCommit(finalPath.toString)
-    } else ZeekTaskCommit("")
+      if (epoch.isDefined && fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new ZeekFormatException(s"zeek sink: could not commit '$fin'")
+    }
+    ZeekTaskCommit(closed.map(_._2.toString).mkString(","))
   }
 
   override def abort(): Unit = {
     if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
-    fs.delete(tmpPath, false)
+    if (currentTmp != null) fs.delete(currentTmp, false)
+    closed.foreach { case (tmp, _) => fs.delete(tmp, false) }
   }
 
   override def close(): Unit =

@@ -158,6 +158,26 @@ class ZeekSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("max_rows_per_file rolls bounded rotations that read back complete") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    (1L to 10L).map(i => (i, s"v$i")).toDF("n", "s").repartition(1)
+      .write.format("zeek").mode("append")
+      .option("max_rows_per_file", "3").save(out.toString)
+    val names = new java.io.File(out.toString).listFiles().map(_.getName)
+      .filter(_.endsWith(".log")).sorted.toSeq
+    assert(names.length == 4, s"10 rows / cap 3 = 4 rolls: $names")
+    assert(names.forall(_.matches("part-\\d{5}-\\d+-[0-9a-f]{8}-r\\d+\\.log")), names.toString)
+    val back = read(s"$out/*.log", Map("filename" -> "true"))
+    assert(back.count() == 10)
+    // every file is a complete log (header + #close) holding ≤ cap rows
+    val perFile = back.groupBy("filename").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(perFile == Seq(1L, 3L, 3L, 3L), perFile.toString)
+    assert(!new java.io.File(out.toString).listFiles()
+      .exists(_.getName.contains("inprogress")))
+  }
+
   test("zeek-to-zeek streaming relay: rotated logs in, typed rotations out") {
     // the full loop the sink exists for: ingest a rotating log directory
     // as a stream and land it as zeek-format rotations elsewhere, types
