@@ -101,10 +101,13 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     ZeekDataSource.clearBindCache()
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // clear only THIS epoch's temps — a concurrent writer's in-progress
+    // files (or a racing restart's) must not be clobbered
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
+    val epochPrefix = f".zeek-part-e$epochId%05d-"
     if (fs.exists(dirPath))
-      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(".zeek-"))
+      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(epochPrefix))
         .foreach(s => fs.delete(s.getPath, false))
   }
 }
@@ -138,11 +141,13 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
     }
     fs.mkdirs(dirPath)
     if (!truncateFirst) validateAppendCompatible(fs, dirPath)
-    // job tag disambiguates part names across CONCURRENT applications
-    // appending to the same directory (task ids restart per application)
-    val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
     ZeekWriterFactory(schema, dir, pathName, codec, jobTag, maxRowsPerFile, conf)
   }
+
+  /** Disambiguates part names across CONCURRENT applications appending
+    * to the same directory (task ids restart per application), and
+    * scopes this job's abort cleanup to its own temps. */
+  private val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
 
   /** Appending mismatched columns would poison the directory for the
     * strict reader — fail fast against the existing canonical header. */
@@ -171,12 +176,15 @@ class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
     ZeekDataSource.clearBindCache() // a same-TTL read must see the new parts
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // best effort: clear any in-progress temps this job left behind
+    // best effort: clear THIS job's in-progress temps (batch temp names
+    // embed the job tag) — never a concurrent job's
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
     if (fs.exists(dirPath))
-      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(".zeek-"))
-        .foreach(s => fs.delete(s.getPath, false))
+      fs.listStatus(dirPath).filter { s =>
+        val n = s.getPath.getName
+        n.startsWith(".zeek-") && n.contains(s"-$jobTag")
+      }.foreach(s => fs.delete(s.getPath, false))
   }
 }
 
