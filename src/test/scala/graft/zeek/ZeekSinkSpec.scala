@@ -114,6 +114,17 @@ class ZeekSinkSpec extends AnyFunSuite {
     assert(after.count() == 1 && after.select("s").as[String].head() == "z")
   }
 
+  test("overwrite deletes only log part-files, never foreign files in the directory") {
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    Seq((1L, "a")).toDF("n", "s").write.format("zeek").mode("append").save(out.toString)
+    val foreign = new java.io.File(out.toString, "README.txt")
+    java.nio.file.Files.write(foreign.toPath, "keep me".getBytes("UTF-8"))
+    Seq((2L, "b")).toDF("n", "s").write.format("zeek").mode("overwrite").save(out.toString)
+    assert(foreign.exists, "overwrite must not touch non-log files")
+    assert(read(s"$out/*.log").count() == 1)
+  }
+
   test("empty frame writes a header-only log that reads back as schema + 0 rows") {
     val out = ZeekFixtures.tempDir()
     import spark.implicits._

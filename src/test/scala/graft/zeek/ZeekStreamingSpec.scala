@@ -166,6 +166,43 @@ class ZeekStreamingSpec extends AnyFunSuite {
     assert(stream.latestOffset(s, limit) == s)
   }
 
+  test("admission control: max_bytes_per_trigger caps by size, always admits one file") {
+    import graft.zeek.v2.ZeekInputPartition
+    val dir = ZeekFixtures.tempDir()
+    // two small files then one large; byte cap sized to fit both small
+    // files together but force the large one into its own batch
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for ((n, rows) <- Seq(("a", 2), ("b", 2), ("c", 200))) {
+      val p = ZeekFixtures.write(dir, s"$n.log", ZeekFixtures.base("t",
+        (1 to rows).map(i => (s"$i.0", s"$n$i", s"$i"))))
+      val f = new java.io.File(p)
+      assert(f.setLastModified(1600000000000L + sizes.length * 10000L))
+      sizes += ((s"$n.log", f.length()))
+    }
+    val cap = sizes(0)._2 + sizes(1)._2 // exactly the two small files
+    val conf = spark.sessionState.newHadoopConf()
+    val bind = ZeekSchema.bind(Seq(s"$dir/*.log"),
+      ZeekOptions(maxBytesPerTrigger = Some(cap)), conf)
+    val stream = new graft.zeek.v2.ZeekMicroBatchStream(bind, bind.patterns,
+      bind.schema, Array.empty, conf)
+    val limit = stream.getDefaultReadLimit
+
+    var s = stream.initialOffset()
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var done = false
+    while (!done && batches.length < 10) {
+      val e = stream.latestOffset(s, limit)
+      if (e == s) done = true
+      else {
+        batches += stream.planInputPartitions(s, e)
+          .map(_.asInstanceOf[ZeekInputPartition].spec.path.split('/').last).toSeq
+        s = e
+      }
+    }
+    assert(batches.map(_.toSet).toSeq ==
+      Seq(Set("a.log", "b.log"), Set("c.log")), batches.toString)
+  }
+
   test("Trigger.AvailableNow drains the start-time backlog in capped batches, then stops") {
     val dir = ZeekFixtures.tempDir()
     for (i <- 1 to 5) {
