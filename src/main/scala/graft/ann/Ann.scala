@@ -55,6 +55,27 @@ object Ann {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — retrieval/recommender
+    * scoring over unnormalized embeddings, where magnitude matters and
+    * cosine is the wrong metric. Same broadcast shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus never shuffles, fused
+    * codegen scorer. The scale path is the classic norm-augmentation
+    * reduction (append sqrt(M²−‖x‖²) to each corpus vector, 0 to each
+    * query) that turns MIPS into the cosine LSH problem [[lshTopK]]
+    * already solves. */
+  def bruteForceTopKDot(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.registerAll(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", call_function("dot_product", col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot", "rank")
+  }
+
   /** Deterministic random-hyperplane component: plane p, dimension d →
     * pseudo-random ±1 weight (seed-free, stable across runs/JVMs).
     * private[graft]: the oracle twin embeds the same weights as SQL

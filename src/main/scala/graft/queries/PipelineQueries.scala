@@ -345,6 +345,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MIPS twin of e02: inner-product ranking (retrieval scoring) —
+    // differs from cosine whenever corpus norms vary
+    "e11_mips_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopKDot(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("dot"), 4).as("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "e03_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -721,6 +730,18 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "e11_mips_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_inner_product(qe, CAST(embedding AS DOUBLE[])) AS dot
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, dot,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(dot, 4) AS dot, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "e06_embedding_neardups" ->
