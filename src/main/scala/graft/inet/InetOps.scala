@@ -74,7 +74,6 @@ object InetOps {
   def cidrJoin(logs: DataFrame, addr: Column, nets: DataFrame, cidr: Column,
       bucketBits: Int = 16): DataFrame =
     bucketed(logs, addr, nets, cidr, bucketBits, "inner")
-      .drop("__inet_bucket")
 
   /** `logs` rows whose address falls in AT LEAST one subnet — each log
     * row at most once, regardless of how many subnets match (the "flag
@@ -98,19 +97,33 @@ object InetOps {
       if (a == null) None else addrBucket(a, bucketBits))
     val bucketsOfCidr = udf((c: String) =>
       if (c == null) Seq.empty[Int] else cidrBuckets(c, bucketBits))
-    val l = logs.withColumn("__inet_bucket", bucketOfAddr(addr))
-    val n = nets.withColumn("__inet_bucket", explode(bucketsOfCidr(cidr)))
+    // The caller's addr/cidr Columns are materialized into temp columns on
+    // their OWN side before the join, and the residual references only
+    // those temps — so logs and nets sharing column names (id, ts, …)
+    // cannot make the containment predicate ambiguous. Temp names are
+    // chosen to miss every existing column on either side (a frame that
+    // already carries __inet_bucket must not be corrupted or collide).
+    val taken = (logs.columns ++ nets.columns).toSet
+    def fresh(base: String): String =
+      if (!taken(base)) base
+      else Iterator.from(1).map(i => s"$base$i").find(n => !taken(n)).get
+    val bCol = fresh("__inet_bucket")
+    val aCol = fresh("__inet_addr")
+    val cCol = fresh("__inet_cidr")
+    val l = logs.withColumn(aCol, addr).withColumn(bCol, bucketOfAddr(col(aCol)))
+    val n = nets.withColumn(cCol, cidr).withColumn(bCol, explode(bucketsOfCidr(col(cCol))))
     joinType match {
       case "inner" =>
-        l.join(n, Seq("__inet_bucket"), "inner")
-          .where(InetFunctions.inet_contains(cidr, addr))
+        l.join(n, Seq(bCol), "inner")
+          .where(InetFunctions.inet_contains(col(cCol), col(aCol)))
+          .drop(bCol, aCol, cCol)
       case semiOrAnti =>
         // semi/anti must apply the containment residual INSIDE the join
         // condition (a post-join filter cannot express "no subnet
         // matches"); the bucket equality keeps it an equi-join
-        val cond = l("__inet_bucket") === n("__inet_bucket") &&
-          InetFunctions.inet_contains(cidr, addr)
-        l.join(n, cond, semiOrAnti).drop("__inet_bucket")
+        val cond = l(bCol) === n(bCol) &&
+          InetFunctions.inet_contains(n(cCol), l(aCol))
+        l.join(n, cond, semiOrAnti).drop(bCol, aCol)
     }
   }
 }

@@ -95,9 +95,20 @@ object ZeekWriteCore {
     * newlines) the same way zeek's ascii writer does: `\xNN`. The
     * scanner does not unescape (neither does the reference), so strings
     * containing the separator are lossy across the whole ecosystem —
-    * but the file stays structurally valid. */
+    * but the file stays structurally valid.
+    *
+    * A scalar whose text is EXACTLY the unset/empty marker would re-read
+    * as NULL / empty string — silent value corruption. Zeek's own ascii
+    * writer hex-escapes the first character of such collisions; we do
+    * the same (`-` → `\x2d`, `(empty)` → `\x28empty)`). The escaped form
+    * re-reads as the literal escaped text (no reader in the ecosystem
+    * unescapes), so the value's NULL-ness and non-emptiness survive even
+    * though the bytes change — the recoverable failure mode, and the one
+    * zeek tooling expects. */
   def renderString(s: String): String = {
     if (s.isEmpty) return EmptyField
+    if (s == UnsetField) return "\\x2d"
+    if (s == EmptyField) return "\\x28" + s.substring(1)
     if (s.indexOf(Sep) < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
     else s.flatMap {
       case Sep  => "\\x09"

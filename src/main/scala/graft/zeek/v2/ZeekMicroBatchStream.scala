@@ -238,15 +238,21 @@ class ZeekMicroBatchStream(
 
   override def initialOffset(): Offset = ZeekOffset.Empty
 
-  override def latestOffset(): Offset = {
-    val files = listingForOffsets()
+  override def latestOffset(): Offset = offsetFor(listingForOffsets())
+
+  /** Watermark + window offset covering exactly `files`. Kept separate
+    * from the listing so callers that already hold a listing (the
+    * caught-up compaction in the rate-limited path) can compact WITHOUT
+    * re-listing — a second listing could see a file that appeared in
+    * between with an mtime below the new watermark minus slack, marking
+    * it processed though it was never planned. */
+  private def offsetFor(files: Seq[ZeekIO.GlobFile]): Offset =
     if (files.isEmpty) ZeekOffset.Empty
     else {
       val slack = bind.opts.streamMtimeSlackMs
       val wm = files.map(_.mtime).max
       ZeekOffset(wm, files.collect { case f if f.mtime >= wm - slack => f.path }, slack)
     }
-  }
 
   // ---- admission control ----------------------------------------------
   // At the reference's rotation model a restart (or a first run against
@@ -315,7 +321,7 @@ class ZeekMicroBatchStream(
       }
     }
     if (admitted.isEmpty) start // no new data: engine sees offset unchanged
-    else if (admitted.length == backlog.length) latestOffset() // caught up: compact
+    else if (admitted.length == backlog.length) offsetFor(listed) // caught up: compact from THIS listing
     else s.legacySeen match {
       // Capped batch: the watermark must NOT advance — every un-admitted
       // backlog file has to stay unprocessed — so the end offset keeps

@@ -97,8 +97,29 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     ZeekStreamingWriterFactory(schema, dir, pathName, codec, maxRowsPerFile, conf)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Epoch replay idempotence does NOT get to assume deterministic
+    // partitioning: a restart with a different shuffle-partition count (or
+    // a round-robin repartition upstream) can replay this epoch with fewer
+    // partitions or fewer -rN rolls than the first attempt committed,
+    // which would leave the first attempt's extra part-e<epoch>-* files
+    // visible as duplicates. The task commit messages are the complete
+    // manifest of THIS attempt's files — drop any other final file of the
+    // same epoch.
+    val committed = messages.iterator.collect {
+      case ZeekTaskCommit(paths) if paths.nonEmpty =>
+        paths.split(',').iterator.map(p => new Path(p).getName)
+    }.flatten.toSet
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    val epochPrefix = f"part-e$epochId%05d-"
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).filter { s =>
+        val n = s.getPath.getName
+        n.startsWith(epochPrefix) && !committed.contains(n)
+      }.foreach(s => fs.delete(s.getPath, false))
     ZeekDataSource.clearBindCache()
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // clear only THIS epoch's temps — a concurrent writer's in-progress

@@ -114,6 +114,33 @@ class InetOpsSpec extends AnyFunSuite {
     assert(back.select("tag").distinct().count() == 2)
   }
 
+  test("shared column names and a pre-existing __inet_bucket don't break analysis") {
+    // logs and nets both carry `id` and `note`, and each already has a
+    // column named __inet_bucket — the join must neither fail with
+    // ambiguous-attribute errors nor corrupt the caller's columns
+    import spark.implicits._
+    val logs = Seq((1L, "keepL", 7, "10.1.2.3"), (2L, "keepL", 8, "11.0.0.1"),
+      (3L, "keepL", 9, "8.8.8.8")).toDF("id", "note", "__inet_bucket", "addr")
+    val nets = Seq((10L, "keepN", 70, "10.0.0.0/8"), (11L, "keepN", 71, "8.8.0.0/16"))
+      .toDF("id", "note", "__inet_bucket", "cidr")
+
+    val inner = InetOps.cidrJoin(logs, col("addr"), nets, col("cidr"))
+    assert(inner.count() == 2)
+    // caller columns survive untouched (both sides' copies, no temps left)
+    assert(inner.columns.count(_ == "id") == 2)
+    assert(inner.columns.count(_ == "__inet_bucket") == 2)
+    assert(inner.columns.forall(c => !c.startsWith("__inet_bucket1") && !c.startsWith("__inet_addr")))
+    assert(inner.select(logs("__inet_bucket")).collect().map(_.getInt(0)).toSet == Set(7, 9))
+
+    val semi = InetOps.cidrSemiJoin(logs, col("addr"), nets, col("cidr"))
+    assert(semi.columns.toSeq == logs.columns.toSeq)
+    assert(semi.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val anti = InetOps.cidrAntiJoin(logs, col("addr"), nets, col("cidr"))
+    assert(anti.select("id").as[Long].collect().toSet == Set(2L))
+    assert(anti.select("__inet_bucket").as[Int].collect().toSet == Set(8),
+      "the caller's own __inet_bucket values must pass through unchanged")
+  }
+
   test("subnet bucket expansion is exactly 2^(bucketBits - prefix), capped by family") {
     assert(InetOps.cidrBuckets("10.0.0.0/16", 16).length == 1)
     assert(InetOps.cidrBuckets("10.0.0.0/24", 16).length == 1)

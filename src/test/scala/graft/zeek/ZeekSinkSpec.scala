@@ -236,6 +236,60 @@ class ZeekSinkSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE zeek_sql_sink")
   }
 
+  test("scalar strings equal to the unset/empty markers are escaped like zeek's writer") {
+    // "-" / "(empty)" as VALUES would re-read as NULL / "" — silent
+    // corruption; zeek's ascii writer hex-escapes the first char, so do we
+    assert(ZeekWriteCore.renderString("-") == "\\x2d")
+    assert(ZeekWriteCore.renderString("(empty)") == "\\x28empty)")
+    assert(ZeekWriteCore.renderString("") == "(empty)") // the real empty string keeps its marker
+    assert(ZeekWriteCore.renderString("-x") == "-x")    // only EXACT collisions escape
+
+    val out = ZeekFixtures.tempDir()
+    import spark.implicits._
+    Seq((1L, "-"), (2L, "(empty)"), (3L, "ok"), (4L, ""))
+      .toDF("n", "s").repartition(1)
+      .write.format("zeek").mode("append").save(out.toString)
+    val back = read(s"$out/*.log").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // escaped forms re-read as the literal escaped text (no ecosystem
+    // reader unescapes) — NULL-ness and emptiness survive, bytes don't
+    assert(back(1L).contains("\\x2d"))
+    assert(back(2L).contains("\\x28empty)"))
+    assert(back(3L).contains("ok"))
+    // the EMPTY scalar string is the format's inherent normalization: it
+    // renders as the empty marker, and the scanner (like the reference)
+    // maps BOTH markers to NULL for scalars — "" → NULL survives no escape
+    assert(back(4L).isEmpty)
+  }
+
+  test("streaming epoch replay commit drops stale files the replay didn't re-commit") {
+    // a replay with FEWER partitions (changed shuffle-partition count) or
+    // fewer -rN rolls must not leave the first attempt's extra
+    // part-e<epoch>-* files behind as duplicates
+    val out = ZeekFixtures.tempDir()
+    def mk(name: String): java.io.File = {
+      val f = new java.io.File(out.toString, name)
+      java.nio.file.Files.write(f.toPath, "stale\n".getBytes("UTF-8")); f
+    }
+    val kept = mk("part-e00005-p00000.log")       // re-committed by the replay
+    val stale = mk("part-e00005-p00001.log")      // first attempt only
+    val staleRoll = mk("part-e00005-p00000-r1.log") // first attempt rolled further
+    val otherEpoch = mk("part-e00004-p00001.log") // other epochs untouched
+
+    import graft.zeek.v2.{SerializableConf, ZeekStreamingWrite, ZeekTaskCommit}
+    val w = new ZeekStreamingWrite(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))),
+      out.toString, "t", "none", Long.MaxValue,
+      new SerializableConf(spark.sessionState.newHadoopConf()))
+    w.commit(5L, Array(ZeekTaskCommit(kept.getPath), ZeekTaskCommit("")))
+
+    assert(kept.exists, "re-committed file must survive")
+    assert(!stale.exists, "stale partition from the prior attempt must be deleted")
+    assert(!staleRoll.exists, "stale roll from the prior attempt must be deleted")
+    assert(otherEpoch.exists, "other epochs are not this commit's business")
+  }
+
   test("derived zeek types for plain Spark frames; unsupported types fail fast") {
     val out = ZeekFixtures.tempDir()
     import spark.implicits._

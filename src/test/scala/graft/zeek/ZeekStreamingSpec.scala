@@ -166,6 +166,42 @@ class ZeekStreamingSpec extends AnyFunSuite {
     assert(stream.latestOffset(s, limit) == s)
   }
 
+  test("caught-up capped offset compaction does not re-list the directory") {
+    // the compaction branch used to call latestOffset(), which re-lists; a
+    // file appearing between the two listings with an mtime below the new
+    // watermark minus slack would be stamped processed without ever being
+    // planned. The compacted offset must come from the SAME listing the
+    // admission decision used — provably, by filesystem call count.
+    val dir = ZeekFixtures.tempDir()
+    for (i <- 1 to 3) {
+      val p = ZeekFixtures.write(dir, s"f$i.log",
+        ZeekFixtures.base("t", Seq((s"$i.0", s"F$i", s"$i"))))
+      assert(new java.io.File(p).setLastModified(1600000000000L + i * 10000L))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setClass("fs.countfs.impl", classOf[CountingLocalFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    // countfs is not in the dir-mtime cache allowlist → every listing is real
+    val bind = ZeekSchema.bind(Seq(s"countfs:$dir/*.log"),
+      ZeekOptions(maxFilesPerTrigger = Some(5)), conf)
+    val stream = new graft.zeek.v2.ZeekMicroBatchStream(bind, bind.patterns,
+      bind.schema, Array.empty, conf)
+
+    CountingLocalFs.reset()
+    stream.latestOffset()
+    val oneListing = CountingLocalFs.listCalls.get
+    assert(oneListing > 0, "uncached latestOffset must hit the filesystem")
+
+    // cap (5) exceeds the backlog (3) → the capped call catches up and
+    // compacts; it must cost exactly ONE listing, not two
+    CountingLocalFs.reset()
+    val e = stream.latestOffset(stream.initialOffset(), stream.getDefaultReadLimit)
+      .asInstanceOf[graft.zeek.v2.ZeekOffset]
+    assert(CountingLocalFs.listCalls.get == oneListing,
+      s"compaction re-listed: ${CountingLocalFs.listCalls.get} vs $oneListing list calls")
+    assert(e.watermark == 1600000000000L + 3 * 10000L, e.toString)
+  }
+
   test("admission control: max_bytes_per_trigger caps by size, always admits one file") {
     import graft.zeek.v2.ZeekInputPartition
     val dir = ZeekFixtures.tempDir()
