@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.inet.InetExpressions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    graft.functions.BloomFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
     // literal-CIDR containment filters gain a pushable prefix conjunct
     // (reaches the zeek scan's pre-parse filter eval — see the rule doc)
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)

@@ -12,5 +12,6 @@ object GraftFunctions {
     graft.inet.InetFunctions.registerAll(spark)
     graft.functions.VectorExpressions.registerAll(spark)
     graft.functions.Udafs.registerAll(spark)
+    graft.functions.BloomFunctions.registerAll(spark)
   }
 }

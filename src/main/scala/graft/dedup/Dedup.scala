@@ -297,6 +297,46 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a Bloom prefilter — the shape for when
+    * the eval side outgrows a broadcast HASH relation but its BLOOM
+    * filter still fits anywhere (tens of millions of shingles ≈ a few
+    * MB at 1% fpp). Three stages, all Spark-native expressions:
+    *
+    *   1. `bloom_agg(xxhash64(s))` over the eval shingles — a real
+    *      partial/merge aggregate; the driver sees only the serialized
+    *      filter (bounded by the numBits cap), which ships to executors
+    *      as a literal in the probe expression.
+    *   2. `bloom_might_contain(filter, xxhash64(s))` prefilters the
+    *      corpus shingle stream MAP-SIDE (codegen'd, no shuffle): Bloom
+    *      has no false negatives, so no true hit is lost; the stream
+    *      that reaches the join shrinks to matches + the fpp tail.
+    *   3. The exact join confirms survivors, so false positives die
+    *      here — the result EQUALS [[contaminationPairs]] exactly, which
+    *      is what makes the operator hash-checkable against the same
+    *      oracle. No broadcast hint on the join: the prefiltered stream
+    *      is small, and AQE picks the strategy from its real size.
+    */
+  def contaminationPairsBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      minShared: Int = 3, estimatedItems: Long = 1L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.BloomFunctions.registerAll(spark)
+    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    val c = corpus.select(col(idCol).as("corpus_id"), explode(sh(col(textCol))).as("s"))
+    val e = evalSet.select(col(idCol).as("eval_id"), explode(sh(col(textCol))).as("s"))
+    val filterBytes = e.select(call_function("bloom_agg",
+        xxhash64(col("s")), lit(estimatedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0) // the one driver-side value: the sketch itself
+    // an EMPTY eval side aggregates to a NULL sketch — skip the prefilter
+    // (the join against the empty side yields nothing regardless)
+    val pre = if (filterBytes == null) c
+      else c.filter(call_function("bloom_might_contain", lit(filterBytes), xxhash64(col("s"))))
+    pre.join(e, "s")
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- exact n-gram Jaccard via inverted index -------------------------
 
   /** All-pairs exact n-gram Jaccard ≥ threshold, computed with an

@@ -198,6 +198,26 @@ object PipelineQueries {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // deterministic global shuffle + sharding — the step every training
+    // pipeline runs last: order the corpus by a seeded hash (resumable,
+    // reproducible across runs) and split it into shards with a stable
+    // in-shard position. ONE hash shuffle on the shard id; each shard
+    // sorts internally (shard count scales with the cluster — at 100 TB
+    // you run thousands of shards, same plan). A production run would
+    // shard by pmod(xxhash64(key), n); the md5/ascii form here is chosen
+    // because the oracle can replay it bit-for-bit.
+    "d20_shuffle_shard" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))).as("skey"))
+        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // cleaned-corpus capstone: the full curation pipeline composed —
     // keep ONE doc per near-dup cluster (the min-id survivor from d09),
     // drop low-quality docs (d02's score), keep English. The shape every
@@ -258,17 +278,20 @@ object PipelineQueries {
     // paragraph-level exact dedup: "paragraphs" are 10-token windows
     // (the synthetic corpus has no newlines); each distinct paragraph is
     // kept at its globally-first (doc_id, idx) occurrence and documents
-    // are reassembled from their surviving paragraphs. One shuffle,
-    // keyed by paragraph content; at 100 TB key by md5(paragraph) and
-    // carry the text alongside — same plan shape, narrower sort keys.
+    // are reassembled from their surviving paragraphs. The dedup window
+    // is keyed by md5(paragraph), NOT the text itself: the partitioning
+    // hash and the in-partition sort then compare fixed 32-char keys
+    // while the text rides along as payload — at 100 TB paragraph cells
+    // are kilobytes and text-keyed sort comparisons dominate the stage.
     "d18_paragraph_dedup" -> ((s, d) => {
       val paras = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), "\\s+"))
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1), " +
             "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as(Seq("idx", "para")))
+        .withColumn("pkey", md5(col("para")))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("para")).orderBy(col("doc_id"), col("idx"))
+        .partitionBy(col("pkey")).orderBy(col("doc_id"), col("idx"))
       paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
@@ -283,6 +306,18 @@ object PipelineQueries {
     "d15_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", shingleSize = 2, minShared = 3)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
+    // d15 at the scale where the eval set outgrows a broadcast hash
+    // relation: its BLOOM FILTER prefilters the corpus shingle stream
+    // map-side (no false negatives → nothing lost), the exact join kills
+    // the fpp tail — so the result, and the oracle, EQUAL d15's.
+    "d19_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairsBloom(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
         "doc_id", "text", shingleSize = 2, minShared = 3)
         .orderBy(col("corpus_id"), col("eval_id"))
@@ -664,6 +699,20 @@ object PipelineQueries {
         |SELECT corpus_id, eval_id, n_shared FROM hits WHERE n_shared >= 3
         |ORDER BY corpus_id, eval_id""".stripMargin,
 
+    // identical to d15's oracle by design: the Bloom prefilter is an
+    // optimization that cannot change the result (no false negatives;
+    // false positives die in the exact confirm join)
+    "d19_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |hits AS (SELECT c.doc_id AS corpus_id, v.doc_id AS eval_id, count(*) AS n_shared
+        |         FROM e c JOIN e v ON c.s = v.s
+        |         WHERE c.doc_id >= 20 AND v.doc_id < 20
+        |         GROUP BY 1, 2)
+        |SELECT corpus_id, eval_id, n_shared FROM hits WHERE n_shared >= 3
+        |ORDER BY corpus_id, eval_id""".stripMargin,
+
     "d10_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
@@ -699,6 +748,13 @@ object PipelineQueries {
         |FROM documents)
         |SELECT doc_id, source, lang, rn FROM r WHERE rn <= 20
         |ORDER BY source, rn""".stripMargin,
+
+    "d20_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey, CAST(ascii(substr(skey, 1, 1)) % 4 AS INT) AS shard FROM k),
+        |p AS (SELECT doc_id, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos FROM s)
+        |SELECT doc_id, shard, pos FROM p ORDER BY shard, pos""".stripMargin,
 
     "e01_embedding_stats" ->
       """SELECT vec_id, len(embedding) AS dims, CAST(embedding[1] AS DOUBLE) AS first_val, label

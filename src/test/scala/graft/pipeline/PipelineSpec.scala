@@ -100,6 +100,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("bloom-prefiltered decontamination equals the exact broadcast version") {
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "eval_id", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Dedup.contaminationPairs(corpus, evalSet, "doc_id", "text"))
+    val bloomDf = Dedup.contaminationPairsBloom(corpus, evalSet, "doc_id", "text")
+    assert(rows(bloomDf) == exact, "bloom prefilter must not change the result")
+    assert(exact.nonEmpty, "test data must produce contamination hits")
+    // the prefilter is really in the plan, probing the serialized sketch
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "corpus side must carry the bloom probe:\n" + plan.take(1500))
+    // empty eval side degrades gracefully (NULL sketch → no prefilter, no rows)
+    assert(Dedup.contaminationPairsBloom(
+      corpus, evalSet.filter(col("doc_id") < 0), "doc_id", "text").count() == 0)
+  }
+
   test("NULL text propagates as NULL through the text/dedup UDFs (no NPE)") {
     import spark.implicits._
     val df = Seq((1L, "hello world hello"), (2L, null: String)).toDF("doc_id", "text")
