@@ -250,6 +250,221 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  // ---- product quantization (the compression half of IVF-PQ) -----------
+
+  /** PQ codebooks: the dimension space split into `m` contiguous
+    * subspaces, each learning `ksub` centroids by Lloyd's iterations on
+    * the same deterministic bounded driver sample as [[ivfCentroids]]
+    * (FAISS-style — a PQ codebook is ALWAYS trained on a sample; only
+    * encoding and scoring are distributed). Returns [m][ksub][subDim]. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 8, sampleCap: Int = 4096,
+      iters: Int = 8): Array[Array[Array[Float]]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+    require(sample.nonEmpty, "pq: empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"pq: $dims dims not divisible into $m subspaces")
+    val subDim = dims / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      val k = math.min(ksub, sub.length)
+      var cents = Array.tabulate(k)(i => sub(i * sub.length / k).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d => (sums(c)(d) / counts(c)).toFloat))
+      }
+      cents
+    }
+  }
+
+  /** Squared L2 between `v[offset, offset+len)` and a sub-centroid. */
+  private def subDist(v: Array[Float], cent: Array[Float], offset: Int): Double = {
+    var d2 = 0.0
+    var d = 0
+    while (d < cent.length) {
+      val diff = v(offset + d).toDouble - cent(d)
+      d2 += diff * diff
+      d += 1
+    }
+    d2
+  }
+
+  /** Approximate L2 top-k via PQ asymmetric-distance (ADC) scoring.
+    * The corpus is ENCODED once map-side — m small codes per vector
+    * instead of `dims` floats, the ~32× memory collapse that lets a
+    * 100 TB corpus's index fit a serving tier — and each query
+    * precomputes its m×ksub distance table so scoring a candidate is m
+    * table lookups, not a dims-length loop. Broadcast shape mirrors
+    * [[bruteForceTopK]]: queries (with their tables) broadcast, the
+    * corpus never shuffles; the ranking window is the only shuffle.
+    * Ranked by approximate distance ASCENDING (L2, not cosine).
+    * Verified in PipelineSpec: recall against exact-L2 brute force and
+    * the self-distance ≡ quantization-error invariant. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val bc = spark.sparkContext.broadcast(books)
+    val encode = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val b = bc.value.length
+        val arr = v.toArray
+        val codes = new Array[Int](b)
+        var s = 0
+        while (s < b) {
+          val cents = bc.value(s)
+          val offset = s * cents(0).length
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val d2 = subDist(arr, cents(c), offset)
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        codes
+      }
+    }
+    val table = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        bc.value.zipWithIndex.map { case (cents, s) =>
+          val offset = s * cents(0).length
+          cents.map(c => subDist(arr, c, offset))
+        }
+      }
+    }
+    val adc = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var s = 0
+      var sum = 0.0
+      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
+      sum
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("codes", encode(col("cv")))
+      .filter(col("codes").isNotNull)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("tab", table(col("qv")))
+      .filter(col("tab").isNotNull)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("tab"), col("codes")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    scored.select("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ with exact re-ranking — the standard serving pattern: ADC
+    * ranks `candidates` per query from codes alone (cheap table
+    * lookups over the whole corpus), then ONLY those candidates are
+    * scored with the true L2 distance and re-ranked. At 100 TB the
+    * exact pass touches `candidates` vectors per query instead of the
+    * corpus — the part ADC approximation quality stops mattering for,
+    * since it only has to get the true neighbors into the candidate
+    * pool (recall@pool ≫ recall@k; measured in PipelineSpec). */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, ksub: Int = 32,
+      candidates: Int = 50): DataFrame = {
+    graft.functions.VectorExpressions.registerAll(corpus.sparkSession)
+    val pool = pqTopK(corpus, queries, idCol, vecCol, candidates, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = pool.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
+    exact.select("query_id", "neighbor_id", "l2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic data-independent PQ sub-centroid element for the
+    * oracle-checkable twin: subspace s, code c, LOCAL dim d → integer in
+    * [-512, 512). Seed-free and stable, like [[planeWeight]]; the DuckDB
+    * twin embeds the same integers as SQL literals. */
+  private[graft] def pqFixedCentroid(s: Int, c: Int, d: Int): Long =
+    ((mix64((s.toLong * 131L + c) * 8209L + d * 37L) >>> 16) % 1024L) - 512L
+
+  /** Integer-exact PQ ADC pipeline over the FIXED codebook: elements
+    * quantize as floor(v·1024) (exact — ×1024 is a power of two), every
+    * distance is BIGINT arithmetic, ties break on the lowest code /
+    * neighbor id — so ANY engine reproduces encode, tables, ADC sums and
+    * ranking bit-for-bit. [[pqTopK]] keeps the trained-float production
+    * codebook; this twin exists so the whole PQ machinery is
+    * hash-checkable against the DuckDB oracle (same role as
+    * [[lshTopKQuantized]] for LSH). */
+  def pqTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"pq: $dims dims not divisible into $m subspaces")
+    val subDim = dims / m
+    val books: Array[Array[Array[Long]]] =
+      Array.tabulate(m, ksub, subDim)((s, c, d) => pqFixedCentroid(s, c, d))
+    def qv(v: Seq[Float], gd: Int): Long = math.floor(v(gd).toDouble * 1024.0).toLong
+    def subD2(v: Seq[Float], s: Int, c: Int): Long = {
+      var d = 0
+      var d2 = 0L
+      while (d < subDim) {
+        val diff = qv(v, s * subDim + d) - books(s)(c)(d)
+        d2 += diff * diff
+        d += 1
+      }
+      d2
+    }
+    val encode = udf { (v: Seq[Float]) =>
+      if (v == null || v.length < dims) null
+      else Array.tabulate(m) { s =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val d2 = subD2(v, s, c)
+          if (d2 < bestD) { bestD = d2; best = c } // strict < : ties keep the lowest code
+          c += 1
+        }
+        best
+      }
+    }
+    val table = udf { (v: Seq[Float]) =>
+      if (v == null || v.length < dims) null
+      else Array.tabulate(m, ksub)((s, c) => subD2(v, s, c))
+    }
+    val adc = udf { (tab: Seq[Seq[Long]], codes: Seq[Int]) =>
+      var s = 0
+      var sum = 0L
+      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
+      sum
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("codes", encode(col("cv")))
+      .filter(col("codes").isNotNull)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("tab", table(col("qv")))
+      .filter(col("tab").isNotNull)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("tab"), col("codes")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    scored.select("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: probe the query's bucket and all Hamming-1
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */

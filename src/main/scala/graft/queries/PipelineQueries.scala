@@ -46,6 +46,15 @@ object PipelineQueries {
     (for (p <- 0 until nBits; d <- 0 until dims)
       yield s"($p,$d,${if (Ann.planeWeight(p, d) > 0) 1 else -1})").mkString(",")
 
+  /** The deterministic PQ sub-centroids as a SQL VALUES list of
+    * (subspace, code, GLOBAL dim, value) — e12b's oracle re-runs encode,
+    * distance tables, and ADC from the same integers. */
+  private def pqCentroidValues(m: Int, ksub: Int, dims: Int): String = {
+    val subDim = dims / m
+    (for (s <- 0 until m; c <- 0 until ksub; d <- 0 until subDim)
+      yield s"($s,$c,${s * subDim + d},${Ann.pqFixedCentroid(s, c, d)})").mkString(",")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis --------------------------------------------------
     "d01_token_stats" -> ((s, d) => {
@@ -429,6 +438,33 @@ object PipelineQueries {
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nLists = 16, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // product-quantization ANN — the compression half of IVF-PQ: the
+    // corpus becomes m codes per vector (the ~32× memory collapse an ANN
+    // serving tier needs at 100 TB), ADC ranks candidates by table
+    // lookups, exact L2 re-ranks only the candidate pool (the standard
+    // serving pattern). Trained-codebook floats are engine-specific →
+    // rows-only; pool recall, refined recall, and the self-distance
+    // invariant are ScalaTest-verified, and e12b hash-checks the
+    // machinery end to end.
+    "e12_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.pqTopKRefined(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("l2"), 4).as("l2"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hash-checkable PQ: the fixed integer codebook + floor(v·1024)
+    // quantization make encode, distance tables, ADC sums and ranking
+    // bit-exact in any engine — the DuckDB twin recomputes ALL of it
+    // from the same centroid integers embedded as SQL literals.
+    "e12b_ann_pq_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.pqTopKQuantized(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -847,6 +883,34 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM scored)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full PQ-ADC twin from the fixed integer codebook: encode = argmin
+    // of BIGINT sub-distances (ties → lowest code), tables = the same
+    // sub-distances, ADC = m lookups summed — all integer-exact.
+    // HUGEINT sums cast back to BIGINT for the pandas compare.
+    "e12b_ann_pq_quantized" ->
+      s"""WITH cb(sub, code, gd, cv) AS (VALUES ${pqCentroidValues(4, 8, 64)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS gd,
+         |         CAST(floor(e[CAST(t.i AS INT)] * 1024) AS BIGINT) AS qv
+         |       FROM emb, range(1, 65) t(i)),
+         |sd AS (SELECT un.vec_id, cb.sub, cb.code,
+         |         CAST(sum((un.qv - cb.cv) * (un.qv - cb.cv)) AS BIGINT) AS d2
+         |       FROM un JOIN cb ON un.gd = cb.gd GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, sub, code,
+         |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |        FROM sd),
+         |codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+         |adc AS (SELECT t.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CAST(sum(t.d2) AS BIGINT) AS adist
+         |        FROM codes c JOIN sd t ON t.sub = c.sub AND t.code = c.code
+         |        WHERE t.vec_id < 5 AND c.vec_id <> t.vec_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // full-probe IVF ≡ exact brute-force top-k (see the query comment)

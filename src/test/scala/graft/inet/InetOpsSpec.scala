@@ -141,6 +141,39 @@ class InetOpsSpec extends AnyFunSuite {
       "the caller's own __inet_bucket values must pass through unchanged")
   }
 
+  test("cidr joins work stream-static: streaming zeek logs enriched against a static intel list") {
+    // the operational form: a live conn.log rotation stream containment-
+    // joined against a (small, static) intel list. The bucketed equi-join
+    // is stream-static-legal — the stream side only gains derived columns
+    // map-side; the static side explodes its buckets once per trigger.
+    import graft.zeek.ZeekFixtures
+    import spark.implicits._
+    val in = ZeekFixtures.tempDir()
+    ZeekFixtures.write(in, "conn.log", ZeekFixtures.connContent)
+    val intel = Seq((1L, "8.8.0.0/16", "dns"), (2L, "2001:4860::/32", "goog6"))
+      .toDF("intel_id", "cidr", "tag")
+    val stream = spark.readStream.format("zeek").load(s"$in/*.log")
+    val hits = InetOps.cidrJoin(stream, col("id_resp_h"), intel, col("cidr"))
+      .select("uid", "id_resp_h", "tag")
+    val q = hits.writeStream.format("memory").queryName("inet_stream_hits")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("inet_stream_hits").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got.map(_._2) == Set("dns", "goog6"), got.toString)
+      assert(spark.table("inet_stream_hits").count() == 3)
+      // semi-join flavor also runs stream-static (each log row at most once)
+      val semi = InetOps.cidrSemiJoin(stream, col("id_resp_h"), intel, col("cidr"))
+      val q2 = semi.writeStream.format("memory").queryName("inet_stream_semi")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("inet_stream_semi").count() == 3)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("subnet bucket expansion is exactly 2^(bucketBits - prefix), capped by family") {
     assert(InetOps.cidrBuckets("10.0.0.0/16", 16).length == 1)
     assert(InetOps.cidrBuckets("10.0.0.0/24", 16).length == 1)

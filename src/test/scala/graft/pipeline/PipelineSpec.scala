@@ -100,6 +100,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("PQ ADC: an exact copy of the query achieves the minimal distance; recall vs exact L2") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 3)
+    // corpus plus an exact copy of each query vector under a shifted id:
+    // the copy encodes to the query's own nearest codes, so its ADC
+    // distance is the query's quantization error — the smallest
+    // achievable — and must sit at min(adist) for that query
+    val copies = queries.withColumn("vec_id", col("vec_id") + 10000)
+    val pq = Ann.pqTopK(emb.unionByName(copies), queries,
+      "vec_id", "embedding", k = 10).collect()
+    for (q <- 0L until 3L) {
+      val forQ = pq.filter(_.getAs[Long]("query_id") == q)
+      val copy = forQ.find(_.getAs[Long]("neighbor_id") == q + 10000)
+      assert(copy.isDefined, s"encoded copy of query $q missing from its top-10")
+      val minD = forQ.map(_.getAs[Double]("adist")).min
+      assert(math.abs(copy.get.getAs[Double]("adist") - minD) < 1e-9,
+        s"copy of query $q must be at the minimal ADC distance")
+    }
+
+    // the candidate POOL recalls the true L2 neighborhood (what matters
+    // for serving: ADC only has to get true neighbors into the pool) …
+    graft.functions.VectorExpressions.registerAll(spark)
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    val exact = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).collect()
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (0L until 3L).map { q =>
+        val e5 = exact.filter(_.getAs[Long]("query_id") == q)
+          .map(_.getAs[Long]("neighbor_id")).toSet
+        val pk = rows.filter(_.getAs[Long]("query_id") == q)
+          .map(_.getAs[Long]("neighbor_id")).toSet
+        (e5 & pk).size / 5.0
+      }.sum / 3
+    val pool = Ann.pqTopK(emb, queries, "vec_id", "embedding", k = 20,
+      m = 16, ksub = 32).collect()
+    assert(recallOf(pool) >= 0.5, s"ADC candidate-pool recall too low: ${recallOf(pool)}")
+
+    // … and exact re-ranking of the pool makes the FINAL top-5 accurate
+    val refined = Ann.pqTopKRefined(emb, queries, "vec_id", "embedding",
+      k = 5, m = 16, ksub = 32, candidates = 50).collect()
+    assert(recallOf(refined) >= 0.7, s"refined PQ recall@5 too low: ${recallOf(refined)}")
+
+    // the quantized twin is bit-deterministic across runs
+    def runQ() = Ann.pqTopKQuantized(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(runQ() == runQ())
+  }
+
   test("bloom-prefiltered decontamination equals the exact broadcast version") {
     val corpus = docs.filter(col("doc_id") >= 20)
     val evalSet = docs.filter(col("doc_id") < 20)
