@@ -160,19 +160,31 @@ object Ann {
     * spaced sample points, fixed iteration count — same index every
     * run. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, sampleCap: Int = 4096, iters: Int = 8): Array[Array[Float]] = {
-    // null embeddings are excluded from training too (ivfTopK filters them
-    // only at assignment); element reads are width-agnostic so float[] and
-    // double[] corpora both train, matching the rest of the vector API
+      nLists: Int, sampleCap: Int = 4096, iters: Int = 8): Array[Array[Float]] =
+    lloyd(collectSample(corpus, idCol, vecCol, sampleCap, "ivf"), nLists, iters)
+
+  /** Deterministic bounded training sample: id-ordered, nulls excluded
+    * (assignment-time filtering stays in the distributed operators);
+    * element reads are width-agnostic so float[] and double[] corpora
+    * both train, matching the rest of the vector API. */
+  private def collectSample(corpus: DataFrame, idCol: String, vecCol: String,
+      sampleCap: Int, who: String): Array[Array[Float]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol))
       .limit(sampleCap).collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
-    require(sample.nonEmpty, "ivf: empty corpus")
+    require(sample.nonEmpty, s"$who: empty corpus")
+    sample
+  }
+
+  /** Deterministic Lloyd's: evenly spaced seeds over the (id-ordered)
+    * sample, fixed iteration count, empty cells keep their centroid —
+    * the same index every run. */
+  private def lloyd(sample: Array[Array[Float]], nLists: Int,
+      iters: Int): Array[Array[Float]] = {
     val k = math.min(nLists, sample.length)
     val dims = sample.head.length
-    // evenly spaced seeds over the (id-ordered) sample
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dims))
@@ -259,33 +271,18 @@ object Ann {
     * encoding and scoring are distributed). Returns [m][ksub][subDim]. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, ksub: Int = 8, sampleCap: Int = 4096,
-      iters: Int = 8): Array[Array[Array[Float]]] = {
-    val sample = corpus.select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .orderBy(col(idCol))
-      .limit(sampleCap).collect()
-      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
-    require(sample.nonEmpty, "pq: empty corpus")
+      iters: Int = 8): Array[Array[Array[Float]]] =
+    pqTrain(collectSample(corpus, idCol, vecCol, sampleCap, "pq"), m, ksub, iters)
+
+  /** Per-subspace Lloyd's over a training sample → [m][ksub][subDim]. */
+  private def pqTrain(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
     val dims = sample.head.length
     require(dims % m == 0, s"pq: $dims dims not divisible into $m subspaces")
     val subDim = dims / m
     Array.tabulate(m) { s =>
       val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
-      val k = math.min(ksub, sub.length)
-      var cents = Array.tabulate(k)(i => sub(i * sub.length / k).clone())
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
-        val counts = new Array[Int](k)
-        sub.foreach { v =>
-          val c = nearestCentroid(v, cents)
-          counts(c) += 1
-          var d = 0
-          while (d < subDim) { sums(c)(d) += v(d); d += 1 }
-        }
-        cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c)
-          else Array.tabulate(subDim)(d => (sums(c)(d) / counts(c)).toFloat))
-      }
-      cents
+      lloyd(sub, ksub, iters)
     }
   }
 
@@ -392,6 +389,111 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
     exact.select("query_id", "neighbor_id", "l2")
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The full FAISS-style IVF-PQ index: a coarse quantizer routes each
+    * vector to a cell, and the RESIDUAL (vector − cell centroid) is
+    * product-quantized — residuals are centered near zero, so the same
+    * codebook bits buy far more precision than on raw vectors. Queries
+    * probe their `nProbe` nearest cells, scoring each cell's members by
+    * ADC against a per-cell residual table; the exact re-rank touches
+    * only `candidates` vectors per query.
+    *
+    * Scale shape: both trainings run on one bounded driver sample;
+    * assignment + residual encoding are one map-side pass (the corpus
+    * stores cell + m codes — at 100 TB that IS the index); the probe
+    * join shuffles queries to cells, never the corpus; ranking windows
+    * carry only (ids, distance). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 32, candidates: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.registerAll(spark)
+    val sample = collectSample(corpus, idCol, vecCol, 4096, "ivfpq")
+    val cents = lloyd(sample, nLists, 8)
+    val books = pqTrain(sample.map { v =>
+      val c = cents(nearestCentroid(v, cents))
+      Array.tabulate(v.length)(d => v(d) - c(d))
+    }, m, ksub, 8)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val c = bcC.value(cell)
+      Array.tabulate(v.length)(d => v(d) - c(d))
+    }
+    def encodeRes(r: Array[Float]): Array[Int] = {
+      val b = bcB.value
+      Array.tabulate(b.length) { s =>
+        val cs = b(s)
+        val offset = s * cs(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d2 = subDist(r, cs(c), offset)
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val encode = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val cell = nearestCentroid(arr, bcC.value)
+        (cell, encodeRes(residual(arr, cell)))
+      }
+    }
+    // per probed cell, the query's residual-distance table for that cell
+    val probeTabs = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        probeList(arr, bcC.value, nProbe).map { cell =>
+          val r = residual(arr, cell)
+          (cell, bcB.value.zipWithIndex.map { case (cs, s) =>
+            val offset = s * cs(0).length
+            cs.map(c => subDist(r, c, offset))
+          })
+        }
+      }
+    }
+    val adc = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var s = 0
+      var sum = 0.0
+      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
+      sum
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("enc", encode(col("cv")))
+      .filter(col("enc").isNotNull)
+      .select(col("neighbor_id"),
+        col("enc._1").as("cell"), col("enc._2").as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe", explode(probeTabs(col("qv"))))
+      .select(col("query_id"),
+        col("probe._1").as("cell"), col("probe._2").as("tab"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("tab"), col("codes")))
+    // candidate pool by ADC — the ranking shuffle carries only
+    // (ids, adist); vectors are re-fetched for the pool alone (at scale:
+    // point lookups against the id-bucketed corpus)
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val pool = scored.select(col("query_id"), col("neighbor_id"), col("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= candidates)
+      .select("query_id", "neighbor_id")
+    val qraw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val craw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val we = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
+    pool.join(broadcast(qraw), "query_id").join(craw, "neighbor_id")
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "l2")
+      .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
   }
 

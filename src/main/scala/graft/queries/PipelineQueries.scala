@@ -457,6 +457,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the composed FAISS-style index: coarse cells + residual product
+    // codes + ADC probe + exact re-rank. Trained floats → rows-only;
+    // recall vs brute force (full- and partial-probe) in PipelineSpec.
+    "e13_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4, m = 16, ksub = 32, candidates = 25)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("l2"), 4).as("l2"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hash-checkable PQ: the fixed integer codebook + floor(v·1024)
     // quantization make encode, distance tables, ADC sums and ranking
     // bit-exact in any engine — the DuckDB twin recomputes ALL of it

@@ -151,6 +151,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(runQ() == runQ())
   }
 
+  test("IVF-PQ: full probe + refine recovers the exact L2 top-5; partial probe stays useful") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 5)
+    graft.functions.VectorExpressions.registerAll(spark)
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    val exact = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).collect()
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (0L until 5L).map { q =>
+        val e5 = exact.filter(_.getAs[Long]("query_id") == q)
+          .map(_.getAs[Long]("neighbor_id")).toSet
+        val pk = rows.filter(_.getAs[Long]("query_id") == q)
+          .map(_.getAs[Long]("neighbor_id")).toSet
+        (e5 & pk).size / 5.0
+      }.sum / 5
+    // full probe: every cell scored → the pool misses only by ADC error,
+    // and the exact re-rank fixes ordering inside the pool
+    val full = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 16, m = 16, ksub = 32, candidates = 50).collect()
+    assert(recallOf(full) >= 0.7, s"full-probe IVF-PQ recall too low: ${recallOf(full)}")
+    // partial probe: 4 of 16 cells still catches a useful share
+    val part = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 4, m = 16, ksub = 32, candidates = 50).collect()
+    assert(recallOf(part) >= 0.3, s"partial-probe IVF-PQ recall too low: ${recallOf(part)}")
+    // structural: at most k rows per query, ranks contiguous from 1
+    val byQ = part.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), ranks.toString)
+      assert(ranks.length <= 5)
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact broadcast version") {
     val corpus = docs.filter(col("doc_id") >= 20)
     val evalSet = docs.filter(col("doc_id") < 20)
