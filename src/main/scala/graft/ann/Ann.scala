@@ -567,6 +567,42 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Scalar-quantized (SQ8) top-k: every element maps to an int8 code
+    * with the FIXED scale floor(v·256) clamped to [-128, 127] — a 4×
+    * memory cut with near-exact recall when embeddings live in ±0.5
+    * (normalized-vector territory), and the simplest of the
+    * quantized-index family (vs PQ's codebooks). Distances are integer
+    * L2 in the code domain — every step is exact integer arithmetic on
+    * a DATA-INDEPENDENT scale, so unlike trained-codebook PQ the whole
+    * operator hash-checks against the DuckDB oracle directly (e14).
+    * Broadcast shape as [[bruteForceTopK]]; ranked by quantized L2
+    * ascending. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else v.map(x => math.max(-128L, math.min(127L,
+        math.floor(x.toDouble * 256.0).toLong))).toArray
+    }
+    val d2 = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0
+      var s = 0L
+      val n = math.min(a.length, b.length)
+      while (i < n) { val diff = a(i) - b(i); s += diff * diff; i += 1 }
+      s
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), enc(col(vecCol)).as("c8"))
+      .filter(col("c8").isNotNull)
+    val q = queries.select(col(idCol).as("query_id"), enc(col(vecCol)).as("q8"))
+      .filter(col("q8").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", d2(col("q8"), col("c8")))
+      .select("query_id", "neighbor_id", "d2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: probe the query's bucket and all Hamming-1
     * buckets (multi-probe for recall). Returns the same shape as
     * [[bruteForceTopK]]. */

@@ -320,6 +320,45 @@ object PipelineQueries {
         .orderBy(col("corpus_id"), col("eval_id"))
     }),
 
+    // unigram language-model score — the CCNet-style quality filter
+    // proxy: avg log p(token) under the corpus's own unigram model.
+    // Two shuffles (vocab tf, per-doc agg); the vocab broadcasts (at
+    // 100 TB a few-million-term vocab is still ~100 MB — beyond that,
+    // drop the hint and let it shuffle-join on term). Per-token log
+    // probs are cast to DECIMAL(18,6) before summing so the aggregation
+    // is exact and associative — deterministic under any partial-agg
+    // order (same rule as q60's moments).
+    "d21_unigram_logprob" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val n = tk.agg(count(lit(1)).as("n_tokens"))
+      val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
+      tk.join(broadcast(tf), "term").crossJoin(broadcast(n))
+        .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // temperature-scaled source mixing weights (w_s ∝ n_s^α) and the
+    // per-source document budget for a 1M-doc epoch — the data-mixing
+    // step that follows curation. One tiny aggregate; the normalizer
+    // sums source-level decimals (exact, associative).
+    "d22_mixing_weights" -> ((s, d) => {
+      val pows = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("p", pow(col("n_docs").cast(DoubleType), lit(0.7)))
+      val tot = pows.agg(sum(col("p").cast(DecimalType(28, 10))).as("tot"))
+      pows.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("p") / col("tot").cast(DoubleType), 6).as("weight"),
+          round(col("p") / col("tot").cast(DoubleType) * 1000000, 2).as("budget_docs"))
+        .orderBy(col("source"))
+    }),
+
     // d15 at the scale where the eval set outgrows a broadcast hash
     // relation: its BLOOM FILTER prefilters the corpus shingle stream
     // map-side (no false negatives → nothing lost), the exact join kills
@@ -454,6 +493,16 @@ object PipelineQueries {
       Ann.pqTopKRefined(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("l2"), 4).as("l2"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SQ8: int8 codes at a FIXED data-independent scale → the whole
+    // quantized pipeline (encode, integer L2, ranking) hash-checks
+    // against the oracle directly — no literals, no twin needed.
+    "e14_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.sq8TopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -746,6 +795,45 @@ object PipelineQueries {
         |         GROUP BY 1, 2)
         |SELECT corpus_id, eval_id, n_shared FROM hits WHERE n_shared >= 3
         |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "d21_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |n AS (SELECT count(*) AS n_tokens FROM tk),
+        |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+        |lp AS (SELECT tk.doc_id, CAST(ln(tf.tf * 1.0 / n.n_tokens) AS DECIMAL(18,6)) AS lp
+        |       FROM tk JOIN tf USING (term) CROSS JOIN n),
+        |s AS (SELECT doc_id, count(*) AS n_toks, sum(lp) AS slp FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_toks, round(CAST(slp AS DOUBLE) / n_toks, 4) AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "d22_mixing_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |p AS (SELECT source, n_docs, pow(n_docs * 1.0, 0.7) AS p FROM c),
+        |t AS (SELECT sum(CAST(p AS DECIMAL(28,10))) AS tot FROM p)
+        |SELECT source, n_docs,
+        |  round(p / CAST(tot AS DOUBLE), 6) AS weight,
+        |  round(p / CAST(tot AS DOUBLE) * 1000000, 2) AS budget_docs
+        |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // int8 codes at a fixed power-of-two scale: floor(v*256) is exact,
+    // clamping and squared-difference sums are integers — the oracle
+    // recomputes the whole SQ8 pipeline from the raw embeddings
+    "e14_ann_sq8" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |un AS (SELECT vec_id, CAST(t.i AS INT) AS d,
+        |         greatest(-128, least(127, CAST(floor(e[CAST(t.i AS INT)] * 256) AS BIGINT))) AS q8
+        |       FROM emb, range(1, 65) t(i)),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |        CAST(sum((a.q8 - b.q8) * (a.q8 - b.q8)) AS BIGINT) AS d2
+        |      FROM un a JOIN un b ON a.d = b.d
+        |      WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |      GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, d2,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // identical to d15's oracle by design: the Bloom prefilter is an
     // optimization that cannot change the result (no false negatives;

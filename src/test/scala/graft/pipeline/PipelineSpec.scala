@@ -187,6 +187,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 quantized top-5 closely tracks exact float L2 (small quantization error)") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 5)
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cs = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    graft.functions.VectorExpressions.registerAll(spark)
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    val exact = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).collect()
+    val sq = Ann.sq8TopK(emb, queries, "vec_id", "embedding", k = 5).collect()
+    val recall = (0L until 5L).map { q =>
+      val e5 = exact.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      val s5 = sq.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      (e5 & s5).size / 5.0
+    }.sum / 5
+    assert(recall >= 0.8, s"SQ8 recall@5 too low: $recall")
+  }
+
   test("bloom-prefiltered decontamination equals the exact broadcast version") {
     val corpus = docs.filter(col("doc_id") >= 20)
     val evalSet = docs.filter(col("doc_id") < 20)
