@@ -73,9 +73,13 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
       * `part-e<epoch>-p<partition>.log[.gz]` — the rotation model zeek
       * itself uses, and exactly what the zeek SOURCE ingests per trigger.
       * Final names are DETERMINISTIC in (epoch, partition): a replayed
-      * epoch re-renders the same batch and overwrites the same files, so
-      * recovery is idempotent (no manifest needed); a speculative twin
-      * loses the rename race but leaves identical content. */
+      * epoch re-renders the same batch and overwrites the same files; a
+      * speculative twin loses the rename race but leaves identical
+      * content. Replays that produce FEWER files (changed partition
+      * count, different roll points) are handled at driver commit, which
+      * deletes any same-epoch file the attempt did not re-commit — so
+      * recovery is exactly-once without a manifest even when upstream
+      * partitioning is nondeterministic. */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (truncateFirst)
         throw new ZeekFormatException(

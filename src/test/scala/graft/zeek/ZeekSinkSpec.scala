@@ -189,6 +189,39 @@ class ZeekSinkSpec extends AnyFunSuite {
       .exists(_.getName.contains("inprogress")))
   }
 
+  test("stateful streaming into the sink: watermarked windowed counts land as zeek rotations") {
+    // append-mode watermarked aggregation emits each window once it
+    // finalizes — the sink must accept a STATEFUL query's epochs, not
+    // just map-only relays
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = ZeekFixtures.tempDir()
+    val cp = ZeekFixtures.tempDir()
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "kind")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("kind"), col("n"))
+    val q = agg.writeStream.format("zeek")
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append").start(out.toString)
+    try {
+      def ts(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+      input.addData((ts(0, 5), "a"), (ts(0, 10), "a"), (ts(0, 20), "b"))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize the 10:00 window
+      input.addData((ts(5, 0), "a"))
+      q.processAllAvailable()
+      val back = read(s"$out/*.log")
+      val rows = back.collect().map(r =>
+        (r.getAs[java.sql.Timestamp]("w_start"), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((ts(0, 0), "a", 2L), (ts(0, 0), "b", 1L)), rows.toString)
+      assert(back.schema("w_start").dataType == org.apache.spark.sql.types.TimestampType)
+    } finally q.stop()
+  }
+
   test("zeek-to-zeek streaming relay: rotated logs in, typed rotations out") {
     // the full loop the sink exists for: ingest a rotating log directory
     // as a stream and land it as zeek-format rotations elsewhere, types
