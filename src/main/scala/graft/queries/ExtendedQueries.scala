@@ -226,6 +226,45 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // --- higher-order array functions (lambda family) ---------------------
+    "q68_higher_order" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .withColumn("ws", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          exists(col("ws"), w => length(w) > 6).as("has_long"),
+          forall(col("ws"), w => length(w) >= 3).as("all_ge3"),
+          size(filter(col("ws"), w => w.startsWith("s"))).cast(LongType).as("n_s"),
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("total_len"),
+          array_join(transform(col("ws"), w => upper(substring(w, 1, 1))), "").as("initials"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- error-tolerant arithmetic (try_* family) -------------------------
+    "q69_try_arith" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          round(try_divide(col("o_totalprice").cast(DoubleType),
+            (col("o_orderkey") % 7).cast(DoubleType)), 4).as("div7"),
+          expr("try_cast(cast(o_orderkey AS STRING) AS BIGINT)").as("ok_cast"),
+          expr("try_cast(o_orderstatus AS BIGINT)").as("bad_cast"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- GROUPING() markers over a rollup lattice -------------------------
+    // distinguishes "NULL because subtotal row" from "NULL in the data" —
+    // the part of the lattice family q16-q18 didn't exercise
+    "q70_grouping_marks" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
+          count(lit(1)).as("cnt"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_prio"), col("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last, col("g_status"), col("g_prio"))
+    }),
+
     // --- statistical aggregates via exact moments --------------------------
     // Built-in corr/stddev accumulate doubles in partition order (non-
     // deterministic cross-engine); computing the moments as exact decimal
@@ -269,6 +308,30 @@ object ExtendedQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q68_higher_order" ->
+      """SELECT p_partkey,
+        | len(list_filter(string_split(p_name, ' '), w -> length(w) > 6)) > 0 AS has_long,
+        | len(list_filter(string_split(p_name, ' '), w -> NOT length(w) >= 3)) = 0 AS all_ge3,
+        | CAST(len(list_filter(string_split(p_name, ' '), w -> starts_with(w, 's'))) AS BIGINT) AS n_s,
+        | CAST(list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS BIGINT) AS total_len,
+        | array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w[1:1])), '') AS initials
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "q69_try_arith" ->
+      """SELECT o_orderkey,
+        | round(CAST(o_totalprice AS DOUBLE) / nullif(CAST(o_orderkey % 7 AS DOUBLE), 0), 4) AS div7,
+        | TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS ok_cast,
+        | TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q70_grouping_marks" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST, g_status, g_prio""".stripMargin,
+
     "q47_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
         | count(*) AS cnt,
