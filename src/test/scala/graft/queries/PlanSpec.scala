@@ -138,6 +138,37 @@ class PlanSpec extends AnyFunSuite {
       s"expected the para-keyed window shuffle + the doc_id regroup, found $exchanges:\n" + p.take(3000))
   }
 
+  test("e14: sq8 scoring broadcasts queries; the corpus never shuffles before ranking") {
+    val p = plan("e14_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled before scoring:\n" + p.take(2000))
+  }
+
+  test("d19: bloom prefilter runs map-side BEFORE the confirm join") {
+    val q = graft.SparkEntry.queries("d19_bloom_decontaminate")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the might_contain filter must appear (it prunes the corpus shingle
+    // stream before any join); no nested-loop join may appear anywhere
+    assert(p.contains("might_contain"), "bloom probe missing:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("d21: the unigram vocab joins broadcast — the token stream never shuffles for them") {
+    val p = plan("d21_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "token stream shuffled for the vocab join:\n" + p.take(2000))
+  }
+
+  test("d20: shuffle-shard plans one hash exchange on the shard id") {
+    val q = graft.SparkEntry.queries("d20_shuffle_shard")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n" + p.take(2000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
