@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
 object CoreQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Narrow, range-safe casts for lineitem money math: price < 10^7,
+  // discount <= 0.10. Products like (9,2)x(4,2) -> (14,4) and their
+  // partial sums stay in Spark's COMPACT long-backed decimal path, where
+  // (18,2)x(18,2) -> (37,4) forces BigDecimal per row (see q01's note);
+  // values are identical, overflow safety at 10^12 rows unchanged.
+  private def decP(c: Column): Column = c.cast(DecimalType(9, 2))
+  private def decD(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def oneMinusD(c: Column): Column = lit(1).cast(DecimalType(4, 2)) - decD(c)
   // Final outputs of decimal aggregates are cast to DOUBLE: the aggregate
   // itself stays exact/associative (decimal), and decimal→double is
   // correctly rounded in both Spark (BigDecimal.doubleValue) and DuckDB,
@@ -40,13 +48,25 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation ---------------------------------------------------
     "q01_pricing_summary" -> ((s, d) => {
+      // Narrow, range-safe decimal casts keep every per-row op and both
+      // partial-sum buffers in Spark's COMPACT (long-backed) decimal
+      // path: (9,2)×(4,2) → (14,4) multiplies as long×long, where the
+      // old (18,2)×(18,2) → (37,4) forced BigDecimal per row. Ranges:
+      // price < 10^7 (TPC-H max ~110k), quantity ≤ 50, discount ≤ 0.10;
+      // the derived sum types (19,2)/(24,4) still hold 10^12-row totals,
+      // so the overflow-safety contract is unchanged — and the VALUES
+      // are identical (exact decimal math at any sufficient precision),
+      // so the oracle keeps its (18,2) casts.
+      val decQ = col("l_quantity").cast(DecimalType(9, 2))
+      val decP = col("l_extendedprice").cast(DecimalType(9, 2))
+      val decD = col("l_discount").cast(DecimalType(4, 2))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          d2(sum(dec(col("l_quantity")))).as("sum_qty"),
-          d2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
+          d2(sum(decQ)).as("sum_qty"),
+          d2(sum(decP)).as("sum_base_price"),
+          d2(sum(decP * (lit(1).cast(DecimalType(4, 2)) - decD))).as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("count_order"))
@@ -59,7 +79,7 @@ object CoreQueries {
           col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(d2(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+        .agg(d2(sum(decP(col("l_extendedprice")) * decD(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -108,7 +128,7 @@ object CoreQueries {
       l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"))
+        .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -125,7 +145,7 @@ object CoreQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(d2(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"),
+        .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),

@@ -277,8 +277,10 @@ object ExtendedQueries {
     // (double)int128 / 10^scale — TWO roundings once the scaled value
     // exceeds 2^53, which made Σ(price²) differ in the last ulp.)
     "q60_stats_moments" -> ((s, d) => {
-      val x = dec(col("l_quantity"))
-      val y = dec(col("l_discount"))
+      // narrow range-safe casts (quantity <= 50, discount <= 0.10): the
+      // x*x / x*y / y*y products stay compact-long decimals (same values)
+      val x = col("l_quantity").cast(DecimalType(9, 2))
+      val y = col("l_discount").cast(DecimalType(4, 2))
       val m = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
