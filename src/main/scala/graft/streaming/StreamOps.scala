@@ -53,15 +53,9 @@ object StreamOps {
     * the common case of both calling their event-time column `ts`). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, lookback: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
-      .withWatermark(s"r_$rightTs", watermarkDelay)
-    l.join(r, expr(
-      s"""$keyCol = r_$keyCol AND
-         |r_$rightTs >= $leftTs - INTERVAL $lookback AND
-         |r_$rightTs <= $leftTs""".stripMargin))
-  }
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoined(left, right, keyCol, leftTs, rightTs, lookback,
+      watermarkDelay, "inner")
 
   /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but a
     * left row with no right match within the lookback window is still
@@ -71,14 +65,31 @@ object StreamOps {
     * state: the time-interval condition lets Spark evict both sides. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, lookback: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoined(left, right, keyCol, leftTs, rightTs, lookback,
+      watermarkDelay, "left_outer")
+
+  /** FULL OUTER stream-stream interval join: unmatched rows from BOTH
+    * sides emit NULL-padded once the watermark passes their horizon —
+    * the reconciliation shape (two event feeds that should mirror each
+    * other; leftovers on either side are the discrepancy report). Same
+    * bounded state as the inner variant. */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoined(left, right, keyCol, leftTs, rightTs, lookback,
+      watermarkDelay, "full_outer")
+
+  private def intervalJoined(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermarkDelay: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
       .withWatermark(s"r_$rightTs", watermarkDelay)
     l.join(r, expr(
       s"""$keyCol = r_$keyCol AND
          |r_$rightTs >= $leftTs - INTERVAL $lookback AND
-         |r_$rightTs <= $leftTs""".stripMargin), "left_outer")
+         |r_$rightTs <= $leftTs""".stripMargin), joinType)
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

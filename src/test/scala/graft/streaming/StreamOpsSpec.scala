@@ -159,6 +159,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join reports leftovers from BOTH sides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val expected = MemoryStream[(Long, Timestamp, String)]
+    val actual = MemoryStream[(Long, Timestamp, String)]
+    val joined = intervalJoinFullOuter(
+      expected.toDS().toDF("uid", "ts", "tag"),
+      actual.toDS().toDF("uid", "ts", "tag"),
+      "uid", "ts", "ts", lookback = "30 minutes", watermarkDelay = "0 seconds")
+    val q = joined.select(col("uid"), col("r_uid"),
+        col("tag").as("exp"), col("r_tag").as("act"))
+      .writeStream.format("memory").queryName("ivjfo").outputMode("append").start()
+    try {
+      actual.addData((1L, ts(0), "a1")) // matches uid 1; uid 7 is actual-only
+      actual.addData((7L, ts(10), "a7"))
+      expected.addData((1L, ts(20), "e1"), (2L, ts(20), "e2")) // uid 2 expected-only
+      q.processAllAvailable()
+      // advance watermarks far past the horizon to flush the leftovers
+      for (t <- Seq(500, 900)) {
+        actual.addData((9L, ts(t), "ax")); expected.addData((9L, ts(t), "ex"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ivjfo").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.getString(2)), Option(r.getString(3)))).toSet
+      assert(rows.contains((Some(1L), Some(1L), Some("e1"), Some("a1"))), rows.toString)
+      assert(rows.contains((Some(2L), None, Some("e2"), None)),
+        "expected-only row must emit NULL-padded: " + rows)
+      assert(rows.contains((None, Some(7L), None, Some("a7"))),
+        "actual-only row must emit NULL-padded: " + rows)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits each fingerprint once within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
