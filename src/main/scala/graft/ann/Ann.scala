@@ -315,44 +315,10 @@ object Ann {
     val books = pqCodebooks(corpus, idCol, vecCol, m, ksub)
     val bc = spark.sparkContext.broadcast(books)
     val encode = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val b = bc.value.length
-        val arr = v.toArray
-        val codes = new Array[Int](b)
-        var s = 0
-        while (s < b) {
-          val cents = bc.value(s)
-          val offset = s * cents(0).length
-          var best = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val d2 = subDist(arr, cents(c), offset)
-            if (d2 < bestD) { bestD = d2; best = c }
-            c += 1
-          }
-          codes(s) = best
-          s += 1
-        }
-        codes
-      }
+      if (v == null) null else encodeCodes(v.toArray, bc.value)
     }
     val table = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        bc.value.zipWithIndex.map { case (cents, s) =>
-          val offset = s * cents(0).length
-          cents.map(c => subDist(arr, c, offset))
-        }
-      }
-    }
-    val adc = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
-      var s = 0
-      var sum = 0.0
-      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
-      sum
+      if (v == null) null else distTable(v.toArray, bc.value)
     }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", encode(col("cv")))
@@ -361,9 +327,59 @@ object Ann {
       .withColumn("tab", table(col("qv")))
       .filter(col("tab").isNotNull)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("tab"), col("codes")))
+      .withColumn("adist", adcUdf(col("tab"), col("codes")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     scored.select("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Nearest code per subspace: argmin of the sub-centroid distance,
+    * strict `<` so ties keep the lowest code. */
+  private def encodeCodes(arr: Array[Float],
+      books: Array[Array[Array[Float]]]): Array[Int] =
+    Array.tabulate(books.length) { s =>
+      val cs = books(s)
+      val offset = s * cs(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d2 = subDist(arr, cs(c), offset)
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** A vector's m×ksub distance table against the codebooks. */
+  private def distTable(arr: Array[Float],
+      books: Array[Array[Array[Float]]]): Array[Array[Double]] =
+    books.zipWithIndex.map { case (cs, s) =>
+      val offset = s * cs(0).length
+      cs.map(c => subDist(arr, c, offset))
+    }
+
+  /** ADC score: m table lookups summed in subspace order. */
+  private val adcUdf = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
+    var s = 0
+    var sum = 0.0
+    while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
+    sum
+  }
+
+  /** Exact-L2 re-rank of a (query_id, neighbor_id) candidate pool:
+    * vectors are re-fetched for the pool alone (at scale: point lookups
+    * against the id-bucketed corpus), queries broadcast. */
+  private def exactReRank(pool: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.registerAll(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
+    pool.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "l2")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -378,19 +394,11 @@ object Ann {
     * pool (recall@pool ≫ recall@k; measured in PipelineSpec). */
   def pqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 32,
-      candidates: Int = 50): DataFrame = {
-    graft.functions.VectorExpressions.registerAll(corpus.sparkSession)
-    val pool = pqTopK(corpus, queries, idCol, vecCol, candidates, m, ksub)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val exact = pool.join(broadcast(q), "query_id").join(c, "neighbor_id")
-      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
-    exact.select("query_id", "neighbor_id", "l2")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      candidates: Int = 50): DataFrame =
+    exactReRank(
+      pqTopK(corpus, queries, idCol, vecCol, candidates, m, ksub)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
 
   /** The full FAISS-style IVF-PQ index: a coarse quantizer routes each
     * vector to a cell, and the RESIDUAL (vector − cell centroid) is
@@ -423,28 +431,12 @@ object Ann {
       val c = bcC.value(cell)
       Array.tabulate(v.length)(d => v(d) - c(d))
     }
-    def encodeRes(r: Array[Float]): Array[Int] = {
-      val b = bcB.value
-      Array.tabulate(b.length) { s =>
-        val cs = b(s)
-        val offset = s * cs(0).length
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          val d2 = subDist(r, cs(c), offset)
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        best
-      }
-    }
     val encode = udf { (v: Seq[Float]) =>
       if (v == null) null
       else {
         val arr = v.toArray
         val cell = nearestCentroid(arr, bcC.value)
-        (cell, encodeRes(residual(arr, cell)))
+        (cell, encodeCodes(residual(arr, cell), bcB.value))
       }
     }
     // per probed cell, the query's residual-distance table for that cell
@@ -452,20 +444,9 @@ object Ann {
       if (v == null) null
       else {
         val arr = v.toArray
-        probeList(arr, bcC.value, nProbe).map { cell =>
-          val r = residual(arr, cell)
-          (cell, bcB.value.zipWithIndex.map { case (cs, s) =>
-            val offset = s * cs(0).length
-            cs.map(c => subDist(r, c, offset))
-          })
-        }
+        probeList(arr, bcC.value, nProbe)
+          .map(cell => (cell, distTable(residual(arr, cell), bcB.value)))
       }
-    }
-    val adc = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
-      var s = 0
-      var sum = 0.0
-      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
-      sum
     }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("enc", encode(col("cv")))
@@ -478,23 +459,15 @@ object Ann {
         col("probe._1").as("cell"), col("probe._2").as("tab"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("tab"), col("codes")))
+      .withColumn("adist", adcUdf(col("tab"), col("codes")))
     // candidate pool by ADC — the ranking shuffle carries only
-    // (ids, adist); vectors are re-fetched for the pool alone (at scale:
-    // point lookups against the id-bucketed corpus)
+    // (ids, adist); the exact re-rank re-fetches vectors for the pool alone
     val wa = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val pool = scored.select(col("query_id"), col("neighbor_id"), col("adist"))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= candidates)
       .select("query_id", "neighbor_id")
-    val qraw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val craw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val we = Window.partitionBy(col("query_id")).orderBy(col("l2"), col("neighbor_id"))
-    pool.join(broadcast(qraw), "query_id").join(craw, "neighbor_id")
-      .withColumn("l2", call_function("l2_distance", col("qv"), col("cv")))
-      .select("query_id", "neighbor_id", "l2")
-      .withColumn("rank", row_number().over(we))
-      .filter(col("rank") <= k)
+    exactReRank(pool, queries, corpus, idCol, vecCol, k)
   }
 
   /** Deterministic data-independent PQ sub-centroid element for the

@@ -70,27 +70,34 @@ class ZeekWriteBuilder(info: LogicalWriteInfo, dir: String,
       new ZeekBatchWrite(info.schema(), dir, pathName, codec, truncateFirst, maxRowsPerFile, conf)
 
     /** Streaming: one log per epoch per partition, named
-      * `part-e<epoch>-p<partition>.log[.gz]` — the rotation model zeek
-      * itself uses, and exactly what the zeek SOURCE ingests per trigger.
-      * Final names are DETERMINISTIC in (epoch, partition): a replayed
+      * `part-q<qid>-e<epoch>-p<partition>.log[.gz]` — the rotation model
+      * zeek itself uses, and exactly what the zeek SOURCE ingests per
+      * trigger. `qid` is derived from the STREAMING QUERY ID (stable
+      * across checkpoint restarts, distinct across queries), so each
+      * query owns a private namespace in the directory: a fresh
+      * checkpoint or a concurrent relay can never collide with — or be
+      * cleaned up against — another run's rotations. Within a query,
+      * final names are DETERMINISTIC in (epoch, partition): a replayed
       * epoch re-renders the same batch and overwrites the same files; a
       * speculative twin loses the rename race but leaves identical
       * content. Replays that produce FEWER files (changed partition
       * count, different roll points) are handled at driver commit, which
-      * deletes any same-epoch file the attempt did not re-commit — so
-      * recovery is exactly-once without a manifest even when upstream
+      * deletes any file of the SAME query+epoch the attempt did not
+      * re-commit — exactly-once without a manifest even when upstream
       * partitioning is nondeterministic. */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (truncateFirst)
         throw new ZeekFormatException(
           "zeek streaming sink supports append output mode only (logs are rotations, not snapshots)")
-      new ZeekStreamingWrite(info.schema(), dir, pathName, codec, maxRowsPerFile, conf)
+      val qid = java.util.UUID.nameUUIDFromBytes(
+        info.queryId().getBytes(StandardCharsets.UTF_8)).toString.substring(0, 8)
+      new ZeekStreamingWrite(info.schema(), dir, pathName, codec, maxRowsPerFile, qid, conf)
     }
   }
 }
 
 class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
-    codec: String, maxRowsPerFile: Long, conf: SerializableConf)
+    codec: String, maxRowsPerFile: Long, qid: String, conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -98,7 +105,7 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     ZeekWriteCore.columns(schema) // validate on the driver
     val dirPath = new Path(dir)
     dirPath.getFileSystem(conf.value).mkdirs(dirPath)
-    ZeekStreamingWriterFactory(schema, dir, pathName, codec, maxRowsPerFile, conf)
+    ZeekStreamingWriterFactory(schema, dir, pathName, codec, maxRowsPerFile, qid, conf)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -106,44 +113,45 @@ class ZeekStreamingWrite(schema: StructType, dir: String, pathName: String,
     // partitioning: a restart with a different shuffle-partition count (or
     // a round-robin repartition upstream) can replay this epoch with fewer
     // partitions or fewer -rN rolls than the first attempt committed,
-    // which would leave the first attempt's extra part-e<epoch>-* files
-    // visible as duplicates. The task commit messages are the complete
-    // manifest of THIS attempt's files — drop any other final file of the
-    // same epoch.
+    // which would leave the first attempt's extra files visible as
+    // duplicates. The task commit messages are the complete manifest of
+    // THIS attempt — drop any other final file of the same QUERY + epoch.
+    // The qid namespace makes this safe (another run's rotations can never
+    // match the prefix), and the glob is scoped to the one epoch's prefix
+    // so the cost is O(this epoch's files), not O(directory).
     val committed = messages.iterator.collect {
       case ZeekTaskCommit(paths) if paths.nonEmpty =>
         paths.split(',').iterator.map(p => new Path(p).getName)
     }.flatten.toSet
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    val epochPrefix = f"part-e$epochId%05d-"
-    if (fs.exists(dirPath))
-      fs.listStatus(dirPath).filter { s =>
-        val n = s.getPath.getName
-        n.startsWith(epochPrefix) && !committed.contains(n)
-      }.foreach(s => fs.delete(s.getPath, false))
+    val epochPrefix = f"part-q$qid-e$epochId%05d-"
+    val stale = fs.globStatus(new Path(dirPath, epochPrefix + "*"))
+    if (stale != null)
+      stale.filter(s => !committed.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
     ZeekDataSource.clearBindCache()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    // clear only THIS epoch's temps — a concurrent writer's in-progress
-    // files (or a racing restart's) must not be clobbered
+    // clear only THIS query's + epoch's temps — a concurrent writer's
+    // in-progress files (or a racing restart's) must not be clobbered
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    val epochPrefix = f".zeek-part-e$epochId%05d-"
-    if (fs.exists(dirPath))
-      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(epochPrefix))
-        .foreach(s => fs.delete(s.getPath, false))
+    val epochPrefix = f".zeek-part-q$qid-e$epochId%05d-"
+    val temps = fs.globStatus(new Path(dirPath, epochPrefix + "*"))
+    if (temps != null) temps.foreach(s => fs.delete(s.getPath, false))
   }
 }
 
 final case class ZeekStreamingWriterFactory(schema: StructType, dir: String,
-    pathName: String, codec: String, maxRowsPerFile: Long, conf: SerializableConf)
+    pathName: String, codec: String, maxRowsPerFile: Long, qid: String,
+    conf: SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new ZeekDataWriter(schema, dir, pathName, codec, partitionId, taskId, conf,
-      epoch = Some(epochId), maxRowsPerFile = maxRowsPerFile)
+      epoch = Some(epochId), streamTag = qid, maxRowsPerFile = maxRowsPerFile)
 }
 
 class ZeekBatchWrite(schema: StructType, dir: String, pathName: String,
@@ -226,7 +234,8 @@ final case class ZeekWriterFactory(schema: StructType, dir: String,
 class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
     codec: String, partitionId: Int, taskId: Long,
     conf: SerializableConf, epoch: Option[Long] = None,
-    jobTag: String = "", maxRowsPerFile: Long = Long.MaxValue)
+    jobTag: String = "", streamTag: String = "",
+    maxRowsPerFile: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
 
   private val cols = ZeekWriteCore.columns(schema)
@@ -238,15 +247,16 @@ class ZeekDataWriter(schema: StructType, dir: String, pathName: String,
 
   /** Batch names carry the task id + a per-job tag (several appends —
     * even from concurrent applications — must not collide); streaming
-    * names are deterministic in (epoch, partition) so epoch replays
-    * overwrite instead of duplicating. With `max_rows_per_file` a task
-    * rolls through `-rN` suffixed files (the size axis of zeek's own
-    * rotation model) — roll points are data-deterministic, so streaming
-    * names stay replay-stable. */
+    * names carry the query id and are deterministic in (epoch,
+    * partition) within it, so epoch replays overwrite instead of
+    * duplicating while other queries' rotations stay untouchable. With
+    * `max_rows_per_file` a task rolls through `-rN` suffixed files (the
+    * size axis of zeek's own rotation model) — roll points are
+    * data-deterministic, so streaming names stay replay-stable. */
   private def finalName(roll: Int): String = {
     val suffix = if (maxRowsPerFile == Long.MaxValue) "" else s"-r$roll"
     epoch match {
-      case Some(e) => f"part-e$e%05d-p$partitionId%05d$suffix$ext"
+      case Some(e) => f"part-q$streamTag-e$e%05d-p$partitionId%05d$suffix$ext"
       case None    => f"part-$partitionId%05d-$taskId-$jobTag$suffix$ext"
     }
   }

@@ -156,8 +156,10 @@ class ZeekSinkSpec extends AnyFunSuite {
       q.processAllAvailable()
       val names = new java.io.File(out.toString).listFiles().map(_.getName)
         .filter(_.endsWith(".log")).sorted.toSeq
-      assert(names.forall(_.matches("part-e\\d{5}-p\\d{5}\\.log")), names.toString)
+      assert(names.forall(_.matches("part-q[0-9a-f]{8}-e\\d{5}-p\\d{5}\\.log")), names.toString)
       assert(names.size == 2, s"one log per non-empty epoch: $names")
+      assert(names.map(_.substring(0, 14)).distinct.size == 1,
+        "one query = one qid namespace: " + names)
       val back = read(s"$out/*.log")
       assert(back.count() == 3)
       assert(collectSorted(back.select("n", "s")) ==
@@ -280,6 +282,12 @@ class ZeekSinkSpec extends AnyFunSuite {
     assert(back.count() == 5, "each input row must land exactly once")
     assert(collectSorted(back.select("id")) ==
       Seq("[A1]", "[A2]", "[B1]", "[C1]", "[C2]"))
+    // the qid namespace must be STABLE across restarts (it derives from
+    // the checkpointed query id, not the per-run id) — otherwise a replay
+    // after restart could not overwrite its own epoch files
+    val qids = new java.io.File(out.toString).listFiles().map(_.getName)
+      .filter(_.endsWith(".log")).map(_.substring(0, 14)).distinct
+    assert(qids.length == 1, s"restart changed the sink namespace: ${qids.toSeq}")
   }
 
   test("SQL DDL surface: CREATE TABLE USING zeek + INSERT INTO + SELECT") {
@@ -328,23 +336,25 @@ class ZeekSinkSpec extends AnyFunSuite {
 
   test("streaming epoch replay commit drops stale files the replay didn't re-commit") {
     // a replay with FEWER partitions (changed shuffle-partition count) or
-    // fewer -rN rolls must not leave the first attempt's extra
-    // part-e<epoch>-* files behind as duplicates
+    // fewer -rN rolls must not leave the first attempt's extra files of
+    // the same query+epoch behind as duplicates — while files of OTHER
+    // epochs, other QUERIES (different qid), and other runs stay untouched
     val out = ZeekFixtures.tempDir()
     def mk(name: String): java.io.File = {
       val f = new java.io.File(out.toString, name)
       java.nio.file.Files.write(f.toPath, "stale\n".getBytes("UTF-8")); f
     }
-    val kept = mk("part-e00005-p00000.log")       // re-committed by the replay
-    val stale = mk("part-e00005-p00001.log")      // first attempt only
-    val staleRoll = mk("part-e00005-p00000-r1.log") // first attempt rolled further
-    val otherEpoch = mk("part-e00004-p00001.log") // other epochs untouched
+    val kept = mk("part-qaabbccdd-e00005-p00000.log")       // re-committed by the replay
+    val stale = mk("part-qaabbccdd-e00005-p00001.log")      // first attempt only
+    val staleRoll = mk("part-qaabbccdd-e00005-p00000-r1.log") // first attempt rolled further
+    val otherEpoch = mk("part-qaabbccdd-e00004-p00001.log") // other epochs untouched
+    val otherQuery = mk("part-q11223344-e00005-p00007.log") // another run's namespace
 
     import graft.zeek.v2.{SerializableConf, ZeekStreamingWrite, ZeekTaskCommit}
     val w = new ZeekStreamingWrite(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))),
-      out.toString, "t", "none", Long.MaxValue,
+      out.toString, "t", "none", Long.MaxValue, "aabbccdd",
       new SerializableConf(spark.sessionState.newHadoopConf()))
     w.commit(5L, Array(ZeekTaskCommit(kept.getPath), ZeekTaskCommit("")))
 
@@ -352,6 +362,8 @@ class ZeekSinkSpec extends AnyFunSuite {
     assert(!stale.exists, "stale partition from the prior attempt must be deleted")
     assert(!staleRoll.exists, "stale roll from the prior attempt must be deleted")
     assert(otherEpoch.exists, "other epochs are not this commit's business")
+    assert(otherQuery.exists,
+      "a different query's same-numbered epoch must NEVER be touched")
   }
 
   test("derived zeek types for plain Spark frames; unsupported types fail fast") {
