@@ -35,7 +35,7 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles of a text. */
-  private[dedup] def shingles(text: String, n: Int): Array[String] = {
+  private[graft] def shingles(text: String, n: Int): Array[String] = {
     val ws = text.split("\\s+")
     if (ws.length < n) Array(ws.mkString(" "))
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray

@@ -359,6 +359,22 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // quality CLASSIFIER: the trained-model filtering step (fastText /
+    // logreg shaped) — a fixed-weight linear scorer over the engine's
+    // text features with a hard-sigmoid link. Map-only (one codegen'd
+    // pass per document, no shuffle): the scorer a 100 TB curation run
+    // applies to every document. Hard sigmoid keeps the whole pipeline
+    // in exactly-defined IEEE ops → hash-checkable, unlike exp().
+    "d23_quality_classifier" -> ((s, d) => {
+      val z = TextFunctions.classifierLogit(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(z, 6).as("logit"),
+        round(TextFunctions.hardSigmoid(z), 6).as("p_keep"),
+        (TextFunctions.hardSigmoid(z) >= lit(0.5)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // d15 at the scale where the eval set outgrows a broadcast hash
     // relation: its BLOOM FILTER prefilters the corpus shingle stream
     // map-side (no false negatives → nothing lost), the exact join kills
@@ -815,6 +831,23 @@ object PipelineQueries {
         |  round(p / CAST(tot AS DOUBLE), 6) AS weight,
         |  round(p / CAST(tot AS DOUBLE) * 1000000, 2) AS budget_docs
         |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "d23_quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n,
+         |  len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) AS stop_cnt,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         |  length(text) AS tlen
+         | FROM documents),
+         |z AS (SELECT doc_id,
+         |  -1.2 + stop_cnt * 1.0 / greatest(n, 1) * 3.5
+         |       - punct_cnt * 1.0 / greatest(tlen, 1) * 8.0
+         |       + least(n, 200) * 1.0 / 200.0 * 2.0 AS zv
+         | FROM f)
+         |SELECT doc_id, round(zv, 6) AS logit,
+         |  round(least(greatest(zv * 0.25 + 0.5, 0.0), 1.0), 6) AS p_keep,
+         |  least(greatest(zv * 0.25 + 0.5, 0.0), 1.0) >= 0.5 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
 
     // int8 codes at a fixed power-of-two scale: floor(v*256) is exact,
     // clamping and squared-difference sums are integers — the oracle

@@ -92,6 +92,73 @@ object StreamOps {
          |r_$rightTs <= $leftTs""".stripMargin), joinType)
   }
 
+  /** Online benchmark decontamination: tag a document STREAM against a
+    * STATIC eval/benchmark set — the ingestion-time twin of the batch
+    * [[graft.dedup.Dedup.contaminationPairs]]/`contaminationPairsBloom`
+    * operators. A document is contaminated when it shares at least
+    * `minShared` distinct word n-gram shingles with ANY eval document.
+    *
+    * Scale/state design: entirely MAP-SIDE per micro-batch — no
+    * stream-side shuffle, no streaming state, append-mode safe. The
+    * static side is collapsed ONCE at plan time into (a) a Bloom filter
+    * over eval shingle hashes (codegen'd `bloom_might_contain` first
+    * pass) and (b) with `exactConfirm` a broadcast shingle set that
+    * kills the Bloom's false-positive tail (no false negatives exist:
+    * blooms never miss). Eval sets are benchmark-sized by construction
+    * (thousands of docs), so the broadcast is a few MB; for a
+    * pathologically large eval side, set `exactConfirm = false` and
+    * accept the fpp tail on the DROP side only.
+    *
+    * Returns the input columns plus `n_shared` and `contaminated`;
+    * callers keep `!contaminated`. With `exactConfirm`, `n_shared` is
+    * the exact shared-shingle count for every document the Bloom pass
+    * implicates, and 0 for documents it already clears (bloom counts
+    * only overestimate, so a might-count below the threshold proves the
+    * exact count is too). */
+  def streamingDecontaminate(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      minShared: Int = 3, estimatedItems: Long = 1L << 20,
+      exactConfirm: Boolean = true): DataFrame = {
+    val spark = evalSet.sparkSession
+    graft.functions.BloomFunctions.registerAll(spark)
+    val shUdf = udf((t: String) =>
+      if (t == null) null else graft.dedup.Dedup.shingles(t, shingleSize))
+
+    // static side, evaluated once at plan time (distributed agg; the
+    // driver holds only the serialized sketch / the distinct eval set)
+    val evalShingles = evalSet
+      .select(explode(shUdf(col(textCol))).as("s")).distinct()
+    val filterBytes = evalShingles
+      .select(call_function("bloom_agg", xxhash64(col("s")), lit(estimatedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    if (filterBytes == null) {
+      // empty eval set → nothing can be contaminated
+      return docs.withColumn("n_shared", lit(0L))
+        .withColumn("contaminated", lit(false))
+    }
+
+    val mightCount = size(filter(shUdf(col(textCol)), s =>
+      call_function("bloom_might_contain", lit(filterBytes), xxhash64(s)))).cast("long")
+
+    val counted =
+      if (!exactConfirm) docs.withColumn("n_shared", mightCount)
+      else {
+        val set = spark.sparkContext.broadcast(
+          evalShingles.collect().map(_.getString(0)).toSet)
+        val exactCount = udf((shs: Seq[String]) =>
+          if (shs == null) 0L else shs.count(set.value.contains).toLong)
+        // bloom first (cheap, codegen'd): only docs the bloom already
+        // implicates pay the exact set lookups
+        docs.withColumn("__might", mightCount)
+          .withColumn("n_shared",
+            when(col("__might") < minShared, lit(0L))
+              .otherwise(exactCount(shUdf(col(textCol)))))
+          .drop("__might")
+      }
+    counted.withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

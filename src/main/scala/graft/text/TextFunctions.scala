@@ -106,4 +106,26 @@ object TextFunctions {
     * case/whitespace. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Linear quality-classifier logit (fastText/logreg-shaped scorer over
+    * the engine's own text features, with fixed illustrative weights —
+    * in production the weights come from a trained model and drop in
+    * unchanged). Pure +,-,*,/ over doubles in a FIXED association order,
+    * so the value is bit-reproducible across engines (IEEE 754 defines
+    * those ops exactly; a transcendental `exp` would not be). */
+  def classifierLogit(text: Column): Column = {
+    val n = tokenCount(text)
+    val stopRatio = stopwordCount(text) * lit(1.0) / greatest(n, lit(1))
+    val punctRatio = punctCount(text) * lit(1.0) / greatest(length(text), lit(1))
+    val lenScore = least(n, lit(200)) * lit(1.0) / lit(200.0)
+    lit(-1.2) + stopRatio * lit(3.5) - punctRatio * lit(8.0) + lenScore * lit(2.0)
+  }
+
+  /** Hard-sigmoid link: clamp(0.25·z + 0.5, 0, 1) — the piecewise-linear
+    * sigmoid used by quantized inference runtimes. Chosen over 1/(1+e^-z)
+    * because it is exactly defined in IEEE arithmetic (deterministic
+    * across engines) and order-preserving, so thresholding decisions are
+    * identical to the smooth link's. */
+  def hardSigmoid(z: Column): Column =
+    least(greatest(z * lit(0.25) + lit(0.5), lit(0.0)), lit(1.0))
 }

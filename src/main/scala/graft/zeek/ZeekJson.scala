@@ -74,12 +74,9 @@ object ZeekJson {
       samplingRatio: Double = 1.0): DataFrame = {
 
     val (raw, zeekTypeOf) =
-      if (types.nonEmpty) {
-        val fields = types.toSeq.sortBy(_._1).map { case (n, t) =>
-          StructField(n, rawType(t, isoTimestamps), nullable = true)
-        }
-        (spark.read.schema(StructType(fields)).json(path), types)
-      } else {
+      if (types.nonEmpty)
+        (spark.read.schema(rawSchema(types, isoTimestamps)).json(path), types)
+      else {
         val inferred0 = spark.read
           .option("samplingRatio", samplingRatio.toString)
           .json(path)
@@ -89,7 +86,34 @@ object ZeekJson {
         }.toMap
         (inferred, guessed)
       }
+    typed(raw, zeekTypeOf, replacePeriods, filename, isoTimestamps)
+  }
 
+  /** Streaming [[read]]: micro-batch ingestion of a JSON log directory
+    * (`writeStream` wiring stays with the caller). Streams cannot run an
+    * inference pass, so the type map is required — the explicit-schema
+    * path is also the right one at any scale. Same typed output as the
+    * batch read; pairs with the TSV source's own micro-batch stream for
+    * mixed-format ingestion. */
+  def readStream(spark: SparkSession, path: String,
+      types: Map[String, String],
+      replacePeriods: Boolean = true,
+      filename: Boolean = false,
+      isoTimestamps: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(types.nonEmpty, "ZeekJson.readStream requires a zeek type map (no inference on streams)")
+    val reader = spark.readStream.schema(rawSchema(types, isoTimestamps))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    typed(reader.json(path), types, replacePeriods, filename, isoTimestamps)
+  }
+
+  private def rawSchema(types: Map[String, String], iso: Boolean): StructType =
+    StructType(types.toSeq.sortBy(_._1).map { case (n, t) =>
+      StructField(n, rawType(t, iso), nullable = true)
+    })
+
+  private def typed(raw: DataFrame, zeekTypeOf: Map[String, String],
+      replacePeriods: Boolean, filename: Boolean, iso: Boolean): DataFrame = {
     val dataCols = raw.schema.fields
       .filter(_.name != "_corrupt_record")
       .map { f =>
@@ -97,9 +121,8 @@ object ZeekJson {
         val outName = if (replacePeriods) f.name.replace('.', '_') else f.name
         val mb = new MetadataBuilder().putString(ZeekTypes.ZeekTypeMeta, zt)
         if (outName != f.name) mb.putString(ZeekTypes.ZeekNameMeta, f.name)
-        typedCast(zt, quoted(f.name), isoTimestamps).as(outName, mb.build())
+        typedCast(zt, quoted(f.name), iso).as(outName, mb.build())
       }
-
     val cols =
       if (filename)
         // same display form as the TSV source's virtual column

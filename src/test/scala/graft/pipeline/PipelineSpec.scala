@@ -328,6 +328,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getString(3) == "en")
   }
 
+  test("quality classifier: hard-sigmoid link is clamped, monotone, UDF-free") {
+    import spark.implicits._
+    // stopword-dense text scores higher than punctuation-dense noise
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in it and that is that"),
+      (2L, "!!!,,,;;;???...:::!!!,,,;;;???...:::")).toDF("doc_id", "text")
+    val z = TextFunctions.classifierLogit(col("text"))
+    val r = df.select(col("doc_id"), TextFunctions.hardSigmoid(z).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L))
+    assert(r.values.forall(p => p >= 0.0 && p <= 1.0))
+    // saturation: extreme logits clamp exactly to the bounds
+    val probe = Seq(Tuple1(-10.0), Tuple1(10.0)).toDF("zv")
+      .select(TextFunctions.hardSigmoid(col("zv"))).collect().map(_.getDouble(0))
+    assert(probe.toSeq == Seq(0.0, 1.0))
+    // scale shape: the whole d23 scorer is built-ins (codegen'd map-only
+    // pass) — no UDF anywhere in the plan
+    val plan = graft.queries.PipelineQueries.queries("d23_quality_classifier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"d23 must stay UDF-free:\n$plan")
+  }
+
   test("fingerprint normalizes whitespace and case") {
     import spark.implicits._
     val df = Seq(Tuple1("a  B\tc"), Tuple1("A b C")).toDF("text")

@@ -212,4 +212,71 @@ class StreamOpsSpec extends AnyFunSuite {
         s"each fingerprint exactly once, got ${fps.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming decontamination tags contaminated docs, agrees with the batch op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "to be or not to be that is the question"))
+      .toDF("doc_id", "text")
+    // doc 1 copies eval shingles (contaminated), doc 2 shares one bigram
+    // (below minShared), doc 3 is clean
+    val docs = Seq(
+      (1L, "note the quick brown fox jumps over everything"),
+      (2L, "a quick brown bear sat down"),
+      (3L, "completely unrelated content about spark plans"))
+
+    val input = MemoryStream[(Long, String)]
+    val tagged = StreamOps.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "text"), evalSet, "doc_id", "text",
+      shingleSize = 2, minShared = 3)
+    val q = tagged.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+
+      val out = spark.table("decontam")
+        .select("doc_id", "n_shared", "contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(out.map(_._1) == Seq(1L, 2L, 3L))
+      assert(out(0)._3, "doc 1 shares >= 3 shingles with the eval set")
+      assert(!out(1)._3 && !out(2)._3)
+
+      // agreement with the batch operator on the same data
+      val batch = graft.dedup.Dedup.contaminationPairs(
+        docs.toDF("doc_id", "text"), evalSet, "doc_id", "text",
+        shingleSize = 2, minShared = 3)
+        .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(out.filter(_._3).map(_._1).toSet == batch)
+      // exact-confirmed count for the implicated doc matches the batch count
+      val batchShared = graft.dedup.Dedup.contaminationPairs(
+        docs.toDF("doc_id", "text"), evalSet, "doc_id", "text",
+        shingleSize = 2, minShared = 1)
+        .groupBy("corpus_id").agg(max("n_shared").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(0)._2 == batchShared(1L))
+    } finally q.stop()
+  }
+
+  test("streaming decontamination with an empty eval set keeps everything") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val tagged = StreamOps.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "text"), evalSet, "doc_id", "text")
+    val q = tagged.writeStream.format("memory").queryName("decontam_empty")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "anything at all"))
+      q.processAllAvailable()
+      val out = spark.table("decontam_empty").collect()
+      assert(out.length == 1 && !out.head.getAs[Boolean]("contaminated"))
+    } finally q.stop()
+  }
 }

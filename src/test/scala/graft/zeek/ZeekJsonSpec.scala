@@ -167,6 +167,27 @@ class ZeekJsonSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(1)).toSeq == Seq(54321))
   }
 
+  test("readStream: typed micro-batch ingestion of a JSON log directory") {
+    val dir = ZeekFixtures.tempDir()
+    writeText(dir, "a.json", """{"ts":1.5,"uid":"A","n":7}""" + "\n")
+    val types = Map("ts" -> "time", "uid" -> "string", "n" -> "count")
+    val stream = ZeekJson.readStream(spark, dir.toString, types = types,
+      maxFilesPerTrigger = Some(1))
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val q = stream.writeStream.format("memory").queryName("zjson_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeText(dir, "b.json", """{"ts":2.5,"uid":"B","n":8}""" + "\n")
+      q.processAllAvailable()
+      val out = spark.table("zjson_stream").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("uid"),
+          r.getAs[Long]("n"))).sortBy(_._2).toSeq
+      assert(out == Seq((1500L, "A", 7L), (2500L, "B", 8L)))
+    } finally q.stop()
+  }
+
   test("unset scalar vs empty-string distinction survives JSON (beyond TSV)") {
     // TSV maps both markers to NULL for scalar strings; JSON keeps ""
     val dir = ZeekFixtures.tempDir()
