@@ -276,6 +276,64 @@ object Dedup {
       .distinct()
   }
 
+  /** The md5-derived 60-bit SimHash signatures (id, sig) behind
+    * [[simhashNearDupsSql]] — built ENTIRELY from `md5` plus collection
+    * lambdas, so a SQL engine re-runs the pipeline bit-for-bit (the d07b
+    * DuckDB oracle does). Tokens are the non-empty whitespace splits of
+    * lower(text); shingles the distinct word bigrams (the whole text when
+    * fewer than two tokens); a shingle's hash is its md5's leading 60
+    * bits (15 hex chars, sign-safe in a long); signature bit j is the
+    * majority vote over shingle-hash bits j.
+    *
+    * Scale shape: the vote aggregate is groupBy(id, bit) — map-side
+    * combinable, so the shuffle carries ≤ 60 rows per doc regardless of
+    * document size — then one groupBy(id) assembles the signature. All
+    * codegen'd built-ins, no UDF. */
+  def simhash60Sql(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("t"))
+      .filter(col("t").isNotNull)
+    val sh = toks.select(col("id"), explode(when(size(col("t")) < 2,
+        array(array_join(col("t"), " ")))
+      .otherwise(expr("array_distinct(transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"))).as("s"))
+    val hashed = sh.select(col("id"),
+      expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").as("h"))
+    val votes = hashed.select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("id", "j")
+      .agg(sum(when(expr("(shiftrightunsigned(h, j) & 1) = 1"), 1).otherwise(-1)).as("v"))
+    votes.groupBy("id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 AS bigint), j)"))
+        .otherwise(0L)).as("sig"))
+  }
+
+  /** [[simhashNearDups]]'s oracle-reproducible twin over [[simhash60Sql]]
+    * signatures. Pairing is the same 4-block pigeonhole (15-bit blocks on
+    * the 60-bit signature — exact for Hamming ≤ 3); NO bucket cap,
+    * because the twin's contract is exact equality with the brute-force
+    * oracle (the capped production path is [[simhashNearDups]]). */
+  def simhashNearDupsSql(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "15-bit pigeonhole blocks are exact only to Hamming <= 3")
+    val sigs = simhash60Sql(docs, idCol, textCol)
+    val blocked = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blk_val", expr("shiftrightunsigned(sig, cast(blk * 15 AS INT)) & 32767"))
+    val buckets = blocked.groupBy("blk", "blk_val")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets.select(explode(expr(
+      """flatten(flatten(transform(array(members), ms ->
+        |  transform(ms, (m, i) ->
+        |    transform(slice(ms, i + 2, size(ms)), n ->
+        |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+        |        'hamming', bit_count(m.sig ^ n.sig)))))))""".stripMargin)).as("p"))
+      .select("p.a", "p.b", "p.hamming")
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Cross-corpus contamination pairs: every (corpus doc, eval doc) pair

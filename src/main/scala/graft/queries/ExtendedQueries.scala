@@ -265,6 +265,22 @@ object ExtendedQueries {
           col("o_orderpriority").asc_nulls_last, col("g_status"), col("g_prio"))
     }),
 
+    // --- ntile quartiles ---------------------------------------------------
+    // equi-depth bucketing per group — the remaining ranking window
+    // function the q08-q61 family didn't exercise. The (desc price,
+    // orderkey) order is total, so bucket assignment is deterministic;
+    // the per-bucket aggregate keeps the output bounded.
+    "q71_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("bucket", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority"), col("bucket"))
+    }),
+
     // --- statistical aggregates via exact moments --------------------------
     // Built-in corr/stddev accumulate doubles in partition order (non-
     // deterministic cross-engine); computing the moments as exact decimal
@@ -333,6 +349,16 @@ object ExtendedQueries {
         | count(*) AS cnt
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST, g_status, g_prio""".stripMargin,
+
+    "q71_ntile" ->
+      """WITH b AS (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS bucket
+        | FROM orders)
+        |SELECT o_orderpriority, bucket, count(*) AS cnt,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
 
     "q47_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,

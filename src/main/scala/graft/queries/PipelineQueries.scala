@@ -109,6 +109,17 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // d07's HASH-CHECKED twin: same SimHash algorithm, but the shingle
+    // hash is md5-derived (60 bits) so the DuckDB oracle recomputes the
+    // ENTIRE pipeline — tokenize, shingle, hash, per-bit majority vote,
+    // signature, Hamming pairs — bit-for-bit from the raw text. The
+    // Spark side still pairs via the scale-safe 4-block pigeonhole; the
+    // oracle brute-forces (sound at oracle SF).
+    "d07b_simhash_md5" -> ((s, d) => {
+      Dedup.simhashNearDupsSql(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "d08_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, shingleSize = 2, maxDf = 1000000)
@@ -372,6 +383,110 @@ object PipelineQueries {
         round(z, 6).as("logit"),
         round(TextFunctions.hardSigmoid(z), 6).as("p_keep"),
         (TextFunctions.hardSigmoid(z) >= lit(0.5)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k retrieval — the quality-by-relevance scoring a data
+    // pipeline runs to surface domain-matched documents (and the core of
+    // any corpus search/inspection tool). Inverted-index shape: the tiny
+    // query-term table joins the (doc, term, tf) postings on term; df and
+    // corpus stats broadcast. Per-term contributions are DECIMAL(18,6)-
+    // cast before summing (exact, associative — same rule as d21), so
+    // ranking ties are impossible to get "almost right": the oracle
+    // recomputes identical decimals. Top-k is two-stage: rank within
+    // (qid, doc-hash shard) first, then rank the <= 5*shards survivors —
+    // no single task ever sorts a full query's posting intersection.
+    "d24_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tk.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val qterms = s.createDataFrame(Seq(
+          (1, "spark window agg"), (2, "hash join table"), (3, "stream batch sort")))
+        .toDF("qid", "qtext")
+        .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+      val contrib = tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+        .withColumn("c",
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            .cast(DecimalType(18, 6)))
+      val scored = contrib.groupBy("qid", "doc_id")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n_terms"))
+      val shardW = Window.partitionBy(col("qid"), pmod(hash(col("doc_id")), lit(64)))
+        .orderBy(col("s").desc, col("doc_id").asc)
+      val finalW = Window.partitionBy(col("qid"))
+        .orderBy(col("s").desc, col("doc_id").asc)
+      scored.withColumn("sr", row_number().over(shardW)).filter(col("sr") <= 5)
+        .withColumn("rank", row_number().over(finalW)).filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
+          round(col("s").cast(DoubleType), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // duplicated n-gram fraction (Gopher / FineWeb repetition signal):
+    // the share of a document's distinct word 5-grams that occur in any
+    // OTHER document — the corpus-wide complement of d16's within-doc
+    // repetition. Two bounded shuffles: n-gram df (map-side combinable)
+    // and the join back on the n-gram key.
+    "d25_dup_ngram_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ng = docs.select(col("doc_id"),
+          expr(s"filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+        .select(col("doc_id"), explode(when(size(col("t")) < 5,
+            array(array_join(col("t"), " ")))
+          .otherwise(expr("array_distinct(transform(sequence(1, size(t) - 4), " +
+            "i -> array_join(slice(t, i, 5), ' ')))"))).as("ng"))
+      // n-grams are distinct per doc, so df counts documents
+      val df5 = ng.groupBy("ng").agg(count(lit(1)).as("df"))
+      ng.join(df5, "ng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
+        .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
+          round(col("dup_ngrams") * lit(1.0) / col("n_ngrams"), 4).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance-resampling weights (Xie et al. 2023): hashed
+    // unigram features (md5 -> 128 buckets), a bag-of-buckets unigram LM
+    // for the TARGET domain (src0/src1 here) vs the RAW corpus, and a
+    // per-document log-likelihood ratio. The 128-bucket model broadcasts
+    // (it is O(buckets), never O(vocab)); the corpus token stream joins
+    // it map-side — one groupBy(doc) shuffle total. Per-token log ratios
+    // are DECIMAL(18,6)-cast before summing (exact, associative).
+    "d26_dsir_weights" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("b", expr("cast(conv(substr(md5(term), 1, 4), 16, 10) AS int) % 128"))
+      val target = tk.filter(col("source").isin("src0", "src1"))
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = tk.groupBy("b").agg(count(lit(1)).as("cr"))
+      val model = s.range(128).select(col("id").cast(IntegerType).as("b"))
+        .join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+      val tot = model.agg(sum(col("ct")).as("t_tot"), sum(col("cr")).as("r_tot"))
+      val lr = model.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + lit(0.5)) / (col("t_tot") + lit(64.0))) -
+            log((col("cr") + lit(0.5)) / (col("r_tot") + lit(64.0))))
+            .cast(DecimalType(18, 6)).as("lr"))
+      tk.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("slr"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("slr").cast(DoubleType) / col("n_toks"), 4).as("dsir_weight"))
         .orderBy(col("doc_id"))
     }),
 
@@ -699,6 +814,33 @@ object PipelineQueries {
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
+    // the full md5-SimHash pipeline recomputed from raw text (tokenize →
+    // distinct bigrams → 60-bit md5 hash → per-bit majority vote →
+    // signature → brute-force Hamming pairs; Spark pairs via pigeonhole
+    // blocks, provably identical for Hamming ≤ 3)
+    "d07b_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) END AS ss
+        |  FROM toks),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh)),
+        |v AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) bits
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sig
+        |  FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
     // transitive closure of the exact near-dup pair graph (same pair CTE
     // as d06/d08) via a recursive CTE; min reachable id = cluster label
     "d09_dedup_clusters" ->
@@ -848,6 +990,72 @@ object PipelineQueries {
          |  round(least(greatest(zv * 0.25 + 0.5, 0.0), 1.0), 6) AS p_keep,
          |  least(greatest(zv * 0.25 + 0.5, 0.0), 1.0) >= 0.5 AS keep
          |FROM z ORDER BY doc_id""".stripMargin,
+
+    // BM25 with per-term DECIMAL(18,6) contributions — identical decimal
+    // sums on both engines, so the ranking (score desc, doc_id) is exact
+    "d24_bm25" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |q AS (SELECT 1 AS qid, unnest(['spark','window','agg']) AS term
+        |      UNION ALL SELECT 2, unnest(['hash','join','table'])
+        |      UNION ALL SELECT 3, unnest(['stream','batch','sort'])),
+        |contrib AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |scored AS (SELECT qid, doc_id, sum(c) AS s, count(*) AS n_terms
+        |           FROM contrib GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, n_terms, s,
+        |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+        |      FROM scored)
+        |SELECT qid, rank, doc_id, n_terms, round(CAST(s AS DOUBLE), 4) AS score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // corpus-wide duplicated 5-gram share per document
+    "d25_dup_ngram_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |ngs AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) END AS ngl
+        |  FROM toks),
+        |ng AS (SELECT doc_id, unnest(ngl) AS ng FROM ngs),
+        |df5 AS (SELECT ng, count(*) AS df FROM ng GROUP BY ng),
+        |j AS (SELECT doc_id, df FROM ng JOIN df5 USING (ng))
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR hashed-unigram importance weights; the 128-bucket LM and the
+    // per-token DECIMAL(18,6) log-ratio sums reproduce exactly
+    "d26_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, source, term,
+        |        ('0x' || substr(md5(term), 1, 4))::INT % 128 AS b
+        |      FROM tk WHERE term <> ''),
+        |target AS (SELECT b, count(*) AS ct FROM t WHERE source IN ('src0','src1') GROUP BY b),
+        |raw AS (SELECT b, count(*) AS cr FROM t GROUP BY b),
+        |model AS (SELECT r.b, coalesce(target.ct, 0) AS ct, coalesce(raw.cr, 0) AS cr
+        |          FROM (SELECT unnest(range(128)) AS b) r
+        |          LEFT JOIN target USING (b) LEFT JOIN raw USING (b)),
+        |tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM model),
+        |lr AS (SELECT b, CAST(ln((ct + 0.5) / (t_tot + 64.0)) - ln((cr + 0.5) / (r_tot + 64.0))
+        |         AS DECIMAL(18,6)) AS lr
+        |       FROM model CROSS JOIN tot),
+        |s AS (SELECT doc_id, count(*) AS n_toks, sum(lr.lr) AS slr
+        |      FROM t JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_toks, round(CAST(slr AS DOUBLE) / n_toks, 4) AS dsir_weight
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // int8 codes at a fixed power-of-two scale: floor(v*256) is exact,
     // clamping and squared-difference sums are integers — the oracle

@@ -169,6 +169,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n" + p.take(2000))
   }
 
+  test("d24: bm25 joins query terms and df broadcast; no nested-loop join") {
+    val p = plan("d24_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight, Cross"),
+      "unexpected nested loop:\n" + p.take(2000))
+  }
+
+  test("d26: the 128-bucket model broadcasts — the token stream never shuffles for it") {
+    val p = plan("d26_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("d07b: md5-simhash vote aggregate is partial (map-side combinable)") {
+    val p = plan("d07b_simhash_md5")
+    // partial + final HashAggregate pair for the (id, bit) votes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
