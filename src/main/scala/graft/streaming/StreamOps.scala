@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState, MapState}
+import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Structured Streaming operators: watermarked tumbling/sliding windows
   * and stateful gap-based sessionization.
@@ -157,6 +159,63 @@ object StreamOps {
           .drop("__might")
       }
     counted.withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  case class ProfileEvent(key: String, item: String, bytes: Long)
+  case class ProfileAgg(nEvents: Long, totalBytes: Long, nDistinct: Long)
+  case class ProfileOut(key: String, n_events: Long, total_bytes: Long,
+      n_distinct_items: Long)
+
+  /** Per-entity running profile via the `transformWithState` arbitrary-
+    * state API (Spark 4.x): one [[ValueState]] for the O(1) running
+    * aggregate and one [[MapState]] for the per-item counts backing the
+    * exact distinct count. MapState keys live in the state store (RocksDB
+    * at scale), NOT in an in-memory collection per key, so a high-fanout
+    * entity (a scanner hitting every port) grows state linearly in the
+    * store, never in executor heap — the property `mapGroupsWithState`'s
+    * single-blob state can't give. `ttl` evicts idle entities' state by
+    * processing time (the operational bound for an unbounded key space:
+    * state size tracks ACTIVE entities). Emits one updated profile row
+    * per entity per micro-batch (Update mode).
+    *
+    * The entity-profile shape for zeek-style streams: key = source addr,
+    * item = dest port (distinct-items = fanout — the scan detector
+    * input), bytes = payload size. */
+  class EntityProfileProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, ProfileEvent, ProfileOut] {
+    @transient private var agg: ValueState[ProfileAgg] = _
+    @transient private var seen: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[ProfileAgg]("agg", Encoders.product[ProfileAgg], ttl)
+      seen = getHandle.getMapState[String, Long]("seen",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[ProfileEvent],
+        tv: TimerValues): Iterator[ProfileOut] = {
+      var a = if (agg.exists()) agg.get() else ProfileAgg(0L, 0L, 0L)
+      rows.foreach { e =>
+        if (!seen.containsKey(e.item)) {
+          seen.updateValue(e.item, 1L)
+          a = a.copy(nDistinct = a.nDistinct + 1)
+        } else seen.updateValue(e.item, seen.getValue(e.item) + 1L)
+        a = a.copy(nEvents = a.nEvents + 1, totalBytes = a.totalBytes + e.bytes)
+      }
+      agg.update(a)
+      Iterator.single(ProfileOut(key, a.nEvents, a.totalBytes, a.nDistinct))
+    }
+  }
+
+  /** [[EntityProfileProcessor]] wired over a stream: requires the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore.providerClass`
+    * — transformWithState does not run on the default HDFS-backed store). */
+  def entityProfiles(events: Dataset[ProfileEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[ProfileOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new EntityProfileProcessor(ttl),
+        TimeMode.None(), OutputMode.Update(), implicitly[Encoder[ProfileOut]])
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -279,4 +279,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(out.length == 1 && !out.head.getAs[Boolean]("contaminated"))
     } finally q.stop()
   }
+
+  test("transformWithState entity profiles accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ProfileEvent]
+    val q = StreamOps.entityProfiles(input.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        ProfileEvent("10.0.0.1", "80", 100L),
+        ProfileEvent("10.0.0.1", "443", 50L),
+        ProfileEvent("10.0.0.1", "80", 10L),
+        ProfileEvent("10.0.0.2", "22", 7L))
+      q.processAllAvailable()
+      input.addData(ProfileEvent("10.0.0.1", "8080", 1L))
+      q.processAllAvailable()
+
+      val out = spark.table("profiles").as[ProfileOut].collect()
+      // update-mode memory sink keeps every emitted version; the profile
+      // with the highest n_events per key is the current one
+      val latest = out.groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(_.n_events) }
+      assert(latest("10.0.0.1") == ProfileOut("10.0.0.1", 4L, 161L, 3L))
+      assert(latest("10.0.0.2") == ProfileOut("10.0.0.2", 1L, 7L, 1L))
+      // batch-1 emission must also have been the correct running profile
+      assert(out.contains(ProfileOut("10.0.0.1", 3L, 160L, 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
