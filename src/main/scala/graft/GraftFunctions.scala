@@ -13,5 +13,6 @@ object GraftFunctions {
     graft.functions.VectorExpressions.registerAll(spark)
     graft.functions.Udafs.registerAll(spark)
     graft.functions.BloomFunctions.registerAll(spark)
+    graft.functions.SketchExpressions.registerAll(spark)
   }
 }

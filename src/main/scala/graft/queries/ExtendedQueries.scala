@@ -281,6 +281,54 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"), col("bucket"))
     }),
 
+    // --- array set algebra -------------------------------------------------
+    // intersect/union/except with sort+join canonicalization (engines
+    // order set results differently; sorted CSV strings compare exactly)
+    "q72_array_set_ops" -> ((s, d) => {
+      val ref = array(Seq("small", "red", "blue", "ring", "bolt").map(lit): _*)
+      Tables.part(s, d).filter(col("p_partkey") < 400)
+        .withColumn("words", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          array_join(array_sort(array_intersect(col("words"), ref)), ",").as("inter"),
+          array_join(array_sort(array_union(col("words"), ref)), ",").as("uni"),
+          array_join(array_sort(array_except(col("words"), ref)), ",").as("exc"),
+          array_contains(col("words"), "red").as("has_red"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- regexp_extract_all ------------------------------------------------
+    "q73_regexp_extract_all" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 400)
+        .select(col("p_partkey"),
+          array_join(expr("regexp_extract_all(concat(p_name, '-', lower(p_type)), '[a-z]+', 0)"), ",")
+            .as("letter_runs"),
+          expr("regexp_extract_all(p_brand, '\\\\d+', 0)[0]").as("brand_num"),
+          size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).as("n_vowels"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- count-min-sketch heavy hitters -------------------------------------
+    // Spark's count_min_sketch aggregate + the graft cms_estimate probe
+    // (Spark ships the writer but no SQL reader). The sketch is a real
+    // partial/merge aggregate over the fact stream; the 1-row sketch
+    // broadcasts against the key table for probing. At eps=0.001 the
+    // sketch width (~2718) dwarfs the supplier key space at every test
+    // SF, so estimates equal exact counts deterministically (seed 42) —
+    // which is what makes the exact-count oracle hash-checkable; the
+    // ScalaTest property (exact <= est <= exact + eps*N) is the
+    // guarantee that survives at 100 TB key cardinalities.
+    "q74_cms_heavy_hitters" -> ((s, d) => {
+      graft.functions.SketchExpressions.registerAll(s)
+      val li = Tables.lineitem(s, d)
+      val sk = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+      val keys = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+      keys.crossJoin(broadcast(sk))
+        .select(col("l_suppkey"), col("exact_cnt"),
+          expr("cms_estimate(sk, l_suppkey)").as("est_cnt"))
+        .orderBy(col("est_cnt").desc, col("l_suppkey").asc)
+        .limit(10)
+    }),
+
     // --- statistical aggregates via exact moments --------------------------
     // Built-in corr/stddev accumulate doubles in partition order (non-
     // deterministic cross-engine); computing the moments as exact decimal
@@ -359,6 +407,28 @@ object ExtendedQueries {
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM b GROUP BY o_orderpriority, bucket
         |ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    "q74_cms_heavy_hitters" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, exact_cnt, exact_cnt AS est_cnt
+        |FROM c ORDER BY est_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "q72_array_set_ops" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part WHERE p_partkey < 400),
+        |r AS (SELECT ['small','red','blue','ring','bolt'] AS ref)
+        |SELECT p_partkey,
+        |  coalesce(array_to_string(list_sort(list_intersect(words, ref)), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(words, ref))), ','), '') AS uni,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(words), x -> NOT list_contains(ref, x))), ','), '') AS exc,
+        |  list_contains(words, 'red') AS has_red
+        |FROM w CROSS JOIN r ORDER BY p_partkey""".stripMargin,
+
+    "q73_regexp_extract_all" ->
+      """SELECT p_partkey,
+        | array_to_string(regexp_extract_all(p_name || '-' || lower(p_type), '[a-z]+'), ',') AS letter_runs,
+        | regexp_extract_all(p_brand, '\d+')[1] AS brand_num,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels
+        |FROM part WHERE p_partkey < 400 ORDER BY p_partkey""".stripMargin,
 
     "q47_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
