@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank: the iterative-graph operator class
+  * (beyond [[graft.dedup.DedupClusters]]' connected components) for
+  * entity-importance scoring — supplier/customer centrality, web-graph
+  * quality priors for corpus curation, canonical-document selection.
+  *
+  * All arithmetic is INTEGER (ranks in millionths of a unit of mass;
+  * damping 85/100 applied with integer division), so the result is a
+  * pure function of the graph — bit-identical across engines and across
+  * partial-aggregation orders. That is what lets the driver's DuckDB
+  * oracle replay the same iterations and hash-match (float PageRank
+  * would accumulate in partition order and differ in ulps).
+  *
+  * Scale design (100 TB): each iteration is one join of the rank vector
+  * with the edge list (both keyed on the node id — co-partitioned after
+  * the first shuffle, AQE reuses the exchange) plus one map-side-
+  * combinable sum per destination. State per round is one row per node;
+  * contributions never materialize per-edge beyond the shuffle stream.
+  * For long chains (> ~8 iterations) callers should `localCheckpoint`
+  * every few rounds to cut lineage — same recipe as DedupClusters.
+  */
+object PageRank {
+
+  /** Ranks after `iters` rounds over a directed edge list (`src`, `dst`
+    * string columns). Every node starts with `base` millionth-mass;
+    * p'(v) = base*15/100 + 85 * Σ_{u→v} (p(u) div out(u)) div 100,
+    * all in integer arithmetic. Returns (node, val). */
+  def integerPageRank(edges: DataFrame, iters: Int = 5,
+      base: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"), lit(base).as("val"))
+    val hold = base * 15L / 100L
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "node")
+        .select(col("node"), expr("val div deg").as("c"))
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (lit(hold) + expr("(85 * coalesce(s, 0L)) div 100")).as("val"))
+    }
+    ranks
+  }
+}

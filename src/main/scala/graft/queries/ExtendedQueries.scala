@@ -19,6 +19,30 @@ object ExtendedQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** q75's oracle: the SAME integer fixed-point PageRank iterations as
+    * [[graft.operators.PageRank.integerPageRank]], unrolled as CTEs
+    * (DuckDB `//` == Spark `div` for the all-positive values here). */
+  private def pagerankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node, 150000 + (85 * coalesce(x.s, 0)) // 100 AS val
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.val // d.deg) AS s
+         |    FROM r${i - 1} r JOIN deg d ON r.node = d.node
+         |    JOIN edges e ON e.src = r.node GROUP BY e.dst) x ON n.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS val FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(val AS BIGINT) AS val FROM r$iters
+       |WHERE node LIKE 's%'
+       |ORDER BY val DESC, node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- JSON extraction (distinct from q31's regexp path) --------------
     "q47_json_funcs" -> ((s, d) => {
@@ -307,6 +331,27 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // --- iterative graph: fixed-point PageRank ------------------------------
+    // supplier centrality over the customer↔supplier purchase graph —
+    // the iterative-computation operator class beyond d09's connected
+    // components. Integer fixed-point arithmetic makes 5 rounds of
+    // damped propagation bit-identical in both engines (the oracle
+    // unrolls the same iterations as CTEs).
+    "q75_graph_pagerank" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.integerPageRank(edges, iters = 5)
+        .filter(col("node").startsWith("s"))
+        .orderBy(col("val").desc, col("node").asc)
+        .limit(20)
+    }),
+
     // --- count-min-sketch heavy hitters -------------------------------------
     // Spark's count_min_sketch aggregate + the graft cms_estimate probe
     // (Spark ships the writer but no SQL reader). The sketch is a real
@@ -407,6 +452,8 @@ object ExtendedQueries {
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM b GROUP BY o_orderpriority, bucket
         |ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    "q75_graph_pagerank" -> pagerankOracle(5),
 
     "q74_cms_heavy_hitters" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey)
