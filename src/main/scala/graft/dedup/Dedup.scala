@@ -419,4 +419,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  // ---- exact Jaccard via prefix filtering (AllPairs/PPJoin) ------------
+
+  /** All-pairs exact n-gram Jaccard ≥ threshold via PREFIX FILTERING —
+    * same result set as [[ngramJaccardPairs]], different scale shape.
+    *
+    * Each document's shingles are sorted rarest-first by the global
+    * (document-frequency, shingle) order; only the first
+    * n − ceil(τ·n) + 1 tokens (the "prefix") enter the candidate join.
+    * The prefix-filtering principle (Bayardo et al. WWW'07 "Scaling Up
+    * All Pairs Similarity Search", Xiao et al. WWW'08 PPJoin): two sets
+    * with overlap ≥ α must share a token within their first |x|−α+1
+    * ordered tokens, and Jaccard ≥ τ implies overlap ≥ ceil(τ·|x|) —
+    * so the candidate set is provably complete. A length filter
+    * (τ·nx ≤ ny ≤ nx/τ) prunes further before verification.
+    *
+    * Scale design (100 TB): the inverted-index variant posts EVERY
+    * token; this posts only the prefix — and rarest-first ordering
+    * makes prefix tokens exactly the low-df ones, so posting lists stay
+    * short without the lossy maxDf cutoff. The df join and candidate
+    * join shuffle on the shingle; verification shuffles on the pair
+    * ids. Threshold math uses exact decimal arithmetic so the prefix
+    * length is never rounded short (a double ulp there would silently
+    * drop boundary pairs). */
+  def setSimPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 2): DataFrame = {
+    // the double's exact decimal expansion can run past Spark's 38-digit
+    // cap; FLOOR-rounding to 18 places keeps tau <= the true threshold,
+    // which errs on LONGER prefixes / LOOSER length filters — extra
+    // candidates are verified away, so completeness is preserved
+    val tau = new java.math.BigDecimal(threshold)
+      .setScale(18, java.math.RoundingMode.FLOOR)
+    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
+    val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first per-doc token order; prefix length n - ceil(tau*n) + 1
+    val sorted = exploded.join(dfreq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n"))
+    val prefix = sorted
+      .withColumn("plen", (col("n") - ceil(col("n") * lit(tau)) + 1).cast("int"))
+      .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+      .select(col("id"), col("n"), col("tok.s").as("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+          col("y.n") >= col("x.n") * lit(tau) && col("x.n") >= col("y.n") * lit(tau))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // verify candidates with the exact overlap count
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(exploded.select(col("id").as("a"), col("s")), "a")
+      .join(exploded.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", col("common") * 1.0 / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
 }

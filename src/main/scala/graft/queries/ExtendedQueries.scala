@@ -374,6 +374,67 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // --- recursive CTE (tree walk) ------------------------------------------
+    // Spark 4.1's WITH RECURSIVE (UnionLoop): a binary-tree walk over a
+    // dense re-keying of orders (node i's parent is i div 2), carrying a
+    // root-to-node decimal path sum. UNION ALL recursion reaches each
+    // node exactly once (it is a tree), so no dedup is needed — Spark
+    // does not support UNION-dedup recursion yet. The dense ids come
+    // from one global row_number; that single-task sort is fine for a
+    // demo of the operator, and the recursion itself is iterative
+    // equi-joins keyed on the parent id — the same scale shape as
+    // PageRank/DedupClusters.
+    "q76_recursive_tree" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""WITH RECURSIVE ids AS (
+              |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+              |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              |  FROM orders
+              |),
+              |tree(id, depth, path_sum) AS (
+              |  SELECT id, 0, price FROM ids WHERE id = 1
+              |  UNION ALL
+              |  SELECT c.id, t.depth + 1,
+              |         CAST(t.path_sum + c.price AS DECIMAL(18,2))
+              |  FROM ids c JOIN tree t ON c.id DIV 2 = t.id
+              |  WHERE c.id > 1
+              |)
+              |SELECT depth, count(*) AS cnt,
+              |       CAST(sum(path_sum) AS DOUBLE) AS total,
+              |       CAST(max(path_sum) AS DOUBLE) AS max_path
+              |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // --- triangle counting ---------------------------------------------------
+    // per-supplier triangle participation in the co-purchase graph
+    // (suppliers adjacent when they serve ≥ 2 common orders). The Spark
+    // side runs the degree-ordered O(m^1.5) plan (operators.Triangles);
+    // the oracle enumerates by id order — same triangles, same counts.
+    "q77_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("a", "b")
+      graft.operators.Triangles.perVertexTriangles(edges)
+        .select(col("v").as("suppkey"), col("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("suppkey"))
+    }),
+
+    // --- FILTER clause on aggregates -----------------------------------------
+    "q78_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, count(*) AS cnt,
+              |  count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+              |  max(l_shipdate) FILTER (WHERE l_linestatus = 'F') AS last_f
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // --- statistical aggregates via exact moments --------------------------
     // Built-in corr/stddev accumulate doubles in partition order (non-
     // deterministic cross-engine); computing the moments as exact decimal
@@ -454,6 +515,44 @@ object ExtendedQueries {
         |ORDER BY o_orderpriority, bucket""".stripMargin,
 
     "q75_graph_pagerank" -> pagerankOracle(5),
+
+    "q76_recursive_tree" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |),
+        |tree(id, depth, path_sum) AS (
+        |  SELECT id, 0 AS depth, price FROM ids WHERE id = 1
+        |  UNION ALL
+        |  SELECT c.id, t.depth + 1,
+        |         CAST(t.path_sum + c.price AS DECIMAL(18,2))
+        |  FROM ids c JOIN tree t ON c.id // 2 = t.id
+        |  WHERE c.id > 1
+        |)
+        |SELECT depth, count(*) AS cnt,
+        |       CAST(sum(path_sum) AS DOUBLE) AS total,
+        |       CAST(max(path_sum) AS DOUBLE) AS max_path
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q77_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |p AS (SELECT x.sk AS a, y.sk AS b FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+        |e AS (SELECT a, b FROM p GROUP BY a, b HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |verts AS (SELECT u AS vx FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |SELECT vx AS suppkey, count(*) AS tri_cnt FROM verts
+        |GROUP BY vx ORDER BY tri_cnt DESC, suppkey""".stripMargin,
+
+    "q78_filtered_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+        |  max(l_shipdate) FILTER (WHERE l_linestatus = 'F') AS last_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q74_cms_heavy_hitters" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey)

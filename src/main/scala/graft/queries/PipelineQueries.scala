@@ -456,6 +456,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d08's result through the OTHER classic exact-similarity-join plan:
+    // prefix filtering (AllPairs/PPJoin). Only the rarest
+    // n − ceil(τ·n) + 1 tokens of each doc enter the candidate join
+    // (provably complete — see Dedup.setSimPrefixJoin), so posting lists
+    // stay short without d08's lossy maxDf cutoff. Shares d08's exact
+    // all-pairs oracle: identical pair set is the correctness claim.
+    "d27_setsim_prefix_join" -> ((s, d) => {
+      Dedup.setSimPrefixJoin(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, shingleSize = 2)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // DSIR-style importance-resampling weights (Xie et al. 2023): hashed
     // unigram features (md5 -> 128 buckets), a bag-of-buckets unigram LM
     // for the TARGET domain (src0/src1 here) vs the RAW corpus, and a
@@ -803,6 +816,20 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin,
 
     "d08_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    // prefix filtering is an exact algorithm: d27 must produce exactly
+    // the all-pairs Jaccard set, so it shares d08's oracle verbatim
+    "d27_setsim_prefix_join" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),

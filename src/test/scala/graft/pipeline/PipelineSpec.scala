@@ -32,6 +32,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, s"minhash=${mh.size} exact=${exact.size}")
   }
 
+  test("prefix-filtered set-similarity join equals the inverted-index exact join") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 2, 1000000)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.setSimPrefixJoin(docs, "doc_id", "text", 0.5, 2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(pref == exact, s"prefix=${pref.size} exact=${exact.size}")
+  }
+
+  test("prefix filtering is complete across thresholds on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    // overlapping random docs: shared stems force near-boundary Jaccards
+    val texts = (0 until 60).map { i =>
+      val stem = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(8)))
+      val tail = Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, (stem ++ tail).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.7)) {
+      val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", tau, 2, 1000000)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.setSimPrefixJoin(df, "doc_id", "text", tau, 2)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref == exact, s"tau=$tau prefix=${pref.size} exact=${exact.size}")
+    }
+  }
+
   test("simhash block index returns exactly the brute-force Hamming<=3 pairs") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
