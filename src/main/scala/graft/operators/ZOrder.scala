@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve values for multi-dimensional data layout —
+  * the clustering step behind multi-column file skipping: sort/range-
+  * partition a 100 TB table by the interleaved key and every file's
+  * min/max footer stats become a small rectangle in (x, y) space, so
+  * point/range predicates on EITHER column prune files (a single-column
+  * sort only prunes on that column).
+  *
+  * The z-value is pure integer bit arithmetic over built-in expressions
+  * (shiftright/and/shiftleft/sum — all whole-stage-codegen'd, no UDF),
+  * so it is bit-identical in any engine and cheap enough to compute in
+  * the write path of an ingestion job.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of two non-negative int columns:
+    * result bit 2i is bit i of `x`, bit 2i+1 is bit i of `y`. Columns
+    * are masked to `bits` first, so out-of-range values wrap rather
+    * than corrupt high bits. */
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The same interleave as ANSI SQL text (for a DuckDB oracle or a
+    * SQL-only caller): bit-identical to [[zValue2]]. Every term is
+    * fully parenthesized — Postgres-dialect engines give `|`, `&` and
+    * `<<` one shared precedence tier (left-associative), so an unwrapped
+    * `a << 0 | b << 1` would compound the shifts. */
+  def zValue2Sql(x: String, y: String, bits: Int = 16): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((($x & $mask) >> $i) & 1) << ${2 * i})",
+        s"(((($y & $mask) >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " | ", ")")
+  }
+}

@@ -424,6 +424,27 @@ object ExtendedQueries {
         .orderBy(col("tri_cnt").desc, col("suppkey"))
     }),
 
+    // --- z-order layout ------------------------------------------------------
+    // Morton-curve clustering stats: bucket the fact table by the top 6
+    // bits of the 16-bit z-value over (partkey, suppkey) mod 256 and
+    // report each bucket's bounding rectangle. Each bucket's min/max
+    // ranges stay ≤ 1/8 of either key's domain — exactly the footer-
+    // stats property that makes a z-sorted 100 TB table prunable on
+    // BOTH columns (operators.ZOrder; geometric bound proven in
+    // ZOrderSpec). The oracle recomputes the interleave from the same
+    // generated bit expression.
+    "q79_zorder_layout" -> ((s, d) => {
+      val z = graft.operators.ZOrder.zValue2(
+        col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8)
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"), z.as("z"))
+        .groupBy(shiftright(col("z"), 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("px")).as("pk_lo"), max(col("px")).as("pk_hi"),
+          min(col("sy")).as("sk_lo"), max(col("sy")).as("sk_hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- FILTER clause on aggregates -----------------------------------------
     "q78_filtered_agg" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -545,6 +566,14 @@ object ExtendedQueries {
         |verts AS (SELECT u AS vx FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
         |SELECT vx AS suppkey, count(*) AS tri_cnt FROM verts
         |GROUP BY vx ORDER BY tri_cnt DESC, suppkey""".stripMargin,
+
+    "q79_zorder_layout" -> {
+      val z = graft.operators.ZOrder.zValue2Sql("(l_partkey % 256)", "(l_suppkey % 256)", bits = 8)
+      s"""SELECT ($z >> 10) AS bucket, count(*) AS cnt,
+         |  min(l_partkey % 256) AS pk_lo, max(l_partkey % 256) AS pk_hi,
+         |  min(l_suppkey % 256) AS sk_lo, max(l_suppkey % 256) AS sk_hi
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "q78_filtered_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,

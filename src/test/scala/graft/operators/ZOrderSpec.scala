@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zeek.SharedSpark
+
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def refInterleave(x: Long, y: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val (xm, ym) = (x & mask, y & mask)
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((xm >> i) & 1) << (2 * i)) | (((ym >> i) & 1) << (2 * i + 1))
+    }
+  }
+
+  test("zValue2 matches the reference interleave on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue2(col("x"), col("y"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == refInterleave(x, y, 16), s"($x,$y)") }
+  }
+
+  test("sql form is bit-identical to the column form") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i * 7 % 256, i * 13 % 256))
+    val df = rows.toDF("x", "y")
+    val both = df.select(
+      ZOrder.zValue2(col("x"), col("y"), 8).as("zc"),
+      expr(ZOrder.zValue2Sql("x", "y", 8)).as("zs"))
+    assert(both.filter(col("zc") =!= col("zs")).count() == 0)
+  }
+
+  test("top-bit buckets are bounded sub-rectangles (the file-skipping property)") {
+    import spark.implicits._
+    // dense 256x256 grid; top 6 of 16 z-bits => 64 buckets, each an
+    // 8x4-cell... for an even bit count a bucket is a square; 6 bits =>
+    // 2^5 x 2^3? — assert the provable bound: both ranges <= 32
+    val pts = for { x <- 0L until 256L; y <- 0L until 256L } yield (x, y)
+    val rects = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue2(col("x"), col("y"), 8).as("z"))
+      .groupBy(shiftright(col("z"), 10).as("bucket"))
+      .agg((max(col("x")) - min(col("x"))).as("xr"), (max(col("y")) - min(col("y"))).as("yr"))
+      .collect()
+    assert(rects.length == 64)
+    rects.foreach { r =>
+      assert(r.getLong(1) <= 31 && r.getLong(2) <= 31,
+        s"bucket ${r.get(0)}: xrange=${r.getLong(1)} yrange=${r.getLong(2)}")
+    }
+    // a single-column sort into 64 equal slices leaves the OTHER column
+    // unbounded (range 255) — the z-order rectangles above are what make
+    // min/max footer pruning work on both predicates
+  }
+}
