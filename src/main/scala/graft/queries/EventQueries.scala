@@ -107,6 +107,46 @@ object EventQueries {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // ordered funnel: view → click → purchase, each step's timestamp the
+    // EARLIEST occurrence at-or-after the previous step — the conversion
+    // operator product analytics runs. Three user_id-keyed aggregations;
+    // after the first shuffle all stages are co-partitioned (AQE reuses
+    // the exchange), and step tables only shrink.
+    "q80_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("tus"))
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("ta"))
+      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("tus") >= col("ta"))
+        .groupBy("user_id").agg(min(col("tus")).as("tb"))
+      val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("tus") >= col("tb"))
+        .groupBy("user_id").agg(min(col("tus")).as("tc"))
+      val step = (n: Int, nm: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).as("step"), lit(nm).as("name"), col("users"))
+      step(1, "view", a).union(step(2, "click", b)).union(step(3, "purchase", c))
+        .orderBy(col("step"))
+    }),
+
+    // exponentially decayed rolling sum (integer half-life weights):
+    // D_t = Σ_{j=1..10} value_{t-j} · 2^(10−j) per user stream — the
+    // time-decay scoring primitive (recency-weighted engagement). The
+    // power-of-two weights keep every term an EXACT decimal product, so
+    // the sum is order-independent and hash-checkable; one window pass,
+    // all ten lags share the same sort.
+    "q81_decayed_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val terms = (1 to 10).map { j =>
+        coalesce(lag(dec(col("value")), j).over(w), lit(0).cast(DecimalType(18, 2))) *
+          lit(1L << (10 - j))
+      }
+      events(s, d)
+        .withColumn("dsum", terms.reduce(_ + _).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("dsum"))
+        .orderBy(col("event_id"))
+    }),
+
     // as-of join: latest prior purchase per user for every event
     "q32_asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
@@ -120,6 +160,30 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q80_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |a AS (SELECT user_id, min(tus) AS ta FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.tus) AS tb FROM ev e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tus >= a.ta GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.tus) AS tc FROM ev e JOIN b USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tus >= b.tb GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, count(*) AS users FROM a
+        |UNION ALL SELECT 2, 'click', count(*) FROM b
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM c
+        |ORDER BY step""".stripMargin,
+
+    "q81_decayed_sum" -> {
+      val terms = (1 to 10).map { j =>
+        s"coalesce(lag(CAST(value AS DECIMAL(18,2)), $j) OVER w, 0) * ${1L << (10 - j)}"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, value,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+         |SELECT event_id, user_id, CAST($terms AS DOUBLE) AS dsum
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
+
     "q29_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
         |l AS (SELECT user_id, tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e)

@@ -238,6 +238,33 @@ object PipelineQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // the END-TO-END export artifact: d14's cleaned corpus → d20's
+    // deterministic epoch shuffle-shards → d10's token-capacity packing,
+    // composed into the per-document training manifest (doc → shard,
+    // position, bin) that a loader actually consumes. Cluster survivorship
+    // is the only multi-round stage; sharding + packing are one window
+    // pass over md5-ordered shards.
+    "d28_training_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val clean = docs.join(clusters, "doc_id")
+        .filter(col("doc_id") === col("cluster"))
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val keyed = clean
+        .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))
+        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, -1)
+      keyed
+        .withColumn("pos", row_number().over(w))
+        .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(cum), lit(0)) / 1024.0).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("bin"), col("n_tokens"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // cleaned-corpus capstone: the full curation pipeline composed —
     // keep ONE doc per near-dup cluster (the min-id survivor from d09),
     // drop low-quality docs (d02's score), keep English. The shape every
@@ -888,6 +915,40 @@ object PipelineQueries {
         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
         |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
+
+    // d14's clean-corpus CTE chain extended with d20's sharding and
+    // d10's capacity packing — the manifest must equal the composition
+    "d28_training_manifest" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
+         |          JOIN sizes sb ON co.b = sb.doc_id
+         |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
+         |          UNION
+         |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+         |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+         |clean AS (SELECT d.doc_id,
+         |            len(string_split_regex(d.text, '\\s+')) AS n_tokens
+         |          FROM documents d JOIN lab ON d.doc_id = lab.id
+         |          WHERE d.doc_id = lab.cluster
+         |            AND ${qualitySql("d.text")} >= 0.35 AND d.lang = 'en'),
+         |k AS (SELECT doc_id, n_tokens,
+         |        md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey FROM clean),
+         |sh AS (SELECT doc_id, n_tokens, skey,
+         |         CAST(ascii(substr(skey, 1, 1)) % 4 AS INT) AS shard FROM k),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |        row_number() OVER win AS pos,
+         |        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM sh WINDOW win AS (PARTITION BY shard ORDER BY skey, doc_id))
+         |SELECT doc_id, shard, pos, CAST(floor(cum / 1024.0) AS BIGINT) AS bin, n_tokens
+         |FROM p ORDER BY shard, pos""".stripMargin,
 
     "d14_clean_corpus" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
