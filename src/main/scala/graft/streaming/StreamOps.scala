@@ -223,6 +223,76 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  case class TopKEvent(ts: java.sql.Timestamp, key: String)
+  /** Space-Saving summary state: parallel arrays keep the encoder simple. */
+  case class TopKState(keys: Array[String], counts: Array[Long], errs: Array[Long])
+  case class TopKOut(window_start: java.sql.Timestamp, rank: Int, key: String,
+    cnt: Long, err: Long)
+
+  /** Per-window streaming heavy hitters via the SPACE-SAVING summary
+    * (Metwally et al., ICDT'05): each open tumbling window keeps at most
+    * `capacity` counters; an unseen key evicts the minimum counter and
+    * inherits its count as its error bound. Guarantees: estimates only
+    * OVERcount, by at most the recorded `err` ≤ N/capacity — so every key
+    * with true frequency > N/capacity is retained, and `cnt - err` is a
+    * certain lower bound. When the event-time watermark passes the window
+    * end, the top `k` summaries emit exactly once (append mode).
+    *
+    * Scale/state design: state is O(capacity) per open window regardless
+    * of key cardinality — the flood-proof property the exact per-key map
+    * lacks. Grouping keys on the window start means per-window volume
+    * lands on one task; Space-Saving summaries are MERGEABLE (Agarwal et
+    * al., PODS'12), so beyond single-task rates, salt the group key and
+    * merge the per-salt summaries downstream. Batch-side replays use the
+    * exact q74 CMS/heavy-hitter path instead. Within a micro-batch the
+    * slice is sorted by (ts, key) before updating, so results are
+    * deterministic under Spark's unordered batch delivery. */
+  def windowedTopK(events: Dataset[TopKEvent], windowMillis: Long = 3600000L,
+      k: Int = 3, capacity: Int = 256,
+      watermarkDelay: String = "10 minutes"): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    require(k <= capacity, "k must be <= capacity")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, windowMillis))
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, batch: Iterator[TopKEvent], state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.keys.indices.map(i => (s.keys(i), s.counts(i), s.errs(i)))
+              .sortBy { case (key, c, _) => (-c, key) }
+              .take(k).zipWithIndex.map { case ((key, c, e), i) =>
+                TopKOut(new java.sql.Timestamp(wstart), i + 1, key, c, e)
+              }.iterator
+          } else {
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+            state.getOption.foreach { s =>
+              var i = 0
+              while (i < s.keys.length) {
+                m(s.keys(i)) = (s.counts(i), s.errs(i)); i += 1
+              }
+            }
+            batch.toArray.sortBy(e => (e.ts.getTime, e.key)).foreach { e =>
+              m.get(e.key) match {
+                case Some((c, er)) => m(e.key) = (c + 1, er)
+                case None if m.size < capacity => m(e.key) = (1L, 0L)
+                case None => // evict the min counter (key tie-break: determinism)
+                  val (mk, (mc, _)) = m.minBy { case (key, (c, _)) => (c, key) }
+                  m.remove(mk)
+                  m(e.key) = (mc + 1, mc) // inherit min count as the error bound
+              }
+            }
+            val arr = m.toArray
+            state.update(TopKState(arr.map(_._1),
+              arr.map(_._2._1), arr.map(_._2._2)))
+            state.setTimeoutTimestamp(wstart + windowMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when no event arrives within `gapMillis` (enforced by
     * event-time timeout against the watermark) and is emitted exactly

@@ -188,6 +188,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("d27: prefix join is all hash equi-joins — no nested loop, no cartesian") {
+    val p = plan("d27_setsim_prefix_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q77: triangle wedges close via equi-joins — no nested loop, no cartesian") {
+    val p = plan("q77_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the wedge join has a non-equi residual (dst ordering) but must
+    // still key on the shared vertex: no pure nested-loop join anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q79: z-order stats are one partial+final aggregate, no join") {
+    val p = plan("q79_zorder_layout")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q80: funnel steps join on user_id — no nested loop") {
+    val p = plan("q80_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q81: ten decay lags share ONE window operator and one sort") {
+    val p = plan("q81_decayed_sum")
+    assert("Window ".r.findAllIn(p).size == 1, "lags must share a window:\n" + p.take(3000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)

@@ -280,6 +280,60 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k emits per-window heavy hitters once the watermark closes them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TopKEvent]
+    val q = windowedTopK(input.toDS(), windowMillis = 60 * 60000L, k = 2,
+        capacity = 16, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("topk").outputMode("append").start()
+    try {
+      // window [60,120): a=3, b=2, c=1 — split across two micro-batches
+      input.addData(TopKEvent(ts(0), "a"), TopKEvent(ts(1), "b"),
+        TopKEvent(ts(2), "a"), TopKEvent(ts(3), "c"))
+      q.processAllAvailable()
+      input.addData(TopKEvent(ts(10), "a"), TopKEvent(ts(11), "b"))
+      q.processAllAvailable()
+      assert(spark.table("topk").count() == 0, "window must not emit while open")
+      // next window's data pushes the watermark past the first window end
+      input.addData(TopKEvent(ts(130), "z"))
+      q.processAllAvailable()
+      input.addData(TopKEvent(ts(260), "z")) // closes the z window too
+      q.processAllAvailable()
+      val out = spark.table("topk").as[TopKOut].collect()
+        .map(o => (mins(o.window_start.getTime), o.rank, o.key, o.cnt, o.err))
+        .sortBy(x => (x._1, x._2))
+      assert(out.take(2).toSeq == Seq((0L, 1, "a", 3L, 0L), (0L, 2, "b", 2L, 0L)))
+      assert(out.drop(2).toSeq == Seq((120L, 1, "z", 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("space-saving eviction bounds state and keeps true heavy hitters") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TopKEvent]
+    // capacity 4 << 20 distinct keys; the heavy key must survive eviction
+    val q = windowedTopK(input.toDS(), windowMillis = 60 * 60000L, k = 1,
+        capacity = 4, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("topk_ss").outputMode("append").start()
+    try {
+      val noise = (0 until 20).map(i => TopKEvent(ts(2 + i % 5), f"n$i%02d"))
+      val heavy = (0 until 10).map(i => TopKEvent(ts(1 + i % 50), "HOT"))
+      input.addData(scala.util.Random.shuffle(heavy ++ noise): _*)
+      q.processAllAvailable()
+      input.addData(TopKEvent(ts(200), "z"))
+      q.processAllAvailable()
+      val out = spark.table("topk_ss").as[TopKOut].collect()
+        .filter(o => mins(o.window_start.getTime) == 0L)
+      assert(out.length == 1)
+      val top = out.head
+      // space-saving may overcount (by at most err), never undercount
+      assert(top.key == "HOT", s"true heavy hitter lost: $top")
+      assert(top.cnt >= 10L, s"undercount: $top")
+      assert(top.cnt - top.err <= 10L, s"error bound violated: $top")
+    } finally q.stop()
+  }
+
   test("transformWithState entity profiles accumulate across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
