@@ -455,28 +455,30 @@ object Dedup {
     val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
     // rarest-first per-doc token order; prefix length n - ceil(tau*n) + 1
+    // materialized ONCE (lazy localCheckpoint): the plan references it
+    // three times (prefix posting + both verify sides), and recomputing
+    // the df join + per-doc sort per reference tripled the runtime
     val sorted = exploded.join(dfreq, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
-      .select(col("id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("id"), expr("transform(toks, t -> t.s)").as("ts"),
+        size(col("toks")).as("n"))
+      .localCheckpoint(false)
     val prefix = sorted
       .withColumn("plen", (col("n") - ceil(col("n") * lit(tau)) + 1).cast("int"))
-      .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
-      .select(col("id"), col("n"), col("tok.s").as("s"))
+      .select(col("id"), col("n"), explode(slice(col("ts"), lit(1), col("plen"))).as("s"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
           col("y.n") >= col("x.n") * lit(tau) && col("x.n") >= col("y.n") * lit(tau))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // verify candidates with the exact overlap count
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(exploded.select(col("id").as("a"), col("s")), "a")
-      .join(exploded.select(col("id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+    // verify: candidates are FEW (that is the point of the prefix), so
+    // fetch the two token arrays per pair and intersect directly — no
+    // re-explosion of the corpus, no per-token shuffle for the verify
+    cand
+      .join(sorted.select(col("id").as("a"), col("ts").as("tsa"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("ts").as("tsb"), col("n").as("nb")), "b")
+      .withColumn("common", size(array_intersect(col("tsa"), col("tsb"))))
       .withColumn("jaccard", col("common") * 1.0 / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

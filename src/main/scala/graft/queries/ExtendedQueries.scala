@@ -380,17 +380,19 @@ object ExtendedQueries {
     // root-to-node decimal path sum. UNION ALL recursion reaches each
     // node exactly once (it is a tree), so no dedup is needed — Spark
     // does not support UNION-dedup recursion yet. The dense ids come
-    // from one global row_number; that single-task sort is fine for a
-    // demo of the operator, and the recursion itself is iterative
-    // equi-joins keyed on the parent id — the same scale shape as
-    // PageRank/DedupClusters.
+    // from one row_number over a bounded keyspace prefix, materialized
+    // EAGERLY (localCheckpoint): UnionLoop re-evaluates every referenced
+    // plan on every iteration, so an inline base would re-scan and
+    // re-sort the table once per level — measured 10x the runtime. The
+    // recursion itself is iterative equi-joins keyed on the parent id —
+    // the same scale shape as PageRank/DedupClusters.
     "q76_recursive_tree" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""WITH RECURSIVE ids AS (
-              |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
-              |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
-              |  FROM orders
-              |),
+      val ids = Tables.orders(s, d).filter(col("o_orderkey") <= 20000)
+        .select(row_number().over(Window.orderBy(col("o_orderkey"))).as("id"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .localCheckpoint()
+      ids.createOrReplaceTempView("q76_ids")
+      s.sql("""WITH RECURSIVE ids AS (SELECT id, price FROM q76_ids),
               |tree(id, depth, path_sum) AS (
               |  SELECT id, 0, price FROM ids WHERE id = 1
               |  UNION ALL
@@ -407,9 +409,11 @@ object ExtendedQueries {
 
     // --- triangle counting ---------------------------------------------------
     // per-supplier triangle participation in the co-purchase graph
-    // (suppliers adjacent when they serve ≥ 2 common orders). The Spark
-    // side runs the degree-ordered O(m^1.5) plan (operators.Triangles);
-    // the oracle enumerates by id order — same triangles, same counts.
+    // (suppliers adjacent when they serve ≥ 5 common orders — the weight
+    // floor keeps edge density bounded as orders grow: at sf0.1 it is
+    // ~10% of the pair space where ≥2 is ~70%). The Spark side runs the
+    // degree-ordered O(m^1.5) plan (operators.Triangles); the oracle
+    // enumerates by id order — same triangles, same counts.
     "q77_triangle_count" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
@@ -417,7 +421,7 @@ object ExtendedQueries {
           col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+        .filter(col("w") >= 5)
         .select("a", "b")
       graft.operators.Triangles.perVertexTriangles(edges)
         .select(col("v").as("suppkey"), col("tri_cnt"))
@@ -541,7 +545,7 @@ object ExtendedQueries {
       """WITH RECURSIVE ids AS (
         |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |  FROM orders
+        |  FROM orders WHERE o_orderkey <= 20000
         |),
         |tree(id, depth, path_sum) AS (
         |  SELECT id, 0 AS depth, price FROM ids WHERE id = 1
@@ -559,7 +563,7 @@ object ExtendedQueries {
     "q77_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
         |p AS (SELECT x.sk AS a, y.sk AS b FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
-        |e AS (SELECT a, b FROM p GROUP BY a, b HAVING count(*) >= 2),
+        |e AS (SELECT a, b FROM p GROUP BY a, b HAVING count(*) >= 5),
         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
         |        FROM e e1 JOIN e e2 ON e2.a = e1.b
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),

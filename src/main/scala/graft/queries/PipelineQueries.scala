@@ -483,15 +483,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // d08's result through the OTHER classic exact-similarity-join plan:
-    // prefix filtering (AllPairs/PPJoin). Only the rarest
-    // n − ceil(τ·n) + 1 tokens of each doc enter the candidate join
-    // (provably complete — see Dedup.setSimPrefixJoin), so posting lists
-    // stay short without d08's lossy maxDf cutoff. Shares d08's exact
-    // all-pairs oracle: identical pair set is the correctness claim.
+    // the OTHER classic exact-similarity-join plan: prefix filtering
+    // (AllPairs/PPJoin). Only the rarest n − ceil(τ·n) + 1 tokens of
+    // each doc enter the candidate join (provably complete — see
+    // Dedup.setSimPrefixJoin), so posting lists stay short without
+    // d08's lossy maxDf cutoff. Runs at τ = 0.8 — prefix filtering's
+    // design point (short prefixes); the planted near-dups all sit
+    // above 0.8, so the pair set matching d08's oracle at this τ is
+    // the correctness claim (cross-τ equality vs the inverted-index
+    // join is property-tested in PipelineSpec).
     "d27_setsim_prefix_join" -> ((s, d) => {
       Dedup.setSimPrefixJoin(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5, shingleSize = 2)
+        threshold = 0.8, shingleSize = 2)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),
@@ -855,7 +858,7 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin,
 
     // prefix filtering is an exact algorithm: d27 must produce exactly
-    // the all-pairs Jaccard set, so it shares d08's oracle verbatim
+    // the all-pairs Jaccard >= 0.8 set (d08's oracle at d27's threshold)
     "d27_setsim_prefix_join" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
@@ -865,7 +868,7 @@ object PipelineQueries {
         |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
-        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
         |ORDER BY a, b""".stripMargin,
 
     // the full md5-SimHash pipeline recomputed from raw text (tokenize →
