@@ -420,6 +420,70 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  // ---- incremental near-dups (fresh batch vs historical corpus) --------
+
+  /** Near-duplicate pairs TOUCHING a fresh batch: fresh×corpus and
+    * fresh×fresh pairs with exact Jaccard ≥ threshold — never
+    * corpus×corpus. This is the operator a continuously-ingesting
+    * pipeline actually runs: yesterday's corpus is already deduped;
+    * today's batch must be checked against history and itself without
+    * re-paying the historical pair space.
+    *
+    * Scale design (100 TB): both sides are signature-banded like
+    * [[minhashCandidates]], but only FRESH rows probe the buckets, so
+    * per-bucket work is |fresh∩bucket| × |bucket| — zero old-old
+    * expansion (the incremental win; at a daily-batch:history ratio of
+    * 1:1000 that is 1000× fewer candidate pairs than a full re-run). A
+    * deterministic per-bucket cap (fresh rows ranked first, so the cap
+    * only ever evicts corpus flood members) bounds identical-document
+    * floods exactly like the batch path. Candidate ids join back for
+    * texts (candidates are few); ids must be disjoint across the two
+    * inputs. Returns (a, b, jaccard) with a < b. */
+  def minhashNearDupsIncremental(corpus: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2,
+      bucketCap: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    def sigs(df: DataFrame, isFresh: Boolean) =
+      df.select(col(idCol).as("id"), col(textCol).as("txt"),
+          minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig"))
+        .filter(col("sig").isNotNull)
+        .withColumn("is_fresh", lit(isFresh))
+    val all = sigs(corpus, isFresh = false).unionByName(sigs(fresh, isFresh = true))
+    val banded = all.select(col("id"), col("sig"), col("is_fresh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    val w = Window.partitionBy(col("band_key"))
+      .orderBy(col("is_fresh").desc, hash(col("id")), col("id"))
+    val capped = banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .select("band_key", "id", "is_fresh")
+    val probes = capped.filter(col("is_fresh"))
+    val cand = probes.as("x").join(capped.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          (col("y.is_fresh") === false || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+    val jacc = udf { (x: String, y: String) =>
+      if (x == null || y == null) None
+      else {
+        val sa = shingles(x, shingleSize).toSet
+        val sb = shingles(y, shingleSize).toSet
+        val inter = sa.intersect(sb).size
+        Some(inter.toDouble / (sa.size + sb.size - inter))
+      }
+    }
+    val texts = all.select(col("id"), col("txt"))
+    cand
+      .join(texts.select(col("id").as("a"), col("txt").as("ta")), "a")
+      .join(texts.select(col("id").as("b"), col("txt").as("tb")), "b")
+      .withColumn("jaccard", jacc(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   // ---- exact Jaccard via prefix filtering (AllPairs/PPJoin) ------------
 
   /** All-pairs exact n-gram Jaccard ≥ threshold via PREFIX FILTERING —

@@ -483,6 +483,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental dedup: near-dup pairs TOUCHING the fresh batch
+    // (doc_id < 100) against the historical corpus — fresh probes the
+    // LSH buckets, old×old pairs never expand. Banding recall is full
+    // on this corpus (d06), so the result is exactly the all-pairs set
+    // restricted to pairs with a fresh endpoint.
+    "d29_incremental_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashNearDupsIncremental(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // the OTHER classic exact-similarity-join plan: prefix filtering
     // (AllPairs/PPJoin). Only the rarest n − ceil(τ·n) + 1 tokens of
     // each doc enter the candidate join (provably complete — see
@@ -855,6 +869,21 @@ object PipelineQueries {
         |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    // the all-pairs exact set restricted to pairs touching the fresh
+    // half (doc_id < 100) — what the incremental path must equal
+    "d29_incremental_neardups" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |  AND (a < 100 OR b < 100)
         |ORDER BY a, b""".stripMargin,
 
     // prefix filtering is an exact algorithm: d27 must produce exactly

@@ -41,6 +41,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pref == exact, s"prefix=${pref.size} exact=${exact.size}")
   }
 
+  test("incremental near-dups equal the full run restricted to fresh-touching pairs") {
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a < 100 || b < 100 }
+    val inc = Dedup.minhashNearDupsIncremental(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && expected != full,
+      "split must separate some pairs for the test to mean anything")
+    assert(inc == expected, s"inc=${inc.size} expected=${expected.size}")
+  }
+
+  test("incremental near-dups: old-old duplicates are never reported, fresh ones are") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // old-old exact dup of 1
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of old 1 and 2
+      (11L, "unrelated words entirely here now"),
+      (12L, "unrelated words entirely here now")) // fresh-fresh dup of 11
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsIncremental(corpus, fresh, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (11L, 12L)), got.toString)
+  }
+
   test("prefix filtering is complete across thresholds on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
