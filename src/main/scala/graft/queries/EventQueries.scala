@@ -107,6 +107,21 @@ object EventQueries {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // sliding (hopping) windows: 2-hour windows every hour — each event
+    // lands in exactly two windows (Spark's window() generator). The
+    // oracle unnests the two epoch-aligned hop starts per event; exact
+    // integer microsecond math + decimal sums keep it hash-checkable.
+    "q82_sliding_windows" -> ((s, d) => {
+      events(s, d)
+        .withColumn("tts", expr("timestamp_micros(tus)"))
+        .groupBy(window(col("tts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("win_us"), col("event_type"))
+    }),
+
     // ordered funnel: view → click → purchase, each step's timestamp the
     // EARLIEST occurrence at-or-after the previous step — the conversion
     // operator product analytics runs. Three user_id-keyed aggregations;
@@ -160,6 +175,17 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q82_sliding_windows" ->
+      """WITH e AS (SELECT event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([tus - (tus % 3600000000),
+        |                tus - (tus % 3600000000) - 3600000000]) AS win_us
+        |      FROM e)
+        |SELECT win_us, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin,
+
     "q80_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

@@ -59,6 +59,31 @@ class ZeekStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end: zeek stream into windowed top-k talkers (Space-Saving)") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "h1.log", ZeekFixtures.base("t",
+      Seq(("3700.0", "hostA", "1"), ("3710.0", "hostA", "1"), ("3720.0", "hostA", "1"),
+        ("3730.0", "hostB", "1"), ("3740.0", "hostB", "1"), ("3750.0", "hostC", "1"))))
+    val stream = spark.readStream.format("zeek").load(s"$dir/*.log")
+    val ev = stream.select(col("ts"), col("id").as("key")).as[StreamOps.TopKEvent]
+    val topk = StreamOps.windowedTopK(ev, windowMillis = 3600000L, k = 2,
+      capacity = 16, watermarkDelay = "0 seconds")
+    val q = topk.writeStream.format("memory").queryName("zeek_topk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later rotation advances the watermark past the first hour
+      ZeekFixtures.write(dir, "h2.log", ZeekFixtures.base("t", Seq(("11000.0", "z", "1"))))
+      q.processAllAvailable()
+      val out = spark.table("zeek_topk").as[StreamOps.TopKOut].collect()
+        .map(o => (o.window_start.getTime / 1000, o.rank, o.key, o.cnt)).toSet
+      assert(out.contains((3600L, 1, "hostA", 3L)), out.toString)
+      assert(out.contains((3600L, 2, "hostB", 2L)))
+    } finally q.stop()
+  }
+
   test("union_by_name stream maps late-arriving files by name") {
     val dir = ZeekFixtures.tempDir()
     val wide = ZeekFixtures.header("t", Seq("ts", "id", "value", "extra"),
