@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // literal-CIDR containment filters gain a pushable prefix conjunct
     // (reaches the zeek scan's pre-parse filter eval — see the rule doc)
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)
+    // levenshtein threshold filters gain a cheap length-gap prefilter
+    ext.injectOptimizerRule(_ => new graft.plans.LevenshteinBoundRule)
   }
 }

@@ -91,4 +91,63 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(SharedSpark.spark)
     }
   }
+
+  test("optimizer rule: levenshtein threshold filters gain a length-gap prefilter") {
+    import org.apache.spark.sql.functions._
+    SharedSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      import s.implicits._
+      // parquet-backed (a LocalRelation would be constant-folded through
+      // the filter before the rule's effect is observable)
+      val wdir = java.nio.file.Files.createTempDirectory("lev_rule").toString
+      Seq("kitten", "sitting", "kit", "mitten",
+        "a far longer string than the probe").toDF("w")
+        .write.mode("overwrite").parquet(wdir)
+      val words = s.read.parquet(wdir)
+
+      val df = words.filter(expr("levenshtein(w, 'kitten') <= 2"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("abs(") && optimized.contains("length("),
+        "length-gap bound missing:\n" + optimized)
+      // the bound must come BEFORE the kernel in the conjunction
+      assert(optimized.indexOf("abs(") < optimized.indexOf("levenshtein("), optimized)
+      assert(df.collect().map(_.getString(0)).toSet == Set("kitten", "mitten"))
+
+      // flipped literal side and strict < both rewrite
+      val flipped = words.filter(expr("2 >= levenshtein(w, 'kitten')"))
+      assert(flipped.queryExecution.optimizedPlan.toString.contains("abs("))
+      assert(flipped.count() == 2)
+      val strict = words.filter(expr("levenshtein(w, 'kitten') < 4"))
+      assert(strict.queryExecution.optimizedPlan.toString.contains("abs("))
+      assert(strict.collect().map(_.getString(0)).toSet ==
+        Set("kitten", "sitting", "kit", "mitten"))
+
+      // idempotence: re-optimizing an already-rewritten plan adds nothing
+      val once = new graft.plans.LevenshteinBoundRule()(df.queryExecution.optimizedPlan)
+      assert(once.toString.split("abs\\(").length ==
+        df.queryExecution.optimizedPlan.toString.split("abs\\(").length)
+
+      // column-vs-column comparison also bounds (no literal needed)
+      val pdir = java.nio.file.Files.createTempDirectory("lev_rule2").toString
+      Seq(("abc", "abcd"), ("abc", "xy")).toDF("x", "y")
+        .write.mode("overwrite").parquet(pdir)
+      val pairs = s.read.parquet(pdir).filter(expr("levenshtein(x, y) <= 1"))
+      assert(pairs.queryExecution.optimizedPlan.toString.contains("abs("))
+      assert(pairs.count() == 1)
+
+      // equality and >= thresholds are NOT rewritten (no sound bound)
+      val ge = words.filter(expr("levenshtein(w, 'kitten') >= 2"))
+      assert(!ge.queryExecution.optimizedPlan.toString.contains("abs("))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(SharedSpark.spark)
+      SparkSession.setActiveSession(SharedSpark.spark)
+    }
+  }
 }
