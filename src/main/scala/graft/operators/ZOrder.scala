@@ -32,6 +32,23 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Cluster a frame for two-column file skipping: range-partition by
+    * the z-value of the two (bucketized) key columns and sort each
+    * partition by it, so every output file's min/max footer stats form
+    * a small rectangle in (x, y) space. Write the result with plain
+    * `.write.parquet(...)` — one file per partition; readers filtering
+    * on EITHER column then prune most files (proven in ZOrderSpec).
+    *
+    * At 100 TB this is the layout job an ingestion pipeline runs once
+    * per partition/day: one range shuffle (sampled bounds) + local
+    * sorts, no driver-side state. */
+  def cluster(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
+      numPartitions: Int, bits: Int = 16): org.apache.spark.sql.DataFrame =
+    df.withColumn("__zorder", zValue2(x, y, bits))
+      .repartitionByRange(numPartitions, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+
   /** The same interleave as ANSI SQL text (for a DuckDB oracle or a
     * SQL-only caller): bit-identical to [[zValue2]]. Every term is
     * fully parenthesized — Postgres-dialect engines give `|`, `&` and

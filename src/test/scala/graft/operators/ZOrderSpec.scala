@@ -36,6 +36,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(both.filter(col("zc") =!= col("zs")).count() == 0)
   }
 
+  test("cluster(): z-sorted parquet files prune on BOTH columns via footer stats") {
+    import spark.implicits._
+    val pts = (for { x <- 0L until 128L; y <- 0L until 128L } yield (x, y)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrder.cluster(pts, col("x"), col("y"), numPartitions = 16, bits = 8)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/x")
+    // row-group stats pruning: a point predicate on y alone. The pushed
+    // parquet filter skips row groups whose y min/max excludes 7 — every
+    // x-sorted group spans the full y domain (nothing skips, the scan
+    // emits all 16384 rows); z-sorted groups are rectangles, so only the
+    // groups whose y-range covers 7 are read at all
+    def rowsScanned(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("y") === 7)
+      df.collect() // execute so metrics populate
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val zScan = rowsScanned(s"$dir/z")
+    val xScan = rowsScanned(s"$dir/x")
+    assert(xScan == 128L * 128, s"x-sorted layout cannot skip on y, scanned $xScan")
+    assert(zScan <= 128L * 128 / 2, s"z-sorted layout should skip most row groups, scanned $zScan")
+  }
+
   test("top-bit buckets are bounded sub-rectangles (the file-skipping property)") {
     import spark.implicits._
     // dense 256x256 grid; top 6 of 16 z-bits => 64 buckets, each an
