@@ -483,6 +483,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the DRAW step after importance weighting (d26): systematic
+    // resampling of 25 slots per md5 shard (4 shards = 100 draws) over
+    // the token-weighted corpus. Draw counts come from pure integer
+    // ceil-division over each shard's cumulative weight line — no
+    // floats, no RNG — so low-weight docs get 0/1 draws and heavy docs
+    // proportionally many, summing to exactly 25 per shard. The window
+    // cumsum is PARTITIONED by the shard (the d12 global-window mistake,
+    // not repeated): at 100 TB each shard's line sorts independently.
+    "d30_systematic_resample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("draw0:"), col("doc_id").cast(StringType))).as("skey"),
+          TextFunctions.tokenCount(col("text")).as("w"))
+        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
+      val tot = docs.groupBy("shard").agg(sum(col("w")).as("tw"))
+      val cum = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("c", coalesce(sum(col("w")).over(cum), lit(0L)))
+        .join(broadcast(tot), "shard")
+        .withColumn("draws",
+          expr("((25 * (c + w) + tw - 1) div tw) - ((25 * c + tw - 1) div tw)"))
+        .filter(col("draws") > 0)
+        .select(col("doc_id"), col("shard"), col("w"), col("draws"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental dedup: near-dup pairs TOUCHING the fresh batch
     // (doc_id < 100) against the historical corpus — fresh probes the
     // LSH buckets, old×old pairs never expand. Banding recall is full
@@ -870,6 +898,22 @@ object PipelineQueries {
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "d30_systematic_resample" ->
+      """WITH d AS (SELECT doc_id, md5('draw0:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |             len(string_split_regex(text, '\s+')) AS w FROM documents),
+        |sh AS (SELECT doc_id, skey, w,
+        |         CAST(ascii(substr(skey, 1, 1)) % 4 AS INT) AS shard FROM d),
+        |t AS (SELECT shard, sum(w) AS tw FROM sh GROUP BY shard),
+        |c AS (SELECT doc_id, shard, w,
+        |        coalesce(sum(w) OVER (PARTITION BY shard ORDER BY skey, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |      FROM sh)
+        |SELECT doc_id, c.shard, w,
+        |  CAST(((25 * (c + w) + tw - 1) // tw) - ((25 * c + tw - 1) // tw) AS BIGINT) AS draws
+        |FROM c JOIN t ON c.shard = t.shard
+        |WHERE ((25 * (c + w) + tw - 1) // tw) - ((25 * c + tw - 1) // tw) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the all-pairs exact set restricted to pairs touching the fresh
     // half (doc_id < 100) — what the incremental path must equal
