@@ -449,6 +449,19 @@ object ExtendedQueries {
         .orderBy(col("bucket"))
     }),
 
+    // --- GROUP BY ALL / ORDER BY ALL ------------------------------------------
+    // the analyst-shorthand resolution rules (every non-aggregate select
+    // item becomes a grouping key), supported by both engines
+    "q83_group_by_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+              |  count(*) AS cnt,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM orders
+              |GROUP BY ALL
+              |ORDER BY ALL""".stripMargin)
+    }),
+
     // --- FILTER clause on aggregates -----------------------------------------
     "q78_filtered_agg" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -578,6 +591,14 @@ object ExtendedQueries {
          |  min(l_suppkey % 256) AS sk_lo, max(l_suppkey % 256) AS sk_hi
          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+
+    "q83_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
 
     "q78_filtered_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
