@@ -219,6 +219,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(p).size == 1, "lags must share a window:\n" + p.take(3000))
   }
 
+  test("d29: incremental candidates join on the band key, no nested loop") {
+    val p = plan("d29_incremental_neardups")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("d30: resample windows are partitioned by shard, not global") {
+    val qe = graft.SparkEntry.queries("d30_systematic_resample")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global (unpartitioned) window is a single-task scale-killer:\n" + w))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
