@@ -32,6 +32,21 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** N-column Morton interleave: result bit k*i+j is bit i of column j —
+    * the layout key for three-plus-dimension clustering (e.g. time ×
+    * tenant × key). Total bits (cols.length × bits) must fit a long;
+    * the two-column case is bit-identical to [[zValue2]]. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && cols.length * bits <= 63,
+      "need 1+ columns and cols*bits <= 63")
+    val mask = (1L << bits) - 1
+    val k = cols.length
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    (for { i <- 0 until bits; (c, j) <- masked.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), k * i + j)
+    ).reduce(_.bitwiseOR(_))
+  }
+
   /** Cluster a frame for two-column file skipping: range-partition by
     * the z-value of the two (bucketized) key columns and sort each
     * partition by it, so every output file's min/max footer stats form

@@ -61,6 +61,43 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zScan <= 128L * 128 / 2, s"z-sorted layout should skip most row groups, scanned $zScan")
   }
 
+  test("zValueN: two-column case is bit-identical to zValue2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(400)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong)).toDF("x", "y")
+    val both = df.select(
+      ZOrder.zValue2(col("x"), col("y"), 12).as("z2"),
+      ZOrder.zValueN(Seq(col("x"), col("y")), 12).as("zn"))
+    assert(both.filter(col("z2") =!= col("zn")).count() == 0)
+  }
+
+  test("zValueN: three-column interleave matches the reference bit layout") {
+    import spark.implicits._
+    def ref(vs: Seq[Long], bits: Int): Long = {
+      val k = vs.length
+      val mask = (1L << bits) - 1
+      (for { i <- 0 until bits; j <- 0 until k } yield
+        ((vs(j) & mask) >> i & 1L) << (k * i + j)
+      ).foldLeft(0L)(_ | _)
+    }
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      val vs = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == ref(vs, 8), vs.toString)
+    }
+  }
+
+  test("zValueN rejects layouts that overflow a long") {
+    intercept[IllegalArgumentException](ZOrder.zValueN(Seq(col("a")), 64))
+    intercept[IllegalArgumentException](ZOrder.zValueN(Nil, 8))
+    intercept[IllegalArgumentException](ZOrder.zValueN(Seq(col("a"), col("b"), col("c"), col("d")), 16))
+  }
+
   test("top-bit buckets are bounded sub-rectangles (the file-skipping property)") {
     import spark.implicits._
     // dense 256x256 grid; top 6 of 16 z-bits => 64 buckets, each an
