@@ -64,6 +64,17 @@ object ZOrder {
       .sortWithinPartitions(col("__zorder"))
       .drop("__zorder")
 
+  /** [[cluster]] for N key columns via [[zValueN]]: one range shuffle
+    * (sampled bounds) + local sorts, so every output file's footer
+    * stats bound a small N-dimensional box and predicates on ANY of the
+    * key columns prune files. */
+  def clusterN(df: org.apache.spark.sql.DataFrame, cols: Seq[Column],
+      numPartitions: Int, bits: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__zorder", zValueN(cols, bits))
+      .repartitionByRange(numPartitions, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+
   /** The same interleave as ANSI SQL text (for a DuckDB oracle or a
     * SQL-only caller): bit-identical to [[zValue2]]. Every term is
     * fully parenthesized — Postgres-dialect engines give `|`, `&` and
@@ -75,6 +86,18 @@ object ZOrder {
       Seq(s"(((($x & $mask) >> $i) & 1) << ${2 * i})",
         s"(((($y & $mask) >> $i) & 1) << ${2 * i + 1})")
     }
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** [[zValueN]] as ANSI SQL text — bit-identical to the column form
+    * (same parenthesization rules as [[zValue2Sql]]). */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    require(cols.nonEmpty && bits >= 1 && cols.length * bits <= 63,
+      "need 1+ columns and cols*bits <= 63")
+    val mask = (1L << bits) - 1
+    val k = cols.length
+    val terms = for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"(((($c & $mask) >> $i) & 1) << ${k * i + j})"
     terms.mkString("(", " | ", ")")
   }
 }

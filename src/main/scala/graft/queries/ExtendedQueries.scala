@@ -449,6 +449,50 @@ object ExtendedQueries {
         .orderBy(col("bucket"))
     }),
 
+    // --- 3-D z-order layout ---------------------------------------------------
+    // q79 with a THIRD key column interleaved (operators.ZOrder.zValueN):
+    // top-6-bit buckets stay bounded boxes in ALL THREE dims, so footer
+    // stats prune on any of the three predicates. The oracle recomputes
+    // the interleave from the same generated bit expression.
+    "q85_zorder3d" -> ((s, d) => {
+      val z = graft.operators.ZOrder.zValueN(
+        Seq(col("l_partkey") % 64, col("l_suppkey") % 64, col("l_orderkey") % 64),
+        bits = 6)
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 64).as("px"), (col("l_suppkey") % 64).as("sy"),
+          (col("l_orderkey") % 64).as("oz"), z.as("z"))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("px")).as("pk_lo"), max(col("px")).as("pk_hi"),
+          min(col("sy")).as("sk_lo"), max(col("sy")).as("sk_hi"),
+          min(col("oz")).as("ok_lo"), max(col("oz")).as("ok_hi"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- CDC merge (MERGE INTO semantics) -------------------------------------
+    // latest-wins change application over a synthetic three-version feed:
+    // v1 upserts keys %5, v2 deletes keys %10, v3 re-upserts keys %20 —
+    // so superseded updates, tombstones, AND delete-then-reinsert all
+    // exercise (operators.CdcMerge). The oracle replays the same feed
+    // relationally.
+    "q84_cdc_merge" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(1L).as("version"), lit("U").as("op"),
+          lit("X1").as("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"))
+      val v2 = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(2L).as("version"), lit("D").as("op"),
+          lit(null).cast(StringType).as("o_orderstatus"),
+          lit(null).cast(DoubleType).as("o_totalprice"))
+      val v3 = orders.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit(3L).as("version"), lit("U").as("op"),
+          lit("X3").as("o_orderstatus"), (col("o_totalprice") + 300).as("o_totalprice"))
+      graft.operators.CdcMerge.applyChanges(
+        base, v1.unionByName(v2).unionByName(v3), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- GROUP BY ALL / ORDER BY ALL ------------------------------------------
     // the analyst-shorthand resolution rules (every non-aggregate select
     // item becomes a grouping key), supported by both engines
@@ -591,6 +635,35 @@ object ExtendedQueries {
          |  min(l_suppkey % 256) AS sk_lo, max(l_suppkey % 256) AS sk_hi
          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+
+    "q85_zorder3d" -> {
+      val z = graft.operators.ZOrder.zValueNSql(
+        Seq("(l_partkey % 64)", "(l_suppkey % 64)", "(l_orderkey % 64)"), bits = 6)
+      s"""SELECT ($z >> 12) AS bucket, count(*) AS cnt,
+         |  min(l_partkey % 64) AS pk_lo, max(l_partkey % 64) AS pk_hi,
+         |  min(l_suppkey % 64) AS sk_lo, max(l_suppkey % 64) AS sk_hi,
+         |  min(l_orderkey % 64) AS ok_lo, max(l_orderkey % 64) AS ok_hi
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "q84_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, 1 AS version, 'U' AS op, 'X1' AS o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'X3', o_totalprice + 300 FROM orders WHERE o_orderkey % 20 = 0),
+        |latest AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |           FROM ch),
+        |l1 AS (SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM latest WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM l1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM l1 WHERE op <> 'D')
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "q83_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,

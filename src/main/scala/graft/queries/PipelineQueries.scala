@@ -347,6 +347,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish token statistics — the second tokenizer axis (whitespace +
+    // a BPE-style pretokenizer regex): maximal letter/digit/symbol runs,
+    // with per-doc fertility (subword-per-word ratio), the number a
+    // tokenizer-budget planner needs. Map-only; the run-extraction regex
+    // is RE2-safe so the oracle recomputes the identical token stream.
+    "d32_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("bpe_tokens"),
+        round(TextFunctions.bpeTokenCount(col("text")).cast(DoubleType) /
+          TextFunctions.tokenCount(col("text")), 4).as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sliding-window chunking with overlap — the retrieval/pretraining
+    // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
+    // every 8-token span falls wholly inside at least one chunk. Pure
+    // map-side generator + string slicing (no shuffle before the final
+    // ORDER BY) — at 100 TB this is a single ingestion-pass transform;
+    // d10 then packs the chunks, d18 dedups them. Chunk count is
+    // 1 + max(0, ceil((n-32)/24)): short docs yield one whole-doc chunk,
+    // and the last window is allowed to run short rather than re-reading
+    // a full window backwards (simpler, and keeps chunk_idx * stride the
+    // exact token offset a span-to-source map needs).
+    "d31_chunk_overlap" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, GREATEST(CAST(ceil((size(toks) - 32) / 24.0) AS INT), 0)), " +
+            "i -> array_join(slice(toks, i * 24 + 1, 32), ' '))")).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          size(split(col("chunk"), " ")).cast(LongType).as("n_tokens"),
+          md5(col("chunk")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 3 distinct
     // bigrams with any "eval set" doc (doc_id < 20 stands in for the
     // benchmark). Eval shingles broadcast; the corpus never shuffles.
@@ -1106,6 +1143,26 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(para, ' | ' ORDER BY idx) AS dedup_text
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d32_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) * 1.0 /
+        |        len(string_split_regex(text, '\s+')), 4) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d31_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) + 1),
+        |        i -> {'idx': CAST(i AS BIGINT),
+        |              'chunk': array_to_string(ws[(i*24+1):(i*24+32)], ' ')})) AS u
+        |      FROM t)
+        |SELECT doc_id, u.idx AS chunk_idx,
+        |  len(string_split(u.chunk, ' ')) AS n_tokens,
+        |  md5(u.chunk) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d15_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

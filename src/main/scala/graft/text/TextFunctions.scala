@@ -17,12 +17,15 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(words(text))
 
-  /** BPE-ish subword proxy: alternating letter-runs / digit-runs /
-    * punctuation counted separately (a cheap deterministic stand-in for a
-    * real byte-pair encoder's token count). */
-  def bpeTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
-      t => length(t) > 0))
+  /** BPE-ish subword proxy: maximal letter runs, digit runs, and
+    * non-alphanumeric symbol runs (whitespace dropped) — a cheap
+    * deterministic stand-in for a byte-pair encoder's pretokenizer. Run
+    * extraction instead of a lookaround split, so RE2-based engines
+    * (DuckDB, Go) compute the identical token stream. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")

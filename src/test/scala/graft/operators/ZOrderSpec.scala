@@ -92,6 +92,27 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterN(): 3-D z-sorted parquet prunes on the THIRD column too") {
+    import spark.implicits._
+    val pts = (for { x <- 0L until 32L; y <- 0L until 32L; z <- 0L until 32L }
+      yield (x, y, z)).toDF("x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    ZOrder.clusterN(pts, Seq(col("x"), col("y"), col("z")), numPartitions = 16, bits = 5)
+      .write.mode("overwrite").parquet(s"$dir/z3")
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/x")
+    def rowsScanned(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("z") === 3)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val zScan = rowsScanned(s"$dir/z3")
+    val xScan = rowsScanned(s"$dir/x")
+    assert(xScan == 32L * 32 * 32, s"x-sorted layout cannot skip on z, scanned $xScan")
+    assert(zScan <= 32L * 32 * 32 / 2, s"3-D z layout should skip row groups on z, scanned $zScan")
+  }
+
   test("zValueN rejects layouts that overflow a long") {
     intercept[IllegalArgumentException](ZOrder.zValueN(Seq(col("a")), 64))
     intercept[IllegalArgumentException](ZOrder.zValueN(Nil, 8))

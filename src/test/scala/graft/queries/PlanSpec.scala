@@ -235,6 +235,19 @@ class PlanSpec extends AnyFunSuite {
       "global (unpartitioned) window is a single-task scale-killer:\n" + w))
   }
 
+  test("d31: chunking is map-only — no hash shuffle before the final sort") {
+    val p = plan("d31_chunk_overlap")
+    assert(!p.contains("hashpartitioning"),
+      "the chunk generator must not shuffle (map-only transform + final range sort):\n" + p)
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("q84: cdc merge shuffles changes on the key once; no nested loop") {
+    val p = plan("q84_cdc_merge")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
