@@ -371,4 +371,53 @@ class StreamOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  case class CdcChange(k: Long, version: Long, op: String, status: String, price: Double)
+
+  test("streaming CDC snapshot maintenance folds change batches, survives restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cdcsnap").toString
+    val (snapDir, ckptDir) = (s"$root/snap", s"$root/ckpt")
+
+    def state(): Seq[(Long, String, Double)] =
+      readSnapshot(spark, snapDir).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+    val input = MemoryStream[CdcChange]
+    val q = maintainSnapshot(input.toDF(), snapDir, ckptDir, Seq("k"))
+    try {
+      // batch 0: two inserts (v orders within the batch — stale v1 loses)
+      input.addData(
+        CdcChange(1L, 1L, "U", "a1", 10.0), CdcChange(1L, 2L, "U", "a2", 11.0),
+        CdcChange(2L, 1L, "U", "b1", 20.0))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a2", 11.0), (2L, "b1", 20.0)))
+
+      // batch 1: tombstone k=1, delete-then-reinsert k=2, insert k=3
+      input.addData(
+        CdcChange(1L, 3L, "D", null, 0.0),
+        CdcChange(2L, 3L, "D", null, 0.0), CdcChange(2L, 4L, "U", "b4", 24.0),
+        CdcChange(3L, 1L, "U", "c1", 30.0))
+      q.processAllAvailable()
+      assert(state() == Seq((2L, "b4", 24.0), (3L, "c1", 30.0)))
+    } finally q.stop()
+
+    // restart from the same checkpoint (same source instance, as a real
+    // source would resume): the next batch folds onto the committed
+    // snapshot — across batches arrival order wins over version
+    input.addData(CdcChange(3L, 1L, "U", "c9", 39.0), CdcChange(4L, 1L, "U", "d1", 40.0))
+    val q2 = maintainSnapshot(input.toDF(), snapDir, ckptDir, Seq("k"))
+    try {
+      q2.processAllAvailable()
+      assert(state() == Seq((2L, "b4", 24.0), (3L, "c9", 39.0), (4L, "d1", 40.0)))
+    } finally q2.stop()
+
+    // version pruning keeps storage bounded (last 2 committed versions)
+    val fs = new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(snapDir))
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+    assert(versions.length <= 2, versions.mkString(","))
+  }
 }
