@@ -493,6 +493,27 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- data-quality profile (Deequ-style expectations) ----------------------
+    // all five orders metrics ride ONE conditional-aggregate pass
+    // (operators.DataQuality.profile); referential integrity is the one
+    // second-relation check — an aggregated left probe against the
+    // DISTINCT parent keys, never a row-multiplying join.
+    "q86_dq_checks" -> ((s, d) => {
+      import graft.operators.DataQuality._
+      val orders = Tables.orders(s, d)
+      val prof = profile(orders, Seq(
+        Check("orders_rows", count(lit(1))),
+        Check("o_custkey_null_frac", nullFraction("o_custkey")),
+        Check("o_orderkey_distinct_ratio", distinctRatio("o_orderkey")),
+        Check("o_totalprice_min", min(col("o_totalprice"))),
+        Check("o_totalprice_max", max(col("o_totalprice")))))
+      val orphan = orphanFraction(Tables.lineitem(s, d), "l_orderkey",
+        orders, "o_orderkey")
+        .select(lit("lineitem_orderkey_orphan_frac").as("metric"),
+          col("orphan_frac").as("value"))
+      prof.unionByName(orphan).orderBy("metric")
+    }),
+
     // --- GROUP BY ALL / ORDER BY ALL ------------------------------------------
     // the analyst-shorthand resolution rules (every non-aggregate select
     // item becomes a grouping key), supported by both engines
@@ -664,6 +685,27 @@ object ExtendedQueries {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM l1 WHERE op <> 'D')
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "q86_dq_checks" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS orders_rows,
+        |    round(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 4) AS o_custkey_null_frac,
+        |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 4) AS o_orderkey_distinct_ratio,
+        |    CAST(min(o_totalprice) AS DOUBLE) AS o_totalprice_min,
+        |    CAST(max(o_totalprice) AS DOUBLE) AS o_totalprice_max
+        |  FROM orders),
+        |orph AS (
+        |  SELECT round(avg(CASE WHEN o.o_orderkey IS NULL THEN 1.0 ELSE 0.0 END), 4) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |u AS (
+        |  SELECT 'orders_rows' AS metric, orders_rows AS value FROM m
+        |  UNION ALL SELECT 'o_custkey_null_frac', o_custkey_null_frac FROM m
+        |  UNION ALL SELECT 'o_orderkey_distinct_ratio', o_orderkey_distinct_ratio FROM m
+        |  UNION ALL SELECT 'o_totalprice_min', o_totalprice_min FROM m
+        |  UNION ALL SELECT 'o_totalprice_max', o_totalprice_max FROM m
+        |  UNION ALL SELECT 'lineitem_orderkey_orphan_frac', v FROM orph)
+        |SELECT metric, value FROM u ORDER BY metric""".stripMargin,
 
     "q83_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,

@@ -362,6 +362,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE training, iteration-1 pair statistics — the argmax input of
+    // the distributed tokenizer trainer (text/BpeTrainer: ONE corpus
+    // shuffle to word counts, then vocab-sized iterations; the full
+    // greedy loop is property-proven against a sequential reference in
+    // BpeTrainerSpec — this exposes its hash-checkable aggregate).
+    "d33_bpe_pair_counts" -> ((s, d) => {
+      val wc = graft.text.BpeTrainer.wordCounts(Tables.documents(s, d), "text")
+      graft.text.BpeTrainer.pairCounts(
+        wc.select(split(col("word"), "").as("syms"), col("cnt")))
+        .orderBy(desc("n"), asc("a"), asc("b")).limit(30)
+        .select(concat(col("a"), lit("|"), col("b")).as("pair"), col("n"))
+    }),
+
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
     // every 8-token span falls wholly inside at least one chunk. Pure
@@ -1143,6 +1156,15 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(para, ' | ' ORDER BY idx) AS dedup_text
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d33_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+        |ch AS (SELECT cnt, string_split(word, '') AS cs FROM wc),
+        |p AS (SELECT cnt, unnest(list_transform(range(1, len(cs)),
+        |        i -> cs[i] || '|' || cs[i+1])) AS pair FROM ch)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     "d32_bpe_tokens" ->
       """SELECT doc_id,

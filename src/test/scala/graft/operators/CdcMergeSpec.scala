@@ -44,6 +44,29 @@ class CdcMergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("random feeds: merge equals a sequential latest-wins reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 0 until 3) {
+      val base = (0L until 20L).map(k => (k, s"s$k", k * 1.0))
+      val changes = Seq.tabulate(40) { i =>
+        val k = rnd.nextInt(30).toLong // half the keys beyond the base
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, i.toLong, op, s"v$i", i * 10.0)
+      }
+      // reference: group by key, apply only the max-version change
+      val latest = changes.groupBy(_._1).map { case (_, cs) => cs.maxBy(_._2) }
+      val expected = (base.filterNot(r => latest.exists(_._1 == r._1)) ++
+        latest.filter(_._3 != "D").map(c => (c._1, c._4, c._5))).sortBy(_._1)
+      val got = CdcMerge.applyChanges(
+        base.toDF("k", "status", "price"),
+        changes.toDF("k", "version", "op", "status", "price"), Seq("k"))
+        .orderBy(col("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("merge plans as key-partitioned window + anti join, never a nested loop") {
     val (base, changes) = frames()
     val plan = CdcMerge.applyChanges(base, changes, Seq("k"))
