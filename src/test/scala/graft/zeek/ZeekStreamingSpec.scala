@@ -107,6 +107,34 @@ class ZeekStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("union_by_name stream ingests a rotation that GAINED a column (schema evolution)") {
+    // zeek redeploys add fields to rotated logs mid-stream; the stream's
+    // schema is fixed at bind, so the new field is ignored (name-mapped
+    // projection) — the documented forward-compatible behavior. Catching
+    // the new field needs a stream restart (fresh bind), same as Spark's
+    // own file sources.
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"))))
+
+    val stream = spark.readStream.format("zeek")
+      .option("union_by_name", "true")
+      .load(s"$dir/*.log")
+    val q = stream.writeStream.format("memory").queryName("zeek_gain_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val wider = ZeekFixtures.header("t", Seq("ts", "id", "value", "added"),
+        Seq("time", "string", "count", "string")) + ZeekFixtures.row("2.0", "B1", "200", "new")
+      ZeekFixtures.write(dir, "b.log", wider)
+      q.processAllAvailable()
+      val rows = spark.table("zeek_gain_stream").orderBy("id").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getString(1)).toSeq == Seq("A1", "B1"))
+      assert(rows(1).getLong(2) == 200L) // known columns mapped by name
+      assert(!spark.table("zeek_gain_stream").columns.contains("added"))
+    } finally q.stop()
+  }
+
   test("compact offsets: watermark semantics, json round-trip, legacy fallback") {
     import graft.zeek.v2.ZeekOffset
     val o = ZeekOffset(1000L, Seq("f3", "f4"))
