@@ -34,30 +34,55 @@ object AsofJoin {
     * with `rightPrefix` prepended.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, rightPrefix: String = ""): DataFrame = {
+      leftTime: String, rightTime: String, rightPrefix: String = ""): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPrefix, forward = false)
+
+  /** Forward twin: the right row with the SMALLEST `rightTime` ≥
+    * `leftTime` — "next quote after the order" / "next rotation after
+    * the event" semantics (DuckDB's `ASOF JOIN ... ON l.t <= r.t`).
+    * Inclusive like the backward form: an equal-time right row matches.
+    * Same single-shuffle union + one-window-pass plan, with the frame
+    * reversed (`first(payload, ignoreNulls)` over current-row →
+    * unbounded-following) and the tie order flipped so the tied right
+    * row falls INSIDE the left row's frame. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String = ""): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPrefix, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String,
+      forward: Boolean): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val payloadStruct = struct(payloadCols.map(col): _*)
 
+    // tie order puts the right row inside the left row's frame: BEFORE
+    // the left row for the backward (preceding) frame, AFTER it for the
+    // forward (following) frame
+    val (rightTag, leftTag) = if (forward) (1, 0) else (0, 1)
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__asof_t"),
         payloadStruct.as("__asof_p"),
-        lit(0).as("__asof_tag"),
+        lit(rightTag).as("__asof_tag"),
         lit(null).cast(structTypeOf(left)).as("__asof_l")): _*)
     val l = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__asof_t"),
         lit(null).cast(r.schema("__asof_p").dataType).as("__asof_p"),
-        lit(1).as("__asof_tag"),
+        lit(leftTag).as("__asof_tag"),
         struct(left.columns.map(col): _*).as("__asof_l")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__asof_t"), col("__asof_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry =
+      if (forward) first(col("__asof_p"), ignoreNulls = true)
+      else last(col("__asof_p"), ignoreNulls = true)
 
     val joined = r.unionByName(l)
-      .withColumn("__asof_match", last(col("__asof_p"), ignoreNulls = true).over(w))
-      .filter(col("__asof_tag") === 1)
+      .withColumn("__asof_match", carry.over(w))
+      .filter(col("__asof_tag") === lit(leftTag))
 
     val leftOut = left.columns.map(c => col("__asof_l").getField(c).as(c))
     val rightOut = payloadCols.map(c => col("__asof_match").getField(c).as(rightPrefix + c))

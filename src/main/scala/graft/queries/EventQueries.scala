@@ -172,6 +172,20 @@ object EventQueries {
       graft.operators.AsofJoin.asofBackward(e, p, Seq("user_id"), "tus", "tus")
         .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // forward as-of: each event's NEXT purchase at-or-after it — the
+    // attribution direction q32 can't express; same single-shuffle
+    // union+window plan with the frame reversed (operators.AsofJoin)
+    "q87_asof_forward" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
+        col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asofForward(e, p, Seq("user_id"), "tus", "tus")
+        .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -269,5 +283,12 @@ object EventQueries {
         |p AS (SELECT user_id, tus, event_id AS p_event_id, value AS p_value FROM e WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, e.tus, p.p_event_id, p.p_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q87_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |p AS (SELECT user_id, tus, event_id AS p_event_id, value AS p_value FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.tus, p.p_event_id, p.p_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus <= p.tus
         |ORDER BY e.event_id""".stripMargin)
 }

@@ -30,6 +30,30 @@ class AsofJoinSpec extends AnyFunSuite {
       (6L, None)))      // key with no right rows at all
   }
 
+  test("forward as-of join: earliest later right row per key, inclusive ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 250L),
+      (4L, "u2", 50L), (5L, "u2", 400L), (6L, "u3", 10L))
+      .toDF("event_id", "user", "t")
+    val right = Seq(
+      ("u1", 100L, "a"), ("u1", 240L, "b"),
+      ("u2", 60L, "c"))
+      .toDF("user", "t", "payload")
+
+    val out = AsofJoin.asofForward(left, right, Seq("user"), "t", "t")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+
+    assert(out == Seq(
+      (1L, Some("a")),  // tie at t=100 matches (inclusive <=)
+      (2L, Some("b")),  // next right row after 200 is 240
+      (3L, None),       // nothing at-or-after 250
+      (4L, Some("c")),
+      (5L, None),
+      (6L, None)))      // key with no right rows at all
+  }
+
   test("single shuffle: plan contains exactly one exchange") {
     import spark.implicits._
     val left = Seq((1L, "u1", 100L)).toDF("event_id", "user", "t")
