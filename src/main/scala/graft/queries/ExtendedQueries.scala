@@ -493,6 +493,40 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- bag-semantics set operations ------------------------------------------
+    // INTERSECT ALL / EXCEPT ALL (multiset counts, not distinct sets —
+    // q12/q14 cover the DISTINCT forms); summarized per status so the
+    // result is small and totally ordered
+    "q88_bag_setops" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val a = orders.filter(col("o_orderkey") % 2 === 0).select(col("o_orderstatus"))
+      val b = orders.filter(col("o_orderkey") % 3 === 0).select(col("o_orderstatus"))
+      val ia = a.intersectAll(b).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select(col("op"), col("o_orderstatus"), col("n"))
+        .orderBy(col("op"), col("o_orderstatus"))
+    }),
+
+    // --- union by name with missing columns --------------------------------------
+    // schema-evolution-friendly append: branches with different column
+    // subsets align by NAME, absent columns NULL-fill (Spark
+    // allowMissingColumns ≡ DuckDB UNION ALL BY NAME). DuckDB sorts
+    // NULLS LAST by default where Spark sorts NULLS FIRST — the oracle
+    // pins NULLS FIRST explicitly.
+    "q89_union_by_name" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val a = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val b = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("o_orderstatus").asc_nulls_first)
+    }),
+
     // --- data-quality profile (Deequ-style expectations) ----------------------
     // all five orders metrics ride ONE conditional-aggregate pass
     // (operators.DataQuality.profile); referential integrity is the one
@@ -685,6 +719,25 @@ object ExtendedQueries {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM l1 WHERE op <> 'D')
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "q88_bag_setops" ->
+      """WITH a AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |ia AS (SELECT o_orderstatus FROM a INTERSECT ALL SELECT o_orderstatus FROM b),
+        |ea AS (SELECT o_orderstatus FROM a EXCEPT ALL SELECT o_orderstatus FROM b),
+        |u AS (
+        |  SELECT 'intersect_all' AS op, o_orderstatus, count(*) AS n FROM ia GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'except_all', o_orderstatus, count(*) FROM ea GROUP BY 2)
+        |SELECT op, o_orderstatus, n FROM u ORDER BY op, o_orderstatus""".stripMargin,
+
+    "q89_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM u
+        |ORDER BY o_orderkey, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q86_dq_checks" ->
       """WITH m AS (
