@@ -795,6 +795,58 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hybrid-retrieval capstone: reciprocal-rank fusion of the lexical
+    // (d24's BM25) and semantic (e02's cosine) arms — the fusion step a
+    // production RAG stack runs. Each arm produces its top-20 via
+    // orderBy().limit() (TakeOrderedAndProject — bounded heaps, no
+    // global-window sort of the scored corpus); the fusion join and the
+    // final rank run over ≤40 rows by construction. doc_id ≡ vec_id in
+    // the synthetic corpus. rrf = Σ 1/(60+rank), the standard k=60 form.
+    "e15_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tk.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val qterms = s.createDataFrame(Seq(Tuple1("spark"), Tuple1("window"), Tuple1("agg")))
+        .toDF("term")
+      val contrib = tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("c",
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl") / (col("sum_dl").cast(DoubleType) / col("n_docs"))))))
+            .cast(DecimalType(18, 6)))
+      val lexTop = contrib.groupBy("doc_id").agg(sum(col("c")).as("s"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(20)
+      val lex = lexTop.withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).cast(LongType).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).cast(LongType).as("sem_rank"),
+          col("rrf"))
+        .orderBy(col("rank"))
+    }),
+
     // exact pair set — the oracle-checkable ground truth (quadratic, like
     // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
     "e06_embedding_neardups" -> ((s, d) => {
@@ -1156,6 +1208,39 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(para, ' | ' ORDER BY idx) AS dedup_text
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e15_rrf_fusion" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |q AS (SELECT unnest(['spark','window','agg']) AS term),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |lexs AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+        |        FROM lexs QUALIFY lex_rank <= 20),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |sems AS (SELECT vec_id AS doc_id, list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+        |         FROM qv, embeddings WHERE vec_id <> 0),
+        |sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        |        FROM sems QUALIFY sem_rank <= 20),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+        |        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0) +
+        |              coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0), 6) AS rrf
+        |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+        |SELECT rank, doc_id, coalesce(lex_rank, 0) AS lex_rank,
+        |  coalesce(sem_rank, 0) AS sem_rank, rrf
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "d33_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
