@@ -122,6 +122,62 @@ object EventQueries {
         .orderBy(col("win_us"), col("event_type"))
     }),
 
+    // OHLC downsample: per event-type hourly bars — open/close picked by
+    // a deterministic (tus, event_id) order, high/low exact min/max. One
+    // shuffle on (hour, type); the two row_number passes share the same
+    // partitioning (one Exchange, two sorts). The standard metrics-rollup
+    // shape at 100 TB: min/max aggregate map-side, open/close ride the
+    // already-shuffled windowed pass.
+    "q90_ohlc" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("hour_us", col("tus") - pmod(col("tus"), lit(3600L * 1000000L)))
+      val wa = Window.partitionBy(col("hour_us"), col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      val wd = Window.partitionBy(col("hour_us"), col("event_type"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+      e.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("hour_us"), col("event_type"))
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
+
+    // robust outlier profile: per event type, lower-median and MAD
+    // (median absolute deviation) selected POSITIONALLY (sorted rank —
+    // no floating interpolation, so both engines pick the same stored
+    // double and the hash stays exact); outliers = |v − med| > 3·MAD.
+    // Two windowed selection passes over the same type-partitioned sort;
+    // the med/MAD tables are dimension-sized (one row per type) and
+    // broadcast back onto the stream — at scale the event stream is
+    // never reshuffled after the first sort.
+    "q91_mad_outliers" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+      val cw = Window.partitionBy(col("event_type"))
+      val w1 = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val med = e.withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy(col("event_type")).orderBy(col("adev"), col("event_id"))
+      val mad = dev.withColumn("rn", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // ordered funnel: view → click → purchase, each step's timestamp the
     // EARLIEST occurrence at-or-after the previous step — the conversion
     // operator product analytics runs. Three user_id-keyed aggregations;
@@ -189,6 +245,34 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q90_ohlc" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id, event_type, value FROM events),
+        |b AS (SELECT *, tus - tus % 3600000000 AS hour_us FROM e),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY hour_us, event_type ORDER BY tus, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY hour_us, event_type ORDER BY tus DESC, event_id DESC) AS rd
+        |      FROM b)
+        |SELECT hour_us, event_type,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n_events
+        |FROM r GROUP BY hour_us, event_type ORDER BY hour_us, event_type""".stripMargin,
+
+    "q91_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT e.*, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn FROM e),
+        |med AS (SELECT r.event_type, r.value AS med FROM r JOIN n USING (event_type) WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT e.event_type, e.event_id, e.value, med.med,
+        |          abs(e.value - med.med) AS adev FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT dev.*, row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn FROM dev),
+        |mad AS (SELECT r2.event_type, r2.adev AS mad FROM r2 JOIN n USING (event_type) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, count(*) AS n_events, max(d.med) AS med, max(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q82_sliding_windows" ->
       """WITH e AS (SELECT event_type, value,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

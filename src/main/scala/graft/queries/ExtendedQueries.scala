@@ -44,6 +44,34 @@ object ExtendedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incremental aggregate maintenance (materialized-view maintenance):
+    // the per-customer rollup is built by folding seven year-batches into
+    // the state table one merge at a time (operators.IncrementalAgg);
+    // the ORACLE computes the same aggregate DIRECTLY over the whole
+    // table, so the hash proves maintenance ≡ recompute. Each merge
+    // shuffles only its batch — at 100 TB the maintenance tick costs
+    // O(batch), not O(history); see IncrementalAgg's scaladoc for the
+    // bucketed-state zero-shuffle variant.
+    "q92_incremental_agg" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val o = Tables.orders(s, d).withColumn("yr", year(col("o_orderdate")))
+      val keys = Seq("o_custkey")
+      val state = (1996 to 2001).foldLeft(
+        IncrementalAgg.init(o.filter(col("yr") === 1995), keys, "o_totalprice")) {
+        (st, y) => IncrementalAgg.merge(st, o.filter(col("yr") === y), keys, "o_totalprice")
+      }
+      IncrementalAgg.view(state)
+        .select(col("o_custkey"), col("cnt"),
+          // decimal-exact internally; DOUBLE at the output boundary (the
+          // q01 convention — the driver compare is dtype-sensitive)
+          col("sum_v").cast(DoubleType).as("sum_v"), col("min_v"),
+          // raw IEEE division (identical inputs ⇒ identical bits in both
+          // engines); round() here would re-introduce engine-specific
+          // half-way behavior on the 4th decimal
+          col("max_v"), col("avg_v"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // --- JSON extraction (distinct from q31's regexp path) --------------
     "q47_json_funcs" -> ((s, d) => {
       Tables.events(s, d)
@@ -617,6 +645,16 @@ object ExtendedQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the DIRECT full-table aggregate — the incremental fold must equal it
+    "q92_incremental_agg" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        |FROM orders GROUP BY 1)
+        |SELECT o_custkey, cnt, CAST(sum_v AS DOUBLE) AS sum_v, min_v, max_v,
+        |  CAST(sum_v AS DOUBLE) / cnt AS avg_v
+        |FROM a ORDER BY o_custkey""".stripMargin,
+
     "q68_higher_order" ->
       """SELECT p_partkey,
         | len(list_filter(string_split(p_name, ' '), w -> length(w) > 6)) > 0 AS has_long,

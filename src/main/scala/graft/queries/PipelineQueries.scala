@@ -375,6 +375,24 @@ object PipelineQueries {
         .select(concat(col("a"), lit("|"), col("b")).as("pair"), col("n"))
     }),
 
+    // leakage-safe train/val/test split: assignment at NEAR-DUP-CLUSTER
+    // granularity (d09's connected components), so two near-duplicate
+    // documents can never straddle splits and leak eval text into the
+    // training set — the split step a real pretraining pipeline runs
+    // AFTER clustering, not per-doc. Split hashed from the CLUSTER id
+    // (md5, 8/1/1 buckets): deterministic and resumable; the assignment
+    // itself is map-only over the cluster table, so the only heavy work
+    // is d09's clustering, which is already the scale-path CC.
+    "d34_leakage_split" -> ((s, d) => {
+      DedupClusters.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .withColumn("h", ascii(substring(md5(col("cluster").cast("string")), 1, 1)) % 10)
+        .withColumn("split",
+          when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
     // every 8-token span falls wholly inside at least one chunk. Pure
@@ -847,6 +865,51 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // MMR diversified re-rank: maximal marginal relevance over the
+    // brute-force top-20 candidates for query vector 0 — the RAG
+    // retrieval step that trades relevance against redundancy
+    // (score = 0.7·rel − 0.3·max-sim-to-selected; step 1 = pure
+    // relevance). Candidate scoring and the 20×19 pairwise-sim matrix
+    // are computed distributed (broadcast joins, fused codegen cosine);
+    // the greedy selection itself runs driver-local over the k-bounded
+    // candidate set — k is fixed at 20 by construction, the same
+    // bounded-collect pattern as the IVF quantizer sample. The oracle
+    // replays the identical greedy as 10 chained CTE steps.
+    "e16_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.registerAll(s)
+      val emb = Tables.embeddings(s, d)
+      val cands = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("cos").as("rel"))
+      val cvecs = emb.join(broadcast(cands.select("doc_id")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("embedding"))
+      val psim = cvecs.alias("a").join(broadcast(cvecs.alias("b")),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("pa"), col("b.doc_id").as("pb"),
+          call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("sim"))
+      val rel = cands.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sims = psim.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var selected = Vector.empty[(Int, Long, Double)]
+      val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+      for (step <- 1 to 10) {
+        val scored = remaining.toSeq.map { id =>
+          val score =
+            if (step == 1) rel(id)
+            else 0.7 * rel(id) - 0.3 * selected.map(p => sims((id, p._2))).max
+          (id, score)
+        }
+        val (best, sc) = scored.minBy { case (id, v) => (-v, id) }
+        selected :+= ((step, best, sc))
+        remaining -= best
+      }
+      selected.toDF("step", "doc_id", "score")
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("step"))
+    }),
+
     // exact pair set — the oracle-checkable ground truth (quadratic, like
     // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
     "e06_embedding_neardups" -> ((s, d) => {
@@ -911,6 +974,31 @@ object PipelineQueries {
           .when(upper(hex(substring(col("content"), 5, 4))) === "66747970", "mp4")
           .when(magic.startsWith("464F524D"), "form")
           .otherwise("none").as("container"))
+        .orderBy(col("media_id"))
+    }),
+
+    // per-media byte-histogram Shannon entropy — the binary-junk /
+    // encrypted-blob detector a multimodal ingest runs before decode
+    // (entropy ≈ 8 ⇒ compressed/encrypted, ≈ 4-5 ⇒ text, low ⇒ padding).
+    // Hash-checkable because each p·log2(p) term is cast to DECIMAL
+    // BEFORE the sum (exact, associative, order-independent — the d21
+    // rule); the byte stream is exploded from the hex rendering, ≤256
+    // histogram rows per media row ride one shuffle.
+    "m05_byte_entropy" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
+      val h = media.select(col("media_id"), upper(hex(col("content"))).as("hx"),
+          length(col("content")).cast(LongType).as("n_bytes"))
+        .filter(col("n_bytes") > 0)
+      val bytes = h.select(col("media_id"), col("n_bytes"),
+        explode(expr(
+          "transform(sequence(1, cast(n_bytes as int)), i -> substring(hx, 2*i-1, 2))")).as("b"))
+      bytes.groupBy(col("media_id"), col("n_bytes"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c").cast(DoubleType) / col("n_bytes"))
+        .withColumn("t", (col("p") * log2(col("p"))).cast(DecimalType(18, 6)))
+        .groupBy(col("media_id"), col("n_bytes"))
+        .agg(count(lit(1)).as("n_distinct"),
+          (-sum(col("t"))).cast(DoubleType).as("entropy"))
         .orderBy(col("media_id"))
     }),
 
@@ -1094,6 +1182,28 @@ object PipelineQueries {
         |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
 
+    // d09's recursive-CTE closure extended with the md5-of-cluster split
+    "d34_leakage_split" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
+        |          JOIN sizes sb ON co.b = sb.doc_id
+        |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
+        |          UNION
+        |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+        |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        |h AS (SELECT id AS doc_id, cluster,
+        |        ascii(substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) % 10 AS hb FROM lab)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     // d14's clean-corpus CTE chain extended with d20's sharding and
     // d10's capacity packing — the manifest must equal the composition
     "d28_training_manifest" ->
@@ -1179,6 +1289,24 @@ object PipelineQueries {
         |    ELSE 'none' END AS container
         |FROM m ORDER BY media_id""".stripMargin,
 
+    "m05_byte_entropy" ->
+      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
+        |h AS (SELECT media_id, upper(hex(content)) AS hx,
+        |        CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |      FROM m WHERE octet_length(content) > 0),
+        |b AS (SELECT media_id, n_bytes,
+        |        unnest(list_transform(range(1, n_bytes + 1),
+        |          i -> substring(hx, CAST(2*i-1 AS INT), 2))) AS b
+        |      FROM h),
+        |hist AS (SELECT media_id, n_bytes, b, count(*) AS c
+        |         FROM b GROUP BY media_id, n_bytes, b),
+        |t AS (SELECT media_id, n_bytes,
+        |        CAST((c * 1.0 / n_bytes) * log2(c * 1.0 / n_bytes) AS DECIMAL(18,6)) AS t
+        |      FROM hist)
+        |SELECT media_id, n_bytes, count(*) AS n_distinct,
+        |  CAST(-sum(t) AS DOUBLE) AS entropy
+        |FROM t GROUP BY media_id, n_bytes ORDER BY media_id""".stripMargin,
+
     "d17_pii_redact" ->
       s"""WITH pii AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256)
@@ -1241,6 +1369,33 @@ object PipelineQueries {
         |SELECT rank, doc_id, coalesce(lex_rank, 0) AS lex_rank,
         |  coalesce(sem_rank, 0) AS sem_rank, rrf
         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "e16_mmr_rerank" -> {
+      // every CTE MATERIALIZED: the chained greedy steps reference their
+      // predecessors repeatedly, and inlined (default) CTEs expand
+      // exponentially — enough re-opens of the parquet to exhaust file
+      // handles before it gets slow
+      val steps = (2 to 10).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT c.doc_id, 0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM psim p JOIN sel${i - 1} s ON p.a = c.doc_id AND p.b = s.doc_id) AS score
+           |  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})),
+           |s$i AS MATERIALIZED (SELECT doc_id, score FROM c$i ORDER BY score DESC, doc_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 10)
+        .map(i => s"SELECT $i AS step, doc_id, score FROM s$i").mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT vec_id AS doc_id,
+         |           list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS rel,
+         |           CAST(embedding AS DOUBLE[]) AS ce
+         |         FROM q, embeddings WHERE vec_id <> 0
+         |         ORDER BY rel DESC, doc_id LIMIT 20),
+         |psim AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, list_cosine_similarity(a.ce, b.ce) AS sim
+         |         FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+         |s1 AS MATERIALIZED (SELECT doc_id, rel AS score FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT doc_id FROM s1),
+         |$steps
+         |SELECT step, doc_id, round(score, 6) AS score FROM ($unions) ORDER BY step""".stripMargin
+    },
 
     "d33_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),

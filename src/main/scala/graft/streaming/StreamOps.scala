@@ -420,4 +420,46 @@ object StreamOps {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(1).toLong)
+
+  // --- streaming incremental aggregate maintenance ------------------------
+
+  /** Maintain a materialized per-key AGGREGATE table (count / decimal sum
+    * / min / max, [[graft.operators.IncrementalAgg]]) from an append
+    * stream: every micro-batch folds its partial aggregates into the
+    * current state — O(batch) work per tick, the history is never
+    * re-scanned — and commits a NEW versioned directory exactly like
+    * [[maintainSnapshot]]. Replay safety is the same argument: the merge
+    * base for batch N is the largest version strictly below N, and
+    * `merge` is deterministic, so a replayed batch rebuilds `v<N>`
+    * bit-identically. This is the streaming half of q92's
+    * maintenance-≡-recompute contract (IncrementalAggSpec proves the
+    * batch half). */
+  def maintainAggregate(stream: DataFrame, stateDir: String,
+      checkpointDir: String, keyCols: Seq[String], valueCol: String,
+      keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyAggregateBatch(batch.toDF(), batchId, stateDir, keyCols,
+          valueCol, keepVersions)
+      }
+      .start()
+
+  /** One fold step of [[maintainAggregate]] (also usable from a batch
+    * backfill loop). */
+  def applyAggregateBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      keyCols: Seq[String], valueCol: String, keepVersions: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = snapshotVersions(fs, dir).filter(_ < batchId).sorted.lastOption match {
+      case Some(v) => graft.operators.IncrementalAgg.merge(
+        spark.read.parquet(s"$stateDir/v$v"), batch, keyCols, valueCol)
+      case None => graft.operators.IncrementalAgg.init(batch, keyCols, valueCol)
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    snapshotVersions(fs, dir).sorted.dropRight(keepVersions)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), true))
+  }
 }

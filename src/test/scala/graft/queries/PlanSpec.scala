@@ -263,4 +263,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!gp.contains("ZeekCountScan"), gp.take(2000))
     assert(gp.contains("required=[proto]"), "grouped count prunes to the key:\n" + gp.take(2000))
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (InjectRuntimeFilter) so the shuffle join
+    // never materializes the non-matching fact rows. The scan-size
+    // threshold is lowered because the test fact table is tiny; the rule
+    // and plan shape are exactly what a full-size run gets.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prevT = spark.conf.get(key)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(key, "0")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected an injected runtime bloom filter:\n" + p.take(3000))
+      assert(j.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(key, prevT)
+    }
+  }
 }

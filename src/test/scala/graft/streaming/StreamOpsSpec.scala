@@ -420,4 +420,48 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.matches("v\\d+"))
     assert(versions.length <= 2, versions.mkString(","))
   }
+
+  test("streaming incremental aggregate maintenance folds batches, survives restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("aggsnap").toString
+    val (stateDir, ckptDir) = (s"$root/state", s"$root/ckpt")
+
+    def state(): Seq[(Long, Long, String, Double, Double)] =
+      readSnapshot(spark, stateDir).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getDouble(3), r.getDouble(4))).toSeq
+
+    val input = MemoryStream[(Long, Double)]
+    val q = maintainAggregate(input.toDF().toDF("k", "v"), stateDir, ckptDir,
+      Seq("k"), "v")
+    try {
+      input.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, 2L, "30.00", 10.0, 20.0), (2L, 1L, "5.00", 5.0, 5.0)))
+
+      input.addData((1L, 1.0), (3L, 7.0))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, 3L, "31.00", 1.0, 20.0), (2L, 1L, "5.00", 5.0, 5.0),
+        (3L, 1L, "7.00", 7.0, 7.0)))
+    } finally q.stop()
+
+    // restart from the same checkpoint: the next batch folds onto the
+    // committed state — maintenance keeps equaling a full recompute
+    input.addData((2L, 100.0))
+    val q2 = maintainAggregate(input.toDF().toDF("k", "v"), stateDir, ckptDir,
+      Seq("k"), "v")
+    try {
+      q2.processAllAvailable()
+      assert(state() == Seq((1L, 3L, "31.00", 1.0, 20.0), (2L, 2L, "105.00", 5.0, 100.0),
+        (3L, 1L, "7.00", 7.0, 7.0)))
+    } finally q2.stop()
+
+    // bounded storage: only the newest 2 committed versions remain
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+    assert(versions.length <= 2, versions.mkString(","))
+  }
 }
