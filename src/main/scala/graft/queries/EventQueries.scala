@@ -218,6 +218,66 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // coverage merge (gaps-and-islands): each event opens a 30-minute
+    // activity interval; overlapping/touching intervals coalesce into
+    // per-user coverage spans (operators.IntervalMerge) — one hash
+    // shuffle on user_id, the island group-by reuses the window's
+    // exchange. The dual of q29's session COUNTS: this materializes the
+    // session intervals themselves.
+    "q94_interval_merge" -> ((s, d) => {
+      val iv = events(s, d).select(col("user_id"), col("tus").as("start_us"),
+        (col("tus") + lit(1800L * 1000000L)).as("end_us"))
+      graft.operators.IntervalMerge.merge(iv, Seq("user_id"), "start_us", "end_us")
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // time-weighted average: value held until the next event, weighted
+    // by the segment duration — the metrics/finance primitive plain AVG
+    // gets wrong on irregular samples. Segment products are exact
+    // decimals (value DECIMAL × integer-micros duration), so the sum is
+    // order-independent and the hash exact; one window + one aggregate
+    // on the same user_id partitioning.
+    "q96_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .withColumn("next_tus", lead(col("tus"), 1).over(w))
+        .filter(col("next_tus").isNotNull)
+        // integer cents × integer micros: the sums stay in BIGINT, and the
+        // only float ops are two hardware int64→double conversions plus
+        // one IEEE division — bit-identical across engines (a decimal
+        // sum cast to DOUBLE is NOT: DuckDB's decimal→double double-rounds
+        // vs Java's correctly-rounded conversion, a 1-ulp hash mismatch)
+        .withColumn("seg",
+          (dec(col("value")) * 100).cast(LongType) * (col("next_tus") - col("tus")))
+        .groupBy(col("user_id"))
+        .agg(sum(col("seg")).as("wsum"), sum(col("next_tus") - col("tus")).as("dur"))
+        .select(col("user_id"), col("dur"),
+          (col("wsum").cast(DoubleType) / (col("dur").cast(DoubleType) * lit(100.0)))
+            .as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
+    // cohort retention: users grouped by first-activity week, retention
+    // matrix = distinct active users per (cohort, week-offset) plus the
+    // rate against cohort size — the product-analytics staple. Exact
+    // integer week math off epoch micros; two user_id-keyed aggregates
+    // (the cohort map rides the first shuffle) and a broadcast of the
+    // dimension-sized cohort counts.
+    "q97_cohort_retention" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("tus div 604800000000").as("week")) // 7d in micros
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("active_users"),
+          (col("active_users").cast(DoubleType) / col("cohort_users").cast(DoubleType))
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // as-of join: latest prior purchase per user for every event
     "q32_asof_join" -> ((s, d) => {
       val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
@@ -307,6 +367,42 @@ object EventQueries {
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
          |ORDER BY event_id""".stripMargin
     },
+
+    "q97_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM cohort GROUP BY cohort_week),
+        |act AS (SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |          count(DISTINCT e.user_id) AS active_users
+        |        FROM e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.active_users,
+        |  CAST(a.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)
+        |ORDER BY a.cohort_week, a.week_offset""".stripMargin,
+
+    "q96_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |l AS (SELECT user_id, value, tus,
+        |        lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nt FROM e),
+        |s AS (SELECT user_id,
+        |        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * (nt - tus)) AS BIGINT) AS wsum,
+        |        CAST(sum(nt - tus) AS BIGINT) AS dur
+        |      FROM l WHERE nt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, dur,
+        |  CAST(wsum AS DOUBLE) / (CAST(dur AS DOUBLE) * 100.0) AS twa
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q94_interval_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS en FROM events),
+        |m AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY s, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM e),
+        |i AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM m),
+        |g AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i)
+        |SELECT user_id, min(s) AS start_us, max(en) AS end_us, count(*) AS n_merged
+        |FROM g GROUP BY user_id, isl
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q29_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

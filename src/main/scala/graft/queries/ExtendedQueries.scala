@@ -521,6 +521,39 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD type-2 history build from the SAME change feed as q84: every
+    // upsert opens a [valid_from, valid_to) interval closed by the key's
+    // next change (tombstones close without opening). One key-partitioned
+    // window — O(changes) at any dimension size (operators.Scd2); the
+    // hash also pins the q84 ≡ snapshotAt(∞) relationship the spec proves.
+    "q93_scd2" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val v1 = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(1L).as("version"), lit("U").as("op"),
+          lit("X1").as("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"))
+      val v2 = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(2L).as("version"), lit("D").as("op"),
+          lit(null).cast(StringType).as("o_orderstatus"),
+          lit(null).cast(DoubleType).as("o_totalprice"))
+      val v3 = orders.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit(3L).as("version"), lit("U").as("op"),
+          lit("X3").as("o_orderstatus"), (col("o_totalprice") + 300).as("o_totalprice"))
+      graft.operators.Scd2.buildHistory(
+        v1.unionByName(v2).unionByName(v3), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
+    // skyline (Pareto front) over part: cheapest-for-the-size trade-off
+    // curve — map-side local Pareto prune, then an exact dominance
+    // anti-join over the broadcast-sized candidates (operators.Skyline);
+    // the full table is read once with no shuffle.
+    "q95_skyline" -> ((s, d) => {
+      graft.operators.Skyline.skyline(
+        Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        Seq(("p_retailprice", false), ("p_size", true)))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- bag-semantics set operations ------------------------------------------
     // INTERSECT ALL / EXCEPT ALL (multiset counts, not distinct sets —
     // q12/q14 cover the DISTINCT forms); summarized per status so the
@@ -757,6 +790,29 @@ object ExtendedQueries {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM l1 WHERE op <> 'D')
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    "q93_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'U' AS op, 'X1' AS o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT), 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT), 'U', 'X3', o_totalprice + 300 FROM orders WHERE o_orderkey % 20 = 0),
+        |h AS (SELECT *, lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+        |      FROM ch)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, version AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM h WHERE op <> 'D'
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q95_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "q88_bag_setops" ->
       """WITH a AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),

@@ -393,6 +393,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SPAN-level decontamination: instead of dropping whole contaminated
+    // docs (d15), surgically remove the contaminated 5-gram spans and
+    // reassemble the rest — the text-preserving variant real pipelines
+    // prefer for long documents. Matched span starts become [s, s+5)
+    // intervals, coalesced per doc by operators.IntervalMerge (so the
+    // sequence-expansion is bounded by covered tokens, never pays twice
+    // for overlaps), covered positions anti-join the token stream, docs
+    // reassemble in order. Eval 5-grams broadcast; the corpus shuffles
+    // only on doc_id. A planted shared phrase (corpus doc_id % 9 = 0 /
+    // eval doc 5) guarantees real span removal on the synthetic corpus;
+    // the oracle recomputes coverage by DISTINCT position expansion — a
+    // different formulation proving the interval-merge path exact.
+    "d35_span_decontaminate" -> ((s, d) => {
+      val K = 5
+      val phrase = " alpha bravo charlie delta echo"
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .withColumn("t2", when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(phrase))).otherwise(col("text")))
+      val evalSide = docs.filter(col("doc_id") < 20)
+        .withColumn("t2", when(col("doc_id") === 5,
+          concat(col("text"), lit(phrase))).otherwise(col("text")))
+      def grams(df: DataFrame) = df.withColumn("toks", split(col("t2"), "\\s+"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $K), i -> array_join(slice(toks, i + 1, $K), ' '))"))
+          .as(Seq("pos", "g")))
+      val eg = grams(evalSide).select(col("g")).distinct()
+      val hits = grams(corpus).join(broadcast(eg), "g")
+        .select(col("doc_id"), col("pos").cast(LongType).as("s"),
+          (col("pos") + K).cast(LongType).as("e"))
+      val covered = graft.operators.IntervalMerge
+        .merge(hits, Seq("doc_id"), "s", "e")
+        .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("idx"))
+      val ctoks = corpus
+        .select(col("doc_id"), posexplode(split(col("t2"), "\\s+")).as(Seq("idx", "tok")))
+        .withColumn("idx", col("idx").cast(LongType))
+      val cleanAgg = ctoks.join(covered, Seq("doc_id", "idx"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')")
+            .as("clean_text"))
+      corpus.select(col("doc_id"),
+          size(split(col("t2"), "\\s+")).cast(LongType).as("n_before"))
+        .join(cleanAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          (col("n_before") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
     // every 8-token span falls wholly inside at least one chunk. Pure
@@ -1183,6 +1234,39 @@ object PipelineQueries {
         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
 
     // d09's recursive-CTE closure extended with the md5-of-cluster split
+    "d35_span_decontaminate" ->
+      """WITH base AS (SELECT doc_id,
+        |         CASE WHEN (doc_id >= 20 AND doc_id % 9 = 0) OR doc_id = 5
+        |              THEN text || ' alpha bravo charlie delta echo' ELSE text END AS t2
+        |       FROM documents),
+        |w AS (SELECT doc_id, string_split_regex(t2, '\s+') AS ws FROM base),
+        |cg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 4),
+        |         i -> {'s': CAST(i AS BIGINT),
+        |               'g': array_to_string(ws[(i+1):(i+5)], ' ')})) AS u
+        |       FROM w WHERE doc_id >= 20),
+        |egr AS (SELECT unnest(list_transform(range(len(ws) - 4),
+        |          i -> array_to_string(ws[(i+1):(i+5)], ' '))) AS g
+        |        FROM w WHERE doc_id < 20),
+        |eg AS (SELECT DISTINCT g FROM egr),
+        |hits AS (SELECT cg.doc_id, cg.u.s AS s, cg.u.s + 5 AS e
+        |         FROM cg JOIN eg ON cg.u.g = eg.g),
+        |cov AS (SELECT DISTINCT doc_id, x AS idx
+        |        FROM (SELECT doc_id, unnest(range(s, e)) AS x FROM hits)),
+        |ct AS (SELECT doc_id, unnest(list_transform(range(len(ws)),
+        |         i -> {'idx': CAST(i AS BIGINT), 'tok': ws[i+1]})) AS u
+        |       FROM w WHERE doc_id >= 20),
+        |kept AS (SELECT ct.doc_id, ct.u.idx AS idx, ct.u.tok AS tok FROM ct
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |           WHERE cov.doc_id = ct.doc_id AND cov.idx = ct.u.idx)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_before FROM w WHERE doc_id >= 20)
+        |SELECT st.doc_id, st.n_before,
+        |  st.n_before - coalesce(agg.n_kept, 0) AS n_removed,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM st LEFT JOIN agg USING (doc_id) ORDER BY st.doc_id""".stripMargin,
+
     "d34_leakage_split" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),

@@ -445,6 +445,49 @@ object StreamOps {
       }
       .start()
 
+  // --- streaming SCD2 history maintenance ---------------------------------
+
+  /** Maintain a type-2 slowly-changing-dimension HISTORY table
+    * ([[graft.operators.Scd2]]) from a CDC change stream: every
+    * micro-batch folds into the current history via [[graft.operators
+    * .Scd2.applyBatch]] — closed intervals are immutable, only the
+    * touched keys' tails are rebuilt — and commits a NEW versioned
+    * directory exactly like [[maintainSnapshot]] (same replay argument:
+    * base for batch N is the largest committed version below N, and the
+    * fold is deterministic, so replays rebuild `v<N>` identically).
+    * Requires globally monotone change versions across batches (the
+    * standard commit-ordered CDC feed). */
+  def maintainScd2(changes: DataFrame, historyDir: String,
+      checkpointDir: String, keyCols: Seq[String],
+      versionCol: String = "version", opCol: String = "op",
+      keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyScd2Batch(batch.toDF(), batchId, historyDir, keyCols,
+          versionCol, opCol, keepVersions)
+      }
+      .start()
+
+  /** One fold step of [[maintainScd2]] (also usable from a batch
+    * backfill loop). */
+  def applyScd2Batch(batch: DataFrame, batchId: Long, historyDir: String,
+      keyCols: Seq[String], versionCol: String, opCol: String,
+      keepVersions: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = snapshotVersions(fs, dir).filter(_ < batchId).sorted.lastOption match {
+      case Some(v) => graft.operators.Scd2.applyBatch(
+        spark.read.parquet(s"$historyDir/v$v"), batch, keyCols, versionCol, opCol)
+      case None => graft.operators.Scd2.buildHistory(batch, keyCols, versionCol, opCol)
+    }
+    next.write.mode("overwrite").parquet(s"$historyDir/v$batchId")
+    snapshotVersions(fs, dir).sorted.dropRight(keepVersions)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), true))
+  }
+
   /** One fold step of [[maintainAggregate]] (also usable from a batch
     * backfill loop). */
   def applyAggregateBatch(batch: DataFrame, batchId: Long, stateDir: String,

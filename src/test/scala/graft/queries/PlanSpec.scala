@@ -248,6 +248,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q93: scd2 history is one key window — no join, single shuffle") {
+    val p = plan("q93_scd2")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q94: interval merge's island group-by reuses the window exchange") {
+    val p = plan("q94_interval_merge")
+    // one shuffle for the user_id window; the (user_id, island) aggregate
+    // is clustered by a superset and must NOT re-exchange (the final
+    // orderBy adds its range exchange on top)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q95: skyline never shuffles the table; refinement is broadcast") {
+    val p = plan("q95_skyline")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(p.contains("Broadcast"), p.take(3000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)

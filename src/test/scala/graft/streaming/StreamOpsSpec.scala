@@ -421,6 +421,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(versions.length <= 2, versions.mkString(","))
   }
 
+  test("streaming SCD2 history maintenance folds change batches, survives restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd2hist").toString
+    val (histDir, ckptDir) = (s"$root/hist", s"$root/ckpt")
+
+    def hist(): Seq[(Long, String, Long, Option[Long], Boolean)] =
+      readSnapshot(spark, histDir).orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5))).toSeq
+
+    val input = MemoryStream[CdcChange]
+    val q = maintainScd2(input.toDF(), histDir, ckptDir, Seq("k"))
+    try {
+      // batch 0: k=1 twice (chained intervals), k=2 once
+      input.addData(
+        CdcChange(1L, 1L, "U", "a1", 10.0), CdcChange(1L, 2L, "U", "a2", 11.0),
+        CdcChange(2L, 3L, "U", "b1", 20.0))
+      q.processAllAvailable()
+      assert(hist() == Seq(
+        (1L, "a1", 1L, Some(2L), false), (1L, "a2", 2L, None, true),
+        (2L, "b1", 3L, None, true)))
+
+      // batch 1: tombstone closes k=1's open row; k=3 appears
+      input.addData(CdcChange(1L, 4L, "D", null, 0.0), CdcChange(3L, 5L, "U", "c1", 30.0))
+      q.processAllAvailable()
+      assert(hist() == Seq(
+        (1L, "a1", 1L, Some(2L), false), (1L, "a2", 2L, Some(4L), false),
+        (2L, "b1", 3L, None, true), (3L, "c1", 5L, None, true)))
+    } finally q.stop()
+
+    // restart from the same checkpoint: k=1 re-upserts after its delete
+    input.addData(CdcChange(1L, 6L, "U", "a6", 16.0))
+    val q2 = maintainScd2(input.toDF(), histDir, ckptDir, Seq("k"))
+    try {
+      q2.processAllAvailable()
+      assert(hist() == Seq(
+        (1L, "a1", 1L, Some(2L), false), (1L, "a2", 2L, Some(4L), false),
+        (1L, "a6", 6L, None, true),
+        (2L, "b1", 3L, None, true), (3L, "c1", 5L, None, true)))
+      // the history's snapshotAt view agrees with the closed/open structure
+      val now = graft.operators.Scd2.snapshotAt(readSnapshot(spark, histDir), 99L)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(now == Seq((1L, "a6"), (2L, "b1"), (3L, "c1")))
+    } finally q2.stop()
+  }
+
   test("streaming incremental aggregate maintenance folds batches, survives restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
