@@ -14,5 +14,6 @@ object GraftFunctions {
     graft.functions.Udafs.registerAll(spark)
     graft.functions.BloomFunctions.registerAll(spark)
     graft.functions.SketchExpressions.registerAll(spark)
+    graft.functions.HilbertIndex2.registerAll(spark)
   }
 }

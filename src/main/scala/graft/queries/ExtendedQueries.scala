@@ -497,6 +497,26 @@ object ExtendedQueries {
         .orderBy(col("bucket"))
     }),
 
+    // --- Hilbert-curve layout -------------------------------------------------
+    // q79's layout with the Hilbert curve instead of Morton: the custom
+    // codegen expression (functions.HilbertIndex2 — a per-level state
+    // machine no flat bit-shuffle can express) walks the curve inline in
+    // whole-stage codegen. 256-cell buckets are EXACT 16x16 subsquares
+    // (HilbertSpec), so per-file footer stats are as tight as possible.
+    // The oracle replays the identical walk as one CTE per level.
+    "q98_hilbert_layout" -> ((s, d) => {
+      graft.functions.HilbertIndex2.registerAll(s)
+      val h = graft.operators.Hilbert.hValue2(
+        col("l_partkey") % 64, col("l_suppkey") % 64, bits = 6)
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 64).as("px"), (col("l_suppkey") % 64).as("sy"), h.as("h"))
+        .groupBy(shiftright(col("h"), 8).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("px")).as("pk_lo"), max(col("px")).as("pk_hi"),
+          min(col("sy")).as("sk_lo"), max(col("sy")).as("sk_hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- CDC merge (MERGE INTO semantics) -------------------------------------
     // latest-wins change application over a synthetic three-version feed:
     // v1 upserts keys %5, v2 deletes keys %10, v3 re-upserts keys %20 —
@@ -770,6 +790,17 @@ object ExtendedQueries {
          |  min(l_suppkey % 64) AS sk_lo, max(l_suppkey % 64) AS sk_hi,
          |  min(l_orderkey % 64) AS ok_lo, max(l_orderkey % 64) AS ok_hi
          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "q98_hilbert_layout" -> {
+      val ctes = graft.operators.Hilbert.hilbertCtes(
+        "base", "px", "sy", bits = 6, carry = Seq("px", "sy"))
+      s"""WITH base AS (SELECT (l_partkey % 64) AS px, (l_suppkey % 64) AS sy FROM lineitem),
+         |$ctes
+         |SELECT (hd >> 8) AS bucket, count(*) AS cnt,
+         |  min(px) AS pk_lo, max(px) AS pk_hi,
+         |  min(sy) AS sk_lo, max(sy) AS sk_hi
+         |FROM h6 GROUP BY 1 ORDER BY bucket""".stripMargin
     },
 
     "q84_cdc_merge" ->

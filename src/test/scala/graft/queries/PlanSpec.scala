@@ -268,6 +268,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p.take(3000))
   }
 
+  test("q96: TWA's aggregate reuses the lead-window's user_id exchange") {
+    val p = plan("q96_time_weighted_avg")
+    // window partitionBy(user_id) and groupBy(user_id) share one shuffle;
+    // only the final orderBy adds its range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q97: cohort sizes broadcast onto the retention matrix") {
+    val p = plan("q97_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("zeek scan: count(*) pushes the aggregate into the scan") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val f = graft.zeek.ZeekFixtures.write(dir, "conn.log", graft.zeek.ZeekFixtures.connContent)
