@@ -517,6 +517,47 @@ object ExtendedQueries {
         .orderBy(col("bucket"))
     }),
 
+    // --- mergeable histogram quantiles ----------------------------------------
+    // equi-width-histogram p50/p90/p99 per status: the histogram is a
+    // plain (status, bin) count aggregate — partial/map-side combinable
+    // and MERGEABLE across batches/partitions (the property approx sketch
+    // quantiles need), quantile extraction then runs over the tiny
+    // histogram. ceil targets in exact integer math ((n*p+99) div 100);
+    // floor() before the BIGINT cast on BOTH sides (DuckDB's raw
+    // double→int cast ROUNDS where Spark truncates — a known trap).
+    "q99_histogram_quantile" -> ((s, d) => {
+      val binned = Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          floor(col("o_totalprice") / 1000).cast(LongType).as("bin"))
+        .groupBy(col("o_orderstatus"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("o_orderstatus")).orderBy(col("bin"))
+      val wn = Window.partitionBy(col("o_orderstatus"))
+      val cum = binned.withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
+      def pBin(p: Int) = min(when(
+        col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin"))).as(s"p${p}_bin")
+      cum.groupBy(col("o_orderstatus"))
+        .agg(max(col("n")).as("n"), pBin(50), pBin(90), pBin(99))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- exact distinct via mergeable bitmaps ---------------------------------
+    // COUNT(DISTINCT) recomputed as bitmap aggregation (Spark 3.5+
+    // bitmap_* functions): per-bucket bitmaps are partial-aggregated
+    // map-side and MERGE — the pattern that makes repeated/rolled-up
+    // exact distinct counts cheap at 100 TB (store the bitmaps once,
+    // answer every rollup by OR-ing them) where COUNT(DISTINCT) re-
+    // shuffles raw keys each time. Hash-checked against the plain
+    // COUNT(DISTINCT) — exactness is the point.
+    "q100_bitmap_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_customers"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- CDC merge (MERGE INTO semantics) -------------------------------------
     // latest-wins change application over a synthetic three-version feed:
     // v1 upserts keys %5, v2 deletes keys %10, v3 re-upserts keys %20 —
@@ -802,6 +843,24 @@ object ExtendedQueries {
          |  min(sy) AS sk_lo, max(sy) AS sk_hi
          |FROM h6 GROUP BY 1 ORDER BY bucket""".stripMargin
     },
+
+    "q99_histogram_quantile" ->
+      """WITH b AS (SELECT o_orderstatus, CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin
+        |           FROM orders),
+        |h AS (SELECT o_orderstatus, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT o_orderstatus, bin,
+        |        sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+        |        sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+        |      FROM h)
+        |SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS p50_bin,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS p90_bin,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS p99_bin
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q100_bitmap_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q84_cdc_merge" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

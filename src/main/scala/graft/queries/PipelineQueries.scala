@@ -763,6 +763,29 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FILTERED ANN — e02 under a metadata predicate (each query searches
+    // only corpus vectors sharing its label): the filter-then-search
+    // shape every production vector store serves (tenant / language /
+    // permission filters). Pre-filtering keeps exactness trivially (no
+    // post-filter recall loss); queries broadcast WITH their labels so
+    // the corpus partitions only score their label-matched subset and
+    // never shuffle.
+    "e17_ann_filtered" -> ((s, d) => {
+      graft.functions.VectorExpressions.registerAll(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("label"))
+      val scored = emb.join(broadcast(q), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", call_function("cosine_sim", col("qv"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // MIPS twin of e02: inner-product ranking (retrieval scoring) —
     // differs from cosine whenever corpus norms vary
     "e11_mips_brute" -> ((s, d) => {
@@ -1730,6 +1753,17 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "e17_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q JOIN embeddings e USING (label) WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, label, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "e11_mips_brute" ->
