@@ -15,5 +15,6 @@ object GraftFunctions {
     graft.functions.BloomFunctions.registerAll(spark)
     graft.functions.SketchExpressions.registerAll(spark)
     graft.functions.HilbertIndex2.registerAll(spark)
+    graft.functions.StringSimilarity.registerAll(spark)
   }
 }

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scale-safe global ordinals — the distributed replacement for
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY, which Spark
+  * plans as a SINGLE-partition window (the one-task sort that dies first
+  * at 100 TB).
+  *
+  * `withGlobalIndex` range-partitions on the sort keys, sorts within each
+  * partition, and assigns contiguous 0-based ordinals via
+  * `zipWithIndex` — whose per-partition offsets come from one small count
+  * job over partition sizes, never a global sort on one task. Every task
+  * handles ~1/P of the data; the driver sees P longs.
+  *
+  * Determinism: rows with EQUAL sort keys receive an arbitrary (but
+  * contiguous) ordinal range — range partitioning never splits an equal
+  * key across partitions, so per-key `min(idx)` / `count` are exact and
+  * stable. Callers needing a total order must pass a tie-breaking key.
+  */
+object GlobalRank {
+
+  def withGlobalIndex(df: DataFrame, idxCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

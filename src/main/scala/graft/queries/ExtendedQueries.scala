@@ -558,6 +558,52 @@ object ExtendedQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // --- linear regression aggregates -----------------------------------------
+    // regr_slope / regr_intercept / regr_r2 semantics recomputed from
+    // decimal-exact raw moments (q60's rule: the doubles the two engines
+    // combine at the END are bit-identical because every SUM is decimal —
+    // the built-in regr_* accumulate doubles in partial-agg order and
+    // cannot hash-match). One map-side-combined shuffle; the moment
+    // tuple is the classic mergeable regression state.
+    "q101_regression" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(9, 2))
+      val y = col("l_discount").cast(DecimalType(4, 2))
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"), sum(y * y).cast(DoubleType).as("syy"))
+      val cxy = col("sxy") - col("sx") * col("sy") / col("n")
+      val cxx = col("sxx") - col("sx") * col("sx") / col("n")
+      val cyy = col("syy") - col("sy") * col("sy") / col("n")
+      m.select(col("l_returnflag"), col("n"),
+          (cxy / cxx).as("slope"),
+          (col("sy") / col("n") - cxy / cxx * (col("sx") / col("n"))).as("intercept"),
+          (cxy * cxy / (cxx * cyy)).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- Jaro-Winkler record linkage ------------------------------------------
+    // fuzzy-match scoring via the codegen-native jaro_winkler expression
+    // (StaticInvoke — no UDF boxing), checked against DuckDB's
+    // implementation of the same Winkler-1990 definition. The pair set
+    // here is a bounded self-join; a 100 TB linkage run would block
+    // first (d27's prefix join / LSH) and score only candidate pairs
+    // with this expression.
+    "q102_jaro_winkler" -> ((s, d) => {
+      graft.functions.StringSimilarity.registerAll(s)
+      val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
+        .select(col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val b = Tables.part(s, d).filter(col("p_partkey") <= 20)
+        .select(col("p_partkey").as("k2"), col("p_name").as("n2"))
+      a.join(broadcast(b), col("k1") < col("k2"))
+        .select(col("k1"), col("k2"),
+          round(call_function("jaro_winkler", col("n1"), col("n2")), 4).as("jw"),
+          round(call_function("jaro_sim", col("n1"), col("n2")), 4).as("jaro"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
     // --- CDC merge (MERGE INTO semantics) -------------------------------------
     // latest-wins change application over a synthetic three-version feed:
     // v1 upserts keys %5, v2 deletes keys %10, v3 re-upserts keys %20 —
@@ -861,6 +907,31 @@ object ExtendedQueries {
     "q100_bitmap_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS distinct_customers
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // identical double combination order as the Spark side (every SUM is
+    // decimal-exact; the final arithmetic mirrors term-for-term)
+    "q101_regression" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+        |  sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n) AS intercept,
+        |  (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+        |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q102_jaro_winkler" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw,
+        |  round(jaro_similarity(a.p_name, b.p_name), 4) AS jaro
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey <= 20 AND b.p_partkey <= 20
+        |ORDER BY k1, k2""".stripMargin,
 
     "q84_cdc_merge" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -444,6 +444,76 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact ROC AUC of the d23 quality classifier against an "is English"
+    // target — the eval step that closes the classifier-filtering loop
+    // (train d23-style scorer, AUC-check it before filtering 100 TB).
+    // Mann-Whitney rank-sum formulation with average ranks for ties;
+    // ranks come from GlobalRank.withGlobalIndex (range-partition +
+    // zipWithIndex), NOT a single-partition global window — the one-task
+    // sort d12 was flagged for. All terms stay exact: ordinals and
+    // counts are integers, average ranks are half-integers (exact in
+    // double), so the rank-sum is deterministic under any partial-agg
+    // order; the only rounding is the final division.
+    "d36_auc" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        round(TextFunctions.classifierLogit(col("text")), 6).as("score"),
+        (col("lang") === "en").cast(IntegerType).as("label"))
+      val indexed = graft.operators.GlobalRank.withGlobalIndex(scored, "idx", col("score"))
+      val groups = indexed.groupBy(col("score"))
+        .agg(min(col("idx")).as("minidx"), count(lit(1)).as("cnt"),
+          sum(col("label")).as("pos"))
+        .withColumn("avg_rank", col("minidx") + 1 + (col("cnt") - 1) / 2.0)
+      groups.agg(
+          sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"),
+          sum(col("avg_rank") * col("pos")).as("pos_rank_sum"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("pos_rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")), 6).as("auc"))
+    }),
+
+    // bigram language-model scoring with stupid backoff — the in-domain
+    // perplexity filter (CCNet-shaped): the model trains on a 4-source
+    // "in-domain" slice, every document is scored by avg log p(w2|w1),
+    // backing off to 0.4 * add-one-unigram when the bigram is unseen
+    // (genuinely exercised: out-of-slice docs contain unseen bigrams).
+    // Bigrams form MAP-SIDE (adjacent-pair transform over the token
+    // array — no per-doc window, no shuffle); the bigram model joins on
+    // its composite key as a shuffle join (a bigram table is too big to
+    // broadcast at corpus scale) while the unigram model and scalar
+    // stats broadcast. Per-bigram log-probs are DECIMAL(18,6) before
+    // summing (exact, associative — d21's rule).
+    "d37_bigram_backoff" -> ((s, d) => {
+      val dom = Seq("src0", "src1", "src2", "src3")
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val c2 = bi.filter(col("source").isin(dom: _*))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = toks.filter(col("source").isin(dom: _*))
+        .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val stats = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+      val lp = when(col("c2").isNotNull, log(col("c2") / col("c1w1")))
+        .otherwise(log(lit(0.4) * (coalesce(col("c1w2"), lit(0L)) + 1) /
+          (col("n_tok") + col("v"))))
+      bi.join(c2, Seq("w1", "w2"), "left")
+        .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("c1w1"))), Seq("w1"), "left")
+        .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("c1w2"))), Seq("w2"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp", lp.cast(DecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast(DoubleType) / col("n_bigrams"), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
     // every 8-token span falls wholly inside at least one chunk. Pure
@@ -784,6 +854,40 @@ object PipelineQueries {
         .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // gram / covariance matrix of the first 8 embedding dims — the
+    // second-moment aggregate under PCA whitening, OOD scoring
+    // (Mahalanobis), and ANN index design. The outer products form
+    // MAP-SIDE (one flattened d² array per vector, decimal-cast per
+    // cell so the (i,j) sums are exact and associative), then ONE
+    // partial-aggregated shuffle of d² keys — never a vector-pair join.
+    // At full dim the same plan ships 4096 cells/vector; past that you
+    // shard the key space (i-blocks), not the plan shape.
+    "e18_gram_cov" -> ((s, d) => {
+      val D = 8
+      val emb = Tables.embeddings(s, d)
+      val gram = emb.select(posexplode(expr(
+          s"""transform(sequence(0, ${D * D - 1}), k ->
+             |  CAST(CAST(embedding[CAST(k / $D AS INT)] AS DOUBLE) *
+             |       CAST(embedding[CAST(k % $D AS INT)] AS DOUBLE) AS DECIMAL(25,12)))"""
+            .stripMargin)).as(Seq("k", "p")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sxy"))
+      val means = emb.select(posexplode(expr(
+          s"transform(sequence(0, ${D - 1}), i -> CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(20,12)))"))
+          .as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+      gram
+        .withColumn("i", (col("k") / D).cast(IntegerType))
+        .withColumn("j", (col("k") % D).cast(IntegerType))
+        .join(broadcast(means.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+        .join(broadcast(means.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+        .select(col("i"), col("j"), col("n"),
+          round(col("sxy").cast(DoubleType), 6).as("gram"),
+          round((col("sxy").cast(DoubleType) - col("sxi").cast(DoubleType) *
+            col("sxj").cast(DoubleType) / col("n")) / (col("n") - 1), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
     }),
 
     // MIPS twin of e02: inner-product ranking (retrieval scoring) —
@@ -1290,6 +1394,56 @@ object PipelineQueries {
         |  coalesce(agg.clean_text, '') AS clean_text
         |FROM st LEFT JOIN agg USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
+    // Mann-Whitney rank-sum AUC: the tiny per-score group table carries
+    // cumulative counts (a window over distinct scores here; the Spark
+    // side derives the same ranks distributively via GlobalRank)
+    "d36_auc" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+         |  len(string_split_regex(text, '\\s+')) AS n,
+         |  len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) AS stop_cnt,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         |  length(text) AS tlen
+         | FROM documents),
+         |z AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         |  round(-1.2 + stop_cnt * 1.0 / greatest(n, 1) * 3.5
+         |       - punct_cnt * 1.0 / greatest(tlen, 1) * 8.0
+         |       + least(n, 200) * 1.0 / 200.0 * 2.0, 6) AS score
+         | FROM f),
+         |g AS (SELECT score, count(*) AS cnt, sum(label) AS pos FROM z GROUP BY score),
+         |r AS (SELECT pos, cnt,
+         |        coalesce(sum(cnt) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |      FROM g)
+         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+         |  round((sum((bef + 1 + (cnt - 1) / 2.0) * pos) - sum(pos) * (sum(pos) + 1) / 2.0)
+         |        / (sum(pos) * sum(cnt - pos)), 6) AS auc
+         |FROM r""".stripMargin,
+
+    // bigrams via positionally-zipped adjacent slices; identical
+    // stupid-backoff arithmetic, DECIMAL(18,6) per-bigram log-probs
+    "d37_bigram_backoff" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |b0 AS (SELECT doc_id, source,
+        |         unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |       FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT * FROM b0 WHERE w1 <> '' AND w2 <> ''),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY 1, 2),
+        |u AS (SELECT unnest(toks) AS w FROM t WHERE source IN ('src0','src1','src2','src3')),
+        |c1 AS (SELECT w, count(*) AS c1 FROM u WHERE w <> '' GROUP BY w),
+        |stats AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM c1),
+        |lp AS (SELECT b.doc_id,
+        |        CAST(CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / cw1.c1)
+        |             ELSE ln(0.4 * (coalesce(cw2.c1, 0) + 1) / (stats.n_tok + stats.v)) END
+        |             AS DECIMAL(18,6)) AS lp
+        |      FROM b LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |        LEFT JOIN c1 cw1 ON b.w1 = cw1.w
+        |        LEFT JOIN c1 cw2 ON b.w2 = cw2.w, stats)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d34_leakage_split" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
@@ -1765,6 +1919,24 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, label, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // same decimal-exact outer-product sums; i/j recovered from the
+    // flattened key, covariance combined in double at the end
+    "e18_gram_cov" ->
+      """WITH p AS (SELECT CAST(u.k AS INT) AS k,
+        |    CAST(CAST(e.embedding[CAST(u.k // 8 AS INT) + 1] AS DOUBLE) *
+        |         CAST(e.embedding[CAST(u.k % 8 AS INT) + 1] AS DOUBLE) AS DECIMAL(25,12)) AS p
+        |  FROM embeddings e, unnest(range(0, 64)) AS u(k)),
+        |g AS (SELECT k, count(*) AS n, sum(p) AS sxy FROM p GROUP BY k),
+        |m AS (SELECT CAST(u.i AS INT) AS i,
+        |        sum(CAST(CAST(e.embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS DECIMAL(20,12))) AS sx
+        |      FROM embeddings e, unnest(range(0, 8)) AS u(i) GROUP BY 1)
+        |SELECT mi.i, mj.i AS j, g.n,
+        |  round(CAST(g.sxy AS DOUBLE), 6) AS gram,
+        |  round((CAST(g.sxy AS DOUBLE) - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / g.n)
+        |        / (g.n - 1), 6) AS cov
+        |FROM g JOIN m mi ON g.k // 8 = mi.i JOIN m mj ON g.k % 8 = mj.i
+        |ORDER BY 1, 2""".stripMargin,
 
     "e11_mips_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
