@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.StringSimilarity.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    graft.functions.TextNormalize.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
     // literal-CIDR containment filters gain a pushable prefix conjunct
     // (reaches the zeek scan's pre-parse filter eval — see the rule doc)
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)

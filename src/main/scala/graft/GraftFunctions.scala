@@ -16,5 +16,6 @@ object GraftFunctions {
     graft.functions.SketchExpressions.registerAll(spark)
     graft.functions.HilbertIndex2.registerAll(spark)
     graft.functions.StringSimilarity.registerAll(spark)
+    graft.functions.TextNormalize.registerAll(spark)
   }
 }

@@ -302,9 +302,75 @@ object EventQueries {
       graft.operators.AsofJoin.asofForward(e, p, Seq("user_id"), "tus", "tus")
         .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // --- rolling median (windowed exact percentile) -----------------------
+    // per-user 4-row rolling median of the value series: `percentile`
+    // as a WINDOW aggregate with a ROWS frame — the smoother/denoiser
+    // shape for telemetry series. Per-user windows partition cleanly;
+    // the frame is tiny and re-sorted per row, total order fixed by
+    // (tus, event_id). round(4) absorbs the one interpolation-order
+    // ulp between the engines' midpoint formulas.
+    "q103_rolling_median" -> ((s, d) => {
+      events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), col("tus"), col("value"))
+        .withColumn("med4", round(expr(
+          """percentile(value, 0.5) OVER (PARTITION BY user_id
+            |ORDER BY tus, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"""
+            .stripMargin), 4))
+        .select(col("user_id"), col("event_id"), col("med4"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // --- counter rate with reset detection (PromQL `rate`) ----------------
+    // per-user increase accumulation where a value DROP means the
+    // counter reset (the post-reset value is the whole increase), then
+    // increase/second over the observed span. Per-key window + one agg
+    // shuffle; increases are DECIMAL(18,6) before summing (exact,
+    // associative), duration is exact integer micros.
+    "q104_counter_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("incd", when(col("prev").isNull, lit(0.0))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")).cast(DecimalType(18, 6)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("incd")).as("total_inc"),
+          (max(col("tus")) - min(col("tus"))).as("dur_us"))
+        .filter(col("dur_us") > 0)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_inc").cast(DoubleType), 4).as("total_increase"),
+          round(col("total_inc").cast(DoubleType) / (col("dur_us") / lit(1000000.0)), 6)
+            .as("rate_per_sec"))
+        .orderBy(col("user_id"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "q103_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+        |           WHERE user_id < 100)
+        |SELECT user_id, event_id,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS med4
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q104_counter_rate" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |l AS (SELECT user_id, value, tus,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |i AS (SELECT user_id, tus,
+        |        CAST(CASE WHEN prev IS NULL THEN 0.0
+        |             WHEN value >= prev THEN value - prev ELSE value END AS DECIMAL(18,6)) AS incd
+        |      FROM l),
+        |a AS (SELECT user_id, count(*) AS n_events, sum(incd) AS total_inc,
+        |        max(tus) - min(tus) AS dur_us FROM i GROUP BY user_id)
+        |SELECT user_id, n_events, round(CAST(total_inc AS DOUBLE), 4) AS total_increase,
+        |  round(CAST(total_inc AS DOUBLE) / (dur_us / 1000000.0), 6) AS rate_per_sec
+        |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
+
     "q90_ohlc" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id, event_type, value FROM events),
         |b AS (SELECT *, tus - tus % 3600000000 AS hour_us FROM e),

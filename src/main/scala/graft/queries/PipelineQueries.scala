@@ -514,6 +514,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization as a dedup-key step: visually identical
+    // strings with different codepoint sequences MUST hash equal before
+    // exact/near dedup. The corpus is synthetic ASCII, so decomposed
+    // sequences are injected deterministically (combining acute on
+    // doc_id%3, fi-ligature — NFC-invariant, NFKC-only — on doc_id%5);
+    // the codegen `unicode_nfc` expression (fast-path isNormalized scan)
+    // is hash-checked against DuckDB's nfc_normalize, md5 and all.
+    // Map-only — the normalize-then-hash pass a 100 TB dedup prepends.
+    "d38_nfc_normalize" -> ((s, d) => {
+      graft.functions.TextNormalize.registerAll(s)
+      val aug = Tables.documents(s, d).withColumn("raw",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" e\u0301")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" \uFB01n")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(call_function("unicode_nfc", col("raw"))).as("len_nfc"),
+          md5(call_function("unicode_nfc", col("raw"))).as("nfc_md5"),
+          (call_function("unicode_nfc", col("raw")) =!= col("raw")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so
     // every 8-token span falls wholly inside at least one chunk. Pure
@@ -1443,6 +1465,19 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(64257) = U+FB01 fi-ligature
+    // (NFC leaves the ligature alone — only the acute composes)
+    "d38_nfc_normalize" ->
+      """WITH a AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' e' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(64257) || 'n' ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5,
+        |  nfc_normalize(raw) <> raw AS changed
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "d34_leakage_split" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
