@@ -344,6 +344,61 @@ object EventQueries {
           round(col("total_inc").cast(DoubleType) / (col("dur_us") / lit(1000000.0)), 6)
             .as("rate_per_sec"))
         .orderBy(col("user_id"))
+    }),
+
+    // --- Markov transition matrix --------------------------------------------
+    // P(next event type | type) over per-user event sequences — the
+    // behavioral-model summary (and the path-analysis input). One
+    // per-user lead window, one (type,next) agg; the per-type totals
+    // are a dimension-sized broadcast. n/tot is exact long/long double
+    // division in both engines.
+    "q105_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val tr = events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      tr.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n") / col("tot"), 6).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // --- A/B experiment readout ----------------------------------------------
+    // variant = user_id parity; Welch's t on the value metric from
+    // decimal-exact moment sums (identical doubles in both engines —
+    // q60's rule), 2x2 conversion chi-square in exact integer counts
+    // cast to double only for the final ratio. One agg shuffle + a
+    // 2-row self cross — the experimentation readout at any scale.
+    "q106_ab_test" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("variant", col("user_id") % 2)
+        .withColumn("v", col("value").cast(DecimalType(18, 6)))
+        .withColumn("conv", when(col("event_type") === "purchase", 1L).otherwise(0L))
+      val g = ev.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(DoubleType).as("sv"),
+          sum((col("v") * col("v")).cast(DecimalType(28, 12))).cast(DoubleType).as("svv"),
+          sum(col("conv")).as("nconv"))
+        .withColumn("mean", col("sv") / col("n"))
+        .withColumn("variance", (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+      val a = g.filter(col("variant") === 0).select(col("n").as("n0"),
+        col("nconv").as("c0"), col("mean").as("mean0"), col("variance").as("var0"))
+      val b = g.filter(col("variant") === 1).select(col("n").as("n1"),
+        col("nconv").as("c1"), col("mean").as("mean1"), col("variance").as("var1"))
+      val diff = (col("c0") * (col("n1") - col("c1")) -
+        (col("n0") - col("c0")) * col("c1")).cast(DoubleType)
+      val den = col("n0").cast(DoubleType) * col("n1").cast(DoubleType) *
+        (col("c0") + col("c1")).cast(DoubleType) *
+        ((col("n0") - col("c0")) + (col("n1") - col("c1"))).cast(DoubleType)
+      a.crossJoin(b).select(
+        col("n0"), col("n1"), col("c0"), col("c1"),
+        round(col("mean0"), 6).as("mean0"), round(col("mean1"), 6).as("mean1"),
+        round((col("mean1") - col("mean0")) /
+          sqrt(col("var1") / col("n1") + col("var0") / col("n0")), 4).as("welch_t"),
+        round(diff * diff * (col("n0") + col("n1")).cast(DoubleType) / den, 4).as("chi2"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +410,38 @@ object EventQueries {
         |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
         |    ORDER BY tus, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS med4
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q105_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |l AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) AS next_type FROM e),
+        |tr AS (SELECT event_type, next_type, count(*) AS n FROM l
+        |       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.event_type, tr.next_type, tr.n, round(tr.n / tot.tot, 6) AS p
+        |FROM tr JOIN tot USING (event_type) ORDER BY 1, 2""".stripMargin,
+
+    "q106_ab_test" ->
+      """WITH e AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(18,6)) AS v,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events),
+        |g AS (SELECT variant, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sv,
+        |        CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS svv,
+        |        CAST(sum(conv) AS BIGINT) AS nconv
+        |      FROM e GROUP BY variant),
+        |s AS (SELECT variant, n, nconv, sv / n AS mean,
+        |        (svv - sv * sv / n) / (n - 1) AS variance FROM g),
+        |x AS (SELECT a.n AS n0, b.n AS n1, a.nconv AS c0, b.nconv AS c1,
+        |        a.mean AS mean0, b.mean AS mean1, a.variance AS var0, b.variance AS var1
+        |      FROM s a, s b WHERE a.variant = 0 AND b.variant = 1),
+        |y AS (SELECT *, CAST(c0 * (n1 - c1) - (n0 - c0) * c1 AS DOUBLE) AS diff FROM x)
+        |SELECT n0, n1, c0, c1,
+        |  round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+        |  round((mean1 - mean0) / sqrt(var1 / n1 + var0 / n0), 4) AS welch_t,
+        |  round(diff * diff * CAST(n0 + n1 AS DOUBLE) /
+        |    (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(c0 + c1 AS DOUBLE) *
+        |     CAST((n0 - c0) + (n1 - c1) AS DOUBLE)), 4) AS chi2
+        |FROM y""".stripMargin,
 
     "q104_counter_rate" ->
       """WITH e AS (SELECT user_id, event_id, value,

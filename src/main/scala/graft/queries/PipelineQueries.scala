@@ -31,6 +31,26 @@ object PipelineQueries {
        |   + (1.0 - (length($textCol) - length(regexp_replace($textCol, '[.,;:!?]', '', 'g'))) * 1.0
        |      / greatest(length($textCol), 1)) * 0.2, 0.0), 1.0)""".stripMargin
 
+  /** d09's cluster construction — the recursive-CTE transitive closure
+    * over the exact bigram-Jaccard near-dup pair graph, through the
+    * per-doc min-reachable-id label `lab(id, cluster)`. Shared WITH body
+    * of the d09 / d34 / d40 oracles. */
+  private val clusterCtes: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+      |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+      |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+      |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
+      |          JOIN sizes sb ON co.b = sb.doc_id
+      |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+      |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
+      |          UNION
+      |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
+      |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   /** d17's PII patterns — restricted to the dialect subset shared by
     * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle):
     * character classes, bounded repeats, \b. No backreferences or
@@ -533,6 +553,56 @@ object PipelineQueries {
           length(call_function("unicode_nfc", col("raw"))).as("len_nfc"),
           md5(call_function("unicode_nfc", col("raw"))).as("nfc_md5"),
           (call_function("unicode_nfc", col("raw")) =!= col("raw")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // KL divergence of each source's unigram distribution from the
+    // corpus distribution — the domain-shift / mixture-drift monitor a
+    // curation pipeline runs per ingest batch (and the quantity DSIR-
+    // style reweighting minimizes). Per-(source,term) KL terms are
+    // DECIMAL(20,12) before summing (exact, associative). The corpus
+    // term-count table broadcasts here; at a few-hundred-million-term
+    // vocab drop the hint and the join shuffles on term — the plan
+    // shape is otherwise unchanged.
+    "d39_kl_divergence" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val cs = tk.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val cc = tk.groupBy(col("w")).agg(count(lit(1)).as("c_cw"))
+      val ns = tk.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nc = tk.agg(count(lit(1)).as("n_c"))
+      cs.join(broadcast(cc), "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nc))
+        .withColumn("t", ((col("c_sw") / col("n_s")) *
+          log((col("c_sw") / col("n_s")) / (col("c_cw") / col("n_c"))))
+          .cast(DecimalType(20, 12)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("klsum"))
+        .select(col("source"), col("n_terms"),
+          round(col("klsum").cast(DoubleType), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // canonical-document selection: after near-dup clustering (d09) the
+    // KEPT representative should be the best document, not the lowest
+    // id — argmax d23-quality per cluster (deterministic tiebreak on
+    // id). Composes the cluster operator with the classifier scorer;
+    // the ranking window partitions by cluster (bounded groups), so no
+    // global sort. This is the "which copy survives" policy step of a
+    // 100 TB dedup.
+    "d40_canonical_pick" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val q = docs.select(col("doc_id"),
+        round(TextFunctions.classifierLogit(col("text")), 6).as("quality"))
+      val w = Window.partitionBy(col("cluster")).orderBy(desc("quality"), col("doc_id"))
+      clusters.join(q, "doc_id")
+        .withColumn("canonical", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("quality"), col("canonical"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1364,23 +1434,11 @@ object PipelineQueries {
     // transitive closure of the exact near-dup pair graph (same pair CTE
     // as d06/d08) via a recursive CTE; min reachable id = cluster label
     "d09_dedup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
-        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
-        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
-        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
-        |          JOIN sizes sb ON co.b = sb.doc_id
-        |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
-        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
-        |          UNION
-        |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
-        |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
-        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
-        |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
-        |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
+      (clusterCtes +
+        """,
+          |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+          |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
+          |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin),
 
     // d09's recursive-CTE closure extended with the md5-of-cluster split
     "d35_span_decontaminate" ->
@@ -1466,6 +1524,42 @@ object PipelineQueries {
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // identical term arithmetic (int/int division is double in both
+    // engines), DECIMAL(20,12) term sums
+    "d39_kl_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |t AS (SELECT source, w FROM tk WHERE w <> ''),
+        |cs AS (SELECT source, w, count(*) AS c_sw FROM t GROUP BY 1, 2),
+        |cc AS (SELECT w, count(*) AS c_cw FROM t GROUP BY w),
+        |ns AS (SELECT source, count(*) AS n_s FROM t GROUP BY source),
+        |nc AS (SELECT count(*) AS n_c FROM t),
+        |terms AS (SELECT cs.source,
+        |    CAST((cs.c_sw / ns.n_s) * ln((cs.c_sw / ns.n_s) / (cc.c_cw / nc.n_c))
+        |         AS DECIMAL(20,12)) AS tm
+        |  FROM cs JOIN cc USING (w) JOIN ns USING (source), nc)
+        |SELECT source, count(*) AS n_terms, round(CAST(sum(tm) AS DOUBLE), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // d09's clusters + d23's quality formula; argmax via row_number
+    "d40_canonical_pick" ->
+      (clusterCtes +
+        s""",
+           |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+           |f AS (SELECT doc_id,
+           |  len(string_split_regex(text, '\\s+')) AS n,
+           |  len(list_filter(string_split_regex(text, '\\s+'), w2 -> w2 IN ($stopList))) AS stop_cnt,
+           |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+           |  length(text) AS tlen FROM documents),
+           |q AS (SELECT doc_id, round(-1.2 + stop_cnt * 1.0 / greatest(n, 1) * 3.5
+           |       - punct_cnt * 1.0 / greatest(tlen, 1) * 8.0
+           |       + least(n, 200) * 1.0 / 200.0 * 2.0, 6) AS quality FROM f),
+           |r AS (SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size, q.quality,
+           |        row_number() OVER (PARTITION BY lab.cluster
+           |          ORDER BY q.quality DESC, lab.id) AS rn
+           |      FROM lab JOIN sz USING (cluster) JOIN q ON q.doc_id = lab.id)
+           |SELECT doc_id, cluster, cluster_size, quality, rn = 1 AS canonical
+           |FROM r ORDER BY doc_id""".stripMargin),
+
     // chr(769) = U+0301 combining acute, chr(64257) = U+FB01 fi-ligature
     // (NFC leaves the ligature alone — only the acute composes)
     "d38_nfc_normalize" ->
@@ -1480,25 +1574,13 @@ object PipelineQueries {
         |FROM a ORDER BY doc_id""".stripMargin,
 
     "d34_leakage_split" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
-        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
-        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
-        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM co JOIN sizes sa ON co.a = sa.doc_id
-        |          JOIN sizes sb ON co.b = sb.doc_id
-        |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
-        |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach AS (SELECT doc_id AS id, doc_id AS root FROM documents
-        |          UNION
-        |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
-        |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
-        |h AS (SELECT id AS doc_id, cluster,
-        |        ascii(substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) % 10 AS hb FROM lab)
-        |SELECT doc_id, cluster,
-        |  CASE WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split
-        |FROM h ORDER BY doc_id""".stripMargin,
+      (clusterCtes +
+        """,
+          |h AS (SELECT id AS doc_id, cluster,
+          |        ascii(substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) % 10 AS hb FROM lab)
+          |SELECT doc_id, cluster,
+          |  CASE WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin),
 
     // d14's clean-corpus CTE chain extended with d20's sharding and
     // d10's capacity packing — the manifest must equal the composition
