@@ -50,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)
     // levenshtein threshold filters gain a cheap length-gap prefilter
     ext.injectOptimizerRule(_ => new graft.plans.LevenshteinBoundRule)
+    // native sort-merge as-of join (custom LogicalPlan + SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -1,0 +1,271 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a NATIVE physical operator — the tier-(c)
+  * extension path: a custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan` registered through `SparkSessionExtensions` (or
+  * per-session via `spark.experimental.extraStrategies`).
+  *
+  * Where [[graft.operators.AsofJoin]] COMPOSES the operator from a
+  * union + one window pass (right payloads ride through the window
+  * frame as struct columns), this operator IS the textbook sort-merge
+  * as-of join the native engines (QuestDB, polars, DuckDB's PiecewiseMergeJoin)
+  * run: both sides are hash-co-partitioned on the keys and sorted by
+  * (keys, time) — REQUIREMENTS DECLARED, not hand-built: Catalyst's
+  * EnsureRequirements plants the exchanges and sorts, and AQE remains
+  * free to coalesce/skew-split them — then each partition pair is
+  * merged with a single forward two-pointer scan: O(|L|+|R|) compares,
+  * O(1) state (the current candidate row), no union row inflation, no
+  * window buffering, no payload-struct boxing.
+  *
+  * Semantics match `AsofJoin.asofBackward` exactly: for every left row
+  * the LATEST right row with `rightTime <= leftTime` in the same key
+  * group (inclusive ties; among right rows sharing the match time the
+  * last in sort order wins, mirroring the window's `last()`), NULLs
+  * when no prior right row — left-outer. Time expressions must be
+  * orderable; NULL times never match (and NULL-time left rows emit
+  * unmatched), mirroring `last(ignoreNulls)` over a frame that cannot
+  * contain them.
+  *
+  * At 100 TB: one shuffle per side keyed on the join keys (same as the
+  * composed form's single union shuffle but HALF the sort width per
+  * side — each sorts its own columns only), streaming merge, skew
+  * follows key skew exactly as a regular sort-merge join (AQE's skew
+  * handling applies — the exchanges are ordinary ShuffleExchangeExecs).
+  */
+final case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsofJoinPlan = copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // both sides clustered on the keys; EnsureRequirements co-partitions
+  // them (same number of partitions, compatible hash) exactly as for a
+  // shuffled join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // in-partition order (keys, time) — the merge scan's precondition;
+  // EnsureRequirements plants the SortExecs
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsofJoinExec = copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    require(rightKeys.map(_.dataType) == keyTypes, "as-of key types must match")
+    require(rightTime.dataType == timeType, "as-of time types must match")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
+      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(timeType)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      if (forward) new Iterator[InternalRow] {
+        // FORWARD: match = FIRST right row with (key == lKey, time >=
+        // lTime). Left times ascend within a key group, so right rows
+        // strictly before the current left time can never match a later
+        // left row either — drop them and the match is simply the
+        // current right head. No candidate copy at all: the head is
+        // emitted before the next advance, so the reused buffer is safe.
+        private var rHead: InternalRow = _
+
+        private def advanceRight(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeEval.eval(l)
+          var done = rHead == null
+          while (!done) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) advanceRight()
+            else if (c > 0) done = true
+            else {
+              val rTime = rTimeEval.eval(rHead)
+              if (rTime == null) advanceRight() // null times sort first, never match
+              else if (lTime != null && timeOrd.compare(rTime, lTime) < 0) advanceRight()
+              else done = true
+            }
+            if (rHead == null) done = true
+          }
+          // null-time left rows emit unmatched (mirrors the backward
+          // form; they sort first so no right rows were consumed)
+          val matched = rHead != null && lTime != null &&
+            keyOrd.compare(rKeyProj(rHead), lKey) == 0
+          outProj(joined(l, if (matched) rHead else nullRight))
+        }
+      }
+      else new Iterator[InternalRow] {
+        // rHead aliases the right iterator's reused row buffer; rows are
+        // copied ONLY when they become the candidate (steady-state: one
+        // live copy per key group, zero per skipped row)
+        private var rHead: InternalRow = _
+        private var candidate: InternalRow = _      // latest right with time <= ltime (copy)
+        private var candidateKey: InternalRow = _   // its key (copy)
+
+        private def advanceRight(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeEval.eval(l)
+          // consume right rows at-or-before (lKey, lTime); the last one
+          // with a non-null time becomes the candidate
+          var done = rHead == null
+          while (!done) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) advanceRight()
+            else if (c > 0) done = true
+            else {
+              val rTime = rTimeEval.eval(rHead)
+              if (rTime == null) advanceRight() // null times sort first, never match
+              else if (lTime != null && timeOrd.compare(rTime, lTime) <= 0) {
+                candidate = rHead.copy()
+                candidateKey = rKeyProj(rHead).copy()
+                advanceRight()
+              } else done = true
+            }
+            if (rHead == null) done = true
+          }
+          val matched = candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, lKey) == 0
+          outProj(joined(l, if (matched) candidate else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry points for the native as-of join. */
+object AsofMergeJoin {
+
+  /** Registers [[AsofJoinStrategy]] with the session (idempotent). Also
+    * injected cluster-wide by [[graft.GraftExtensions]]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ex = spark.experimental
+    if (!ex.extraStrategies.contains(AsofJoinStrategy))
+      ex.extraStrategies = ex.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** Native-exec twin of [[graft.operators.AsofJoin.asofBackward]]:
+    * every left column plus the right side's non-key, non-time payload
+    * columns (prefixed), NULL when no right row is at-or-before. */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String = ""): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPrefix, forward = false)
+
+  /** Native-exec twin of [[graft.operators.AsofJoin.asofForward]]: the
+    * EARLIEST right row with `rightTime >= leftTime` (inclusive). Unlike
+    * the backward merge it needs no candidate buffering at all — the
+    * right head after dropping strictly-earlier rows IS the match.
+    * NULL-time rows never match on either side (the composed form's
+    * null-first window ordering can pair two NULL-time rows; the native
+    * exec pins the saner no-match semantics — identical on NULL-free
+    * time columns). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String = ""): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPrefix, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String,
+      forward: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    // A self-as-of (right derived from left — the common "events vs their
+    // own purchases" shape) carries the SAME exprIds on both sides;
+    // DeduplicateRelations repairs that for built-in Joins but cannot
+    // repair a custom node's key expressions, and ColumnPruning then sees
+    // the right keys as satisfied by the LEFT child and prunes them off
+    // the right — runtime bind failure. Re-alias the whole right side
+    // with fresh exprIds up front: node-level outputs are then globally
+    // unique and every rule stays generic. The extra Project collapses
+    // into the child at optimization time.
+    val rPlan: LogicalPlan = {
+      val analyzed = right.queryExecution.analyzed
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        analyzed.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), analyzed)
+    }
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found in ${plan.output.map(_.name)}"))
+    val node = AsofJoinPlan(lPlan, rPlan,
+      keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), forward)
+    // project to AsofJoin's output contract — left columns + prefixed
+    // right payload (right keys/time dropped) — at the LOGICAL level,
+    // by exprId, so duplicate names across sides are safe
+    val rightAttrsOut = node.output.drop(lPlan.output.size)
+    val payload = rPlan.output.zip(rightAttrsOut)
+      .filterNot { case (orig, _) => keys.contains(orig.name) || orig.name == rightTime }
+    val projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      node.output.take(lPlan.output.size) ++
+        payload.map { case (orig, a) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, rightPrefix + orig.name)()
+        }
+    org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.Project(projList, node))
+  }
+}
