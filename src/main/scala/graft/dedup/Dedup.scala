@@ -420,6 +420,35 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** DIRECTED containment pairs: (a, b) where |A∩B| / |A| ≥ threshold —
+    * "a is (mostly) inside b". The asymmetric twin of
+    * [[ngramJaccardPairs]]: Jaccard misses a short document embedded in
+    * a long one (the union dilutes the score), but containment is
+    * exactly the quote/boilerplate/subset-duplicate detector a training
+    * corpus needs. Same inverted-index shape — explode distinct
+    * shingles, co-count per pair (both directions of each undirected
+    * co-count pair are emitted), normalize by the CONTAINED side's set
+    * size only. maxDf caps posting lists the same way; note the classic
+    * prefix filter does NOT apply here (containment has no lower bound
+    * on |B|, so there is no length filter either — df-capping is the
+    * honest prune). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleSize: Int = 2, maxDf: Int = 1000000): DataFrame = {
+    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
+    val pruned = exploded.join(
+      exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf && col("df") > 1), "s")
+    val co = pruned.as("x").join(pruned.as("y"),
+        col("x.s") === col("y.s") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .withColumn("containment", col("common") * 1.0 / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+  }
+
   // ---- incremental near-dups (fresh batch vs historical corpus) --------
 
   /** Near-duplicate pairs TOUCHING a fresh batch: fresh×corpus and

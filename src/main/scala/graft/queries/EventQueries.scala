@@ -346,6 +346,62 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // --- native-exec as-of join ----------------------------------------------
+    // q32's semantic through the CUSTOM PHYSICAL OPERATOR
+    // (plans/AsofMergeJoin: LogicalPlan + SparkStrategy + SparkPlan,
+    // two-pointer merge over declared co-partitioning + ordering —
+    // EnsureRequirements plants the exchanges/sorts, AQE still applies).
+    // Same DuckDB ASOF LEFT JOIN oracle as q32 — two independent
+    // implementations, one truth.
+    "q107_asof_exec" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
+        col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsofMergeJoin.asofBackward(e, p, Seq("user_id"), "tus", "tus")
+        .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // forward twin through the same native exec — "next purchase at or
+    // after each event"; q87's oracle, zero-copy merge (no candidate
+    // buffering: the right head after the drop scan IS the match)
+    "q108_asof_fwd_exec" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("tus"),
+        col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsofMergeJoin.asofForward(e, p, Seq("user_id"), "tus", "tus")
+        .select(col("event_id"), col("user_id"), col("tus"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- bounded exponential smoothing (EWMA) --------------------------------
+    // per-user smoothed value series: weights a^k over the last 8 rows,
+    // renormalized over the rows that actually exist (sequence heads) —
+    // the telemetry denoiser that, unlike a recursive full-history EWMA,
+    // is expressible as ONE partitioned window pass (8 lags, fixed
+    // expression tree → deterministic float math) and needs no
+    // unbounded per-key state at 100 TB. a = 0.5 so every weight is an
+    // exact binary double — both engines compute bit-identical terms.
+    "q109_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val terms = (0 until 8).map { k =>
+        val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+        val wt = lit(math.pow(0.5, k))
+        (coalesce(v * wt, lit(0.0)), when(v.isNotNull, wt).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+        .withColumn("ewma", round(num / den, 6))
+        .select("event_id", "user_id", "tus", "ewma")
+        .orderBy("event_id")
+    }),
+
     // --- Markov transition matrix --------------------------------------------
     // P(next event type | type) over per-user event sequences — the
     // behavioral-model summary (and the path-analysis input). One
@@ -410,6 +466,42 @@ object EventQueries {
         |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
         |    ORDER BY tus, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS med4
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q107_asof_exec" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |p AS (SELECT user_id, tus, event_id AS p_event_id, value AS p_value FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.tus, p.p_event_id, p.p_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q108_asof_fwd_exec" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |p AS (SELECT user_id, tus, event_id AS p_event_id, value AS p_value FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.tus, p.p_event_id, p.p_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus <= p.tus
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q109_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+        |SELECT event_id, user_id, tus,
+        |  round((coalesce(value * 1.0, 0.0)
+        |       + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
+        |       + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
+        |       + coalesce(lag(value, 3) OVER w * 0.125, 0.0)
+        |       + coalesce(lag(value, 4) OVER w * 0.0625, 0.0)
+        |       + coalesce(lag(value, 5) OVER w * 0.03125, 0.0)
+        |       + coalesce(lag(value, 6) OVER w * 0.015625, 0.0)
+        |       + coalesce(lag(value, 7) OVER w * 0.0078125, 0.0))
+        |      / ((CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END)
+        |       + (CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END)), 6) AS ewma
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q105_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

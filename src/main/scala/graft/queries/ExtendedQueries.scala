@@ -591,6 +591,60 @@ object ExtendedQueries {
     // here is a bounded self-join; a 100 TB linkage run would block
     // first (d27's prefix join / LSH) and score only candidate pairs
     // with this expression.
+    // --- market-basket co-occurrence (association mining) --------------------
+    // part pairs co-ordered in the same order with support ≥ 2 orders,
+    // scored by confidence and lift. The pair expansion is per-order and
+    // quadratic in basket size — bounded here by TPC-H's ≤7-line orders;
+    // at 100 TB cap or sample oversized baskets BEFORE the self-join
+    // (one pathological 10^6-item basket is 10^12 pairs). Item counts
+    // and the scalar total broadcast; the only large shuffles are the
+    // order-keyed self-join and the pair aggregation. All scores are
+    // single-division integer ratios → bit-identical across engines.
+    "q110_market_basket" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val totals = li.agg(countDistinct(col("ok")).as("total"))
+      val item = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pairs.crossJoin(broadcast(totals))
+        .join(broadcast(item.withColumnRenamed("pk", "pa").withColumnRenamed("c", "ca")), "pa")
+        .join(broadcast(item.withColumnRenamed("pk", "pb").withColumnRenamed("c", "cb")), "pb")
+        .select(col("pa"), col("pb"), col("cab"),
+          round(col("cab") * lit(1.0) / col("ca"), 6).as("confidence"),
+          round(col("cab") * lit(1.0) * col("total") / (col("ca") * col("cb")), 6).as("lift"))
+        .orderBy(desc("lift"), col("pa"), col("pb")).limit(100)
+    }),
+
+    // --- blocked record linkage (fuzzy entity matching) ----------------------
+    // a deterministically-corrupted twin of the part names (two chars
+    // chopped) is linked back to the catalog: equi-join on a cheap
+    // blocking key (4-char prefix) + Jaro-Winkler residual + argmax per
+    // dirty record. THE scale formulation of fuzzy matching — candidate
+    // pairs are |block|², never |catalog|² (q102 is the all-pairs scalar
+    // check; this is the join you actually run). Blocking recall is
+    // exact here by construction (truncation preserves the prefix);
+    // real pipelines OR several blocking keys.
+    "q111_record_linkage" -> ((s, d) => {
+      graft.functions.StringSimilarity.registerAll(s)
+      val cat = Tables.part(s, d).select(col("p_partkey").as("cat_key"),
+        col("p_name").as("cat_name"), substring(col("p_name"), 1, 4).as("blk"))
+      val dirty = Tables.part(s, d)
+        .select(col("p_partkey").as("dirty_key"),
+          expr("substring(p_name, 1, length(p_name) - 2)").as("dirty_name"))
+        .withColumn("blk", substring(col("dirty_name"), 1, 4))
+      val scored = dirty.join(cat, "blk")
+        .withColumn("jw", call_function("jaro_winkler", col("dirty_name"), col("cat_name")))
+        .filter(col("jw") >= 0.9)
+      val w = Window.partitionBy(col("dirty_key")).orderBy(desc("jw"), col("cat_key"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dirty_key"), col("cat_key"), round(col("jw"), 4).as("jw"))
+        .orderBy(col("dirty_key"))
+    }),
+
     "q102_jaro_winkler" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
       val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
@@ -786,6 +840,37 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     // the DIRECT full-table aggregate — the incremental fold must equal it
+    "q110_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS total FROM li),
+        |item AS (SELECT pk, count(*) AS c FROM li GROUP BY pk),
+        |pair AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+        |         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |         GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, cab,
+        |  round(cab * 1.0 / ia.c, 6) AS confidence,
+        |  round(cab * 1.0 * n.total / (ia.c * ib.c), 6) AS lift
+        |FROM pair, n
+        |JOIN item ia ON pa = ia.pk
+        |JOIN item ib ON pb = ib.pk
+        |ORDER BY lift DESC, pa, pb LIMIT 100""".stripMargin,
+
+    "q111_record_linkage" ->
+      """WITH cat AS (SELECT p_partkey AS cat_key, p_name AS cat_name,
+        |               substr(p_name, 1, 4) AS blk FROM part),
+        |dirty AS (SELECT p_partkey AS dirty_key,
+        |            substr(p_name, 1, length(p_name) - 2) AS dirty_name,
+        |            substr(p_name, 1, 4) AS blk FROM part),
+        |scored AS (SELECT dirty_key, cat_key,
+        |             jaro_winkler_similarity(dirty_name, cat_name) AS jw
+        |           FROM dirty JOIN cat USING (blk)
+        |           WHERE jaro_winkler_similarity(dirty_name, cat_name) >= 0.9),
+        |best AS (SELECT dirty_key, cat_key, jw,
+        |           row_number() OVER (PARTITION BY dirty_key ORDER BY jw DESC, cat_key) AS rn
+        |         FROM scored)
+        |SELECT dirty_key, cat_key, round(jw, 4) AS jw FROM best WHERE rn = 1
+        |ORDER BY dirty_key""".stripMargin,
+
     "q92_incremental_agg" ->
       """WITH a AS (SELECT o_custkey, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,

@@ -147,6 +147,17 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // DIRECTED containment pairs — the subset-duplicate detector Jaccard
+    // misses (a short doc quoted inside a long one dilutes the union);
+    // |A∩B|/|A| ≥ 0.6 over bigram sets via the same inverted-index join
+    // as d08, normalized by the contained side only
+    "d41_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, shingleSize = 2)
+        .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // near-dup CLUSTERS: transitive closure over the near-dup pair graph
     // (A~B, B~C collapses {A,B,C}) — the assignment step a dedup pipeline
     // runs after pair generation. Spark side is iterative min-label
@@ -1357,6 +1368,18 @@ object PipelineQueries {
         |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "d41_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id <> y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / sa.n, 4) AS containment
+        |FROM co JOIN sizes sa ON co.a = sa.doc_id
+        |WHERE common * 1.0 / sa.n >= 0.6
         |ORDER BY a, b""".stripMargin,
 
     "d30_systematic_resample" ->
