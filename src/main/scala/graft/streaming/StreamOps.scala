@@ -94,6 +94,71 @@ object StreamOps {
          |r_$rightTs <= $leftTs""".stripMargin), joinType)
   }
 
+  /** Streaming point-in-time enrichment (the feature-store lookup): each
+    * stream row gains the payload of the dimension row with the greatest
+    * `dimTimeCol` ≤ its `streamTimeCol` for the same key — the as-of join
+    * against a SLOWLY-CHANGING DIMENSION, without leaking future feature
+    * values into past events (training-serving skew's root cause).
+    *
+    * A stream-static equi-join cannot express the argmax-per-row, and a
+    * stream-stream as-of needs unbounded right state; the honest scale
+    * design is the one every feature store ships: snapshot the dimension
+    * (dimension-sized BY CONTRACT — the one collect), broadcast
+    * key → time-sorted payload arrays, binary-search per row. Map-only:
+    * no shuffle, no state, works identically over batch and streaming
+    * frames. Refresh cadence = re-plan cadence (restart or
+    * foreachBatch-rebuild for a live dimension).
+    *
+    * Time columns must be integral (epoch micros/millis — cast
+    * timestamps upstream). NULL key or time rows pass through unmatched;
+    * dimension rows with NULL key/time are dropped from the snapshot. */
+  def asofLookup(stream: DataFrame, dim: DataFrame, keyCol: String,
+      streamTimeCol: String, dimTimeCol: String, prefix: String = "dim_"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val payloadCols = dim.columns.filterNot(c => c == keyCol || c == dimTimeCol).toSeq
+    val snap = dim.select((Seq(keyCol, dimTimeCol) ++ payloadCols).map(col): _*).collect()
+    val byKey: Map[Any, (Array[Long], Array[IndexedSeq[Any]])] =
+      snap.iterator.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).toArray
+        .groupBy(_.get(0))
+        .map { case (k, rs) =>
+          val sorted = rs.sortBy(_.getAs[Number](1).longValue())
+          (k, (sorted.map(_.getAs[Number](1).longValue()),
+            sorted.map(r => (2 until r.size).map(r.get): IndexedSeq[Any])))
+        }
+    val bc = stream.sparkSession.sparkContext.broadcast(byKey)
+    val keyIdx = stream.columns.indexOf(keyCol)
+    val timeIdx = stream.columns.indexOf(streamTimeCol)
+    require(keyIdx >= 0, s"column '$keyCol' not found in ${stream.columns.toSeq}")
+    require(timeIdx >= 0, s"column '$streamTimeCol' not found in ${stream.columns.toSeq}")
+    val dimSchema = dim.schema
+    val outSchema = StructType(stream.schema.fields ++ payloadCols.map(c =>
+      dimSchema(c).copy(name = prefix + c, nullable = true)))
+    val nPayload = payloadCols.size
+    stream.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val matched: IndexedSeq[Any] =
+          if (r.isNullAt(keyIdx) || r.isNullAt(timeIdx)) null
+          else m.get(r.get(keyIdx)) match {
+            case Some((times, payloads)) =>
+              val t = r.getAs[Number](timeIdx).longValue()
+              // greatest i with times(i) <= t
+              var lo = 0; var hi = times.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              if (ans >= 0) payloads(ans) else null
+            case None => null
+          }
+        val extra: Seq[Any] =
+          if (matched == null) Seq.fill[Any](nPayload)(null) else matched
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Online benchmark decontamination: tag a document STREAM against a
     * STATIC eval/benchmark set — the ingestion-time twin of the batch
     * [[graft.dedup.Dedup.contaminationPairs]]/`contaminationPairsBloom`

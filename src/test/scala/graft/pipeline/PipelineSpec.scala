@@ -32,6 +32,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, s"minhash=${mh.size} exact=${exact.size}")
   }
 
+  test("containment: planted subset-doc is found in both directions, jaccard misses it") {
+    import spark.implicits._
+    // b embeds a verbatim: containment(a in b) = 1.0 even though the
+    // union-diluted jaccard is far below any sane threshold
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta " +
+        (1 to 40).map(i => s"filler$i word$i").mkString(" ")),
+      (3L, "unrelated content entirely different words here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"a-in-b containment missing: ${pairs.mkString(", ")}")
+    // the reverse direction is NOT contained (b is mostly filler)
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L })
+    // and jaccard at the same threshold finds nothing
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5, 2, 1000000)
+    assert(jac.count() == 0)
+  }
+
   test("prefix-filtered set-similarity join equals the inverted-index exact join") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 2, 1000000)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

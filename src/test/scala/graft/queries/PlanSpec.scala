@@ -297,6 +297,28 @@ class PlanSpec extends AnyFunSuite {
     assert(gp.contains("required=[proto]"), "grouped count prunes to the key:\n" + gp.take(2000))
   }
 
+  test("q110: basket stats broadcast; only the order self-join and pair agg shuffle") {
+    val p = plan("q110_market_basket")
+    // item counts and the 1-row total must broadcast onto the pair set
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q111: record linkage joins on the blocking key — no all-pairs nested loop") {
+    val p = plan("q111_record_linkage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fuzzy match must stay inside blocks (equi-join on blk):\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q107/q108: native as-of exec in the executed plan, no window, no union") {
+    for (name <- Seq("q107_asof_exec", "q108_asof_fwd_exec")) {
+      val p = plan(name)
+      assert(p.contains("AsofJoin"), s"$name missing native exec:\n" + p.take(2000))
+      assert(!p.contains("Window"), s"$name planned a window:\n" + p.take(2000))
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB a selective dim filter should reach the fact scan as a

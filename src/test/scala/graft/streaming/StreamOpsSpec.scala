@@ -100,6 +100,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asof lookup enriches a stream point-in-time: no future feature values leak") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // feature snapshots for user u1 at t=10 and t=30; u2 never has one
+    val dim = Seq(("u1", 10L, 0.5, "v1"), ("u1", 30L, 0.9, "v2"))
+      .toDF("user", "ft", "score", "tag")
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDS().toDF("user", "t")
+    val out = asofLookup(events, dim, "user", "t", "ft")
+    val q = out.writeStream.format("memory").queryName("asoflkp")
+      .outputMode("append").start()
+    try {
+      input.addData(("u1", 5L), ("u1", 10L), ("u1", 25L), ("u1", 35L), ("u2", 50L))
+      q.processAllAvailable()
+      val rows = spark.table("asoflkp").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      assert(rows == Set(
+        ("u1", 5L, null, null),        // before any snapshot — no leak
+        ("u1", 10L, 0.5, "v1"),        // inclusive tie
+        ("u1", 25L, 0.5, "v1"),        // latest at-or-before, not the t=30 one
+        ("u1", 35L, 0.9, "v2"),
+        ("u2", 50L, null, null)), rows.toString)
+    } finally q.stop()
+
+    // the same operator over a BATCH frame gives identical semantics
+    val batch = asofLookup(Seq(("u1", 25L)).toDF("user", "t"), dim, "user", "t", "ft")
+      .collect()
+    assert(batch.head.getDouble(2) == 0.5 && batch.head.getString(3) == "v1")
+  }
+
   test("stream-stream interval join pairs events within the lookback only") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
