@@ -402,6 +402,44 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // --- hopping (sliding) windows -------------------------------------------
+    // 1-hour windows advancing every 30 minutes: each event lands in
+    // exactly two hops, materialized by a 2-element explode before ONE
+    // aggregation — the batch twin of streaming `window(ts, '1h',
+    // '30m')`. Map-side expansion is a constant ×2 (never a shuffle
+    // blow-up) and the agg combines partially before the exchange.
+    "q112_hopping_windows" -> ((s, d) => {
+      val hop = 1800L * 1000000L
+      events(s, d)
+        .withColumn("h0", expr(s"tus div $hop"))
+        .select(col("event_type"), col("value"),
+          explode(array(col("h0") * hop, (col("h0") - 1) * hop)).as("window_start"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // --- activity streaks (gaps & islands) -----------------------------------
+    // per-user longest run of CONSECUTIVE active days — the classic
+    // islands pattern: day_index − row_number() is constant within a
+    // consecutive run, so one partitioned window + one aggregation
+    // finds every streak without any self-join.
+    "q113_activity_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = events(s, d)
+        .select(col("user_id"), expr("tus div 86400000000").as("day")).distinct()
+      val streaks = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
     // --- Markov transition matrix --------------------------------------------
     // P(next event type | type) over per-user event sequences — the
     // behavioral-model summary (and the path-analysis input). One
@@ -502,6 +540,26 @@ object EventQueries {
         |       + (CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END)), 6) AS ewma
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q112_hopping_windows" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |x AS (SELECT event_type, value, u.ws
+        |      FROM e, unnest([(tus // 1800000000) * 1800000000,
+        |                      (tus // 1800000000 - 1) * 1800000000]) AS u(ws))
+        |SELECT ws AS window_start, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q113_activity_streaks" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |days AS (SELECT DISTINCT user_id, tus // 86400000000 AS day FROM e),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM days),
+        |streaks AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |  max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q105_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

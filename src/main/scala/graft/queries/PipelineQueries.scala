@@ -75,6 +75,41 @@ object PipelineQueries {
       yield s"($s,$c,${s * subDim + d},${Ann.pqFixedCentroid(s, c, d)})").mkString(",")
   }
 
+  /** e19's oracle: the SAME integer-exact Lloyd's rounds as
+    * [[graft.ann.KMeans.lloydAssignments]], unrolled as CTEs — k
+    * smallest-id seeds, integer squared-L2, smallest-cid tiebreak,
+    * floor-averaged updates, empty clusters keep the prior centroid. */
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+    val d1 = dims + 1
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT id, qv, cid, dist FROM (
+         |    SELECT q.id, q.qv, c.cid,
+         |      list_sum(list_transform(range(1, $d1), ii -> (q.qv[CAST(ii AS INT)] - c.cv[CAST(ii AS INT)]) * (q.qv[CAST(ii AS INT)] - c.cv[CAST(ii AS INT)]))) AS dist
+         |    FROM q, $cents c) t
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cid) = 1)""".stripMargin
+    def updateCte(aName: String, prevC: String, newC: String) =
+      s"""${newC}_raw AS (
+         |  SELECT cid, list(cc ORDER BY pos) AS cv FROM (
+         |    SELECT a.cid, t.i AS pos,
+         |      CAST(floor(CAST(sum(a.qv[CAST(t.i AS INT)]) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+         |    FROM $aName a, range(1, $d1) t(i)
+         |    GROUP BY a.cid, t.i) s
+         |  GROUP BY cid),
+         |$newC AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+         |          FROM $prevC p LEFT JOIN ${newC}_raw u ON p.cid = u.cid)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding, v -> CAST(floor(v * 1024) AS BIGINT)) AS qv FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid, qv AS cv
+       |       FROM (SELECT id, qv FROM q ORDER BY id LIMIT $k) seeds),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT id AS vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis --------------------------------------------------
     "d01_token_stats" -> ((s, d) => {
@@ -145,6 +180,25 @@ object PipelineQueries {
         threshold = 0.5, shingleSize = 2, maxDf = 1000000)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // deterministic weighted sampling WITHOUT replacement via priority
+    // sampling (Duffield–Lund–Thorup): priority = w/u with u a
+    // hash-derived uniform, keep the top-k priorities. Long docs are
+    // proportionally likelier — the token-budget-aware subset draw.
+    // Formulated to be EXACTLY reproducible across engines: u = (h+1)/2³²
+    // from an md5 prefix, so priority = w·2³²/(h+1) is one IEEE division
+    // of exact integers (correctly rounded → bit-identical; no libm pow
+    // like Efraimidis–Spirakis keys would need). orderBy().limit() plans
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    "d42_priority_sample" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("w"),
+          expr("cast(conv(substr(md5(concat('ps:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)").as("h"))
+        .withColumn("priority", col("w") * lit(4294967296.0) / (col("h") + 1))
+        .orderBy(desc("priority"), col("doc_id")).limit(50)
+        .select(col("doc_id"), col("w"), round(col("priority"), 4).as("priority"))
+        .orderBy(col("doc_id"))
     }),
 
     // DIRECTED containment pairs — the subset-duplicate detector Jaccard
@@ -833,6 +887,49 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // the HASHING TRICK featurizer (Weinberger et al. 2009): tokens hash
+    // into 64 fixed buckets, per-doc term frequencies per bucket — the
+    // vocabulary-free sparse featurization that needs no vocab build,
+    // no broadcast, no second pass; one explode + one (doc, bucket)
+    // aggregation with map-side combine. Collision behavior is part of
+    // the operator's contract and the oracle reproduces it exactly.
+    "d43_feature_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket", expr("cast(conv(substr(md5(term), 1, 4), 16, 10) AS int) % 64"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // deterministic NEGATIVE sampling for contrastive training: per
+    // query, 10 hash-ordered corpus vectors that are NOT among its
+    // top-20 cosine neighbors (and not itself) — hard-negative-free
+    // uniform negatives, reproducible across engines/runs because the
+    // draw order is md5(query, candidate), not RNG state. The top-20
+    // exclusion set is per-query tiny; the candidate ranking is one
+    // partitioned window.
+    "e20_negative_sampling" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val top = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val cand = queries.select(col("vec_id").as("query_id"))
+        .join(emb.select(col("vec_id").as("cand_id")),
+          col("query_id") =!= col("cand_id"))
+        .join(top.withColumnRenamed("neighbor_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .withColumn("skey",
+          md5(concat(col("query_id").cast("string"), lit(":"), col("cand_id").cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("skey"), col("cand_id"))
+      cand.withColumn("draw", row_number().over(w))
+        .filter(col("draw") <= 10)
+        .select(col("query_id"), col("cand_id").as("neg_id"), col("draw"))
+        .orderBy(col("query_id"), col("draw"))
+    }),
+
     // DSIR-style importance-resampling weights (Xie et al. 2023): hashed
     // unigram features (md5 -> 128 buckets), a bag-of-buckets unigram LM
     // for the TARGET domain (src0/src1 here) vs the RAW corpus, and a
@@ -991,6 +1088,17 @@ object PipelineQueries {
           round((col("sxy").cast(DoubleType) - col("sxi").cast(DoubleType) *
             col("sxj").cast(DoubleType) / col("n")) / (col("n") - 1), 6).as("cov"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // distributed Lloyd's k-means with integer-exact arithmetic — the
+    // corpus-partitioning / coreset clustering operator, hash-checked
+    // against the identical unrolled rounds in the oracle (see
+    // ann/KMeans scaladoc for why every step is bit-identical and why
+    // assignment is map-only at 100 TB)
+    "e19_kmeans" -> ((s, d) => {
+      graft.ann.KMeans.lloydAssignments(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iters = 3)
+        .orderBy(col("vec_id"))
     }),
 
     // MIPS twin of e02: inner-product ranking (retrieval scoring) —
@@ -1369,6 +1477,14 @@ object PipelineQueries {
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    "d42_priority_sample" ->
+      """WITH d AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS w,
+        |             ('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |           FROM documents),
+        |p AS (SELECT doc_id, w, w * 4294967296.0 / (h + 1) AS priority FROM d
+        |      ORDER BY priority DESC, doc_id LIMIT 50)
+        |SELECT doc_id, w, round(priority, 4) AS priority FROM p ORDER BY doc_id""".stripMargin,
 
     "d41_containment" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
@@ -2077,6 +2193,36 @@ object PipelineQueries {
         |        / (g.n - 1), 6) AS cov
         |FROM g JOIN m mi ON g.k // 8 = mi.i JOIN m mj ON g.k % 8 = mj.i
         |ORDER BY 1, 2""".stripMargin,
+
+    "e19_kmeans" -> kmeansOracle(k = 4, iters = 3, dims = 64),
+
+    "d43_feature_hash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |f AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 4))::INT % 64 AS bucket
+        |      FROM tk WHERE term <> '')
+        |SELECT doc_id, bucket, count(*) AS tf FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e20_negative_sampling" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |top AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |          FROM s) t
+        |        WHERE rank <= 20),
+        |cand AS (SELECT q.query_id, e.vec_id AS cand_id,
+        |           md5(CAST(q.query_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)) AS skey
+        |         FROM q, embeddings e
+        |         WHERE e.vec_id <> q.query_id
+        |           AND NOT EXISTS (SELECT 1 FROM top t
+        |                           WHERE t.query_id = q.query_id AND t.neighbor_id = e.vec_id))
+        |SELECT query_id, cand_id AS neg_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY skey, cand_id) AS draw
+        |FROM cand QUALIFY draw <= 10
+        |ORDER BY query_id, draw""".stripMargin,
 
     "e11_mips_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
