@@ -440,6 +440,49 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // --- RFM segmentation ----------------------------------------------------
+    // recency / frequency / monetary quintiles per user — the classic
+    // customer-value segmentation. Metrics are one grouped pass over
+    // the events; the ntile windows run over the USER table (already
+    // dimension-sized next to the event log; at 100 TB swap the global
+    // ntile for approx-quantile cut points broadcast onto a map-only
+    // bucketing). Monetary stays DECIMAL until output so ordering ties
+    // are exact; every ntile order carries a user_id tiebreak.
+    "q114_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = events(s, d).groupBy(col("user_id"))
+        .agg(max(col("tus")).as("recency"),
+          count(lit(1)).as("frequency"),
+          coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
+            lit(0).cast(DecimalType(18, 2))).as("monetary"))
+      base
+        .withColumn("r_seg", ntile(5).over(Window.orderBy(desc("recency"), col("user_id"))))
+        .withColumn("f_seg", ntile(5).over(Window.orderBy(desc("frequency"), col("user_id"))))
+        .withColumn("m_seg", ntile(5).over(Window.orderBy(desc("monetary"), col("user_id"))))
+        .select(col("user_id"), col("recency"), col("frequency"),
+          col("monetary").cast(DoubleType).as("monetary"),
+          col("r_seg"), col("f_seg"), col("m_seg"),
+          concat(col("r_seg"), lit("-"), col("f_seg"), lit("-"), col("m_seg")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- top user paths ------------------------------------------------------
+    // the first three event types per user, joined into a path string,
+    // counted across users — the sankey/path-analysis input. Ordered
+    // collection is made deterministic by sorting the collected
+    // (rn, type) structs, never by trusting collect_list order.
+    "q115_top_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path")).limit(20)
+    }),
+
     // --- Markov transition matrix --------------------------------------------
     // P(next event type | type) over per-user event sequences — the
     // behavioral-model summary (and the path-analysis input). One
@@ -560,6 +603,33 @@ object EventQueries {
         |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
         |  max(len) AS longest_streak, count(*) AS n_streaks
         |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q114_rfm" ->
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |base AS (SELECT user_id, max(tus) AS recency, count(*) AS frequency,
+        |           coalesce(sum(CASE WHEN event_type = 'purchase'
+        |                         THEN CAST(value AS DECIMAL(18,2)) END),
+        |                    CAST(0 AS DECIMAL(18,2))) AS monetary
+        |         FROM e GROUP BY user_id),
+        |seg AS (SELECT user_id, recency, frequency, monetary,
+        |          ntile(5) OVER (ORDER BY recency DESC, user_id) AS r_seg,
+        |          ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_seg,
+        |          ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_seg
+        |        FROM base)
+        |SELECT user_id, recency, frequency, CAST(monetary AS DOUBLE) AS monetary,
+        |  r_seg, f_seg, m_seg,
+        |  r_seg || '-' || f_seg || '-' || m_seg AS segment
+        |FROM seg ORDER BY user_id""".stripMargin,
+
+    "q115_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+        |      FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "q105_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

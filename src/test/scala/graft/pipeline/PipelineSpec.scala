@@ -32,6 +32,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, s"minhash=${mh.size} exact=${exact.size}")
   }
 
+  test("k-means: planted blobs split exactly; duplicate seeds leave an empty cluster unharmed") {
+    import spark.implicits._
+    // two well-separated blobs; both seeds (smallest ids) start inside
+    // blob A, so the split only emerges through the Lloyd iterations
+    val pts = (0 until 10).map(i => (i.toLong, Array(0.01f * i, 0.01f * i))) ++
+      (10 until 20).map(i => (i.toLong, Array(100f + 0.01f * i, 100f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = graft.ann.KMeans.lloydAssignments(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect()
+    val byCluster = out.groupBy(_.getInt(1)).map { case (c, rs) =>
+      c -> rs.map(_.getLong(0)).toSet
+    }
+    assert(byCluster.values.toSet ==
+      Set((0L until 10L).toSet, (10L until 20L).toSet), byCluster.toString)
+
+    // identical seed points: the losing twin empties immediately and must
+    // keep its previous centroid (no crash, no NaN centroid)
+    val dup = Seq((0L, Array(0f, 0f)), (1L, Array(0f, 0f)), (2L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out2 = graft.ann.KMeans.lloydAssignments(dup, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out2.forall(_._3 == 0L), out2.mkString(", "))          // every point sits on a centroid
+    assert(out2.map(_._2).toSet == Set(0, 2), out2.mkString(", ")) // cluster 1 (the twin) stays empty
+  }
+
   test("containment: planted subset-doc is found in both directions, jaccard misses it") {
     import spark.implicits._
     // b embeds a verbatim: containment(a in b) = 1.0 even though the
