@@ -141,6 +141,26 @@ class AsofMergeJoinSpec extends AnyFunSuite {
       Seq(2L, 2L, -1L, -1L))
   }
 
+  test("exec reports SQL metrics: output rows and matched rows") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 15L, "x")).toDF("k", "t", "tag")
+    val df = AsofMergeJoin.asofBackward(l, r, Seq("k"), "t", "t")
+    df.collect()
+    // AQE wraps the exec in query stages (leaf nodes for collect) —
+    // descend through AdaptiveSparkPlanExec / QueryStageExec explicitly
+    def findAsof(p: org.apache.spark.sql.execution.SparkPlan): Seq[AsofJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findAsof(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findAsof(q.plan)
+      case e: AsofJoinExec => e +: e.children.flatMap(findAsof)
+      case other => other.children.flatMap(findAsof)
+    }
+    val asof = findAsof(df.queryExecution.executedPlan)
+    assert(asof.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+    assert(asof.head.metrics("numOutputRows").value == 3L)
+    assert(asof.head.metrics("numMatched").value == 1L) // only (1, 20) matches t=15
+  }
+
   test("multi-column keys and duplicate column names across sides") {
     import spark.implicits._
     val l = Seq((1L, "a", 10L, "LP"), (1L, "b", 10L, "LP2")).toDF("k1", "k2", "t", "payload")
