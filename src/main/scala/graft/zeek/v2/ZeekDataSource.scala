@@ -287,9 +287,64 @@ final case class ZeekCountReaderFactory(
 
 class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
     limit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME file pruning (dynamic "partition" pruning for the rotation
+    * model): when this scan joins on its `filename` virtual column and
+    * the other side is small, Spark's PartitionPruning rule plants a
+    * DynamicPruning IN-filter and delivers the matching values here at
+    * EXECUTION time — files outside the joined set never open. This is
+    * the v2 twin of the plan-time `pruneFilesByFilename`: that one needs
+    * the file set as literals in the query; this one gets it from DATA
+    * (an intel table, yesterday's manifest, a dimension of interesting
+    * hours). Only `filename` is offered, and only while it is the
+    * virtual column — a real data column named `filename` is row
+    * content, not the path identity. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (bind.opts.filename && !bind.dataSchema.fieldNames.contains("filename"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("filename"))
+    else Array.empty
+
+  @volatile private var runtimeBind: ZeekBind = bind
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // understand IN(filename, ...) and =(filename, lit); ignore anything
+    // else — runtime pruning is an optimization, the join re-checks rows
+    def stringValues(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[String]] = {
+      val children = p.children()
+      def isFilenameRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames().sameElements(Array("filename"))
+        case _ => false
+      }
+      def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] if l.value != null =>
+          Some(l.value.toString)
+        case _ => None
+      }
+      p.name() match {
+        case "IN" if children.nonEmpty && isFilenameRef(children.head) =>
+          val vals = children.tail.map(lit)
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+        case "=" if children.length == 2 && isFilenameRef(children.head) =>
+          lit(children(1)).map(Set(_))
+        case "=" if children.length == 2 && isFilenameRef(children(1)) =>
+          lit(children.head).map(Set(_))
+        case _ => None
+      }
+    }
+    val allowedSets = predicates.flatMap(stringValues(_))
+    if (allowedSets.nonEmpty) {
+      val kept = runtimeBind.files.filter { spec =>
+        val display = ZeekIO.displayPath(spec.path)
+        allowedSets.forall(_.contains(display))
+      }
+      runtimeBind = runtimeBind.copy(files = kept)
+    }
+  }
 
   /** Size estimate = on-disk bytes × a decompression factor for
     * compressed files — lets Catalyst/AQE make join-side decisions (e.g.
@@ -315,7 +370,8 @@ class ZeekScan(bind: ZeekBind, required: StructType, pushed: Array[Filter],
     * Compression is judged by extension here; a mis-named compressed file
     * is caught by the reader's magic-byte sniff (start-0 split reads the
     * whole file, other splits yield 0 rows). */
-  override def planInputPartitions(): Array[InputPartition] = ZeekPlanning.partitions(bind)
+  override def planInputPartitions(): Array[InputPartition] =
+    ZeekPlanning.partitions(runtimeBind)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())

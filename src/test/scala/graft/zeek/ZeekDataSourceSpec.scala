@@ -104,6 +104,47 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("filename").endsWith("b.log")).count() == 1)
   }
 
+  test("runtime v2 filtering: a broadcast join on filename prunes files at execution") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))))
+    ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", Seq(("3.0", "B1", "300"))))
+    ZeekFixtures.write(dir, "c.log", ZeekFixtures.base("t", Seq(("4.0", "C1", "400"))))
+    val logs = read(s"$dir/*.log", Map("filename" -> "true"))
+    // learn the exact display-path rendering from the data itself, then
+    // join against a filtered 1-path dimension (the selective predicate
+    // DPP's heuristic wants) — dynamic file pruning, values from DATA
+    val bPath = logs.select("filename").distinct().collect()
+      .map(_.getString(0)).find(_.endsWith("b.log")).get
+    import spark.implicits._
+    // the dimension must be a REAL source with a surviving Filter node —
+    // a LocalRelation's filter constant-folds away and DPP's
+    // selective-predicate heuristic then declines to prune
+    val dimPath = dir.resolve("dim.parquet").toString
+    Seq(bPath, "no-such-file").toDF("fn").write.parquet(dimPath)
+    val wanted = spark.read.parquet(dimPath).filter(col("fn").endsWith("b.log"))
+    val joined = logs.join(org.apache.spark.sql.functions.broadcast(wanted),
+      logs("filename") === col("fn"))
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("filename").endsWith("b.log"))
+
+    // the executed scan must have been RUNTIME-pruned to the single file
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case o => o.children.flatMap(scans)
+    }
+    val zeekScans = scans(joined.queryExecution.executedPlan)
+      .map(_.scan).collect { case z: graft.zeek.v2.ZeekScan => z }
+    assert(zeekScans.nonEmpty, joined.queryExecution.executedPlan.toString.take(3000))
+    assert(zeekScans.head.planInputPartitions().length == 1,
+      s"expected runtime pruning to 1 file, got ${zeekScans.head.planInputPartitions().length}:\n" +
+        joined.queryExecution.executedPlan.toString.take(3000))
+  }
+
   test("replace_periods=false keeps dotted names") {
     val dir = ZeekFixtures.tempDir()
     val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
