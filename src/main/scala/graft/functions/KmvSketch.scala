@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) distinct-count sketch as a REAL distributed
+  * aggregate — a custom Catalyst `TypedImperativeAggregate` with
+  * partial/merge support, the same execution shape as Spark's own HLL
+  * aggregate, but DETERMINISTIC and therefore oracle-checkable:
+  *
+  *   - each value hashes to the top 60 bits of md5 of its string
+  *     rendering — exactly `('0x' || substr(md5(CAST(x AS VARCHAR)),
+  *     1, 15))::BIGINT` in DuckDB, so a SQL twin reproduces every
+  *     hash, bit for bit (HLL/approx_count_distinct use engine-private
+  *     xxhash layouts and can never hash-match across engines);
+  *   - the state is the k smallest DISTINCT hashes (a bounded sorted
+  *     set — ≤ 8k bytes serialized);
+  *   - merge = union-then-trim, associative and order-insensitive, so
+  *     map-side partial aggregation and AQE coalescing cannot change
+  *     the result;
+  *   - estimate: exact size while |set| < k (the sketch IS a distinct
+  *     count until it saturates), else the standard KMV estimator
+  *     (k−1)·2⁶⁰ / h₍ₖ₎ — one long→double conversion and one IEEE
+  *     division, both exactly specified, so the twin's double agrees
+  *     to the last bit.
+  *
+  * At 100 TB: constant-size state per group (vs collect_set's unbounded
+  * one), mergeable across partitions/batches/days — the property that
+  * lets a nightly job fold yesterday's sketches instead of rescanning
+  * history (same contract as q99's mergeable histogram).
+  *
+  * Reference behavior anchor: the reference exposes DuckDB's
+  * approx_count_distinct over zeek logs (README.md example queries);
+  * this is that capability with a cross-engine-verifiable estimator.
+  */
+case class KmvDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_distinct requires k >= 2")
+
+  override def prettyName: String = "kmv_distinct"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct input must be string or integral (rendered identically by every engine), got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  /** Top 60 bits of md5(rendering) — positive, matches the DuckDB twin's
+    * 15-hex-digit slice. */
+  private def hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = first 7 bytes + high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private def render(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other         => other.toString
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash60(render(v))
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last) { buf.add(h); if (buf.size > k) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (b1.size < k) b1.add(h)
+      else if (h < b1.last) { b1.add(h); if (b1.size > k) b1.pollLast() }
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 1152921504606846976.0 / buf.last.longValue().toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
+object KmvSketch {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "kmv_distinct" -> {
+      case Seq(c) => KmvDistinct(c, 256)
+      case Seq(c, Literal(k: Int, IntegerType)) => KmvDistinct(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => KmvDistinct(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"kmv_distinct(value[, k-literal]) — got ${es.length} arguments")
+    })
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}

@@ -645,6 +645,24 @@ object ExtendedQueries {
         .orderBy(col("dirty_key"))
     }),
 
+    // --- KMV distinct sketch (custom TypedImperativeAggregate) ---------------
+    // per-source distinct-document estimate through the deterministic
+    // k-minimum-values sketch: a REAL partial/merge Catalyst aggregate
+    // (bounded 8k-byte state, mergeable across partitions/batches) whose
+    // md5-based estimator the oracle reproduces bit-for-bit — the
+    // hash-checkable stand-in for approx_count_distinct's engine-private
+    // HLL. k=16 < the 25-docs-per-source cardinality, so the ESTIMATION
+    // path (not the exact small-set path) is what hashes at sf0.01;
+    // sf0.001's sparser sources exercise the exact path too.
+    "q116_kmv_distinct" -> ((s, d) => {
+      graft.functions.KmvSketch.registerAll(s)
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(round(call_function("kmv_distinct", col("text"), lit(16)), 4).as("est_distinct"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .orderBy(col("source"))
+    }),
+
     "q102_jaro_winkler" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
       val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
@@ -840,6 +858,21 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     // the DIRECT full-table aggregate — the incremental fold must equal it
+    "q116_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS nd
+        |      FROM h),
+        |e AS (SELECT source, max(CASE WHEN rn = 16 THEN h END) AS h16, max(nd) AS nd
+        |      FROM r GROUP BY source),
+        |x AS (SELECT source, count(DISTINCT text) AS exact_distinct FROM documents GROUP BY source)
+        |SELECT e.source,
+        |  round(CASE WHEN e.nd < 16 THEN CAST(e.nd AS DOUBLE)
+        |             ELSE 15 * CAST(1152921504606846976 AS DOUBLE) / e.h16 END, 4) AS est_distinct,
+        |  x.exact_distinct
+        |FROM e JOIN x ON e.source = x.source
+        |ORDER BY e.source""".stripMargin,
+
     "q110_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT count(DISTINCT ok) AS total FROM li),
