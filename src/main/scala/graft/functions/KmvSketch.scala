@@ -130,6 +130,102 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Deterministic bounded-state uniform sample: the k values whose
+  * md5-derived hashes are smallest — "bottom-k by hash", the mergeable
+  * aggregate form of the d13 sampling idiom. ONE pass, no global sort,
+  * no shuffle beyond the group-by, constant 8k-ish state per group, and
+  * a second engine reproduces the exact same sample (`ORDER BY
+  * md5(v) LIMIT k` per group) — none of which holds for rand()-based
+  * TABLESAMPLE. Distinct-value semantics: duplicates hash identically,
+  * so the sample is over the distinct values (the useful contract for
+  * "show me k example documents per bucket"). Returns the values sorted
+  * by hash (the draw order). */
+case class KmvSample(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, String]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "kmv_sample requires k >= 1")
+
+  override def prettyName: String = "kmv_sample"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sample input must be string or integral, got ${t.sql}")
+  }
+
+  private def hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, String] =
+    new java.util.TreeMap[java.lang.Long, String]()
+
+  private def add(buf: java.util.TreeMap[java.lang.Long, String], h: Long, v: String): Unit = {
+    if (buf.size < k) buf.put(h, v)
+    else if (h < buf.lastKey) { buf.put(h, v); if (buf.size > k) buf.pollLastEntry() }
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, String], input: InternalRow)
+      : java.util.TreeMap[java.lang.Long, String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v match { case u: UTF8String => u.toString; case o => o.toString }
+      add(buf, hash60(s), s)
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeMap[java.lang.Long, String],
+      b2: java.util.TreeMap[java.lang.Long, String]): java.util.TreeMap[java.lang.Long, String] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(b1, e.getKey, e.getValue) }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, String]): Any = {
+    val vals = new Array[Any](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { vals(i) = UTF8String.fromString(it.next()); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out.writeLong(e.getKey); out.writeUTF(e.getValue) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, String] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val m = new java.util.TreeMap[java.lang.Long, String]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { val h = in.readLong(); m.put(h, in.readUTF()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSample =
+    copy(child = newChild)
+}
+
 object KmvSketch {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -139,6 +235,12 @@ object KmvSketch {
       case Seq(c, Literal(k: Long, LongType))   => KmvDistinct(c, k.toInt)
       case es => throw new IllegalArgumentException(
         s"kmv_distinct(value[, k-literal]) — got ${es.length} arguments")
+    },
+    "kmv_sample" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => KmvSample(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => KmvSample(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"kmv_sample(value, k-literal) — got ${es.length} arguments")
     })
 
   def registerAll(spark: SparkSession): Unit = {

@@ -663,6 +663,19 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // the sampling twin: k example values per group in ONE pass with
+    // bounded state — bottom-k-by-hash as a mergeable aggregate (no
+    // global sort, no rand() irreproducibility); emitted in draw order
+    "q117_kmv_sample" -> ((s, d) => {
+      graft.functions.KmvSketch.registerAll(s)
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(call_function("kmv_sample", col("doc_id").cast("string"), lit(5)).as("sample"))
+        .select(col("source"), posexplode(col("sample")))
+        .select(col("source"), col("pos"), col("col").as("doc_id"))
+        .orderBy(col("source"), col("pos"))
+    }),
+
     "q102_jaro_winkler" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
       val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
@@ -872,6 +885,14 @@ object ExtendedQueries {
         |  x.exact_distinct
         |FROM e JOIN x ON e.source = x.source
         |ORDER BY e.source""".stripMargin,
+
+    "q117_kmv_sample" ->
+      """WITH r AS (SELECT source, CAST(doc_id AS VARCHAR) AS v,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS rn
+        |      FROM documents)
+        |SELECT source, CAST(rn - 1 AS INT) AS pos, v AS doc_id
+        |FROM r WHERE rn <= 5 ORDER BY source, pos""".stripMargin,
 
     "q110_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -38,6 +38,20 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(estimate(dup, 128) == est)
   }
 
+  test("kmv_sample: partition-invariant, duplicate-insensitive, draw-ordered") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    val df = (1 to 1000).map(i => s"doc-$i").toDF("v")
+    def sample(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.agg(call_function("kmv_sample", col("v"), lit(10)).as("s"))
+        .collect()(0).getSeq[String](0)
+    val s1 = sample(df.repartition(1))
+    val s9 = sample(df.repartition(9))
+    assert(s1 == s9, s"partitioning changed the sample: $s1 vs $s9")
+    assert(s1.size == 10 && s1.distinct.size == 10)
+    assert(sample(df.union(df)) == s1) // duplicates cannot re-draw
+  }
+
   test("null inputs are ignored, not hashed") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
