@@ -226,6 +226,86 @@ case class KmvSample(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** The rollup half of the sketch pattern: `kmv_state` materializes a
+  * group's sketch as BINARY (store it in a daily summary table);
+  * `kmv_merge_estimate` folds stored sketches into a higher-level
+  * estimate WITHOUT rescanning the raw data. Merging bottom-k sets is
+  * exact — the merged k smallest hashes are identical to the k smallest
+  * computed globally — so a rollup over states equals the direct global
+  * sketch bit-for-bit (q118 proves it against a direct-SQL oracle). */
+case class KmvState(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_state requires k >= 2")
+  override def prettyName: String = "kmv_state"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvDistinct(child, k).checkInputDataTypes()
+
+  @transient private lazy val inner = KmvDistinct(child, k)
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = inner.update(buf, input)
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(b1, b2)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = serialize(buf)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvState =
+    copy(child = newChild)
+}
+
+case class KmvMergeEstimate(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_merge_estimate requires k >= 2")
+  override def prettyName: String = "kmv_merge_estimate"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_merge_estimate input must be a kmv_state BINARY, got ${t.sql}")
+  }
+
+  @transient private lazy val helper = KmvDistinct(child, k)
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) helper.merge(buf, helper.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    helper.merge(b1, b2)
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = helper.eval(buf)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    helper.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    helper.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeEstimate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeEstimate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeEstimate =
+    copy(child = newChild)
+}
+
 object KmvSketch {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -235,6 +315,18 @@ object KmvSketch {
       case Seq(c, Literal(k: Long, LongType))   => KmvDistinct(c, k.toInt)
       case es => throw new IllegalArgumentException(
         s"kmv_distinct(value[, k-literal]) — got ${es.length} arguments")
+    },
+    "kmv_state" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => KmvState(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => KmvState(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"kmv_state(value, k-literal) — got ${es.length} arguments")
+    },
+    "kmv_merge_estimate" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => KmvMergeEstimate(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => KmvMergeEstimate(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"kmv_merge_estimate(state, k-literal) — got ${es.length} arguments")
     },
     "kmv_sample" -> {
       case Seq(c, Literal(k: Int, IntegerType)) => KmvSample(c, k)

@@ -663,6 +663,19 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // the two-level ROLLUP: per-source sketches materialize as binary
+    // states, then a second aggregation folds the stored states into
+    // the global estimate WITHOUT rescanning documents — the daily-
+    // summary-table pattern. Bottom-k merge is exact, so the oracle is
+    // simply the DIRECT global sketch: rollup ≡ recompute, hash-proven.
+    "q118_kmv_rollup" -> ((s, d) => {
+      graft.functions.KmvSketch.registerAll(s)
+      Tables.documents(s, d).groupBy(col("source"))
+        .agg(call_function("kmv_state", col("text"), lit(16)).as("st"))
+        .agg(round(call_function("kmv_merge_estimate", col("st"), lit(16)), 4).as("est_distinct"),
+          count(lit(1)).as("n_states"))
+    }),
+
     // the sampling twin: k example values per group in ONE pass with
     // bounded state — bottom-k-by-hash as a mergeable aggregate (no
     // global sort, no rand() irreproducibility); emitted in draw order
@@ -885,6 +898,15 @@ object ExtendedQueries {
         |  x.exact_distinct
         |FROM e JOIN x ON e.source = x.source
         |ORDER BY e.source""".stripMargin,
+
+    "q118_kmv_rollup" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd FROM h),
+        |e AS (SELECT max(CASE WHEN rn = 16 THEN h END) AS h16, max(nd) AS nd FROM r)
+        |SELECT round(CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |             ELSE 15 * CAST(1152921504606846976 AS DOUBLE) / h16 END, 4) AS est_distinct,
+        |  (SELECT count(DISTINCT source) FROM documents) AS n_states
+        |FROM e""".stripMargin,
 
     "q117_kmv_sample" ->
       """WITH r AS (SELECT source, CAST(doc_id AS VARCHAR) AS v,
