@@ -52,5 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new graft.plans.LevenshteinBoundRule)
     // native sort-merge as-of join (custom LogicalPlan + SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // the reference's own UX: SELECT * FROM read_zeek('glob', opt => v)
+    ext.injectTableFunction(graft.zeek.v2.ZeekTableFunction.injectable)
   }
 }

@@ -40,6 +40,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extension injection registers the read_zeek SQL table function") {
+    import graft.zeek.ZeekFixtures
+    SharedSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val dir = ZeekFixtures.tempDir()
+      ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
+      // no register() call — the injected table function must resolve
+      val n = s.sql(s"SELECT count(*) AS n FROM read_zeek('$dir/*.log')")
+        .collect()(0).getLong(0)
+      assert(n > 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(SharedSpark.spark)
+      SparkSession.setActiveSession(SharedSpark.spark)
+    }
+  }
+
   test("optimizer rule: literal-CIDR containment pushes a prefix predicate into the zeek scan") {
     import org.apache.spark.sql.functions._
     import graft.zeek.ZeekFixtures

@@ -145,6 +145,35 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         joined.queryExecution.executedPlan.toString.take(3000))
   }
 
+  test("SQL table function: SELECT * FROM read_zeek('glob', opts) — the reference's own UX") {
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "a.log", ZeekFixtures.base("t", Seq(("1.0", "A1", "100"), ("2.0", "A2", "200"))))
+    ZeekFixtures.write(dir, "b.log", ZeekFixtures.base("t", Seq(("3.0", "B1", "300"))))
+    graft.zeek.v2.ZeekTableFunction.register(spark)
+    // bare pattern
+    val all = spark.sql(s"SELECT * FROM read_zeek('$dir/*.log')")
+    assert(all.count() == 3)
+    // equals the reader API result exactly
+    assert(all.collect().map(_.toString).sorted.toSeq ==
+      read(s"$dir/*.log").collect().map(_.toString).sorted.toSeq)
+    // named options flow through to ZeekOptions (filename virtual column)
+    val withFn = spark.sql(
+      s"SELECT filename, count(*) AS n FROM read_zeek('$dir/*.log', filename => true) GROUP BY 1 ORDER BY 1")
+      .collect()
+    assert(withFn.length == 2 && withFn(0).getString(0).endsWith("a.log") && withFn(0).getLong(1) == 2)
+    // pushdown still applies through the TVF relation (same DSv2 scan)
+    val plan = spark.sql(s"SELECT id FROM read_zeek('$dir/*.log') WHERE value > 150")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ZeekScan"), plan.take(1500))
+    assert(plan.contains("GreaterThan(value,150)"), "filter should push into the scan:\n" + plan.take(1500))
+    // strict: no files is the reference's bind error
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_zeek('$dir/nope-*.log')").collect()
+    }
+    assert(err.getMessage.contains("No files found") ||
+      Option(err.getCause).exists(_.getMessage.contains("No files found")), err.getMessage)
+  }
+
   test("replace_periods=false keeps dotted names") {
     val dir = ZeekFixtures.tempDir()
     val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
