@@ -132,6 +132,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.head.getDouble(2) == 0.5 && batch.head.getString(3) == "v1")
   }
 
+  test("kmv_distinct runs as a streaming windowed aggregate with state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.KmvSketch.registerAll(spark)
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDS().toDF("ts", "user")
+    val agg = df.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("kmv_distinct", col("user"), lit(8)).as("est"))
+      .select(col("window.start").as("ws"), col("est"))
+    val q = agg.writeStream.format("memory").queryName("kmvstream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(10), "u1"), (ts(20), "u2"), (ts(30), "u1"))
+      q.processAllAvailable()
+      input.addData((ts(40), "u3"), (ts(50), "u2"))   // same window, later batch
+      q.processAllAvailable()
+      input.addData((ts(100), "u9"))                  // next hour closes hour 0
+      q.processAllAvailable()
+      input.addData((ts(200), "zz"))                  // force final windows out
+      q.processAllAvailable()
+      val rows = spark.table("kmvstream").collect()
+        .map(r => (mins(r.getTimestamp(0).getTime), r.getDouble(1))).toMap
+      // 3 distinct users across two micro-batches, below k → exact
+      assert(rows(0L) == 3.0, rows.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the lookback only") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
