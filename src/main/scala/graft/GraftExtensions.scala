@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)
     // levenshtein threshold filters gain a cheap length-gap prefilter
     ext.injectOptimizerRule(_ => new graft.plans.LevenshteinBoundRule)
+    // jaro / jaro-winkler threshold filters gain a length-ratio prefilter
+    ext.injectOptimizerRule(_ => new graft.plans.JaroWinklerBoundRule)
     // native sort-merge as-of join (custom LogicalPlan + SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // the reference's own UX: SELECT * FROM read_zeek('glob', opt => v)

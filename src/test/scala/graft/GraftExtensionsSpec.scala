@@ -115,6 +115,61 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule: jaro-winkler threshold filters gain a length-ratio prefilter") {
+    import org.apache.spark.sql.functions._
+    SharedSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      graft.functions.StringSimilarity.registerAll(s)
+      import s.implicits._
+      val wdir = java.nio.file.Files.createTempDirectory("jw_rule").toString
+      Seq("martha", "marhta", "ma", "completely different and far longer")
+        .toDF("w").write.mode("overwrite").parquet(wdir)
+      val words = s.read.parquet(wdir)
+
+      val df = words.filter(expr("jaro_winkler(w, 'martha') >= 0.9"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("least(") && optimized.contains("greatest("),
+        "length-ratio bound missing:\n" + optimized)
+      // the bound must short-circuit BEFORE the kernel
+      assert(optimized.indexOf("least(") < optimized.indexOf("jaroWinkler"), optimized)
+      assert(df.collect().map(_.getString(0)).toSet == Set("martha", "marhta"))
+
+      // flipped literal side rewrites too
+      val flipped = words.filter(expr("0.9 <= jaro_winkler(w, 'martha')"))
+      assert(flipped.queryExecution.optimizedPlan.toString.contains("least("))
+      assert(flipped.count() == 2)
+
+      // jaro_sim gets its own (weaker) ratio bound
+      val jaro = words.filter(expr("jaro_sim(w, 'martha') >= 0.8"))
+      assert(jaro.queryExecution.optimizedPlan.toString.contains("least("))
+      assert(jaro.collect().map(_.getString(0)).toSet == Set("martha", "marhta"))
+
+      // vacuous thresholds are NOT rewritten (bound would be <= 0)
+      val low = words.filter(expr("jaro_winkler(w, 'martha') >= 0.7"))
+      assert(!low.queryExecution.optimizedPlan.toString.contains("least("))
+      assert(low.count() >= 2)
+
+      // lower bounds (>= on the other side of the row value) untouched
+      val ge = words.filter(expr("jaro_winkler(w, 'martha') <= 0.9"))
+      assert(!ge.queryExecution.optimizedPlan.toString.contains("least("))
+
+      // idempotence under re-application
+      val once = new graft.plans.JaroWinklerBoundRule()(df.queryExecution.optimizedPlan)
+      assert(once.toString.split("least\\(").length ==
+        df.queryExecution.optimizedPlan.toString.split("least\\(").length)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(SharedSpark.spark)
+      SparkSession.setActiveSession(SharedSpark.spark)
+    }
+  }
+
   test("optimizer rule: levenshtein threshold filters gain a length-gap prefilter") {
     import org.apache.spark.sql.functions._
     SharedSpark.spark
