@@ -114,9 +114,24 @@ object Ann {
     * path: each vector lands in 1 + nBits buckets; the n² pair space
     * never materializes. */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame = {
+      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame =
+    cosineNearDupsWith(corpus, idCol, vecCol, threshold, nBits,
+      lshSignature(_, nBits, dims))
+
+  /** [[cosineNearDups]] with the integer-quantized signature
+    * ([[lshSignatureQuantized]]) — the fully hash-checkable LSH PAIR
+    * pipeline: e07b's oracle rebuilds signature, banded probes, pair
+    * join, and cosine in SQL from the same plane literals, the role
+    * e03b plays for the top-k path. */
+  def cosineNearDupsQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame =
+    cosineNearDupsWith(corpus, idCol, vecCol, threshold, nBits,
+      lshSignatureQuantized(_, nBits, dims))
+
+  private def cosineNearDupsWith(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int, sigOf: Column => Column): DataFrame = {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("s", lshSignature(col("v"), nBits, dims))
+      .withColumn("s", sigOf(col("v")))
     // left side: exact bucket; right side: exact + Hamming-1 probes
     val probes = (0 until nBits).map(b => lit(1 << b))
     val probed = sig.withColumn("bucket",

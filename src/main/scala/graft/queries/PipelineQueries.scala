@@ -1326,6 +1326,17 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // hash-checkable twin of e07: the ENTIRE LSH pair pipeline —
+    // quantized signatures, Hamming-1 banded probes, a<b pair join,
+    // exact cosine, threshold — reproduced in the oracle from the same
+    // plane literals (e03b's role, for the pair path)
+    "e07b_neardups_lsh_quantized" -> ((s, d) => {
+      Ann.cosineNearDupsQuantized(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "e07_embedding_neardups_lsh" -> ((s, d) => {
       Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, nBits = 8)
@@ -2260,6 +2271,26 @@ object PipelineQueries {
 
     // full quantized-LSH twin: integer signature arithmetic is bit-exact
     // across engines; floor(v*1024) is exact (×1024 is a power of two)
+    "e07b_neardups_lsh_quantized" ->
+      s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+         |       FROM emb, range(1, 65) t(i)),
+         |bits AS (SELECT un.vec_id, planes.p,
+         |   CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+         | FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+         |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+         |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
+         |x AS (SELECT emb.vec_id AS a, emb.e AS va, sig.s AS bucket
+         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
+         |y AS (SELECT emb.vec_id AS b, emb.e AS vb, xor(sig.s, masks.m) AS bucket
+         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id CROSS JOIN masks),
+         |pairs AS (SELECT x.a, y.b, max(list_cosine_similarity(x.va, y.vb)) AS cos
+         |          FROM x JOIN y ON x.bucket = y.bucket AND x.a < y.b
+         |          GROUP BY x.a, y.b)
+         |SELECT a, b, round(cos, 4) AS cos FROM pairs
+         |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
+
     "e03b_ann_lsh_quantized" ->
       s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
          |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
