@@ -319,6 +319,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e07b: quantized LSH pairs join on buckets — never an all-pairs nested loop") {
+    val p = plan("e07b_neardups_lsh_quantized")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "bucket equi-join expected:\n" + p.take(2000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB a selective dim filter should reach the fact scan as a
