@@ -39,8 +39,11 @@ object KMeans {
   def lloydAssignments(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 3, scale: Int = 1024): DataFrame = {
     require(k >= 1 && iters >= 0)
+    // the seed collect + each iteration's update collect + the final
+    // assignment all read q — persist once instead of iters+2 source scans
     val q = emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, v -> cast(floor(v * $scale) as bigint))").as("qv"))
+      .persist()
 
     var centroids: IndexedSeq[Seq[Long]] = q.orderBy("id").limit(k).collect()
       .map(_.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
@@ -67,7 +70,12 @@ object KMeans {
       centroids = centroids.indices.map(i => upd.getOrElse(i, centroids(i)))
     }
 
-    assigned.select(col("id").as(idCol), col("cid").as("cluster"),
-      expr("array_min(dists)").as("dist"))
+    // materialize the final assignment from the cache, then release it —
+    // the returned frame stays correct either way (unpersisted cache
+    // plans recompute from source)
+    val out = assigned.select(col("id").as(idCol), col("cid").as("cluster"),
+      expr("array_min(dists)").as("dist")).localCheckpoint()
+    q.unpersist(false)
+    out
   }
 }

@@ -12,6 +12,35 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared md5-60bit hashing for the KMV family — ONE definition so the
+  * cross-engine bit-exactness contract cannot drift between the
+  * aggregates, with a reused per-thread digest (a fresh
+  * MessageDigest.getInstance per row is a JCA lookup on the agg hot
+  * path). */
+private[functions] object KmvHash {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(rendering) — positive, matches the DuckDB twin's
+    * 15-hex-digit slice `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def hash60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = first 7 bytes + high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def render(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other         => other.toString
+  }
+}
+
 /** KMV (k-minimum-values) distinct-count sketch as a REAL distributed
   * aggregate — a custom Catalyst `TypedImperativeAggregate` with
   * partial/merge support, the same execution shape as Spark's own HLL
@@ -63,27 +92,11 @@ case class KmvDistinct(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  /** Top 60 bits of md5(rendering) — positive, matches the DuckDB twin's
-    * 15-hex-digit slice. */
-  private def hash60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    // first 15 hex chars = first 7 bytes + high nibble of byte 7
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
-  private def render(v: Any): String = v match {
-    case u: UTF8String => u.toString
-    case other         => other.toString
-  }
-
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
       : java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hash60(render(v))
+      val h = KmvHash.hash60(KmvHash.render(v))
       if (buf.size < k) buf.add(h)
       else if (h < buf.last) { buf.add(h); if (buf.size > k) buf.pollLast() }
     }
@@ -158,14 +171,6 @@ case class KmvSample(child: Expression, k: Int,
       s"kmv_sample input must be string or integral, got ${t.sql}")
   }
 
-  private def hash60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
   override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, String] =
     new java.util.TreeMap[java.lang.Long, String]()
 
@@ -178,8 +183,8 @@ case class KmvSample(child: Expression, k: Int,
       : java.util.TreeMap[java.lang.Long, String] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v match { case u: UTF8String => u.toString; case o => o.toString }
-      add(buf, hash60(s), s)
+      val s = KmvHash.render(v)
+      add(buf, KmvHash.hash60(s), s)
     }
     buf
   }
@@ -199,12 +204,20 @@ case class KmvSample(child: Expression, k: Int,
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
   }
 
+  // explicit int-length + raw UTF-8 bytes: writeUTF's 16-bit length cap
+  // would crash the shuffle/state serialization on any value over ~64 KB
   override def serialize(buf: java.util.TreeMap[java.lang.Long, String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); out.writeLong(e.getKey); out.writeUTF(e.getValue) }
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey)
+      val b = e.getValue.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -214,7 +227,14 @@ case class KmvSample(child: Expression, k: Int,
     val m = new java.util.TreeMap[java.lang.Long, String]()
     val n = in.readInt()
     var i = 0
-    while (i < n) { val h = in.readLong(); m.put(h, in.readUTF()); i += 1 }
+    while (i < n) {
+      val h = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.put(h, new String(b, "UTF-8"))
+      i += 1
+    }
     m
   }
 

@@ -362,8 +362,11 @@ object AsofMergeJoin {
         analyzed.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), analyzed)
     }
+    // honor the session's case-sensitivity setting (default insensitive,
+    // like every other Spark column lookup)
+    val resolver = spark.sessionState.conf.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(s"column '$name' not found in ${plan.output.map(_.name)}"))
     val node = AsofJoinPlan(lPlan, rPlan,
       keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)),
@@ -373,7 +376,8 @@ object AsofMergeJoin {
     // by exprId, so duplicate names across sides are safe
     val rightAttrsOut = node.output.drop(lPlan.output.size)
     val payload = rPlan.output.zip(rightAttrsOut)
-      .filterNot { case (orig, _) => keys.contains(orig.name) || orig.name == rightTime }
+      .filterNot { case (orig, _) =>
+        keys.exists(k => resolver(orig.name, k)) || resolver(orig.name, rightTime) }
     val projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
       node.output.take(lPlan.output.size) ++
         payload.map { case (orig, a) =>

@@ -32,7 +32,7 @@ class JaroWinklerBoundRule extends Rule[LogicalPlan] with PredicateHelper {
   private def simArgs(e: Expression, t: Double): Option[(Expression, Expression, Double)] =
     e match {
       case si: StaticInvoke if si.staticObject == graft.functions.StringSimRuntime.getClass &&
-          si.arguments.length == 2 =>
+          si.arguments.length == 2 && si.arguments.forall(_.deterministic) =>
         si.functionName match {
           case "jaroWinkler" if t > 0.8 =>
             Some((si.arguments(0), si.arguments(1), 5.0 * t - 4.0 - 1e-9))

@@ -23,7 +23,10 @@ class LevenshteinBoundRule extends Rule[LogicalPlan] with PredicateHelper {
   /** The (a, b) of a levenshtein call, ignoring the optional threshold
     * argument Spark 4 accepts. */
   private def levArgs(e: Expression): Option[(Expression, Expression)] = e match {
-    case l: Levenshtein => Some((l.left, l.right))
+    // duplicating a NON-deterministic argument into the bound would
+    // evaluate it twice with different draws — only rewrite pure args
+    case l: Levenshtein if l.left.deterministic && l.right.deterministic =>
+      Some((l.left, l.right))
     case _ => None
   }
 

@@ -37,7 +37,8 @@ object PipelineQueries {
     * of the d09 / d34 / d40 oracles. */
   private val clusterCtes: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-      |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+      |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
       |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
       |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
       |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1467,7 +1468,8 @@ object PipelineQueries {
     // (a pair below the banding collision curve), not a MinHash bug
     "d06_minhash_neardups" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1479,7 +1481,8 @@ object PipelineQueries {
 
     "d08_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1499,7 +1502,8 @@ object PipelineQueries {
 
     "d41_containment" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1529,7 +1533,8 @@ object PipelineQueries {
     // half (doc_id < 100) — what the incremental path must equal
     "d29_incremental_neardups" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1544,7 +1549,8 @@ object PipelineQueries {
     // the all-pairs Jaccard >= 0.8 set (d08's oracle at d27's threshold)
     "d27_setsim_prefix_join" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1736,7 +1742,8 @@ object PipelineQueries {
     // d10's capacity packing — the manifest must equal the composition
     "d28_training_manifest" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+         |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
          |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
          |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
          |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1768,7 +1775,8 @@ object PipelineQueries {
 
     "d14_clean_corpus" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-         |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+         |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
          |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
          |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
          |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -1956,7 +1964,8 @@ object PipelineQueries {
 
     "d15_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |hits AS (SELECT c.doc_id AS corpus_id, v.doc_id AS eval_id, count(*) AS n_shared
         |         FROM e c JOIN e v ON c.s = v.s
@@ -2092,7 +2101,8 @@ object PipelineQueries {
     // false positives die in the exact confirm join)
     "d19_bloom_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
-        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |hits AS (SELECT c.doc_id AS corpus_id, v.doc_id AS eval_id, count(*) AS n_shared
         |         FROM e c JOIN e v ON c.s = v.s
