@@ -689,6 +689,29 @@ object ExtendedQueries {
         .orderBy(col("source"), col("pos"))
     }),
 
+    // --- multi-source BFS shortest paths -------------------------------------
+    // hop distances over each customer's order-succession chain (order →
+    // next order by date), seeded at every customer's FIRST order —
+    // operators.ShortestPaths' frontier-based bounded BFS. The oracle is
+    // an INDEPENDENT formulation: on a successor chain the hop distance
+    // IS the chain position, so row_number()-1 capped at the round bound
+    // must equal 5 rounds of frontier propagation — two algorithms, one
+    // truth (stronger than replaying the same rounds).
+    "q119_bfs_distances" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chain = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val edges = chain.filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      val sources = chain.filter(col("rn") === 1)
+        .select(col("o_orderkey").as("node"))
+      graft.operators.ShortestPaths.bfsDistances(edges, sources, rounds = 5)
+        .select(col("node").as("o_orderkey"), col("dist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q102_jaro_winkler" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
       val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
@@ -915,6 +938,16 @@ object ExtendedQueries {
         |      FROM documents)
         |SELECT source, CAST(rn - 1 AS INT) AS pos, v AS doc_id
         |FROM r WHERE rn <= 5 ORDER BY source, pos""".stripMargin,
+
+    // independent formulation: on a successor chain, BFS hop distance
+    // from the chain head IS the (0-based) chain position
+    "q119_bfs_distances" ->
+      """WITH pos AS (SELECT o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) - 1 AS dist
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(dist AS BIGINT) AS dist
+        |FROM pos WHERE dist <= 5 ORDER BY o_orderkey""".stripMargin,
 
     "q110_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
