@@ -161,6 +161,37 @@ object Ann {
       .select("a", "b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * integer-exact k-means ([[graft.ann.KMeans.lloydAssignments]]), then
+    * WITHIN each cluster drop every vector that has a lower-id neighbor
+    * at cosine ≥ `threshold` (greedy id-ordered keep — deterministic,
+    * order-free). Returns every row as (idCol, cluster, kept).
+    *
+    * Scale design (100 TB): the pair space is bounded by the clustering —
+    * pairs form per-cluster after one hash shuffle on the cluster id, so
+    * the cost is Σ|cluster|², never n². The operating recipe (per the
+    * SemDeDup setup) is k ∝ corpus size, holding |cluster| ≈ constant;
+    * the k-means step itself is map-only assignment + a k·d-cell partial
+    * aggregate per round. A skewed giant cluster is the [[cosineNearDups]]
+    * LSH problem — chain the two (cluster first, LSH inside oversized
+    * clusters) when cluster caps are needed. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val assigned = graft.ann.KMeans.lloydAssignments(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val withC = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(assigned, "__id")
+    val x = withC.select(col("cluster").as("cl"), col("__id").as("a"), col("__v").as("va"))
+    val y = withC.select(col("cluster").as("cl2"), col("__id").as("b"), col("__v").as("vb"))
+    val dup = x.join(y, col("cl") === col("cl2") && col("b") < col("a"))
+      .filter(fastCosine(spark)(col("va"), col("vb")) >= threshold)
+      .select(col("a").as("__id")).distinct()
+    withC.join(dup.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** IVF (inverted-file) ANN index: a coarse k-means quantizer
     * partitions the corpus into `nLists` cells; a query scores only the
     * `nProbe` cells whose centroids are nearest. The complement to the

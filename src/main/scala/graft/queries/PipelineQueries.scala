@@ -80,7 +80,15 @@ object PipelineQueries {
     * [[graft.ann.KMeans.lloydAssignments]], unrolled as CTEs — k
     * smallest-id seeds, integer squared-L2, smallest-cid tiebreak,
     * floor-averaged updates, empty clusters keep the prior centroid. */
-  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    s"""${kmeansCtes(k, iters, dims)}
+       |SELECT id AS vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
+       |FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** The full Lloyd's CTE chain (`WITH q …, c0 …, rounds …, afinal`) —
+    * shared by the e19 oracle and e21's SemDeDup oracle, which extends
+    * it with the within-cluster near-duplicate join. */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     val d1 = dims + 1
     def assignCte(name: String, cents: String) =
       s"""$name AS (
@@ -106,9 +114,7 @@ object PipelineQueries {
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid, qv AS cv
        |       FROM (SELECT id, qv FROM q ORDER BY id LIMIT $k) seeds),
        |$rounds,
-       |${assignCte("afinal", s"c$iters")}
-       |SELECT id AS vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist
-       |FROM afinal ORDER BY vec_id""".stripMargin
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1099,6 +1105,19 @@ object PipelineQueries {
     "e19_kmeans" -> ((s, d) => {
       graft.ann.KMeans.lloydAssignments(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 4, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: k-means clusters (integer-exact e19 machinery), then
+    // within-cluster cosine pruning — every vector with a lower-id
+    // in-cluster neighbor at cos >= 0.35 is dropped. The pair space is
+    // bounded by the clustering (Σ|cluster|², never n²; k scales with
+    // the corpus to hold |cluster| constant). Oracle extends the shared
+    // Lloyd's CTE chain with the same within-cluster join — the whole
+    // cluster-then-prune pipeline is hash-proven.
+    "e21_semdedup" -> ((s, d) => {
+      Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, k = 4, iters = 3)
         .orderBy(col("vec_id"))
     }),
 
@@ -2216,6 +2235,21 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "e19_kmeans" -> kmeansOracle(k = 4, iters = 3, dims = 64),
+
+    // the shared Lloyd's chain + the within-cluster prune: a vector is
+    // kept iff no lower-id vector in its cluster sits at cos >= 0.35
+    "e21_semdedup" ->
+      s"""${kmeansCtes(k = 4, iters = 3, dims = 64)},
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |asg AS (SELECT a.id AS vec_id, a.cid AS cluster, emb.e
+         |        FROM afinal a JOIN emb ON a.id = emb.vec_id),
+         |dup AS (SELECT DISTINCT x.vec_id
+         |        FROM asg x JOIN asg y
+         |          ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |        WHERE list_cosine_similarity(x.e, y.e) >= 0.35)
+         |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "d43_feature_hash" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),

@@ -581,6 +581,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(true) > out(false), out.toString)
   }
 
+  test("semantic dedup: greedy id-ordered keep within clusters, exact reference") {
+    val out = Ann.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out.size == emb.count(), "every vector gets a verdict")
+    // reference: recompute the greedy rule per cluster from exact cosine
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCluster; (id, (_, kept)) <- members) {
+      val expectDropped = members.exists { case (other, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= 0.35 }
+      assert(kept == !expectDropped, s"vec $id")
+    }
+    // the synthetic corpus plants near-dups: some row must actually drop
+    assert(out.values.exists(!_._2), "planted near-dups should be pruned")
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
