@@ -326,6 +326,69 @@ case class KmvMergeEstimate(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** KMV set algebra: intersection / union / Jaccard ESTIMATES between two
+  * stored `kmv_state` sketches — the audience-overlap / cross-corpus-
+  * contamination probe that runs on summary-table states without ever
+  * rescanning (or co-shuffling) the raw data.
+  *
+  * The textbook KMV pair estimator (Beyer et al., "On Synopses for
+  * Distinct-Value Estimation Under Multiset Operations"): with SA/SB the
+  * two bottom-k hash sets and L the k smallest of SA ∪ SB,
+  * matches = |L ∩ SA ∩ SB|, union_est from L's kth minimum,
+  * jaccard_est = matches/|L|, inter_est = jaccard_est · union_est.
+  * Every step is set arithmetic on 60-bit integers plus correctly-
+  * rounded IEEE divisions — the DuckDB oracle replays it bit-for-bit
+  * (q120), which no HLL-intersection heuristic can offer.
+  *
+  * Scalar, not aggregate: it runs on the (tiny) pair join of a state
+  * table — eval-only is fine off the per-row hot path. */
+case class KmvPairStats(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2, "kmv_pair_stats requires k >= 2")
+  override def prettyName: String = "kmv_pair_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("matches", LongType, nullable = false),
+    StructField("union_est", DoubleType, nullable = false),
+    StructField("inter_est", DoubleType, nullable = false),
+    StructField("jaccard_est", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_pair_stats takes two kmv_state BINARY columns, got ${l.sql}, ${r.sql}")
+    }
+
+  @transient private lazy val codec = KmvDistinct(left, k)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = codec.deserialize(a.asInstanceOf[Array[Byte]])
+    val sb = codec.deserialize(b.asInstanceOf[Array[Byte]])
+    // L = the k smallest of SA ∪ SB (set union: equal hashes collapse)
+    val l = new java.util.TreeSet[java.lang.Long](sa)
+    l.addAll(sb)
+    while (l.size > k) l.pollLast()
+    val lSize = l.size
+    var matches = 0L
+    val it = l.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (sa.contains(h) && sb.contains(h)) matches += 1
+    }
+    val unionEst =
+      if (lSize < k) lSize.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / l.last.longValue().toDouble
+    val jaccardEst = if (lSize == 0) 0.0 else matches.toDouble / lSize.toDouble
+    val interEst = if (lSize == 0) 0.0
+      else matches.toDouble * unionEst / lSize.toDouble
+    InternalRow(matches, unionEst, interEst, jaccardEst)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KmvPairStats = copy(left = newLeft, right = newRight)
+}
+
 object KmvSketch {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -353,6 +416,12 @@ object KmvSketch {
       case Seq(c, Literal(k: Long, LongType))   => KmvSample(c, k.toInt)
       case es => throw new IllegalArgumentException(
         s"kmv_sample(value, k-literal) — got ${es.length} arguments")
+    },
+    "kmv_pair_stats" -> {
+      case Seq(a, b, Literal(k: Int, IntegerType)) => KmvPairStats(a, b, k)
+      case Seq(a, b, Literal(k: Long, LongType))   => KmvPairStats(a, b, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"kmv_pair_stats(stateA, stateB, k-literal) — got ${es.length} arguments")
     })
 
   def registerAll(spark: SparkSession): Unit = {

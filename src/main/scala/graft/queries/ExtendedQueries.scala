@@ -712,6 +712,28 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- KMV set algebra -----------------------------------------------------
+    // pairwise source-overlap estimates from STORED sketch states (the
+    // Beyer et al. pair estimator): matches within the merged bottom-k,
+    // union estimate from its kth minimum, Jaccard/intersection derived —
+    // the audience-overlap probe that runs on a summary table without
+    // rescanning or co-shuffling the corpora. The state table is rows =
+    // #sources, so the pair join broadcasts; every step is 60-bit integer
+    // set arithmetic + IEEE divisions the oracle replays bit-for-bit.
+    "q120_kmv_set_ops" -> ((s, d) => {
+      graft.functions.KmvSketch.registerAll(s)
+      val st = Tables.documents(s, d).groupBy(col("source"))
+        .agg(call_function("kmv_state", col("text"), lit(16)).as("st"))
+      val a = st.select(col("source").as("source_a"), col("st").as("sta"))
+      val b = st.select(col("source").as("source_b"), col("st").as("stb"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("ps", call_function("kmv_pair_stats", col("sta"), col("stb"), lit(16)))
+        .select(col("source_a"), col("source_b"),
+          col("ps.matches").as("matches"), col("ps.union_est").as("union_est"),
+          col("ps.inter_est").as("inter_est"), col("ps.jaccard_est").as("jaccard_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "q102_jaro_winkler" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
       val a = Tables.part(s, d).filter(col("p_partkey") <= 20)
@@ -938,6 +960,38 @@ object ExtendedQueries {
         |      FROM documents)
         |SELECT source, CAST(rn - 1 AS INT) AS pos, v AS doc_id
         |FROM r WHERE rn <= 5 ORDER BY source, pos""".stripMargin,
+
+    // the same pair estimator replayed from raw hashes: per-source
+    // bottom-16, merged bottom-16 (set union), match count, kth-minimum
+    // union estimate, derived intersection/Jaccard — every division
+    // mirrored term-for-term
+    "q120_kmv_set_ops" ->
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |bk AS (SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h) t
+        |  WHERE rn <= 16),
+        |src AS (SELECT DISTINCT source FROM documents),
+        |pr AS (SELECT x.source AS sa, y.source AS sb FROM src x JOIN src y ON x.source < y.source),
+        |uni AS (SELECT DISTINCT pr.sa, pr.sb, bk.h
+        |        FROM pr JOIN bk ON bk.source = pr.sa OR bk.source = pr.sb),
+        |lk AS (SELECT sa, sb, h FROM (
+        |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uni) t
+        |  WHERE rn <= 16),
+        |st AS (SELECT sa, sb, count(*) AS lsize, max(h) AS kth FROM lk GROUP BY sa, sb),
+        |m AS (SELECT lk.sa, lk.sb, count(*) AS matches
+        |      FROM lk JOIN bk ba ON ba.source = lk.sa AND ba.h = lk.h
+        |              JOIN bk bb ON bb.source = lk.sb AND bb.h = lk.h
+        |      GROUP BY lk.sa, lk.sb)
+        |SELECT st.sa AS source_a, st.sb AS source_b,
+        |  CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+        |  CASE WHEN st.lsize < 16 THEN CAST(st.lsize AS DOUBLE)
+        |       ELSE 15 * CAST(1152921504606846976 AS DOUBLE) / st.kth END AS union_est,
+        |  CAST(coalesce(m.matches, 0) AS DOUBLE) *
+        |    (CASE WHEN st.lsize < 16 THEN CAST(st.lsize AS DOUBLE)
+        |          ELSE 15 * CAST(1152921504606846976 AS DOUBLE) / st.kth END) / st.lsize AS inter_est,
+        |  CAST(coalesce(m.matches, 0) AS DOUBLE) / st.lsize AS jaccard_est
+        |FROM st LEFT JOIN m ON st.sa = m.sa AND st.sb = m.sb
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // independent formulation: on a successor chain, BFS hop distance
     // from the chain head IS the (0-based) chain position

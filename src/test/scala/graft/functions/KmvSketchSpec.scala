@@ -57,4 +57,62 @@ class KmvSketchSpec extends AnyFunSuite {
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
     assert(estimate(df, 8) == 2.0)
   }
+
+  test("kmv_pair_stats: planted overlap matches a from-scratch replay") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    // |A|=300, |B|=250, |A∩B|=150 (shared-i for i in 150..299), J=0.375
+    val a = ((0 until 150).map(i => s"only-a-$i") ++
+      (150 until 300).map(i => s"shared-$i")).map(("A", _))
+    val b = ((0 until 100).map(i => s"only-b-$i") ++
+      (150 until 300).map(i => s"shared-$i")).map(("B", _))
+    val df = (a ++ b).toDF("side", "v").repartition(7)
+    val k = 32
+    val st = df.groupBy("side").agg(call_function("kmv_state", col("v"), lit(k)).as("st"))
+    val row = st.filter(col("side") === "A").crossJoin(
+        st.filter(col("side") === "B").select(col("st").as("st2")))
+      .select(call_function("kmv_pair_stats", col("st"), col("st2"), lit(k)).as("ps"))
+      .select("ps.*").collect()(0)
+    val (matches, unionEst, interEst, jaccardEst) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // from-scratch reference: same hash, same bottom-k construction
+    val ha = a.map(x => KmvHash.hash60(x._2)).sorted.take(k).toSet
+    val hb = b.map(x => KmvHash.hash60(x._2)).sorted.take(k).toSet
+    val l = (ha ++ hb).toSeq.sorted.take(k)
+    val expMatches = l.count(h => ha(h) && hb(h)).toLong
+    val expUnion = (k - 1).toDouble * 1152921504606846976.0 / l.last.toDouble
+    assert(matches == expMatches && matches > 0, s"matches $matches vs $expMatches")
+    assert(unionEst == expUnion)
+    assert(jaccardEst == matches.toDouble / l.size.toDouble)
+    assert(interEst == matches.toDouble * expUnion / l.size.toDouble)
+    // estimates in a sane band around the true values (350 / 0.375)
+    assert(math.abs(unionEst - 350) / 350.0 < 0.5, s"union $unionEst")
+    assert(math.abs(jaccardEst - 0.375) < 0.25, s"jaccard $jaccardEst")
+    // symmetry: swapping the states cannot change any estimate
+    val sym = st.filter(col("side") === "B").crossJoin(
+        st.filter(col("side") === "A").select(col("st").as("st2")))
+      .select(call_function("kmv_pair_stats", col("st"), col("st2"), lit(k)).as("ps"))
+      .select("ps.*").collect()(0)
+    assert(sym.getLong(0) == matches && sym.getDouble(1) == unionEst &&
+      sym.getDouble(2) == interEst && sym.getDouble(3) == jaccardEst)
+  }
+
+  test("kmv_pair_stats: disjoint and identical sets hit the boundaries") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    val df = ((1 to 50).map(i => ("X", s"x-$i")) ++
+      (1 to 50).map(i => ("Y", s"y-$i")) ++
+      (1 to 50).map(i => ("Z", s"x-$i"))).toDF("side", "v")
+    val st = df.groupBy("side").agg(call_function("kmv_state", col("v"), lit(16)).as("st"))
+    def pair(s1: String, s2: String) =
+      st.filter(col("side") === s1).crossJoin(
+          st.filter(col("side") === s2).select(col("st").as("st2")))
+        .select(call_function("kmv_pair_stats", col("st"), col("st2"), lit(16)).as("ps"))
+        .select("ps.*").collect()(0)
+    val dis = pair("X", "Y")
+    assert(dis.getLong(0) == 0L && dis.getDouble(3) == 0.0)
+    val same = pair("X", "Z") // identical value sets → full-match merge
+    assert(same.getLong(0) == 16L && same.getDouble(3) == 1.0)
+    assert(same.getDouble(1) == same.getDouble(2)) // inter == union at J=1
+  }
 }
