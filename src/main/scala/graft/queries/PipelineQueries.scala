@@ -67,6 +67,32 @@ object PipelineQueries {
     (for (p <- 0 until nBits; d <- 0 until dims)
       yield s"($p,$d,${if (Ann.planeWeight(p, d) > 0) 1 else -1})").mkString(",")
 
+  /** The quantized-LSH top-k pipeline as a CTE chain ending in ranked
+    * results `r` (query_id, neighbor_id, cos, rank) — shared by the e03b
+    * twin and e22's retrieval-eval oracle. Also binds `emb`. */
+  private def lshQuantTopKCtes: String =
+    s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+       |       FROM emb, range(1, 65) t(i)),
+       |bits AS (SELECT un.vec_id, planes.p,
+       |   CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+       | FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+       |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+       |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
+       |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
+       |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
+       |q AS (SELECT emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
+       |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id CROSS JOIN masks
+       |      WHERE emb.vec_id < 5),
+       |scored AS (SELECT DISTINCT q.query_id, corpus.neighbor_id,
+       |             list_cosine_similarity(q.qe, corpus.cv) AS cos
+       |           FROM q JOIN corpus ON q.bucket = corpus.bucket
+       |           WHERE q.query_id <> corpus.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)""".stripMargin
+
   /** The deterministic PQ sub-centroids as a SQL VALUES list of
     * (subspace, code, GLOBAL dim, value) — e12b's oracle re-runs encode,
     * distance tables, and ADC from the same integers. */
@@ -1119,6 +1145,30 @@ object PipelineQueries {
       Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, k = 4, iters = 3)
         .orderBy(col("vec_id"))
+    }),
+
+    // retrieval-eval harness: recall@5 and first-hit reciprocal rank of
+    // the quantized-LSH top-5 against the exact cosine top-5 — the
+    // index-quality report every ANN deployment needs, computed as a
+    // distributed join of the two result sets (metrics are integer
+    // counts + two mirrored divisions; 60//first_hit_rank is exact for
+    // every rank 1..5, so no float accumulation anywhere)
+    "e22_retrieval_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Ann.lshTopKQuantized(emb, qs, "vec_id", "embedding", k = 5, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val met = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("hits"), min(col("rank")).as("fr"))
+      qs.select(col("vec_id").as("query_id")).join(met, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 5).as("recall5"),
+          coalesce(expr("60 div fr"), lit(0L)).as("rr_x60"))
+        .orderBy(col("query_id"))
     }),
 
     // MIPS twin of e02: inner-product ranking (retrieval scoring) —
@@ -2336,29 +2386,33 @@ object PipelineQueries {
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
 
     "e03b_ann_lsh_quantized" ->
-      s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
-         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
-         |       FROM emb, range(1, 65) t(i)),
-         |bits AS (SELECT un.vec_id, planes.p,
-         |   CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
-         | FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
-         |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
-         |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
-         |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
-         |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
-         |q AS (SELECT emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
-         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id CROSS JOIN masks
-         |      WHERE emb.vec_id < 5),
-         |scored AS (SELECT DISTINCT q.query_id, corpus.neighbor_id,
-         |             list_cosine_similarity(q.qe, corpus.cv) AS cos
-         |           FROM q JOIN corpus ON q.bucket = corpus.bucket
-         |           WHERE q.query_id <> corpus.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |      FROM scored)
+      s"""$lshQuantTopKCtes
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // retrieval-eval harness: recall@5 and first-hit reciprocal rank of
+    // the quantized-LSH top-5 against the exact cosine top-5 — both
+    // pipelines replayed here (the LSH chain from plane literals, the
+    // exact ranking brute-force), metrics in integer counts + mirrored
+    // divisions (60//fr divides evenly for every rank 1..5)
+    "e22_retrieval_eval" ->
+      s"""$lshQuantTopKCtes,
+         |ex AS (SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY qe.vec_id
+         |           ORDER BY list_cosine_similarity(qe.e, c.e) DESC, c.vec_id) AS xrank
+         |       FROM emb qe JOIN emb c ON c.vec_id <> qe.vec_id
+         |       WHERE qe.vec_id < 5),
+         |exk AS (SELECT query_id, neighbor_id FROM ex WHERE xrank <= 5),
+         |j AS (SELECT r.query_id, r.rank FROM r
+         |      JOIN exk ON r.query_id = exk.query_id AND r.neighbor_id = exk.neighbor_id
+         |      WHERE r.rank <= 5),
+         |met AS (SELECT query_id, count(*) AS hits, min(rank) AS fr FROM j GROUP BY query_id),
+         |qq AS (SELECT vec_id AS query_id FROM emb WHERE vec_id < 5)
+         |SELECT qq.query_id, CAST(coalesce(met.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(met.hits, 0) AS DOUBLE) / 5 AS recall5,
+         |  CAST(coalesce(60 // met.fr, 0) AS BIGINT) AS rr_x60
+         |FROM qq LEFT JOIN met ON qq.query_id = met.query_id
+         |ORDER BY qq.query_id""".stripMargin,
 
     // full PQ-ADC twin from the fixed integer codebook: encode = argmin
     // of BIGINT sub-distances (ties → lowest code), tables = the same
