@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -232,6 +233,30 @@ object PipelineQueries {
         .orderBy(desc("priority"), col("doc_id")).limit(50)
         .select(col("doc_id"), col("w"), round(col("priority"), 4).as("priority"))
         .orderBy(col("doc_id"))
+    }),
+
+    // exact-N source mixture via Hamilton largest-remainder apportionment:
+    // integer-sqrt weights (temperature-1/2 downsampling of head sources),
+    // quota = N·w div W, the N − Σbase leftover seats go to the largest
+    // remainders (N·w mod W, source-asc tiebreak), then each source
+    // contributes its quota in md5 order — the materialized epoch draw for
+    // d22's mixing step with an EXACT total. Apportionment runs on the
+    // sources-sized table (broadcast everywhere); the per-source pick is
+    // a partitioned window, so the corpus never leaves its shuffle.
+    "d44_mixing_manifest" -> ((s, d) => {
+      val n = 200L
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+      val seats = graft.operators.Apportion.largestRemainder(counts, "source", "w", n)
+      docs.select(col("source"), col("doc_id"))
+        .withColumn("slot", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .join(broadcast(seats.select(col("source"), col("quota"))), "source")
+        .filter(col("slot") <= col("quota"))
+        .select(col("source"), col("slot"), col("doc_id"))
+        .orderBy(col("source"), col("slot"))
     }),
 
     // DIRECTED containment pairs — the subset-duplicate detector Jaccard
@@ -1560,6 +1585,28 @@ object PipelineQueries {
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // identical apportionment replay: integer sqrt weights, floor quotas,
+    // largest-remainder seats, md5-ordered per-source picks. HUGEINT
+    // sums cast to BIGINT (the pandas-compare gotcha).
+    "d44_mixing_manifest" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT w.source, (200 * w.w) // t.tw AS base, (200 * w.w) % t.tw AS remv FROM w, t),
+        |u AS (SELECT CAST(sum(base) AS BIGINT) AS used FROM q),
+        |r AS (SELECT q.*, row_number() OVER (ORDER BY remv DESC, source) AS rrank FROM q),
+        |f AS (SELECT r.source,
+        |        r.base + CASE WHEN r.rrank <= 200 - u.used THEN 1 ELSE 0 END AS quota
+        |      FROM r, u),
+        |o AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
+        |      FROM documents)
+        |SELECT o.source, CAST(o.slot AS INT) AS slot, o.doc_id
+        |FROM o JOIN f ON o.source = f.source
+        |WHERE o.slot <= f.quota
+        |ORDER BY o.source, o.slot""".stripMargin,
 
     "d42_priority_sample" ->
       """WITH d AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS w,
