@@ -74,6 +74,61 @@ object EventQueries {
         .orderBy(col("hour_us"), col("event_type"))
     }),
 
+    // RANGE-interval window frame: trailing-1-hour count and value sum
+    // per event — the frame is defined by the ORDER-BY VALUE (integer
+    // micros), not row position, so duplicate timestamps are peers in
+    // both engines. The one window op Spark's frames support that row
+    // frames can't express; decimal sums → double only at the boundary.
+    "q121_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("event_type"), col("tus"),
+          col("cnt_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // linear gap interpolation over the q33 hourly spine: missing hours
+    // get prev + (next−prev)·(t−t0)/(t1−t0) between the surrounding
+    // known points (leading/trailing gaps clamp to the nearest known
+    // value) — the time-series repair step between q33's zero-fill and
+    // q65's forward-fill. Hour arithmetic is exact integer micros; the
+    // interpolation is the only float op, mirrored term-for-term.
+    "q122_linear_interp" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("hour_us", col("tus") - pmod(col("tus"), lit(3600L * 1000000L)))
+      val known = e.groupBy(col("event_type"), col("hour_us"))
+        .agg(sum(dec(col("value"))).cast(DoubleType).as("v"))
+      val bounds = e.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L * 1000000L))).as("hour_us"))
+      val types = e.select(col("event_type")).distinct()
+      val grid = spine.crossJoin(types)
+        .join(known, Seq("event_type", "hour_us"), "left")
+      val wp = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pt", last(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nt", first(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(wn))
+        .withColumn("interp",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") +
+              (col("nv") - col("pv")) * (col("hour_us") - col("pt")) / (col("nt") - col("pt"))))
+        .select(col("event_type"), col("hour_us"),
+          col("v").isNotNull.as("known"), col("interp"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -805,6 +860,45 @@ object EventQueries {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN c ON c.hour_us = s.hour_us AND c.event_type = t.event_type
         |ORDER BY s.hour_us, t.event_type""".stripMargin,
+
+    "q121_range_frame" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)
+        |SELECT event_id, event_type, tus,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q122_linear_interp" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
+        |h AS (SELECT event_type, tus - tus % 3600000000 AS hour_us, value FROM e),
+        |known AS (SELECT event_type, hour_us,
+        |            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |          FROM h GROUP BY event_type, hour_us),
+        |b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM h),
+        |spine AS (SELECT unnest(range(lo, hi + 3600000000, 3600000000)) AS hour_us FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT t.event_type, s.hour_us, k.v
+        |         FROM spine s CROSS JOIN types t
+        |         LEFT JOIN known k ON k.event_type = t.event_type AND k.hour_us = s.hour_us),
+        |f AS (SELECT event_type, hour_us, v,
+        |        last_value(v IGNORE NULLS) OVER wp AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS) OVER wp AS pt,
+        |        first_value(v IGNORE NULLS) OVER wn AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS) OVER wn AS nt
+        |      FROM grid
+        |      WINDOW wp AS (PARTITION BY event_type ORDER BY hour_us
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY event_type ORDER BY hour_us
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_us, (v IS NOT NULL) AS known,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (hour_us - pt) / (nt - pt) END AS interp
+        |FROM f ORDER BY event_type, hour_us""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),
