@@ -235,6 +235,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality rules (Rae et al. §A1.1): word count bounds,
+    // mean word length band, pure-symbol-token ratio, alphabetic-word
+    // fraction — the named rule set a curation run applies before model
+    // scoring (complements d02's engine-specific score and d23's trained
+    // classifier). Map-only codegen'd higher-order functions over the
+    // token array; the only float ops are three mirrored divisions of
+    // exact integer counts.
+    "d45_gopher_rules" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("sum_len",
+          expr("aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x)"))
+        .withColumn("alpha_words",
+          expr("size(filter(ws, w -> w rlike '[A-Za-z]'))"))
+        .withColumn("symbol_words",
+          expr("size(filter(ws, w -> w rlike '^[^A-Za-z0-9]+$'))"))
+        .withColumn("mean_word_len",
+          col("sum_len").cast(DoubleType) / col("n_words"))
+        .withColumn("symbol_ratio",
+          col("symbol_words").cast(DoubleType) / col("n_words"))
+        .withColumn("alpha_frac",
+          col("alpha_words").cast(DoubleType) / col("n_words"))
+        .withColumn("pass",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_frac"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-N source mixture via Hamilton largest-remainder apportionment:
     // integer-sqrt weights (temperature-1/2 downsampling of head sources),
     // quota = N·w div W, the N − Σbase leftover seats go to the largest
@@ -1585,6 +1617,25 @@ object PipelineQueries {
         |FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // same token stream, same integer counts, same three divisions
+    "d45_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        len(ws) AS n_words,
+        |        list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+        |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+        |        len(list_filter(ws, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) AS symbol_words
+        |      FROM w)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(symbol_words AS DOUBLE) / n_words AS symbol_ratio,
+        |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+        |    AND CAST(symbol_words AS DOUBLE) / n_words < 0.1
+        |    AND CAST(alpha_words AS DOUBLE) / n_words > 0.8) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // identical apportionment replay: integer sqrt weights, floor quotas,
     // largest-remainder seats, md5-ordered per-source picks. HUGEINT
