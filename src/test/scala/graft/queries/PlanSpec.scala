@@ -326,6 +326,23 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), "bucket equi-join expected:\n" + p.take(2000))
   }
 
+  test("q119: BFS frontier expansion is equi-joins only — no nested loop") {
+    val p = plan("q119_bfs_distances")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("e21: semantic dedup pairs join inside clusters — no all-pairs cartesian") {
+    val p = plan("e21_semdedup")
+    assert(!p.contains("CartesianProduct"), "all-pairs crept in:\n" + p.take(2000))
+  }
+
+  test("d44: apportionment broadcasts onto the corpus; one partitioned window") {
+    val p = plan("d44_mixing_manifest")
+    assert(p.contains("BroadcastHashJoin"), "quota table should broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB a selective dim filter should reach the fact scan as a
