@@ -16,10 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventQueries {
 
-  /** events with `tus` = epoch micros (exact integer division of nanos). */
+  /** events with `tus` = epoch micros, robust to how the generator wrote
+    * `ts`: TIMESTAMP(NANOS) parquet arrives as raw nano longs (exact
+    * integer division), TIMESTAMP(MICROS) without a zone arrives as
+    * TIMESTAMP_NTZ (wall-clock micros extracted under a pinned-UTC cast —
+    * bit-identical to DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` twin),
+    * zoned micros arrive as TIMESTAMP (`unix_micros` directly). */
   private def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = Tables.events(s, d)
+    val tus = df.schema("ts").dataType match {
+      case LongType           => expr("ts div 1000")
+      case _: TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case _                  => expr("unix_micros(ts)")
+    }
+    df.withColumn("tus", tus)
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
