@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
-      ExtendedQueries.queries
+      ExtendedQueries.queries ++ CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle ++
-      ExtendedQueries.oracle
+      ExtendedQueries.oracle ++ CurationQueries.oracle
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextFunctions
+
+/** Corpus-curation operators beyond the PipelineQueries inventory:
+  * frequency-based boilerplate removal, corpus-relative perplexity
+  * bucketing (the CCNet head/middle/tail split), and classifier
+  * calibration — the quality-audit loop a 100 TB curation run closes
+  * before committing to a filter threshold.
+  *
+  * Every query here is hash-checked: the arithmetic stays in exactly-
+  * defined IEEE ops or DECIMAL-cast sums (the d21 rule), so the DuckDB
+  * twins recompute bit-identical values.
+  */
+object CurationQueries {
+
+  /** d18's paragraph construction (10-token windows — the synthetic
+    * corpus has no newlines), keyed by md5 so every downstream shuffle
+    * compares fixed 32-char keys instead of kilobyte texts. */
+  private def paragraphs(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1), " +
+          "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as(Seq("idx", "para")))
+      .withColumn("pkey", md5(col("para")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet/RefinedWeb-style boilerplate removal: a paragraph occurring
+    // in >= 3 DISTINCT documents is boilerplate (nav bars, license
+    // headers, cookie banners) and is dropped from every document —
+    // unlike d18's dedup, which keeps the first occurrence. Scale shape:
+    // the frequency count shuffles (pkey, doc_id) pairs only — never
+    // text; the boilerplate key set is tiny by construction (only keys
+    // crossing the threshold) and BROADCASTS into a map-side anti join,
+    // so the paragraph table is never shuffled for the prune itself.
+    "d46_boilerplate_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val paras = paragraphs(docs)
+      val boiler = paras.groupBy(col("pkey"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("pkey"))
+      val kept = paras.join(broadcast(boiler), Seq("pkey"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(idx, para))), x -> x.para), ' | ')")
+            .as("clean_text"))
+      docs.select(col("doc_id"),
+          ceil(size(split(col("text"), "\\s+")) / 10.0).cast(LongType).as("n_paras"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail perplexity bucketing: rank documents by the
+    // corpus's own unigram LM score (d21's exactly-associative decimal
+    // sum) and split into terciles. The two cut rows are found with
+    // orderBy().limit(k) — TakeOrderedAndProject, never a global window —
+    // then broadcast, so bucket assignment is map-only. The corpus-size
+    // scalar is the one driver-side count (the d11 precedent). At 100 TB
+    // the exact cuts swap for approx-percentile thresholds; the bucket
+    // rule itself is unchanged.
+    "d47_ppl_buckets" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val n = tk.agg(count(lit(1)).as("n_tokens"))
+      val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
+      val scores = tk.join(broadcast(tf), "term").crossJoin(broadcast(n))
+        .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_toks"))
+        .select(col("doc_id"),
+          round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
+        .withColumn("nk", -col("avg_logprob")) // ascending nk = best-first
+      val nDocs = scores.count() // scalar corpus size — the d11 precedent
+      def cut(k: Long, a: String, b: String) =
+        scores.orderBy(col("nk"), col("doc_id")).limit(k.toInt)
+          .agg(max(struct(col("nk"), col("doc_id"))).as("c"))
+          .select(col("c.nk").as(a), col("c.doc_id").as(b))
+      val k1 = math.ceil(nDocs / 3.0).toLong
+      val k2 = math.ceil(nDocs * 2 / 3.0).toLong
+      def le(nk: Column, id: Column, cNk: Column, cId: Column): Column =
+        nk < cNk || (nk === cNk && id <= cId)
+      scores
+        .crossJoin(broadcast(cut(k1, "c1nk", "c1id")))
+        .crossJoin(broadcast(cut(k2, "c2nk", "c2id")))
+        .select(col("doc_id"), col("avg_logprob"),
+          when(le(col("nk"), col("doc_id"), col("c1nk"), col("c1id")), "head")
+            .when(le(col("nk"), col("doc_id"), col("c2nk"), col("c2id")), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // classifier calibration (reliability diagram): bin d23's predicted
+    // keep-probability into deciles and compare against the rule-based
+    // quality label — the audit that decides whether a trained filter's
+    // scores can be thresholded directly or need recalibration. Map-only
+    // feature pass + one 10-row aggregate; mean-p sums DECIMAL-cast
+    // probabilities (exact, associative).
+    "d48_calibration" -> ((s, d) => {
+      val z = TextFunctions.classifierLogit(col("text"))
+      val p = round(TextFunctions.hardSigmoid(z), 6)
+      Tables.documents(s, d)
+        .select(
+          least(floor(p * 10).cast(IntegerType), lit(9)).as("bin"),
+          p.cast(DecimalType(18, 6)).as("p"),
+          (TextFunctions.qualityScore(col("text")) >= 0.36).cast(IntegerType).as("label"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6).as("mean_p"),
+          round(sum(col("label")) * lit(1.0) / count(lit(1)), 6).as("frac_pos"))
+        .orderBy(col("bin"))
+    }))
+
+  private val boilerCtes =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      |p AS (SELECT doc_id, unnest(list_transform(
+      |        range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+      |        i -> {'idx': CAST(i AS INT),
+      |              'para': array_to_string(ws[(i*10+1):(i*10+10)], ' ')})) AS u
+      |      FROM t),
+      |px AS (SELECT doc_id, u.idx AS idx, u.para AS para, md5(u.para) AS pkey FROM p),
+      |bp AS (SELECT pkey FROM px GROUP BY pkey HAVING count(DISTINCT doc_id) >= 3),
+      |kept AS (SELECT * FROM px WHERE pkey NOT IN (SELECT pkey FROM bp)),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |          string_agg(para, ' | ' ORDER BY idx) AS clean_text
+      |        FROM kept GROUP BY doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d46_boilerplate_prune" ->
+      s"""$boilerCtes
+         |SELECT t.doc_id, CAST(ceil(len(t.ws) / 10.0) AS BIGINT) AS n_paras,
+         |  coalesce(agg.n_kept, 0) AS n_kept, coalesce(agg.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "d47_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |n AS (SELECT count(*) AS n_tokens FROM tk),
+        |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+        |lp AS (SELECT tk.doc_id, CAST(ln(tf.tf * 1.0 / n.n_tokens) AS DECIMAL(18,6)) AS lp
+        |       FROM tk JOIN tf USING (term) CROSS JOIN n),
+        |s AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |      FROM lp GROUP BY doc_id),
+        |o AS (SELECT doc_id, avg_logprob, -avg_logprob AS nk,
+        |        row_number() OVER (ORDER BY -avg_logprob, doc_id) AS rn FROM s),
+        |k AS (SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS k1,
+        |        CAST(ceil(count(*) * 2 / 3.0) AS BIGINT) AS k2 FROM s),
+        |b1 AS (SELECT o.nk AS c1nk, o.doc_id AS c1id FROM o, k WHERE o.rn = k.k1),
+        |b2 AS (SELECT o.nk AS c2nk, o.doc_id AS c2id FROM o, k WHERE o.rn = k.k2)
+        |SELECT o.doc_id, o.avg_logprob,
+        |  CASE WHEN o.nk < c1nk OR (o.nk = c1nk AND o.doc_id <= c1id) THEN 'head'
+        |       WHEN o.nk < c2nk OR (o.nk = c2nk AND o.doc_id <= c2id) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM o CROSS JOIN b1 CROSS JOIN b2 ORDER BY doc_id""".stripMargin,
+
+    "d48_calibration" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  len(string_split_regex(text, '\\s+')) AS n,
+         |  len(list_filter(string_split_regex(text, '\\s+'), w -> w IN (${PipelineQueries.stopList}))) AS stop_cnt,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         |  length(text) AS tlen
+         | FROM documents),
+         |z AS (SELECT doc_id, text,
+         |  -1.2 + stop_cnt * 1.0 / greatest(n, 1) * 3.5
+         |       - punct_cnt * 1.0 / greatest(tlen, 1) * 8.0
+         |       + least(n, 200) * 1.0 / 200.0 * 2.0 AS zv
+         | FROM f),
+         |pr AS (SELECT doc_id,
+         |  round(least(greatest(zv * 0.25 + 0.5, 0.0), 1.0), 6) AS p,
+         |  CASE WHEN ${PipelineQueries.qualitySql("text")} >= 0.36 THEN 1 ELSE 0 END AS label
+         | FROM z)
+         |SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, count(*) AS n,
+         |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_p,
+         |  round(sum(label) * 1.0 / count(*), 6) AS frac_pos
+         |FROM pr GROUP BY 1 ORDER BY bin""".stripMargin)
+}

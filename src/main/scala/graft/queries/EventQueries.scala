@@ -141,6 +141,44 @@ object EventQueries {
         .orderBy(col("event_type"), col("hour_us"))
     }),
 
+    // U-shaped (position-based) multi-touch attribution: each purchase
+    // closes a journey of the user's view/click touches since the
+    // previous purchase; its value is credited 40% to the first touch,
+    // 40% to the last, 20% split across the middles (1 touch → 100%,
+    // 2 → 50/50). Journey ids come from a running purchase count — one
+    // (user) window shuffle; per-journey stats are windows over the
+    // (user, journey) key. Per-touch credits are DECIMAL-cast before the
+    // final aggregate (exact, associative — the d21 rule). Journeys are
+    // per-user, so at 100 TB the shuffle is key-balanced by user and no
+    // single partition sees more than one user's history.
+    "q123_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grouped = ev
+        .withColumn("grp", sum(col("is_p")).over(wu) - col("is_p"))
+      val wj = Window.partitionBy(col("user_id"), col("grp"))
+      val touches = grouped
+        .withColumn("pv", max(when(col("is_p") === 1, col("value"))).over(wj))
+        .filter(col("event_type").isin("view", "click") && col("pv").isNotNull)
+      val wt = Window.partitionBy(col("user_id"), col("grp"))
+        .orderBy(col("tus"), col("event_id"))
+      val credited = touches
+        .withColumn("pos", row_number().over(wt))
+        .withColumn("nt", count(lit(1)).over(wj))
+        .withColumn("credit",
+          when(col("nt") === 1, lit(1.0))
+            .when(col("nt") === 2, lit(0.5))
+            .when(col("pos") === 1 || col("pos") === col("nt"), lit(0.4))
+            .otherwise(lit(0.2) / (col("nt") - 2)))
+        .withColumn("cv", (col("credit") * col("pv")).cast(DecimalType(18, 6)))
+      credited.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("cv")).cast(DoubleType), 4).as("attributed_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -911,6 +949,31 @@ object EventQueries {
         |       WHEN nv IS NULL THEN pv
         |       ELSE pv + (nv - pv) * (hour_us - pt) / (nt - pt) END AS interp
         |FROM f ORDER BY event_type, hour_us""".stripMargin,
+
+    "q123_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |           FROM events),
+        |g AS (SELECT *, sum(is_p) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_p AS grp FROM e),
+        |j AS (SELECT *, max(CASE WHEN is_p = 1 THEN value END)
+        |        OVER (PARTITION BY user_id, grp) AS pv FROM g),
+        |t AS (SELECT * FROM j WHERE event_type IN ('view', 'click') AND pv IS NOT NULL),
+        |c AS (SELECT event_type, pv,
+        |        row_number() OVER (PARTITION BY user_id, grp ORDER BY tus, event_id) AS pos,
+        |        count(*) OVER (PARTITION BY user_id, grp) AS nt
+        |      FROM t),
+        |cr AS (SELECT event_type,
+        |         CAST((CASE WHEN nt = 1 THEN CAST(1.0 AS DOUBLE)
+        |                    WHEN nt = 2 THEN CAST(0.5 AS DOUBLE)
+        |                    WHEN pos = 1 OR pos = nt THEN CAST(0.4 AS DOUBLE)
+        |                    ELSE CAST(0.2 AS DOUBLE) / (nt - 2) END) * pv
+        |              AS DECIMAL(18,6)) AS cv
+        |       FROM c)
+        |SELECT event_type, count(*) AS n_touches,
+        |  round(CAST(sum(cv) AS DOUBLE), 4) AS attributed_value
+        |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),

@@ -20,11 +20,11 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries {
 
-  private val stopList = TextFunctions.DefaultStopwords.map(s => s"'$s'").mkString(", ")
+  private[queries] val stopList = TextFunctions.DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB twin of [[TextFunctions.qualityScore]] — shared by the d02
-    * oracle and the d14 cleaned-corpus filter. */
-  private def qualitySql(textCol: String): String =
+    * oracle, the d14 cleaned-corpus filter, and d48's label rule. */
+  private[queries] def qualitySql(textCol: String): String =
     s"""least(greatest(
        |   (least(len(string_split_regex($textCol, '\\s+')), 200) * 1.0 / 200.0) * 0.5
        |   + (len(list_filter(string_split_regex($textCol, '\\s+'), w -> w IN ($stopList))) * 1.0

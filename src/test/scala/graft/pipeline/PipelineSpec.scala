@@ -604,6 +604,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.exists(!_._2), "planted near-dups should be pruned")
   }
 
+  test("boilerplate prune: dropped paragraphs occur in >= 3 docs; kept never do") {
+    val out = graft.queries.CurationQueries.queries("d46_boilerplate_prune")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // frequency ground truth recomputed from the same paragraph windows
+    val paras = docs.withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1), " +
+          "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as("para"))
+    val freq = paras.groupBy("para")
+      .agg(countDistinct(col("doc_id")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = paras.collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> (rs.length.toLong, rs.count(r => freq(r.getString(1)) < 3).toLong)
+    }
+    assert(out == expected)
+    assert(out.exists { case (_, (n, kept)) => kept < n }, "threshold should prune something")
+  }
+
+  test("ppl buckets: tercile sizes partition the corpus, head holds the best scores") {
+    val rows = graft.queries.CurationQueries.queries("d47_ppl_buckets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = rows.length
+    val k1 = math.ceil(n / 3.0).toLong
+    val k2 = math.ceil(n * 2 / 3.0).toLong
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(sizes("head") == k1 && sizes("middle") == k2 - k1 && sizes("tail") == n - k2, sizes.toString)
+    // every head score beats (or ties at the boundary) every tail score
+    val worstHead = rows.filter(_._3 == "head").map(_._2).min
+    val bestTail = rows.filter(_._3 == "tail").map(_._2).max
+    assert(worstHead >= bestTail, s"head floor $worstHead < tail ceiling $bestTail")
+  }
+
+  test("calibration bins: counts partition the corpus, mean_p lies inside each bin") {
+    val bins = graft.queries.CurationQueries.queries("d48_calibration")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(bins.map(_._2).sum == docs.count())
+    bins.foreach { case (bin, _, meanP) =>
+      val lo = bin / 10.0
+      val hi = if (bin == 9) 1.0 + 1e-9 else (bin + 1) / 10.0
+      assert(meanP >= lo - 1e-9 && meanP < hi, s"bin $bin mean_p $meanP")
+    }
+  }
+
+  test("attribution: credited value equals the value of every touched purchase") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.queries.EventQueries.queries("q123_attribution")(spark, sf)
+      .agg(sum(col("attributed_value"))).collect()(0).getDouble(0)
+    // ground truth: sum of purchase values whose journey saw >= 1 touch
+    val raw = Tables.events(spark, sf)
+    val tusExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    val ev = raw.withColumn("tus", tusExpr)
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = ev.withColumn("grp", sum(col("is_p")).over(wu) - col("is_p"))
+    val touched = g.filter(col("event_type").isin("view", "click"))
+      .select("user_id", "grp").distinct()
+    val expected = g.filter(col("is_p") === 1)
+      .join(touched, Seq("user_id", "grp"), "left_semi")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(out - expected) < 1e-2, s"credited $out vs purchases $expected")
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
