@@ -369,4 +369,25 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set(key, prevT)
     }
   }
+
+  test("d46: boilerplate keys broadcast into the anti join — paragraphs never shuffle for the prune") {
+    val p = plan("d46_boilerplate_prune")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "expected a broadcast anti join on pkey:\n" + p.take(3000))
+  }
+
+  test("d47: tercile cuts come from TakeOrderedAndProject, buckets from broadcast — no global window") {
+    val p = plan("d47_ppl_buckets")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), "bucketing must not use a global window:\n" + p.take(3000))
+  }
+
+  test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
+    val p = plan("q123_attribution")
+    // (user_id) hash output satisfies the (user_id, grp) window's
+    // clustering requirement, so all three window groups run off ONE
+    // exchange; the only other exchange is the 5-row final aggregate's
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges:\n" + p.take(3000))
+  }
 }
