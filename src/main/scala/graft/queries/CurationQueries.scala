@@ -97,6 +97,84 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup threshold sweep: exact bigram-Jaccard pair / touched-doc
+    // counts at 0.3 / 0.5 / 0.7 — the sensitivity table that picks a
+    // near-dup threshold before committing a 100 TB dedup pass. The
+    // heavy inverted-index self-join runs ONCE; the three thresholds
+    // fan out over its (tiny) co-occurrence output. Same shingle
+    // semantics as d08/d09 (distinct bigrams; single-token docs use the
+    // whole text), so the sweep is consistent with the operators it
+    // tunes.
+    "d49_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val thresholds = Seq(0.3, 0.5, 0.7).toDF("threshold")
+      val bg = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), "\\s+"))
+        .select(col("doc_id"), when(size(col("ws")) < 2,
+            array(array_join(col("ws"), " ")))
+          .otherwise(array_distinct(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
+          .as("bgs"))
+      val sizes = bg.select(col("doc_id"), size(col("bgs")).as("n"))
+      val e = bg.select(col("doc_id"), explode(col("bgs")).as("s"))
+      val co = e.as("x").join(e.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+      val jacc = co
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("j", col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      val pairs = jacc.crossJoin(thresholds)
+        .filter(col("j") >= col("threshold"))
+      val nPairs = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pairs.select(col("threshold"), col("a").as("doc"))
+        .union(pairs.select(col("threshold"), col("b")))
+        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
+      thresholds
+        .join(nPairs, Seq("threshold"), "left").join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("threshold"))
+    }),
+
+    // embedding drift between corpus halves (even vs odd vec_ids) per
+    // label: the monitoring probe an embedding pipeline runs across
+    // snapshots. Integer-exact the whole way (the e03b rule): vectors
+    // quantize to floor(v·1024) longs, per-(label, half, dim) SUMS stay
+    // integers (order-independent), and the cosine between the two sum
+    // vectors is scale-invariant so counts and the 1024 cancel —
+    // sqrt/divide touch doubles only at the final scalar. One shuffle
+    // to the (label, half, dim) grid; the 2×64-row-per-label join is
+    // trivially broadcast.
+    "e23_embedding_drift" -> ((s, d) => {
+      val q = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).cast(IntegerType).as("half"),
+          posexplode(col("embedding")))
+        .withColumn("qv", floor(col("col").cast(DoubleType) * 1024).cast(LongType))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(sum(col("qv")).as("sv"))
+      val counts = Tables.embeddings(s, d)
+        .groupBy(col("label"), (col("vec_id") % 2).cast(IntegerType).as("half"))
+        .agg(count(lit(1)).as("n"))
+      val a = q.filter(col("half") === 0).select(col("label"), col("pos"), col("sv").as("sa"))
+      val b = q.filter(col("half") === 1).select(col("label"), col("pos"), col("sv").as("sb"))
+      val dot = a.join(b, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(sum(col("sa") * col("sb")).as("num"),
+          sum(col("sa") * col("sa")).as("da"),
+          sum(col("sb") * col("sb")).as("db"))
+      dot
+        .join(counts.filter(col("half") === 0).select(col("label"), col("n").as("n_a")), "label")
+        .join(counts.filter(col("half") === 1).select(col("label"), col("n").as("n_b")), "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(col("num").cast(DoubleType) /
+            (sqrt(col("da").cast(DoubleType)) * sqrt(col("db").cast(DoubleType))), 6)
+            .as("cos_shift"))
+        .orderBy(col("label"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -159,6 +237,44 @@ object CurationQueries {
         |       WHEN o.nk < c2nk OR (o.nk = c2nk AND o.doc_id <= c2id) THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM o CROSS JOIN b1 CROSS JOIN b2 ORDER BY doc_id""".stripMargin,
+
+    "d49_dedup_sweep" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |jc AS (SELECT a, b, common * 1.0 / (sa.n + sb.n - common) AS j
+        |       FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id),
+        |th AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE)]) AS threshold),
+        |p AS (SELECT th.threshold, jc.a, jc.b FROM jc CROSS JOIN th WHERE jc.j >= th.threshold),
+        |np AS (SELECT threshold, count(*) AS n_pairs FROM p GROUP BY threshold),
+        |nd AS (SELECT threshold, count(DISTINCT doc) AS n_docs FROM
+        |         (SELECT threshold, a AS doc FROM p UNION ALL SELECT threshold, b FROM p)
+        |       GROUP BY threshold)
+        |SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, coalesce(nd.n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN np ON th.threshold = np.threshold
+        |        LEFT JOIN nd ON th.threshold = nd.threshold
+        |ORDER BY th.threshold""".stripMargin,
+
+    "e23_embedding_drift" ->
+      """WITH q AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, CAST(t.i AS INT) - 1 AS pos,
+        |             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1024) AS BIGINT) AS qv
+        |           FROM embeddings, range(1, 65) t(i)),
+        |s AS (SELECT label, half, pos, sum(qv) AS sv FROM q GROUP BY label, half, pos),
+        |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, count(*) AS n
+        |      FROM embeddings GROUP BY 1, 2),
+        |dot AS (SELECT a.label,
+        |          sum(a.sv * b.sv) AS num, sum(a.sv * a.sv) AS da, sum(b.sv * b.sv) AS db
+        |        FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+        |        WHERE a.half = 0 AND b.half = 1 GROUP BY a.label)
+        |SELECT dot.label, ca.n AS n_a, cb.n AS n_b,
+        |  round(CAST(num AS DOUBLE) / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))), 6) AS cos_shift
+        |FROM dot JOIN c ca ON dot.label = ca.label AND ca.half = 0
+        |         JOIN c cb ON dot.label = cb.label AND cb.half = 1
+        |ORDER BY dot.label""".stripMargin,
 
     "d48_calibration" ->
       s"""WITH f AS (SELECT doc_id, text,

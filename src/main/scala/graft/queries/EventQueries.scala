@@ -179,6 +179,39 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // metric drift detection: chi-square contributions of the late half
+    // of the event stream against the early half's value histogram — the
+    // shape-shift monitor a pipeline runs across ingest snapshots. The
+    // median time cut is a TakeOrderedAndProject (never a global
+    // window); bounds/totals are tiny broadcast scalars; binning is
+    // map-only. Per-bin contributions are pure IEEE arithmetic emitted
+    // PER ROW (no cross-row float sum), so the result hash-checks.
+    "q124_drift_chi2" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("tus"), col("value"))
+      val nTotal = ev.count() // scalar stream size — the d11 precedent
+      val k = math.ceil(nTotal / 2.0).toLong
+      val cut = ev.orderBy(col("tus"), col("event_id")).limit(k.toInt)
+        .agg(max(struct(col("tus"), col("event_id"))).as("c"))
+        .select(col("c.tus").as("ctus"), col("c.event_id").as("cid"))
+      val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val hist = ev.crossJoin(broadcast(cut)).crossJoin(broadcast(bounds))
+        .withColumn("early", col("tus") < col("ctus") ||
+          (col("tus") === col("ctus") && col("event_id") <= col("cid")))
+        .withColumn("bin", least(lit(9),
+          floor((col("value") - col("mn")) * 10 / (col("mx") - col("mn"))).cast(IntegerType)))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("early"), 1).otherwise(0)).as("n_early"),
+          sum(when(!col("early"), 1).otherwise(0)).as("n_late"))
+      val totals = hist.agg(sum(col("n_early")).as("ne"), sum(col("n_late")).as("nl"))
+      hist.crossJoin(broadcast(totals))
+        .withColumn("expected", col("n_early") * (col("nl") * lit(1.0) / col("ne")))
+        .withColumn("dev", col("n_late") - col("expected"))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          when(col("expected") > 0,
+            round(col("dev") * col("dev") / col("expected"), 6)).as("contrib"))
+        .orderBy(col("bin"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -974,6 +1007,27 @@ object EventQueries {
         |SELECT event_type, count(*) AS n_touches,
         |  round(CAST(sum(cv) AS DOUBLE), 4) AS attributed_value
         |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q124_drift_chi2" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
+        |k AS (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM e),
+        |o AS (SELECT tus, event_id, row_number() OVER (ORDER BY tus, event_id) AS rn FROM e),
+        |cut AS (SELECT o.tus AS ctus, o.event_id AS cid FROM o, k WHERE o.rn = k.k),
+        |b AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
+        |tagged AS (SELECT e.value,
+        |    (e.tus < ctus OR (e.tus = ctus AND e.event_id <= cid)) AS early,
+        |    least(9, CAST(floor((e.value - mn) * 10 / (mx - mn)) AS INT)) AS bin
+        |  FROM e CROSS JOIN cut CROSS JOIN b),
+        |hist AS (SELECT bin,
+        |           CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |           CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |         FROM tagged GROUP BY bin),
+        |t AS (SELECT sum(n_early) AS ne, sum(n_late) AS nl FROM hist)
+        |SELECT bin, n_early, n_late,
+        |  CASE WHEN n_early * (nl * 1.0 / ne) > 0 THEN
+        |    round((n_late - n_early * (nl * 1.0 / ne)) * (n_late - n_early * (nl * 1.0 / ne))
+        |          / (n_early * (nl * 1.0 / ne)), 6) END AS contrib
+        |FROM hist CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),

@@ -670,6 +670,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out - expected) < 1e-2, s"credited $out vs purchases $expected")
   }
 
+  test("dedup sweep: pair counts are threshold-monotone and agree with the pair operator") {
+    val rows = graft.queries.CurationQueries.queries("d49_dedup_sweep")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    assert(rows.sliding(2).forall { case Array(lo, hi) => lo._2 >= hi._2 && lo._3 >= hi._3 })
+    rows.foreach { case (_, nPairs, nDocs) => assert(nDocs <= 2 * nPairs) }
+    // the 0.5 row must equal the pair operator the sweep tunes
+    val opPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 2, 1000000).count()
+    assert(rows.find(_._1 == 0.5).get._2 == opPairs)
+  }
+
+  test("embedding drift: cosine bounded, half sizes partition each label") {
+    val out = graft.queries.CurationQueries.queries("e23_embedding_drift")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val labelCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == labelCounts.keySet)
+    out.foreach { case (label, na, nb, cos) =>
+      assert(na + nb == labelCounts(label))
+      // near-zero-centered synthetic embeddings leave the half-mean
+      // DIRECTION noisy, so only the Cauchy-Schwarz bound is invariant
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"label $label cos $cos")
+    }
+  }
+
+  test("drift chi2: bins partition the stream, contributions non-negative") {
+    val out = graft.queries.EventQueries.queries("q124_drift_chi2")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    out.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
