@@ -212,6 +212,36 @@ object EventQueries {
         .orderBy(col("bin"))
     }),
 
+    // beaconing detection — the classic Zeek-log analytic: entities whose
+    // inter-arrival gaps are suspiciously REGULAR (low coefficient of
+    // variation = automated callbacks; humans are bursty). Gap moments
+    // accumulate as exact integers/decimals (gaps are long micros; the
+    // squared sum is DECIMAL(38,0) — gap² overflows int64), so the
+    // aggregation is order-independent (the q60 rule) and doubles appear
+    // only in the final per-row CV formula. One lag window + one agg,
+    // both keyed by user — scales by entity count.
+    "q125_beacon_cv" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val gaps = events(s, d)
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("s1"),
+          sum(col("gap").cast(DecimalType(38, 0)) * col("gap").cast(DecimalType(38, 0)))
+            .as("s2"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("mean_gap", col("s1").cast(DoubleType) / col("n_gaps"))
+        .withColumn("variance",
+          (col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n_gaps")) /
+            (col("n_gaps") - 1))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("mean_gap"), 4).as("mean_gap"),
+          round(sqrt(col("variance")) / col("mean_gap"), 6).as("cv"))
+        .orderBy(col("user_id"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -1028,6 +1058,22 @@ object EventQueries {
         |    round((n_late - n_early * (nl * 1.0 / ne)) * (n_late - n_early * (nl * 1.0 / ne))
         |          / (n_early * (nl * 1.0 / ne)), 6) END AS contrib
         |FROM hist CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "q125_beacon_cv" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |        tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |      FROM e),
+        |m AS (SELECT user_id, count(*) AS n_gaps,
+        |        sum(gap) AS s1,
+        |        sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS s2
+        |      FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING count(*) >= 2)
+        |SELECT user_id, n_gaps,
+        |  round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap,
+        |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+        |             / (n_gaps - 1))
+        |        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),
