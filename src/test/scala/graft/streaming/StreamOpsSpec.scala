@@ -273,6 +273,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous curation: map-only quality/lang/fingerprint ops compose with streaming dedup unchanged") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // the batch curation expressions applied verbatim to a stream —
+    // map-only columns need no watermark; the dedup supplies one
+    val curated = StreamOps.dedupStream(
+      input.toDS().toDF("ts", "doc_id", "text")
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+      "ts", "fp", "30 minutes")
+      .filter(col("quality") > 0.1)
+    val q = curated.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    val docs = Seq(
+      (ts(0), 1L, "the quick brown fox, and a fine dog in the yard today."),
+      (ts(1), 2L, "THE  quick brown fox, and a fine dog in the yard today."), // fp-dup of 1 (case/ws)
+      (ts(2), 3L, "!!!! ???? ;;;; ::::"), // punctuation junk — quality-filtered
+      (ts(5), 4L, "it is a truth universally acknowledged that a reader wants data."))
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val kept = spark.table("curation_stream").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // batch ground truth: same exprs, first-arrival dedup, same filter
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("ts"), col("doc_id"))
+      val batch = docs.toDF("ts", "doc_id", "text")
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("quality") > 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == batch, s"stream kept $kept, batch kept $batch")
+      assert(kept == Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination tags contaminated docs, agrees with the batch op") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
