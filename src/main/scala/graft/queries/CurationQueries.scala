@@ -175,6 +175,29 @@ object CurationQueries {
         .orderBy(col("label"))
     }),
 
+    // cluster-quality audit: label purity of the e19 k-means clusters —
+    // the evaluation a pipeline runs before trusting cluster-granular
+    // operations (SemDeDup pruning, cluster-balanced sampling). Builds
+    // on the integer-exact Lloyd's machinery, so the WHOLE
+    // cluster-then-evaluate pipeline hash-checks; the contingency table
+    // is k×|labels| (tiny), all heavy work is e19's one-shuffle rounds.
+    "e24_cluster_purity" -> ((s, d) => {
+      val ct = graft.ann.KMeans.lloydAssignments(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 4, iters = 3)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(desc("cnt"), col("label"))
+      val top = ct.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("cluster"), col("label").as("top_label"))
+      ct.groupBy(col("cluster"))
+        .agg(sum(col("cnt")).as("n"), max(col("cnt")).as("mx"))
+        .join(top, "cluster")
+        .select(col("cluster"), col("n"), col("top_label"),
+          round(col("mx") * lit(1.0) / col("n"), 6).as("purity"))
+        .orderBy(col("cluster"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -275,6 +298,20 @@ object CurationQueries {
         |FROM dot JOIN c ca ON dot.label = ca.label AND ca.half = 0
         |         JOIN c cb ON dot.label = cb.label AND cb.half = 1
         |ORDER BY dot.label""".stripMargin,
+
+    "e24_cluster_purity" ->
+      s"""${PipelineQueries.kmeansCtes(4, 3, 64)},
+         |j AS (SELECT a.cid AS cluster, e.label
+         |      FROM afinal a JOIN embeddings e ON a.id = e.vec_id),
+         |ct AS (SELECT cluster, label, count(*) AS cnt FROM j GROUP BY 1, 2),
+         |agg AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx
+         |        FROM ct GROUP BY cluster),
+         |top AS (SELECT cluster, label AS top_label FROM ct
+         |        QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) = 1)
+         |SELECT agg.cluster, agg.n, top.top_label,
+         |  round(agg.mx * 1.0 / agg.n, 6) AS purity
+         |FROM agg JOIN top ON agg.cluster = top.cluster
+         |ORDER BY agg.cluster""".stripMargin,
 
     "d48_calibration" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -237,7 +237,11 @@ object EventQueries {
             col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n_gaps")) /
             (col("n_gaps") - 1))
         .select(col("user_id"), col("n_gaps"),
-          round(col("mean_gap"), 4).as("mean_gap"),
+          // integer micros, floor division — round(double, 4) at ~5e10
+          // magnitude is 15 significant digits, where Spark's and
+          // DuckDB's round() disagree in the last digit (caught at
+          // sf0.1); cv is O(1), so 6 decimals is safely within double
+          expr("s1 div n_gaps").as("mean_gap_us"),
           round(sqrt(col("variance")) / col("mean_gap"), 6).as("cv"))
         .orderBy(col("user_id"))
     }),
@@ -1069,7 +1073,7 @@ object EventQueries {
         |        sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS s2
         |      FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING count(*) >= 2)
         |SELECT user_id, n_gaps,
-        |  round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap,
+        |  CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
         |             / (n_gaps - 1))
         |        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv

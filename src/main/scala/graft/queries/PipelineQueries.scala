@@ -113,9 +113,9 @@ object PipelineQueries {
        |FROM afinal ORDER BY vec_id""".stripMargin
 
   /** The full Lloyd's CTE chain (`WITH q …, c0 …, rounds …, afinal`) —
-    * shared by the e19 oracle and e21's SemDeDup oracle, which extends
-    * it with the within-cluster near-duplicate join. */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+    * shared by the e19 oracle, e21's SemDeDup oracle, and e24's purity
+    * oracle, which extend it with their own downstream joins. */
+  private[queries] def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     val d1 = dims + 1
     def assignCte(name: String, cents: String) =
       s"""$name AS (
@@ -1050,7 +1050,10 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("slr"))
         .select(col("doc_id"), col("n_toks"),
-          round(col("slr").cast(DoubleType) / col("n_toks"), 4).as("dsir_weight"))
+          // + 0.0 canonicalizes IEEE negative zero: round() of a tiny
+          // negative ratio yields -0.0 in DuckDB but 0.0 here, and the
+          // driver compares rendered text (caught at sf0.1)
+          (round(col("slr").cast(DoubleType) / col("n_toks"), 4) + lit(0.0)).as("dsir_weight"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2241,7 +2244,7 @@ object PipelineQueries {
         |       FROM model CROSS JOIN tot),
         |s AS (SELECT doc_id, count(*) AS n_toks, sum(lr.lr) AS slr
         |      FROM t JOIN lr USING (b) GROUP BY doc_id)
-        |SELECT doc_id, n_toks, round(CAST(slr AS DOUBLE) / n_toks, 4) AS dsir_weight
+        |SELECT doc_id, n_toks, round(CAST(slr AS DOUBLE) / n_toks, 4) + 0.0 AS dsir_weight
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // int8 codes at a fixed power-of-two scale: floor(v*256) is exact,

@@ -704,6 +704,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster purity: sizes partition the corpus, purity consistent with the contingency table") {
+    val out = graft.queries.CurationQueries.queries("e24_cluster_purity")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == emb.count())
+    // recompute the contingency table directly from the assignments
+    val ct = graft.ann.KMeans.lloydAssignments(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cluster", "label").count().collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    out.foreach { case (cluster, n, topLabel, purity) =>
+      val hist = ct(cluster)
+      assert(hist.values.sum == n)
+      val bestCnt = hist.values.max
+      assert(hist(topLabel) == bestCnt, s"cluster $cluster top label")
+      assert(math.abs(purity - bestCnt.toDouble / n) < 1e-6)
+      assert(purity >= 1.0 / hist.size - 1e-9 && purity <= 1.0 + 1e-9)
+    }
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
