@@ -169,8 +169,10 @@ object CurationQueries {
         .join(counts.filter(col("half") === 0).select(col("label"), col("n").as("n_a")), "label")
         .join(counts.filter(col("half") === 1).select(col("label"), col("n").as("n_b")), "label")
         .select(col("label"), col("n_a"), col("n_b"),
-          round(col("num").cast(DoubleType) /
-            (sqrt(col("da").cast(DoubleType)) * sqrt(col("db").cast(DoubleType))), 6)
+          // + 0.0 canonicalizes -0.0: half-mean cosines hover near zero
+          // by construction, and DuckDB's round preserves the sign bit
+          (round(col("num").cast(DoubleType) /
+            (sqrt(col("da").cast(DoubleType)) * sqrt(col("db").cast(DoubleType))), 6) + lit(0.0))
             .as("cos_shift"))
         .orderBy(col("label"))
     }),
@@ -294,7 +296,7 @@ object CurationQueries {
         |        FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
         |        WHERE a.half = 0 AND b.half = 1 GROUP BY a.label)
         |SELECT dot.label, ca.n AS n_a, cb.n AS n_b,
-        |  round(CAST(num AS DOUBLE) / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))), 6) AS cos_shift
+        |  round(CAST(num AS DOUBLE) / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))), 6) + 0.0 AS cos_shift
         |FROM dot JOIN c ca ON dot.label = ca.label AND ca.half = 0
         |         JOIN c cb ON dot.label = cb.label AND cb.half = 1
         |ORDER BY dot.label""".stripMargin,
