@@ -177,6 +177,36 @@ object CurationQueries {
         .orderBy(col("label"))
     }),
 
+    // corpus snapshot diff — the CDC-for-corpora shape: two ingest
+    // snapshots compared by content fingerprint in ONE doc_id-keyed full
+    // outer join (co-partitioned; never a text comparison — md5 keys
+    // only), rows classified added/removed/changed/unchanged and rolled
+    // up per source. Snapshot B is a deterministic simulation over the
+    // same table (every 7th doc edited, every 11th dropped, every 13th
+    // spawning a new doc), reproduced identically in the oracle.
+    "d50_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp_a"))
+      val bBase = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text"))).as("fp_b"))
+      val bNew = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          md5(concat(col("text"), lit(" [new]"))).as("fp_b"))
+      val b = bBase.union(bNew)
+      a.withColumnRenamed("source", "src_a")
+        .join(b.withColumnRenamed("source", "src_b"), Seq("doc_id"), "full")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          when(col("fp_b").isNull, "removed")
+            .when(col("fp_a").isNull, "added")
+            .when(col("fp_a") === col("fp_b"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
     // cluster-quality audit: label purity of the e19 k-means clusters —
     // the evaluation a pipeline runs before trusting cluster-granular
     // operations (SemDeDup pruning, cluster-balanced sampling). Builds
@@ -300,6 +330,23 @@ object CurationQueries {
         |FROM dot JOIN c ca ON dot.label = ca.label AND ca.half = 0
         |         JOIN c cb ON dot.label = cb.label AND cb.half = 1
         |ORDER BY dot.label""".stripMargin,
+
+    "d50_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS fp_a FROM documents),
+        |bb AS (SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS fp_b
+        |       FROM documents WHERE doc_id % 11 <> 0),
+        |bn AS (SELECT doc_id + 1000000 AS doc_id, source, md5(text || ' [new]') AS fp_b
+        |       FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT * FROM bb UNION ALL SELECT * FROM bn),
+        |j AS (SELECT coalesce(a.source, b.source) AS source,
+        |        CASE WHEN b.fp_b IS NULL THEN 'removed'
+        |             WHEN a.fp_a IS NULL THEN 'added'
+        |             WHEN a.fp_a = b.fp_b THEN 'unchanged'
+        |             ELSE 'changed' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, count(*) AS n
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     "e24_cluster_purity" ->
       s"""${PipelineQueries.kmeansCtes(4, 3, 64)},

@@ -724,6 +724,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff: status counts match the planted edit/drop/add rates exactly") {
+    val byStatus = graft.queries.CurationQueries.queries("d50_snapshot_diff")(spark, sf)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(byStatus("removed") == ids.count(_ % 11 == 0))
+    assert(byStatus("added") == ids.count(_ % 13 == 0))
+    assert(byStatus("changed") == ids.count(i => i % 7 == 0 && i % 11 != 0))
+    assert(byStatus.values.sum == ids.length + ids.count(_ % 13 == 0))
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
