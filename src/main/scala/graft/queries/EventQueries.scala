@@ -705,8 +705,10 @@ object EventQueries {
       a.crossJoin(b).select(
         col("n0"), col("n1"), col("c0"), col("c1"),
         round(col("mean0"), 6).as("mean0"), round(col("mean1"), 6).as("mean1"),
-        round((col("mean1") - col("mean0")) /
-          sqrt(col("var1") / col("n1") + col("var0") / col("n0")), 4).as("welch_t"),
+        // + 0.0 canonicalizes -0.0 (a near-zero t rounds to -0.0 in
+        // DuckDB but 0.0 here — the d26 lesson)
+        (round((col("mean1") - col("mean0")) /
+          sqrt(col("var1") / col("n1") + col("var0") / col("n0")), 4) + lit(0.0)).as("welch_t"),
         round(diff * diff * (col("n0") + col("n1")).cast(DoubleType) / den, 4).as("chi2"))
     }))
 
@@ -829,7 +831,7 @@ object EventQueries {
         |y AS (SELECT *, CAST(c0 * (n1 - c1) - (n0 - c0) * c1 AS DOUBLE) AS diff FROM x)
         |SELECT n0, n1, c0, c1,
         |  round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
-        |  round((mean1 - mean0) / sqrt(var1 / n1 + var0 / n0), 4) AS welch_t,
+        |  round((mean1 - mean0) / sqrt(var1 / n1 + var0 / n0), 4) + 0.0 AS welch_t,
         |  round(diff * diff * CAST(n0 + n1 AS DOUBLE) /
         |    (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(c0 + c1 AS DOUBLE) *
         |     CAST((n0 - c0) + (n1 - c1) AS DOUBLE)), 4) AS chi2
