@@ -230,6 +230,50 @@ object CurationQueries {
         .orderBy(col("cluster"))
     }),
 
+    // LSH probe-radius sweep — the ANN twin of d49's threshold sweep:
+    // recall@5 and candidate cost at Hamming radius 0 vs 1, the table
+    // that picks a multiprobe budget before a 100 TB ANN run. Fully
+    // integer-exact signatures (e03b machinery) + exact cosine ranking,
+    // so the ENTIRE sweep — signatures, probe buckets per radius,
+    // candidate join, ranking, recall against brute-force truth —
+    // hash-checks. Corpus hashed once map-side; the query×mask probe
+    // table broadcasts.
+    "e25_lsh_radius_sweep" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.registerAll(s)
+      val emb = Tables.embeddings(s, d)
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .withColumn("bucket", graft.ann.Ann.lshSignatureQuantized(col("cv")))
+      val masks = (Seq((0, 0)) ++ (0 until 8).map(b => (1, 1 << b))).toDF("mradius", "m")
+      val radii = Seq(0, 1).toDF("radius")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qsig", graft.ann.Ann.lshSignatureQuantized(col("qv")))
+        .crossJoin(radii).join(masks, col("mradius") <= col("radius"))
+        .withColumn("bucket", expr("qsig").bitwiseXOR(col("m")))
+        .select("radius", "query_id", "qv", "bucket")
+      val cand = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("radius"), col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val top = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("radius", "query_id", "neighbor_id")
+      val truth = graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nQueries = emb.filter(col("vec_id") < 5).count()
+      val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("radius")).agg(count(lit(1)).as("hits"))
+      cand.groupBy(col("radius")).agg(count(lit(1)).as("n_cand"))
+        .join(hits, Seq("radius"), "left")
+        .select(col("radius"), col("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) * lit(1.0) / (5 * nQueries), 4).as("recall_at_5"))
+        .orderBy(col("radius"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -347,6 +391,46 @@ object CurationQueries {
         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |SELECT source, status, count(*) AS n
         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    "e25_lsh_radius_sweep" ->
+      s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+         |       FROM emb, range(1, 65) t(i)),
+         |bits AS (SELECT un.vec_id, planes.p,
+         |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+         |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+         |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
+         |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
+         |masks(mradius, m) AS (VALUES (0,0),(1,1),(1,2),(1,4),(1,8),(1,16),(1,32),(1,64),(1,128)),
+         |radii(radius) AS (VALUES (0),(1)),
+         |q AS (SELECT r.radius, emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
+         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id
+         |      CROSS JOIN radii r JOIN masks ON masks.mradius <= r.radius
+         |      WHERE emb.vec_id < 5),
+         |cand AS (SELECT q.radius, q.query_id, corpus.neighbor_id,
+         |           list_cosine_similarity(q.qe, corpus.cv) AS cos
+         |         FROM q JOIN corpus ON q.bucket = corpus.bucket
+         |         WHERE q.query_id <> corpus.neighbor_id),
+         |top AS (SELECT radius, query_id, neighbor_id FROM cand
+         |        QUALIFY row_number() OVER (PARTITION BY radius, query_id
+         |                                   ORDER BY cos DESC, neighbor_id) <= 5),
+         |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rk
+         |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+         |tr AS (SELECT query_id, neighbor_id FROM bf WHERE rk <= 5),
+         |hits AS (SELECT t.radius, count(*) AS hits FROM top t
+         |         JOIN tr ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
+         |         GROUP BY t.radius),
+         |nc AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY radius),
+         |nq AS (SELECT count(*) AS n_queries FROM emb WHERE vec_id < 5)
+         |SELECT nc.radius, nc.n_cand,
+         |  CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nq.n_queries), 4) AS recall_at_5
+         |FROM nc LEFT JOIN hits ON nc.radius = hits.radius CROSS JOIN nq
+         |ORDER BY nc.radius""".stripMargin,
 
     "e24_cluster_purity" ->
       s"""${PipelineQueries.kmeansCtes(4, 3, 64)},

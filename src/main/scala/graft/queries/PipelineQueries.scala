@@ -64,7 +64,7 @@ object PipelineQueries {
   /** The deterministic ±1 hyperplane weights as a SQL VALUES list — the
     * e03b oracle reproduces the quantized LSH pipeline from the same
     * source of truth as the Spark side. */
-  private def lshPlanesValues(nBits: Int, dims: Int): String =
+  private[queries] def lshPlanesValues(nBits: Int, dims: Int): String =
     (for (p <- 0 until nBits; d <- 0 until dims)
       yield s"($p,$d,${if (Ann.planeWeight(p, d) > 0) 1 else -1})").mkString(",")
 

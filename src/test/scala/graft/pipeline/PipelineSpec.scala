@@ -734,6 +734,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(byStatus.values.sum == ids.length + ids.count(_ % 13 == 0))
   }
 
+  test("lsh radius sweep: wider probes never lose candidates or recall") {
+    val rows = graft.queries.CurationQueries.queries("e25_lsh_radius_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1))
+    val Seq(r0, r1) = rows.toSeq
+    assert(r1._2 >= r0._2, "radius-1 candidate set must contain radius-0's")
+    assert(r1._3 >= r0._3 && r1._4 >= r0._4, "recall is monotone in probe radius")
+    rows.foreach { case (_, _, hits, recall) =>
+      assert(recall >= 0.0 && recall <= 1.0 && hits <= 25)
+    }
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
