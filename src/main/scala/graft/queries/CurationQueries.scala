@@ -274,6 +274,30 @@ object CurationQueries {
         .orderBy(col("radius"))
     }),
 
+    // Flesch-Kincaid readability — the standard quality feature the
+    // engine's scorer family (d02/d23/d45) still lacked. Sentences =
+    // [.!?]+ runs (min 1), syllables = [aeiouy]+ vowel groups — both
+    // pure regex counts in the java.util.regex ∩ RE2 shared dialect, so
+    // the oracle recomputes the identical counts. Map-only, no shuffle
+    // before the final ORDER BY.
+    "d51_readability" -> ((s, d) => {
+      val words = size(split(trim(col("text")), "\\s+")).cast(DoubleType)
+      val sentences = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast(DoubleType)
+      val syllables = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast(DoubleType)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        words.cast(LongType).as("n_words"),
+        sentences.cast(LongType).as("n_sentences"),
+        syllables.cast(LongType).as("n_syllables"),
+        // + 0.0 canonicalizes -0.0 per the round-6 audit rule (grades
+        // can straddle zero for terse low-syllable docs)
+        (round(lit(0.39) * (words / sentences) + lit(11.8) * (syllables / words) - lit(15.59), 4)
+          + lit(0.0)).as("fk_grade"))
+        .orderBy(col("doc_id"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -391,6 +415,19 @@ object CurationQueries {
         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |SELECT source, status, count(*) AS n
         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    "d51_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS w,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sen,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS syl
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS n_words,
+        |  CAST(sen AS BIGINT) AS n_sentences,
+        |  CAST(syl AS BIGINT) AS n_syllables,
+        |  round(0.39 * (w / sen) + 11.8 * (syl / w) - 15.59, 4) + 0.0 AS fk_grade
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "e25_lsh_radius_sweep" ->
       s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),

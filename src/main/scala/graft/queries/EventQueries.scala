@@ -246,6 +246,41 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // hourly-series autocorrelation at lags 1-3 — the seasonality probe
+    // behind anomaly detectors. Hourly sums stay DECIMAL(18,2) (exact);
+    // lagged pairs come from an hour-shifted self-equi-join (never a
+    // window over the whole series), pair moments are decimal sums (the
+    // q60 rule), and doubles appear only in the final correlation
+    // formula (+ 0.0 canonicalizes the near-zero -0.0 case).
+    "q126_autocorr" -> ((s, d) => {
+      val h = events(s, d)
+        .withColumn("hour_us", col("tus") - pmod(col("tus"), lit(3600L * 1000000L)))
+        .groupBy(col("event_type"), col("hour_us"))
+        // re-narrow the sum to (18,2): hourly sums are bounded ~1e8, and
+        // (18,2)x(18,2) products fit DECIMAL(37,4) EXACTLY in both
+        // engines (wider inputs would overflow DuckDB's 38-digit cap)
+        .agg(sum(dec(col("value"))).cast(DecimalType(18, 2)).as("v"))
+      val lags = Seq(1, 2, 3)
+      val shifted = lags.map { k =>
+        h.select(col("event_type"), (col("hour_us") - lit(3600L * 1000000L * k)).as("hour_us"),
+          col("v").as("b"), lit(k).as("lag"))
+      }.reduce(_ union _)
+      val pairs = h.select(col("event_type"), col("hour_us"), col("v").as("a"))
+        .join(shifted, Seq("event_type", "hour_us"))
+      val m = pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast(DoubleType).as("sa"), sum(col("b")).cast(DoubleType).as("sb"),
+          sum((col("a") * col("b")).cast(DecimalType(28, 4))).cast(DoubleType).as("sab"),
+          sum((col("a") * col("a")).cast(DecimalType(28, 4))).cast(DoubleType).as("saa"),
+          sum((col("b") * col("b")).cast(DecimalType(28, 4))).cast(DoubleType).as("sbb"))
+      m.filter(col("n") >= 3)
+        .select(col("event_type"), col("lag"), col("n"),
+          (round((col("sab") - col("sa") * col("sb") / col("n")) /
+            (sqrt(col("saa") - col("sa") * col("sa") / col("n")) *
+             sqrt(col("sbb") - col("sb") * col("sb") / col("n"))), 4) + lit(0.0)).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -1080,6 +1115,29 @@ object EventQueries {
         |             / (n_gaps - 1))
         |        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
         |FROM m ORDER BY user_id""".stripMargin,
+
+    "q126_autocorr" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |h AS (SELECT event_type, tus - tus % 3600000000 AS hour_us,
+        |        CAST(sum(v) AS DECIMAL(18,2)) AS v
+        |      FROM e GROUP BY 1, 2),
+        |lags(lag) AS (VALUES (1), (2), (3)),
+        |shifted AS (SELECT event_type, hour_us - 3600000000 * lag AS hour_us, v AS b, lag
+        |            FROM h CROSS JOIN lags),
+        |p AS (SELECT h.event_type, shifted.lag, h.v AS a, shifted.b
+        |      FROM h JOIN shifted ON h.event_type = shifted.event_type
+        |                         AND h.hour_us = shifted.hour_us),
+        |m AS (SELECT event_type, lag, count(*) AS n,
+        |        CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |        CAST(sum(CAST(a * b AS DECIMAL(28,4))) AS DOUBLE) AS sab,
+        |        CAST(sum(CAST(a * a AS DECIMAL(28,4))) AS DOUBLE) AS saa,
+        |        CAST(sum(CAST(b * b AS DECIMAL(28,4))) AS DOUBLE) AS sbb
+        |      FROM p GROUP BY event_type, lag)
+        |SELECT event_type, lag, n,
+        |  round((sab - sa * sb / n) /
+        |        (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)), 4) + 0.0 AS acf
+        |FROM m WHERE n >= 3 ORDER BY event_type, lag""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),
