@@ -382,6 +382,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "bucketing must not use a global window:\n" + p.take(3000))
   }
 
+  test("e25: probe table broadcasts onto the hashed corpus via a bucket equi-join") {
+    val p = plan("e25_lsh_radius_sweep")
+    // the corpus-sized candidate join must be a broadcast hash join on
+    // bucket (the 2×9-row literal radius×mask expansion may nested-loop —
+    // that side never touches the corpus)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin [bucket")),
+      "expected a bucket-keyed broadcast join:\n" + p.take(3000))
+  }
+
+  test("q126: lagged pairs come from equi-joins — never a window over the whole series") {
+    val p = plan("q126_autocorr")
+    assert(!p.contains("Window"), "autocorr must not use a global window:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
