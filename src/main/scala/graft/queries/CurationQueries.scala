@@ -298,6 +298,41 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // top principal component of the embedding gram matrix — the
+    // whitening/rotation primitive (PCA step) an ANN pipeline fits
+    // before product quantization. Integer-exact end to end: quantized
+    // gram cells are BIGINT sums (one d²-key shuffle, the e18 shape),
+    // the gram is renormalized by a power-of-two integer division
+    // (offset to keep the operand positive — Spark's `div` truncates
+    // while DuckDB's `//` floors, and they only agree for non-negative
+    // operands), and THREE unrolled power-iteration matvecs stay in
+    // BIGINT (magnitudes bounded by construction: ≤64·2e3·1.6e10 ≈
+    // 2e15). Doubles appear only in the final per-row normalization;
+    // d=64, so every matvec table is broadcast-sized — the scale cost
+    // is the one gram shuffle.
+    "e26_top_eigvec" -> ((s, d) => {
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      val cells = qv
+        .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+        .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+        .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g0"))
+        .withColumn("g", expr("(g0 + 1099511627776) div 1048576 - 1048576"))
+        .select("i", "j", "g")
+      val x1 = cells.groupBy(col("i").as("p")).agg(sum(col("g")).as("x")) // x0 = all ones
+      def matvec(x: DataFrame) = cells
+        .join(broadcast(x.withColumnRenamed("p", "j")), "j")
+        .groupBy(col("i").as("p")).agg(sum(col("g") * col("x")).as("x"))
+      val x3 = matvec(matvec(x1))
+      val norm = x3.agg(
+        sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0))).as("n2"))
+        .select(sqrt(col("n2").cast(DoubleType)).as("norm"))
+      x3.crossJoin(broadcast(norm))
+        .select(col("p").as("pos"),
+          (round(col("x").cast(DoubleType) / col("norm"), 4) + lit(0.0)).as("component"))
+        .orderBy(col("pos"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -428,6 +463,23 @@ object CurationQueries {
         |  CAST(syl AS BIGINT) AS n_syllables,
         |  round(0.39 * (w / sen) + 11.8 * (syl / w) - 15.59, 4) + 0.0 AS fk_grade
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "e26_top_eigvec" ->
+      """WITH qv AS (SELECT vec_id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       v -> CAST(floor(v * 1024) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |cells0 AS (SELECT CAST(ti.i - 1 AS INT) AS i, CAST(tj.i - 1 AS INT) AS j,
+        |             sum(q[CAST(ti.i AS INT)] * q[CAST(tj.i AS INT)]) AS g0
+        |           FROM qv, range(1, 65) ti(i), range(1, 65) tj(i) GROUP BY 1, 2),
+        |cells AS (SELECT i, j, (g0 + 1099511627776) // 1048576 - 1048576 AS g FROM cells0),
+        |x1 AS (SELECT i AS p, sum(g) AS x FROM cells GROUP BY i),
+        |x2 AS (SELECT c.i AS p, sum(c.g * x1.x) AS x FROM cells c JOIN x1 ON c.j = x1.p GROUP BY c.i),
+        |x3 AS (SELECT c.i AS p, sum(c.g * x2.x) AS x FROM cells c JOIN x2 ON c.j = x2.p GROUP BY c.i),
+        |nrm AS (SELECT sqrt(CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)) AS norm
+        |        FROM x3)
+        |SELECT x3.p AS pos, round(CAST(x3.x AS DOUBLE) / nrm.norm, 4) + 0.0 AS component
+        |FROM x3 CROSS JOIN nrm ORDER BY pos""".stripMargin,
 
     "e25_lsh_radius_sweep" ->
       s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),

@@ -747,6 +747,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("top eigvec: unit norm, and power iteration actually aligned with the gram's action") {
+    val v = graft.queries.CurationQueries.queries("e26_top_eigvec")(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 0.01, "components should be unit-norm")
+    // recompute the quantized gram locally and check the returned vector
+    // is (near-)invariant under it — cos(Gv, v) ≈ 1 for a converged top
+    // eigendirection (3 iterations: demand > 0.9)
+    val qs = emb.select(col("embedding")).collect().map(
+      _.getSeq[Float](0).map(f => math.floor(f * 1024.0).toLong).toArray)
+    val g = Array.ofDim[Double](64, 64)
+    for (q <- qs; i <- 0 until 64; j <- 0 until 64) g(i)(j) += q(i).toDouble * q(j)
+    val gv = (0 until 64).map(i => (0 until 64).map(j => g(i)(j) * v(j)).sum).toArray
+    val cos = gv.zip(v).map { case (a, b) => a * b }.sum /
+      (math.sqrt(gv.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.9, s"cos(Gv, v) = $cos — power iteration did not align")
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
