@@ -333,6 +333,53 @@ object CurationQueries {
         .orderBy(col("pos"))
     }),
 
+    // temporal n-gram novelty — the memorization/staleness proxy a
+    // curation run scores ingest batches with: the fraction of a doc's
+    // word-5-grams whose FIRST corpus occurrence (by (doc_id, idx)
+    // order) is in that doc. One md5-keyed shuffle (fixed-width keys,
+    // the d18 rule); novelty is a per-doc ratio of counts.
+    "d52_ngram_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))"))
+          .as(Seq("idx", "gram")))
+        .withColumn("gkey", md5(col("gram")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gkey")).orderBy(col("doc_id"), col("idx"))
+      grams.withColumn("first", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") * lit(1.0) / col("n_grams"), 4).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Johnson-Lindenstrauss ±1 random projection 64 → 16 dims — the
+    // embedding-compression primitive upstream of cheap filtering (and
+    // the third compression axis next to PQ codes and SQ8). Projection
+    // planes come from the same deterministic ±1 source as the LSH
+    // family (`Ann.planeWeight`), inputs quantize to floor(v·1024)
+    // longs, so every projected coordinate is an exact integer — the
+    // whole transform hash-checks. Planes broadcast; one (vec, k)
+    // aggregate.
+    "e27_jl_projection" -> ((s, d) => {
+      import s.implicits._
+      val planes = (for (k <- 0 until 16; dim <- 0 until 64)
+        yield (k, dim, if (graft.ann.Ann.planeWeight(k, dim) > 0) 1L else -1L))
+        .toDF("k", "dim", "w")
+      Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+        .join(broadcast(planes), "dim")
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(col("w") * col("qd")).as("proj"))
+        .orderBy(col("vec_id"), col("k"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -463,6 +510,29 @@ object CurationQueries {
         |  CAST(syl AS BIGINT) AS n_syllables,
         |  round(0.39 * (w / sen) + 11.8 * (syl / w) - 15.59, 4) + 0.0 AS fk_grade
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "d52_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |        i -> {'idx': CAST(i AS INT), 'gram': array_to_string(ws[i:i+4], ' ')})) AS u
+        |      FROM t WHERE len(ws) >= 5),
+        |k AS (SELECT doc_id, u.idx AS idx, md5(u.gram) AS gkey FROM g),
+        |f AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY gkey ORDER BY doc_id, idx) = 1 AS first
+        |      FROM k)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN first THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e27_jl_projection" ->
+      s"""WITH planes(k, dim, w) AS (VALUES ${PipelineQueries.lshPlanesValues(16, 64)}),
+         |q AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim,
+         |        CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1024) AS BIGINT) AS qd
+         |      FROM embeddings, range(1, 65) t(i) WHERE vec_id < 20)
+         |SELECT q.vec_id, planes.k, CAST(sum(planes.w * q.qd) AS BIGINT) AS proj
+         |FROM q JOIN planes ON q.dim = planes.dim
+         |GROUP BY q.vec_id, planes.k ORDER BY q.vec_id, planes.k""".stripMargin,
 
     "e26_top_eigvec" ->
       """WITH qv AS (SELECT vec_id,

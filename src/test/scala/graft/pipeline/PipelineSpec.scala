@@ -765,6 +765,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos > 0.9, s"cos(Gv, v) = $cos — power iteration did not align")
   }
 
+  test("ngram novelty: first doc is fully novel, ratios bounded, repeats depress novelty") {
+    val rows = graft.queries.CurationQueries.queries("d52_ngram_novelty")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0, "earliest doc must be fully novel")
+    rows.foreach { case (id, n, novel, ratio) =>
+      assert(novel <= n && ratio > 0.0 - 1e-9 && ratio <= 1.0, s"doc $id")
+    }
+    // the corpus plants near-dups, so SOME later doc must lose novelty
+    assert(rows.exists(_._4 < 1.0), "planted duplicates should depress novelty")
+  }
+
   test("frame sampling: stride-4 sample sizes match the stub layout") {
     val media = Multimodal.fromDocuments(spark, docs)
     val sampled = Multimodal.frameSample(media, 4)
