@@ -586,6 +586,140 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic data-independent coarse-quantizer centroid element for
+    * the IVF-PQ oracle twin: cell c, dim d → integer in [-512, 512).
+    * Seed-free and stable (same contract as [[pqFixedCentroid]]); the
+    * DuckDB twin embeds the same integers as SQL literals. */
+  private[graft] def ivfFixedCentroid(c: Int, d: Int): Long =
+    ((mix64((c.toLong * 257L + d) * 9241L) >>> 16) % 1024L) - 512L
+
+  /** Deterministic RESIDUAL-codebook element (distinct hash stream from
+    * [[pqFixedCentroid]]): subspace s, code c, LOCAL dim d → [-512, 512). */
+  private[graft] def ivfPqResidualCentroid(s: Int, c: Int, d: Int): Long =
+    ((mix64((s.toLong * 149L + c) * 12289L + d * 53L) >>> 16) % 1024L) - 512L
+
+  /** Integer-exact IVF-PQ twin over FIXED coarse centroids + FIXED
+    * residual codebooks — the composed-index counterpart of
+    * [[pqTopKQuantized]] (e12b) and the hash-checkable oracle for
+    * [[ivfPqTopK]]'s machinery: floor(v·1024) quantization, BIGINT
+    * coarse assignment (ties → lowest cell), BIGINT residual encode
+    * (ties → lowest code), full-probe per-cell ADC tables, candidate
+    * pool by (adist, id), then an integer-exact L2 re-rank of the pool —
+    * every stage reproducible bit-for-bit by any engine. Full probe is
+    * deliberate: it exercises the per-cell residual geometry (each
+    * query's table differs per cell) while keeping the oracle free of
+    * probe-selection ties. Scale shape is [[ivfPqTopK]]'s: encode is
+    * map-only, the probe join broadcasts query tables, ranking shuffles
+    * carry (ids, distance) only. */
+  def ivfPqTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 8, m: Int = 4, ksub: Int = 8,
+      dims: Int = 64, candidates: Int = 25): DataFrame = {
+    require(dims % m == 0, s"ivfpq: $dims dims not divisible into $m subspaces")
+    val subDim = dims / m
+    val cents: Array[Array[Long]] =
+      Array.tabulate(nLists, dims)((c, d) => ivfFixedCentroid(c, d))
+    val books: Array[Array[Array[Long]]] =
+      Array.tabulate(m, ksub, subDim)((s, c, d) => ivfPqResidualCentroid(s, c, d))
+    def quant(v: Seq[Float]): Array[Long] =
+      Array.tabulate(dims)(d => math.floor(v(d).toDouble * 1024.0).toLong)
+    def cellOf(q: Array[Long]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < nLists) {
+        var d2 = 0L
+        var d = 0
+        while (d < dims) { val x = q(d) - cents(c)(d); d2 += x * x; d += 1 }
+        if (d2 < bestD) { bestD = d2; best = c } // strict < : ties keep the lowest cell
+        c += 1
+      }
+      best
+    }
+    def subD2(rv: Array[Long], s: Int, c: Int): Long = {
+      var d = 0
+      var d2 = 0L
+      while (d < subDim) {
+        val diff = rv(s * subDim + d) - books(s)(c)(d)
+        d2 += diff * diff
+        d += 1
+      }
+      d2
+    }
+    def residual(q: Array[Long], cell: Int): Array[Long] =
+      Array.tabulate(dims)(d => q(d) - cents(cell)(d))
+    val encode = udf { (v: Seq[Float]) =>
+      if (v == null || v.length < dims) null
+      else {
+        val q = quant(v)
+        val cell = cellOf(q)
+        val rv = residual(q, cell)
+        (cell, Array.tabulate(m) { s =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < ksub) {
+            val d2 = subD2(rv, s, c)
+            if (d2 < bestD) { bestD = d2; best = c } // ties keep the lowest code
+            c += 1
+          }
+          best
+        })
+      }
+    }
+    // full probe: one residual distance table per cell
+    val probeTabs = udf { (v: Seq[Float]) =>
+      if (v == null || v.length < dims) null
+      else {
+        val q = quant(v)
+        Array.tabulate(nLists) { cell =>
+          val rv = residual(q, cell)
+          (cell, Array.tabulate(m, ksub)((s, c) => subD2(rv, s, c)))
+        }
+      }
+    }
+    val quantUdf = udf { (v: Seq[Float]) =>
+      if (v == null || v.length < dims) null else quant(v)
+    }
+    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var d = 0
+      var d2 = 0L
+      while (d < a.length) { val x = a(d) - b(d); d2 += x * x; d += 1 }
+      d2
+    }
+    val adc = udf { (tab: Seq[Seq[Long]], codes: Seq[Int]) =>
+      var s = 0
+      var sum = 0L
+      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
+      sum
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("enc", encode(col("cv")))
+      .filter(col("enc").isNotNull)
+      .select(col("neighbor_id"),
+        col("enc._1").as("cell"), col("enc._2").as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe", explode(probeTabs(col("qv"))))
+      .select(col("query_id"),
+        col("probe._1").as("cell"), col("probe._2").as("tab"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adc(col("tab"), col("codes")))
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val pool = scored.select(col("query_id"), col("neighbor_id"), col("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= candidates)
+      .select("query_id", "neighbor_id")
+    // integer-exact re-rank of the pool in the quantized domain
+    val cq = corpus.select(col(idCol).as("neighbor_id"), quantUdf(col(vecCol)).as("cqv"))
+    val qq = queries.select(col(idCol).as("query_id"), quantUdf(col(vecCol)).as("qqv"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    pool.join(cq, Seq("neighbor_id")).join(broadcast(qq), Seq("query_id"))
+      .withColumn("d2", d2Udf(col("qqv"), col("cqv")))
+      .select("query_id", "neighbor_id", "d2")
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
   /** Scalar-quantized (SQ8) top-k: every element maps to an int8 code
     * with the FIXED scale floor(v·256) clamped to [-128, 127] — a 4×
     * memory cut with near-exact recall when embeddings live in ±0.5

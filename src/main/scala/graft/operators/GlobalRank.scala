@@ -21,13 +21,32 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalRank {
 
-  def withGlobalIndex(df: DataFrame, idxCol: String, order: Column*): DataFrame = {
+  def withGlobalIndex(df: DataFrame, idxCol: String, order: Column*): DataFrame =
+    withGlobalIndexAndCount(df, idxCol, order: _*)._1
+
+  /** Same as [[withGlobalIndex]], but also returns the total row count —
+    * free, since it is the sum of the partition sizes the offset pass
+    * already collected. Callers that need `n` for rank arithmetic (ntile
+    * bucket sizes, tercile cut ranks) get it without a second scan: the
+    * size job materializes the range shuffle, and the indexing job below
+    * reuses those shuffle files, so the data is range-sorted exactly once. */
+  def withGlobalIndexAndCount(
+      df: DataFrame, idxCol: String, order: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(idxCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    val base = sorted.rdd
+    // one tiny job: P partition sizes (zipWithIndex's count pass, exposed)
+    val sizes = base
+      .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    }
+    (spark.createDataFrame(rdd, schema), offsets.last)
   }
 }

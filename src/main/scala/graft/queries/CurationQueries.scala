@@ -28,6 +28,24 @@ object CurationQueries {
           "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as(Seq("idx", "para")))
       .withColumn("pkey", md5(col("para")))
 
+  /** d47's per-document unigram-LM scores (`nk` = -avg_logprob, so
+    * ascending nk is best-first). Exposed for RankTwinSpec's cut-row
+    * oracle. */
+  private[graft] def pplScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val n = tk.agg(count(lit(1)).as("n_tokens"))
+    val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
+    tk.join(broadcast(tf), "term").crossJoin(broadcast(n))
+      .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"),
+        round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
+      .withColumn("nk", -col("avg_logprob")) // ascending nk = best-first
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet/RefinedWeb-style boilerplate removal: a paragraph occurring
     // in >= 3 DISTINCT documents is boilerplate (nav bars, license
@@ -59,40 +77,20 @@ object CurationQueries {
 
     // CCNet head/middle/tail perplexity bucketing: rank documents by the
     // corpus's own unigram LM score (d21's exactly-associative decimal
-    // sum) and split into terciles. The two cut rows are found with
-    // orderBy().limit(k) — TakeOrderedAndProject, never a global window —
-    // then broadcast, so bucket assignment is map-only. The corpus-size
-    // scalar is the one driver-side count (the d11 precedent). At 100 TB
-    // the exact cuts swap for approx-percentile thresholds; the bucket
-    // rule itself is unchanged.
+    // sum) and split into terciles. Tercile assignment comes from
+    // GlobalRank ordinals (range-partitioned parallel sort + P-bounded
+    // offsets; the size pass reuses the range shuffle) — there is no
+    // orderBy().limit(n/3) funnel and no separate count() job, both r6
+    // scale findings. Bucketing is then map-side rank arithmetic. The
+    // old cut-row form survives as the RankTwinSpec test oracle.
     "d47_ppl_buckets" -> ((s, d) => {
-      val tk = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
-      val n = tk.agg(count(lit(1)).as("n_tokens"))
-      val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
-      val scores = tk.join(broadcast(tf), "term").crossJoin(broadcast(n))
-        .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
-        .groupBy("doc_id")
-        .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_toks"))
-        .select(col("doc_id"),
-          round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
-        .withColumn("nk", -col("avg_logprob")) // ascending nk = best-first
-      val nDocs = scores.count() // scalar corpus size — the d11 precedent
-      def cut(k: Long, a: String, b: String) =
-        scores.orderBy(col("nk"), col("doc_id")).limit(k.toInt)
-          .agg(max(struct(col("nk"), col("doc_id"))).as("c"))
-          .select(col("c.nk").as(a), col("c.doc_id").as(b))
-      val k1 = math.ceil(nDocs / 3.0).toLong
-      val k2 = math.ceil(nDocs * 2 / 3.0).toLong
-      def le(nk: Column, id: Column, cNk: Column, cId: Column): Column =
-        nk < cNk || (nk === cNk && id <= cId)
-      scores
-        .crossJoin(broadcast(cut(k1, "c1nk", "c1id")))
-        .crossJoin(broadcast(cut(k2, "c2nk", "c2id")))
-        .select(col("doc_id"), col("avg_logprob"),
-          when(le(col("nk"), col("doc_id"), col("c1nk"), col("c1id")), "head")
-            .when(le(col("nk"), col("doc_id"), col("c2nk"), col("c2id")), "middle")
+      val (ranked, n) = graft.operators.GlobalRank
+        .withGlobalIndexAndCount(pplScores(s, d), "__idx", col("nk"), col("doc_id"))
+      val k1 = math.ceil(n / 3.0).toLong
+      val k2 = math.ceil(n * 2 / 3.0).toLong
+      ranked.select(col("doc_id"), col("avg_logprob"),
+          when(col("__idx") < k1, "head")
+            .when(col("__idx") < k2, "middle")
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
     }),
@@ -100,13 +98,20 @@ object CurationQueries {
     // dedup threshold sweep: exact bigram-Jaccard pair / touched-doc
     // counts at 0.3 / 0.5 / 0.7 — the sensitivity table that picks a
     // near-dup threshold before committing a 100 TB dedup pass. The
-    // heavy inverted-index self-join runs ONCE; the three thresholds
-    // fan out over its (tiny) co-occurrence output. Same shingle
-    // semantics as d08/d09 (distinct bigrams; single-token docs use the
-    // whole text), so the sweep is consistent with the operators it
-    // tunes.
+    // heavy inverted-index self-join runs ONCE and inherits d08's df-cap:
+    // shingles hitting more than maxDf documents are non-discriminative
+    // boilerplate whose posting lists explode the self-join
+    // quadratically (one hot bigram in a million docs = 10^12 join
+    // rows), so they are pruned BEFORE the join and the sweep reports
+    // how many keys it dropped (`n_pruned_keys`) to stay honest about
+    // the approximation. df = 1 keys cannot co-occur and are dropped for
+    // free. The three thresholds fan out over the (tiny) co-occurrence
+    // output. Same shingle semantics as d08/d09 (distinct bigrams;
+    // single-token docs use the whole text), so the sweep is consistent
+    // with the operators it tunes.
     "d49_dedup_sweep" -> ((s, d) => {
       import s.implicits._
+      val maxDf = 100
       val thresholds = Seq(0.3, 0.5, 0.7).toDF("threshold")
       val bg = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), "\\s+"))
@@ -117,7 +122,12 @@ object CurationQueries {
           .as("bgs"))
       val sizes = bg.select(col("doc_id"), size(col("bgs")).as("n"))
       val e = bg.select(col("doc_id"), explode(col("bgs")).as("s"))
-      val co = e.as("x").join(e.as("y"),
+      val dfc = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val nPruned = dfc.filter(col("df") > maxDf)
+        .agg(count(lit(1)).as("n_pruned_keys"))
+      val kept = e.join(
+        dfc.filter(col("df") <= maxDf && col("df") > 1).select(col("s")), "s")
+      val co = kept.as("x").join(kept.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("common"))
@@ -133,9 +143,11 @@ object CurationQueries {
         .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
       thresholds
         .join(nPairs, Seq("threshold"), "left").join(nDocs, Seq("threshold"), "left")
+        .crossJoin(broadcast(nPruned))
         .select(col("threshold"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          col("n_pruned_keys"))
         .orderBy(col("threshold"))
     }),
 
@@ -145,9 +157,12 @@ object CurationQueries {
     // quantize to floor(v·1024) longs, per-(label, half, dim) SUMS stay
     // integers (order-independent), and the cosine between the two sum
     // vectors is scale-invariant so counts and the 1024 cancel —
-    // sqrt/divide touch doubles only at the final scalar. One shuffle
-    // to the (label, half, dim) grid; the 2×64-row-per-label join is
-    // trivially broadcast.
+    // sqrt/divide touch doubles only at the final scalar. The sa·sb
+    // product sums run in DECIMAL(38,0) (the q125 rule) mirrored by
+    // HUGEINT casts in the oracle: BIGINT sums would silently wrap in
+    // Spark past ~10^6 vectors per half while DuckDB promotes to
+    // HUGEINT — ADVICE r6. One shuffle to the (label, half, dim) grid;
+    // the 2×64-row-per-label join is trivially broadcast.
     "e23_embedding_drift" -> ((s, d) => {
       val q = Tables.embeddings(s, d)
         .select(col("label"), (col("vec_id") % 2).cast(IntegerType).as("half"),
@@ -160,11 +175,13 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"))
       val a = q.filter(col("half") === 0).select(col("label"), col("pos"), col("sv").as("sa"))
       val b = q.filter(col("half") === 1).select(col("label"), col("pos"), col("sv").as("sb"))
+      val saD = col("sa").cast(DecimalType(38, 0))
+      val sbD = col("sb").cast(DecimalType(38, 0))
       val dot = a.join(b, Seq("label", "pos"))
         .groupBy(col("label"))
-        .agg(sum(col("sa") * col("sb")).as("num"),
-          sum(col("sa") * col("sa")).as("da"),
-          sum(col("sb") * col("sb")).as("db"))
+        .agg(sum(saD * sbD).as("num"),
+          sum(saD * saD).as("da"),
+          sum(sbD * sbD).as("db"))
       dot
         .join(counts.filter(col("half") === 0).select(col("label"), col("n").as("n_a")), "label")
         .join(counts.filter(col("half") === 1).select(col("label"), col("n").as("n_b")), "label")
@@ -431,17 +448,15 @@ object CurationQueries {
         |       FROM tk JOIN tf USING (term) CROSS JOIN n),
         |s AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
         |      FROM lp GROUP BY doc_id),
-        |o AS (SELECT doc_id, avg_logprob, -avg_logprob AS nk,
+        |o AS (SELECT doc_id, avg_logprob,
         |        row_number() OVER (ORDER BY -avg_logprob, doc_id) AS rn FROM s),
         |k AS (SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS k1,
-        |        CAST(ceil(count(*) * 2 / 3.0) AS BIGINT) AS k2 FROM s),
-        |b1 AS (SELECT o.nk AS c1nk, o.doc_id AS c1id FROM o, k WHERE o.rn = k.k1),
-        |b2 AS (SELECT o.nk AS c2nk, o.doc_id AS c2id FROM o, k WHERE o.rn = k.k2)
+        |        CAST(ceil(count(*) * 2 / 3.0) AS BIGINT) AS k2 FROM s)
         |SELECT o.doc_id, o.avg_logprob,
-        |  CASE WHEN o.nk < c1nk OR (o.nk = c1nk AND o.doc_id <= c1id) THEN 'head'
-        |       WHEN o.nk < c2nk OR (o.nk = c2nk AND o.doc_id <= c2id) THEN 'middle'
+        |  CASE WHEN o.rn <= k.k1 THEN 'head'
+        |       WHEN o.rn <= k.k2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM o CROSS JOIN b1 CROSS JOIN b2 ORDER BY doc_id""".stripMargin,
+        |FROM o CROSS JOIN k ORDER BY doc_id""".stripMargin,
 
     "d49_dedup_sweep" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
@@ -449,8 +464,12 @@ object CurationQueries {
         |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
         |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |dfc AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+        |pruned AS (SELECT count(*) AS n_pruned_keys FROM dfc WHERE df > 100),
+        |kept AS (SELECT e.doc_id, e.s FROM e JOIN dfc USING (s)
+        |         WHERE dfc.df <= 100 AND dfc.df > 1),
         |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-        |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |       FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
         |jc AS (SELECT a, b, common * 1.0 / (sa.n + sb.n - common) AS j
         |       FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id),
         |th AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE)]) AS threshold),
@@ -459,9 +478,11 @@ object CurationQueries {
         |nd AS (SELECT threshold, count(DISTINCT doc) AS n_docs FROM
         |         (SELECT threshold, a AS doc FROM p UNION ALL SELECT threshold, b FROM p)
         |       GROUP BY threshold)
-        |SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, coalesce(nd.n_docs, 0) AS n_docs
+        |SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, coalesce(nd.n_docs, 0) AS n_docs,
+        |  pruned.n_pruned_keys
         |FROM th LEFT JOIN np ON th.threshold = np.threshold
         |        LEFT JOIN nd ON th.threshold = nd.threshold
+        |        CROSS JOIN pruned
         |ORDER BY th.threshold""".stripMargin,
 
     "e23_embedding_drift" ->
@@ -472,7 +493,9 @@ object CurationQueries {
         |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, count(*) AS n
         |      FROM embeddings GROUP BY 1, 2),
         |dot AS (SELECT a.label,
-        |          sum(a.sv * b.sv) AS num, sum(a.sv * a.sv) AS da, sum(b.sv * b.sv) AS db
+        |          sum(CAST(a.sv AS HUGEINT) * b.sv) AS num,
+        |          sum(CAST(a.sv AS HUGEINT) * a.sv) AS da,
+        |          sum(CAST(b.sv AS HUGEINT) * b.sv) AS db
         |        FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
         |        WHERE a.half = 0 AND b.half = 1 GROUP BY a.label)
         |SELECT dot.label, ca.n AS n_a, cb.n AS n_b,

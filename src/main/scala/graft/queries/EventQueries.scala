@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -19,22 +19,52 @@ object EventQueries {
   /** events with `tus` = epoch micros, robust to how the generator wrote
     * `ts`: TIMESTAMP(NANOS) parquet arrives as raw nano longs (exact
     * integer division), TIMESTAMP(MICROS) without a zone arrives as
-    * TIMESTAMP_NTZ (wall-clock micros extracted under a pinned-UTC cast —
-    * bit-identical to DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` twin),
-    * zoned micros arrive as TIMESTAMP (`unix_micros` directly). */
+    * TIMESTAMP_NTZ — wall-clock micros rebuilt from timezone-FREE parts
+    * (date + h/m/s.micros), bit-identical to DuckDB's
+    * `epoch_us(CAST(ts AS TIMESTAMP))` twin without casting through
+    * TIMESTAMP (which would bake the session timezone into the instant;
+    * events() used to pin spark.sql.session.timeZone globally for this —
+    * ADVICE r6 — and no longer mutates session state beyond the
+    * nanosAsLong READ conf documented in Tables.events). Zoned micros
+    * arrive as TIMESTAMP (`unix_micros` directly — instant-based, no tz). */
   private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = Tables.events(s, d)
     val tus = df.schema("ts").dataType match {
       case LongType           => expr("ts div 1000")
-      case _: TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case _: TimestampNTZType => expr(
+        "unix_date(cast(ts as date)) * 86400000000 + " +
+          "(hour(ts) * 3600 + minute(ts) * 60) * CAST(1000000 AS BIGINT) + " +
+          "cast(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
       case _                  => expr("unix_micros(ts)")
     }
     df.withColumn("tus", tus)
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** q114's per-user RFM metric aggregate (exposed for RankTwinSpec's
+    * ntile-window oracle). */
+  private[graft] def rfmBase(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("user_id"))
+      .agg(max(col("tus")).as("recency"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
+          lit(0).cast(DecimalType(18, 2))).as("monetary"))
+
+  /** ntile(k)'s exact bucket rule as map-side arithmetic over a 1-based
+    * global rank: the first n%k buckets take n/k+1 rows, the rest n/k.
+    * The divisions are exact (numerators below 2^52 stay integral in
+    * doubles), so this reproduces `ntile(k) OVER (ORDER BY ...)`
+    * bit-for-bit without the single-task global window. */
+  private def ntileOfRank(rank: Column, n: Long, k: Int): Column = {
+    val bs  = n / k
+    val rem = n % k
+    val b =
+      if (bs == 0) rank
+      else when(rank <= (bs + 1) * rem, floor((rank - 1) / lit(bs + 1)) + 1)
+        .otherwise(lit(rem) + floor((rank - 1 - (bs + 1) * rem) / lit(bs)) + 1)
+    b.cast(IntegerType)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // gap-based sessionization (30-minute inactivity threshold)
@@ -182,23 +212,25 @@ object EventQueries {
     // metric drift detection: chi-square contributions of the late half
     // of the event stream against the early half's value histogram — the
     // shape-shift monitor a pipeline runs across ingest snapshots. The
-    // median time cut is a TakeOrderedAndProject (never a global
-    // window); bounds/totals are tiny broadcast scalars; binning is
-    // map-only. Per-bin contributions are pure IEEE arithmetic emitted
-    // PER ROW (no cross-row float sum), so the result hash-checks.
+    // median time cut comes from GlobalRank ordinals (range-partitioned
+    // parallel sort; the size pass reuses the range shuffle, so there is
+    // no separate count() job and no limit(n/2) single-task funnel —
+    // both were r6 scale findings); bounds/totals are tiny broadcast
+    // scalars; binning is map-only and guards the constant-stream case
+    // (mx = mn would be 0/0 = NaN, where DuckDB's CAST raises). Per-bin
+    // contributions are pure IEEE arithmetic emitted PER ROW (no
+    // cross-row float sum), so the result hash-checks.
     "q124_drift_chi2" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"), col("tus"), col("value"))
-      val nTotal = ev.count() // scalar stream size — the d11 precedent
-      val k = math.ceil(nTotal / 2.0).toLong
-      val cut = ev.orderBy(col("tus"), col("event_id")).limit(k.toInt)
-        .agg(max(struct(col("tus"), col("event_id"))).as("c"))
-        .select(col("c.tus").as("ctus"), col("c.event_id").as("cid"))
+      val (ranked, n) = graft.operators.GlobalRank
+        .withGlobalIndexAndCount(ev, "__idx", col("tus"), col("event_id"))
+      val k = math.ceil(n / 2.0).toLong
       val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-      val hist = ev.crossJoin(broadcast(cut)).crossJoin(broadcast(bounds))
-        .withColumn("early", col("tus") < col("ctus") ||
-          (col("tus") === col("ctus") && col("event_id") <= col("cid")))
-        .withColumn("bin", least(lit(9),
-          floor((col("value") - col("mn")) * 10 / (col("mx") - col("mn"))).cast(IntegerType)))
+      val hist = ranked.crossJoin(broadcast(bounds))
+        .withColumn("early", col("__idx") < k)
+        .withColumn("bin", when(col("mx") === col("mn"), lit(0)).otherwise(
+          least(lit(9),
+            floor((col("value") - col("mn")) * 10 / (col("mx") - col("mn"))).cast(IntegerType))))
         .groupBy(col("bin"))
         .agg(sum(when(col("early"), 1).otherwise(0)).as("n_early"),
           sum(when(!col("early"), 1).otherwise(0)).as("n_late"))
@@ -650,23 +682,26 @@ object EventQueries {
     // --- RFM segmentation ----------------------------------------------------
     // recency / frequency / monetary quintiles per user — the classic
     // customer-value segmentation. Metrics are one grouped pass over
-    // the events; the ntile windows run over the USER table (already
-    // dimension-sized next to the event log; at 100 TB swap the global
-    // ntile for approx-quantile cut points broadcast onto a map-only
-    // bucketing). Monetary stays DECIMAL until output so ordering ties
-    // are exact; every ntile order carries a user_id tiebreak.
+    // the events; the quintile assignment NEVER plans a global
+    // (single-task) ntile window: each metric gets a global ordinal from
+    // GlobalRank (range-partitioned parallel sort + per-partition
+    // offsets — the zipWithIndex shape, P longs of driver state) and
+    // ntile's exact bucket-size rule is then pure map-side arithmetic on
+    // (rank, n), so the DuckDB ntile oracle matches unchanged. Monetary
+    // stays DECIMAL until output so ordering ties are exact; every
+    // ordinal order carries a user_id tiebreak. The old ntile-window
+    // form survives as the RankTwinSpec test oracle.
     "q114_rfm" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = events(s, d).groupBy(col("user_id"))
-        .agg(max(col("tus")).as("recency"),
-          count(lit(1)).as("frequency"),
-          coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
-            lit(0).cast(DecimalType(18, 2))).as("monetary"))
-      base
-        .withColumn("r_seg", ntile(5).over(Window.orderBy(desc("recency"), col("user_id"))))
-        .withColumn("f_seg", ntile(5).over(Window.orderBy(desc("frequency"), col("user_id"))))
-        .withColumn("m_seg", ntile(5).over(Window.orderBy(desc("monetary"), col("user_id"))))
-        .select(col("user_id"), col("recency"), col("frequency"),
+      def seg(df: DataFrame, name: String, order: Column*): DataFrame = {
+        val (idxDf, n) = graft.operators.GlobalRank
+          .withGlobalIndexAndCount(df, "__idx", order: _*)
+        idxDf.withColumn(name, ntileOfRank(col("__idx") + 1, n, 5)).drop("__idx")
+      }
+      val segd = seg(seg(seg(rfmBase(s, d),
+        "r_seg", desc("recency"), col("user_id")),
+        "f_seg", desc("frequency"), col("user_id")),
+        "m_seg", desc("monetary"), col("user_id"))
+      segd.select(col("user_id"), col("recency"), col("frequency"),
           col("monetary").cast(DoubleType).as("monetary"),
           col("r_seg"), col("f_seg"), col("m_seg"),
           concat(col("r_seg"), lit("-"), col("f_seg"), lit("-"), col("m_seg")).as("segment"))
@@ -1082,13 +1117,12 @@ object EventQueries {
     "q124_drift_chi2" ->
       """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
         |k AS (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM e),
-        |o AS (SELECT tus, event_id, row_number() OVER (ORDER BY tus, event_id) AS rn FROM e),
-        |cut AS (SELECT o.tus AS ctus, o.event_id AS cid FROM o, k WHERE o.rn = k.k),
+        |o AS (SELECT value, row_number() OVER (ORDER BY tus, event_id) AS rn FROM e),
         |b AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
-        |tagged AS (SELECT e.value,
-        |    (e.tus < ctus OR (e.tus = ctus AND e.event_id <= cid)) AS early,
-        |    least(9, CAST(floor((e.value - mn) * 10 / (mx - mn)) AS INT)) AS bin
-        |  FROM e CROSS JOIN cut CROSS JOIN b),
+        |tagged AS (SELECT o.value, (o.rn <= k.k) AS early,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE least(9, CAST(floor((o.value - mn) * 10 / (mx - mn)) AS INT)) END AS bin
+        |  FROM o CROSS JOIN k CROSS JOIN b),
         |hist AS (SELECT bin,
         |           CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
         |           CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_late

@@ -103,6 +103,21 @@ object PipelineQueries {
       yield s"($s,$c,${s * subDim + d},${Ann.pqFixedCentroid(s, c, d)})").mkString(",")
   }
 
+  /** The deterministic IVF coarse centroids as a SQL VALUES list of
+    * (cell, dim, value) — e13b's oracle re-runs coarse assignment from
+    * the same integers. */
+  private def ivfCentroidValues(nLists: Int, dims: Int): String =
+    (for (c <- 0 until nLists; d <- 0 until dims)
+      yield s"($c,$d,${Ann.ivfFixedCentroid(c, d)})").mkString(",")
+
+  /** The deterministic RESIDUAL codebook as a SQL VALUES list of
+    * (subspace, code, GLOBAL dim, value) for e13b's oracle. */
+  private def ivfPqResidualValues(m: Int, ksub: Int, dims: Int): String = {
+    val subDim = dims / m
+    (for (s <- 0 until m; c <- 0 until ksub; d <- 0 until subDim)
+      yield s"($s,$c,${s * subDim + d},${Ann.ivfPqResidualCentroid(s, c, d)})").mkString(",")
+  }
+
   /** e19's oracle: the SAME integer-exact Lloyd's rounds as
     * [[graft.ann.KMeans.lloydAssignments]], unrolled as CTEs — k
     * smallest-id seeds, integer squared-L2, smallest-cid tiebreak,
@@ -1321,6 +1336,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hash-checkable IVF-PQ (closes the r6 oracle gap on the composed
+    // index): FIXED coarse centroids + FIXED residual codebooks make
+    // coarse assignment, residual encode, full-probe per-cell ADC, the
+    // candidate pool, and the integer-exact re-rank all BIGINT
+    // arithmetic the DuckDB twin recomputes from the same literals.
+    // e13 keeps the trained-float production index (rows-only).
+    "e13b_ann_ivfpq_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfPqTopKQuantized(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hash-checkable PQ: the fixed integer codebook + floor(v·1024)
     // quantization make encode, distance tables, ADC sums and ranking
     // bit-exact in any engine — the DuckDB twin recomputes ALL of it
@@ -2514,6 +2543,56 @@ object PipelineQueries {
          |  CAST(coalesce(60 // met.fr, 0) AS BIGINT) AS rr_x60
          |FROM qq LEFT JOIN met ON qq.query_id = met.query_id
          |ORDER BY qq.query_id""".stripMargin,
+
+    // composed IVF-PQ twin from fixed integer literals: coarse assign
+    // (ties → lowest cell), residual encode (ties → lowest code),
+    // full-probe per-cell ADC tables, pool by (adist, id), and an
+    // integer-exact L2 re-rank — every stage BIGINT arithmetic.
+    "e13b_ann_ivfpq_quantized" ->
+      s"""WITH cc(cell, gd, cv) AS (VALUES ${ivfCentroidValues(8, 64)}),
+         |rb(sub, code, gd, bv) AS (VALUES ${ivfPqResidualValues(4, 8, 64)}),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS gd,
+         |         CAST(floor(e[CAST(t.i AS INT)] * 1024) AS BIGINT) AS qv
+         |       FROM emb, range(1, 65) t(i)),
+         |cd AS (SELECT un.vec_id, cc.cell,
+         |         CAST(sum((un.qv - cc.cv) * (un.qv - cc.cv)) AS BIGINT) AS d2
+         |       FROM un JOIN cc ON un.gd = cc.gd GROUP BY 1, 2),
+         |ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
+         |       WHERE rn = 1),
+         |rv AS (SELECT un.vec_id, un.gd, un.qv - cc.cv AS rv
+         |       FROM un JOIN ca ON un.vec_id = ca.vec_id
+         |               JOIN cc ON cc.cell = ca.cell AND cc.gd = un.gd),
+         |sd AS (SELECT rv.vec_id, rb.sub, rb.code,
+         |         CAST(sum((rv.rv - rb.bv) * (rv.rv - rb.bv)) AS BIGINT) AS d2
+         |       FROM rv JOIN rb ON rv.gd = rb.gd GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+         |            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |          FROM sd) WHERE rn = 1),
+         |qrv AS (SELECT un.vec_id, cc.cell, un.gd, un.qv - cc.cv AS rv
+         |        FROM un JOIN cc ON un.gd = cc.gd WHERE un.vec_id < 5),
+         |qsd AS (SELECT qrv.vec_id, qrv.cell, rb.sub, rb.code,
+         |          CAST(sum((qrv.rv - rb.bv) * (qrv.rv - rb.bv)) AS BIGINT) AS d2
+         |        FROM qrv JOIN rb ON qrv.gd = rb.gd GROUP BY 1, 2, 3, 4),
+         |adc AS (SELECT t.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CAST(sum(t.d2) AS BIGINT) AS adist
+         |        FROM codes c JOIN ca ON ca.vec_id = c.vec_id
+         |             JOIN qsd t ON t.cell = ca.cell AND t.sub = c.sub AND t.code = c.code
+         |        WHERE c.vec_id <> t.vec_id GROUP BY 1, 2),
+         |pool AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+         |         FROM adc) WHERE arank <= 25),
+         |ex AS (SELECT p.query_id, p.neighbor_id,
+         |         CAST(sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS d2
+         |       FROM pool p JOIN un qa ON qa.vec_id = p.query_id
+         |            JOIN un qb ON qb.vec_id = p.neighbor_id AND qb.gd = qa.gd
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM ex)
+         |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // full PQ-ADC twin from the fixed integer codebook: encode = argmin
     // of BIGINT sub-distances (ties → lowest code), tables = the same

@@ -376,10 +376,26 @@ class PlanSpec extends AnyFunSuite {
       "expected a broadcast anti join on pkey:\n" + p.take(3000))
   }
 
-  test("d47: tercile cuts come from TakeOrderedAndProject, buckets from broadcast — no global window") {
+  test("d47: tercile buckets are rank arithmetic over the range shuffle — no window, no limit funnel") {
     val p = plan("d47_ppl_buckets")
-    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("Window"), "bucketing must not use a global window:\n" + p.take(3000))
+    // the old n/3 cut funnelled a third of the corpus into one task via
+    // orderBy().limit(k); GlobalRank ordinals replaced it (r6 verdict)
+    assert(!p.contains("TakeOrderedAndProject"),
+      "limit(n/3) funnel crept back in:\n" + p.take(3000))
+  }
+
+  test("q114: RFM quintiles never plan a global ntile window") {
+    val p = plan("q114_rfm")
+    assert(!p.contains("Window"),
+      "ntile must come from GlobalRank ordinals, not a single-task window:\n" + p.take(3000))
+  }
+
+  test("q124: median time cut has no global window and no limit(n/2) funnel") {
+    val p = plan("q124_drift_chi2")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("TakeOrderedAndProject"),
+      "limit(n/2) funnel crept back in:\n" + p.take(3000))
   }
 
   test("e25: probe table broadcasts onto the hashed corpus via a bucket equi-join") {
