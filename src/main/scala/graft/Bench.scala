@@ -86,10 +86,29 @@ object Bench {
     }
     run("q11_distinct_counts") // parquet footer/filesystem cache for sfDir
 
-    val results = headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // three timed passes per query; report the MEDIAN (and min) — one
+    // noisy pass on a hot host inflated r6's single-pass total by 37%
+    // and burned a round on a phantom regression. `value` stays the
+    // median total and `queries` stays name→seconds, so the driver's
+    // parse is unchanged; `queries_min` is the extra diagnostic.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val times: Map[String, Seq[Double]] =
+      (1 to passes).flatMap(_ => headline.map(n => n -> run(n)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+    }
+    def minOk(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val med = headline.map(n => n -> median(times(n)))
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsMin = headline.map(n => "\"" + n + "\":" + minOk(times(n)))
+      .mkString("{", ",", "}")
+    val total = med.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

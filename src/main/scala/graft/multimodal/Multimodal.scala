@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * Codec status: IMAGE decode/resize is REAL (JDK `javax.imageio`:
   * PNG/JPEG/BMP/GIF/TIFF), AUDIO decode is REAL (JDK `javax.sound`:
   * WAV/AIFF/AU PCM), VIDEO container metadata + frame demux is REAL
-  * ([[VideoContainers]]: MP4 box tree + sample tables, AVI avih/movi) —
-  * only video PIXEL decode is stubbed (no codec in the JDK). Rows whose
-  * bytes carry no recognized magic signature skip decoder construction
-  * entirely and fall back to the deterministic [[decodeStub]], so the
-  * plumbing — schema, partitioning, batch iteration, typed encoders —
-  * is exercised end to end either way.
+  * ([[VideoContainers]]: MP4 box tree + sample tables, AVI avih/movi),
+  * and video PIXEL decode is REAL for the one codec whose frames the
+  * JDK can decode — MJPEG (each demuxed frame is a plain JPEG, fed to
+  * the ImageIO path; [[decodeVideoPixels]]). Compressed codecs the JDK
+  * lacks (H.264 etc.) keep the documented stub. Rows whose bytes carry
+  * no recognized magic signature skip decoder construction entirely and
+  * fall back to the deterministic [[decodeStub]], so the plumbing —
+  * schema, partitioning, batch iteration, typed encoders — is exercised
+  * end to end either way.
   */
 object Multimodal {
 
@@ -164,11 +167,50 @@ object Multimodal {
       finally in.close()
   }
 
+  /** Real video PIXEL decode for JPEG-framed containers (MJPEG-in-AVI,
+    * jpeg samples in MP4): up to `maxFrames` evenly-strided demuxed
+    * frames go through the ImageIO path and their luminance histograms
+    * average into the row feature — O(maxFrames) per row regardless of
+    * video length. Returns None when no sampled frame decodes
+    * (compressed codecs the JDK lacks keep the caller's stub), decided
+    * per frame by the same magic-byte sniff as images — no codec-fourcc
+    * trust, no exception-driven probing. */
+  def decodeVideoPixels(content: Array[Byte], samples: Array[(Long, Int)],
+      maxFrames: Int = 8): Option[DecodedImage] = {
+    if (samples == null || samples.isEmpty) return None
+    val stride = math.max(1, samples.length / maxFrames)
+    val hist = new Array[Float](8)
+    var w = 0
+    var h = 0
+    var decoded = 0
+    var i = 0
+    while (i < samples.length && decoded < maxFrames) {
+      val (off, len) = samples(i)
+      if (off >= 0 && len > 0 && off + len <= content.length) {
+        val fb = java.util.Arrays.copyOfRange(content, off.toInt, off.toInt + len)
+        decodeImageBytes(fb).foreach { d =>
+          if (decoded == 0) { w = d.width; h = d.height }
+          var j = 0
+          while (j < 8) { hist(j) += d.feature(j); j += 1 }
+          decoded += 1
+        }
+      }
+      i += stride
+    }
+    if (decoded == 0) None
+    else {
+      var j = 0
+      while (j < 8) { hist(j) /= decoded; j += 1 }
+      Some(DecodedImage(w, h, hist))
+    }
+  }
+
   /** Decode one row: real ImageIO for image rows, real javax.sound for
     * audio rows (sample rate → width, channels → height, PCM frames →
     * n_frames), real MP4/AVI container metadata for video rows (true
-    * dims/frame count from the sample tables; pixel decode needs codecs
-    * the JDK lacks, so the feature stays the byte histogram), stub for
+    * dims/frame count from the sample tables) — with REAL pixel stats
+    * when the frames themselves are JPEGs ([[decodeVideoPixels]]; the
+    * MJPEG case), byte-histogram stub feature otherwise — and stub for
     * bytes that are none of these. */
   def decodeMedia(r: MediaRow): DecodedRow = r.kind match {
     case "image" =>
@@ -183,9 +225,12 @@ object Multimodal {
       }
     case "video" if VideoContainers.looksLikeVideo(r.content) =>
       VideoContainers.parse(r.content) match {
-        case Some((meta, _)) =>
-          DecodedRow(r.media_id, r.kind, r.source, meta.width, meta.height,
-            meta.nFrames, decodeStub(r).feature)
+        case Some((meta, samples)) =>
+          val px = decodeVideoPixels(r.content, samples)
+          val w = if (meta.width != 0) meta.width else px.map(_.width).getOrElse(0)
+          val h = if (meta.height != 0) meta.height else px.map(_.height).getOrElse(0)
+          DecodedRow(r.media_id, r.kind, r.source, w, h, meta.nFrames,
+            px.map(_.feature).getOrElse(decodeStub(r).feature))
         case None => decodeStub(r)
       }
     case _ => decodeStub(r)
@@ -260,13 +305,27 @@ object Multimodal {
   }
 
   /** Resize image rows to fit `(tw, th)`: real ImageIO resample for
-    * decodable images; the deterministic byte-subset stub for image rows
-    * whose bytes aren't a real image (the synthetic corpus); non-image
-    * rows pass through unchanged. Runs partition-local like [[decode]]. */
+    * decodable images; for video rows with a parseable container whose
+    * FIRST frame is a JPEG (MJPEG), the resized keyframe — the
+    * thumbnail path a multimodal ingest runs; the deterministic
+    * byte-subset stub for image rows whose bytes aren't a real image
+    * (the synthetic corpus); other rows pass through unchanged. Runs
+    * partition-local like [[decode]]. */
   def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val real = if (r.kind == "image") resizeImageBytes(r.content, tw, th) else None
+      val real = r.kind match {
+        case "image" => resizeImageBytes(r.content, tw, th)
+        case "video" if VideoContainers.looksLikeVideo(r.content) =>
+          VideoContainers.parse(r.content).flatMap { case (_, samples) =>
+            samples.headOption.collect {
+              case (off, len) if off >= 0 && len > 0 && off + len <= r.content.length =>
+                resizeImageBytes(java.util.Arrays.copyOfRange(
+                  r.content, off.toInt, off.toInt + len), tw, th)
+            }.flatten
+          }
+        case _ => None
+      }
       real match {
         case Some((nw, nh, bytes)) => ResizedRow(r.media_id, r.kind, nw, nh, bytes)
         case None =>

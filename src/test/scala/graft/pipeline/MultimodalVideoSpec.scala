@@ -111,6 +111,92 @@ class MultimodalVideoSpec extends AnyFunSuite {
     assert(got.length == 4 && got.zip(frames).forall { case (a, b) => a.sameElements(b) })
   }
 
+  /** A real MJPEG AVI: each movi frame chunk is an actual JPEG encoded
+    * in-test with ImageIO (solid-color 16×12 frames at distinct gray
+    * levels), so the asserted pixel statistics are ground truth. */
+  private def buildMjpegAvi(): (Array[Byte], Array[Array[Byte]]) = {
+    val frames = Array.tabulate(4) { i =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(40 + 60 * i, 40 + 60 * i, 40 + 60 * i))
+        g.fillRect(0, 0, 16, 12)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val avih = cc("avih") ++ le32(56) ++ (
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(4) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(16) ++ le32(12) ++ new Array[Byte](16))
+    val hdrl = cc("LIST") ++ le32(4 + avih.length) ++ cc("hdrl") ++ avih
+    val movi = {
+      val chunks = frames.flatMap(f =>
+        cc("00dc") ++ le32(f.length) ++ f ++ (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]))
+      cc("LIST") ++ le32(4 + chunks.length) ++ cc("movi") ++ chunks
+    }
+    val body = cc("AVI ") ++ hdrl ++ movi
+    (cc("RIFF") ++ le32(body.length) ++ body, frames)
+  }
+
+  test("mjpeg avi: demuxed frame bytes are the exact in-test JPEGs (pixel digests)") {
+    val (bytes, frames) = buildMjpegAvi()
+    val (meta, chunks) = VideoContainers.parse(bytes).get
+    assert(meta.nFrames == 4 && meta.width == 16 && meta.height == 12)
+    val got = chunks.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len) }
+    assert(got.length == 4)
+    def md5(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    assert(got.zip(frames).forall { case (a, b) => md5(a) == md5(b) },
+      "demuxed frame digests must equal the encoded JPEG digests")
+    // and every demuxed frame really decodes to the 16×12 solid image
+    got.zip(frames).foreach { case (fb, _) =>
+      val d = Multimodal.decodeImageBytes(fb).get
+      assert(d.width == 16 && d.height == 12)
+    }
+  }
+
+  test("mjpeg avi: decodeMedia computes REAL pixel statistics, not the byte stub") {
+    val (bytes, frames) = buildMjpegAvi()
+    val row = Multimodal.decodeMedia(Multimodal.MediaRow(7L, "video", bytes, "t"))
+    assert(row.width == 16 && row.height == 12 && row.n_frames == 4)
+    // expected = average of the per-frame ImageIO luminance histograms
+    val per = frames.map(f => Multimodal.decodeImageBytes(f).get.feature)
+    val want = Array.tabulate(8)(j => per.map(_(j)).sum / per.length)
+    assert(row.feature.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-6f },
+      s"got ${row.feature.toSeq}, want ${want.toSeq}")
+    // the stub's byte histogram would differ: solid-gray JPEG pixels land
+    // in one-two luminance bins, JPEG container bytes spread across all 8
+    val stub = Multimodal.decodeStub(Multimodal.MediaRow(7L, "video", bytes, "t"))
+    assert(!row.feature.sameElements(stub.feature))
+  }
+
+  test("non-jpeg frame payloads (codecs the JDK lacks) keep the stub feature") {
+    val (bytes, _) = buildAvi() // 0xd0.. filler frames: not JPEGs
+    val row = Multimodal.decodeMedia(Multimodal.MediaRow(8L, "video", bytes, "t"))
+    val stub = Multimodal.decodeStub(Multimodal.MediaRow(8L, "video", bytes, "t"))
+    assert(row.width == 320 && row.height == 240 && row.n_frames == 4)
+    assert(row.feature.sameElements(stub.feature),
+      "undecodable frames must keep the deterministic stub feature")
+  }
+
+  test("resize: mjpeg video rows get a real resized keyframe") {
+    import spark.implicits._
+    val (bytes, frames) = buildMjpegAvi()
+    val ds = Seq(Multimodal.MediaRow(1L, "video", bytes, "t")).toDS()
+    val out = Multimodal.resize(ds, 8, 8).collect().head
+    assert(out.width == 8 && out.height == 6, s"got ${out.width}x${out.height}")
+    // the emitted bytes are a decodable PNG of the resized keyframe
+    val dec = Multimodal.decodeImageBytes(out.content).get
+    assert(dec.width == 8 && dec.height == 6)
+    // ...whose pixels come from frame 0 (dark gray), not the stub's byte
+    // sampling: a solid image keeps one dominant luminance bin
+    assert(dec.feature.max > 0.99f)
+  }
+
   test("decodeMedia: video rows with a real container get true metadata") {
     val (mp4, _) = buildMp4()
     val real = Multimodal.decodeMedia(Multimodal.MediaRow(1L, "video", mp4, "t"))
