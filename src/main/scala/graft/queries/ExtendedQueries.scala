@@ -712,6 +712,38 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- weighted shortest paths (min-plus Bellman-Ford) ---------------------
+    // minimum elapsed-days paths over each customer's order graph:
+    // successor edges weighted by the day gap PLUS skip-one edges at
+    // half the two-hop gap (integer-division discount) — so the minimum
+    // genuinely chooses between routes. operators.ShortestPaths'
+    // delta-based bounded relaxation; the oracle replays the identical
+    // min-plus rounds as unrolled CTEs (integer weights → bit-identical
+    // distances in any engine). Completes the graph family's weighted
+    // half next to q119's unit-weight BFS.
+    "q127_weighted_paths" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chain = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("nd", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("nxt2", lead(col("o_orderkey"), 2).over(w))
+        .withColumn("nd2", lead(col("o_orderdate"), 2).over(w))
+        .withColumn("rn", row_number().over(w))
+      val hop = chain.filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt").as("dst"),
+          datediff(col("nd"), col("o_orderdate")).as("w"))
+      val skip = chain.filter(col("nxt2").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt2").as("dst"),
+          expr("datediff(nd2, o_orderdate) div 2").as("w"))
+      val sources = chain.filter(col("rn") === 1)
+        .select(col("o_orderkey").as("node"))
+      graft.operators.ShortestPaths
+        .weightedDistances(hop.union(skip), sources, rounds = 4)
+        .select(col("node").as("o_orderkey"), col("dist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- KMV set algebra -----------------------------------------------------
     // pairwise source-overlap estimates from STORED sketch states (the
     // Beyer et al. pair estimator): matches within the merged bottom-k,
@@ -992,6 +1024,36 @@ object ExtendedQueries {
         |  CAST(coalesce(m.matches, 0) AS DOUBLE) / st.lsize AS jaccard_est
         |FROM st LEFT JOIN m ON st.sa = m.sa AND st.sb = m.sb
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // the identical min-plus rounds, unrolled: r_{i+1}(v) =
+    // min(r_i(v), min over edges (r_i(u) + w)) — integer-exact
+    "q127_weighted_paths" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, $prev.dist + e.w AS dist
+           |    FROM $prev JOIN e ON $prev.node = e.src) GROUP BY node)""".stripMargin
+      s"""WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+         |    lead(o_orderkey) OVER w AS nxt, lead(o_orderdate) OVER w AS nd,
+         |    lead(o_orderkey, 2) OVER w AS nxt2, lead(o_orderdate, 2) OVER w AS nd2,
+         |    row_number() OVER w AS rn
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         |e AS (SELECT o_orderkey AS src, nxt AS dst,
+         |        CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(nd AS DATE)) AS BIGINT) AS w
+         |      FROM c WHERE nxt IS NOT NULL
+         |      UNION ALL
+         |      SELECT o_orderkey, nxt2,
+         |        CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(nd2 AS DATE)) // 2 AS BIGINT)
+         |      FROM c WHERE nxt2 IS NOT NULL),
+         |r0 AS (SELECT o_orderkey AS node, CAST(0 AS BIGINT) AS dist FROM c WHERE rn = 1),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")}
+         |SELECT node AS o_orderkey, dist FROM r4 ORDER BY o_orderkey""".stripMargin
+    },
 
     // independent formulation: on a successor chain, BFS hop distance
     // from the chain head IS the (0-based) chain position
