@@ -280,14 +280,19 @@ object CurationQueries {
       val truth = graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val nQueries = emb.filter(col("vec_id") < 5).count()
+      // query-set size enters the plan as a broadcast 1-row aggregate
+      // (the d11 precedent) — no driver-side count() job
+      val nq = emb.filter(col("vec_id") < 5)
+        .agg(count(lit(1)).cast(DoubleType).as("nq"))
       val hits = top.join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("radius")).agg(count(lit(1)).as("hits"))
       cand.groupBy(col("radius")).agg(count(lit(1)).as("n_cand"))
         .join(hits, Seq("radius"), "left")
+        .crossJoin(broadcast(nq))
         .select(col("radius"), col("n_cand"),
           coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) * lit(1.0) / (5 * nQueries), 4).as("recall_at_5"))
+          round(coalesce(col("hits"), lit(0L)) * lit(1.0) / (lit(5) * col("nq")), 4)
+            .as("recall_at_5"))
         .orderBy(col("radius"))
     }),
 
