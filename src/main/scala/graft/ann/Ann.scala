@@ -709,11 +709,13 @@ object Ann {
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= candidates)
       .select("query_id", "neighbor_id")
-    // integer-exact re-rank of the pool in the quantized domain
+    // integer-exact re-rank of the pool in the quantized domain: the
+    // pool is (queries × candidates)-bounded, so it BROADCASTS onto the
+    // corpus vectors — the corpus never shuffles for the re-fetch
     val cq = corpus.select(col(idCol).as("neighbor_id"), quantUdf(col(vecCol)).as("cqv"))
     val qq = queries.select(col(idCol).as("query_id"), quantUdf(col(vecCol)).as("qqv"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
-    pool.join(cq, Seq("neighbor_id")).join(broadcast(qq), Seq("query_id"))
+    cq.join(broadcast(pool), Seq("neighbor_id")).join(broadcast(qq), Seq("query_id"))
       .withColumn("d2", d2Udf(col("qqv"), col("cqv")))
       .select("query_id", "neighbor_id", "d2")
       .withColumn("rank", row_number().over(wr))

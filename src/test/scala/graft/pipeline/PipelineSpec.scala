@@ -291,6 +291,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized IVF-PQ twin: pool=corpus re-rank equals exact integer L2; deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 3)
+    // with candidates >= |corpus| the ADC pool admits everything, so the
+    // integer re-rank must EQUAL the exact quantized-L2 brute force —
+    // any vector lost by coarse assign, residual encode, the probe join
+    // or the pool window breaks this equality
+    val nCorpus = emb.count().toInt
+    val got = Ann.ivfPqTopKQuantized(emb, queries, "vec_id", "embedding",
+        k = 5, candidates = nCorpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val quant = udf((v: Seq[Float]) =>
+      v.map(x => math.floor(x.toDouble * 1024.0).toLong))
+    val d2 = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val qs = queries.select(col("vec_id").as("query_id"), quant(col("embedding")).as("qa"))
+    val cs = emb.select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("ca"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val exact = cs.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", d2(col("qa"), col("ca")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("d2"), r.getAs[Int]("rank"))).toSet
+    assert(got == exact, s"full-pool twin diverged from integer brute force")
+    // at the production candidate count the twin is bit-deterministic
+    def run() = Ann.ivfPqTopKQuantized(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(run() == run())
+  }
+
   test("SQ8 quantized top-5 closely tracks exact float L2 (small quantization error)") {
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(col("vec_id") < 5)

@@ -407,6 +407,20 @@ class PlanSpec extends AnyFunSuite {
       "expected a bucket-keyed broadcast join:\n" + p.take(3000))
   }
 
+  test("e13b: query ADC tables and the pool broadcast — the corpus never shuffles for scoring") {
+    val p = plan("e13b_ann_ivfpq_quantized")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled for a bounded-side join:\n" + p.take(3000))
+  }
+
+  test("q127: weighted relaxation is equi-joins and partial min aggregates — no nested loop") {
+    val p = plan("q127_weighted_paths")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("q126: lagged pairs come from equi-joins — never a window over the whole series") {
     val p = plan("q126_autocorr")
     assert(!p.contains("Window"), "autocorr must not use a global window:\n" + p.take(3000))
