@@ -2024,6 +2024,87 @@ object PipelineQueries {
         |    ELSE 'none' END AS container
         |FROM m ORDER BY media_id""".stripMargin,
 
+    // the decode plumbing IS deterministic on the synthetic corpus: text
+    // bytes never carry a real media signature, so every row takes the
+    // documented stub (w/h from the first two bytes, frames from length,
+    // all integer arithmetic) — which the oracle replays from hex().
+    // Real-codec paths are covered by MultimodalImageSpec /
+    // MultimodalVideoSpec fixtures; this hash locks the Spark-side
+    // plumbing (kind routing, mapPartitions batch shape, aggregation).
+    "m01_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT)) AS kind,
+        |    hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (SELECT kind, len,
+        |    CASE WHEN len > 0 THEN
+        |      (strpos('0123456789ABCDEF', hx[1]) - 1) * 16 + strpos('0123456789ABCDEF', hx[2]) - 1
+        |    END AS b0,
+        |    CASE WHEN len > 1 THEN
+        |      (strpos('0123456789ABCDEF', hx[3]) - 1) * 16 + strpos('0123456789ABCDEF', hx[4]) - 1
+        |    END AS b1
+        |  FROM m),
+        |d AS (SELECT kind,
+        |    CASE WHEN len > 0 THEN 16 + b0 % 64 ELSE 0 END AS w,
+        |    CASE WHEN len > 1 THEN 16 + b1 % 64 ELSE 0 END AS h,
+        |    CASE kind WHEN 'video' THEN 1 + len // 64
+        |              WHEN 'audio' THEN 1 + len // 16
+        |              ELSE 1 END AS frames
+        |  FROM b)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(max(w) AS INT) AS max_width, CAST(min(h) AS INT) AS min_height
+        |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // frame sampling on the synthetic corpus: video rows take the
+    // 64-byte-window stub (windows 0,4,8,… of ceil-divided counts),
+    // non-video rows pass through whole — all arithmetic on byte length
+    "m02_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT)) AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |v AS (SELECT media_id, len, 1 + len // 64 AS n FROM m WHERE kind = 'video'),
+        |f AS (SELECT media_id, len, unnest(range(0, n, 4)) AS fi FROM v),
+        |vb AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |         CAST(sum(least(64, len - 64 * fi)) AS BIGINT) AS bytes_sampled
+        |       FROM f GROUP BY media_id),
+        |o AS (SELECT media_id, CAST(1 AS BIGINT) AS n_sampled, len AS bytes_sampled
+        |      FROM m WHERE kind <> 'video'
+        |      UNION ALL SELECT media_id, n_sampled, bytes_sampled FROM vb)
+        |SELECT media_id, n_sampled, bytes_sampled FROM o ORDER BY media_id""".stripMargin,
+
+    // resize on the synthetic corpus: image rows take the byte-subset
+    // stub (ratio-trunc-step arithmetic in the same IEEE doubles),
+    // audio/video rows pass through with stub dims
+    "m03_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT)) AS kind,
+        |    hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (SELECT kind, len,
+        |    CASE WHEN len > 0 THEN 16 + ((strpos('0123456789ABCDEF', hx[1]) - 1) * 16
+        |                                 + strpos('0123456789ABCDEF', hx[2]) - 1) % 64
+        |         ELSE 0 END AS sw,
+        |    CASE WHEN len > 1 THEN 16 + ((strpos('0123456789ABCDEF', hx[3]) - 1) * 16
+        |                                 + strpos('0123456789ABCDEF', hx[4]) - 1) % 64
+        |         ELSE 0 END AS sh
+        |  FROM m),
+        |r AS (SELECT kind,
+        |    CASE WHEN kind = 'image' AND sw > 0 AND sh > 0 THEN least(32, sw) ELSE sw END AS w,
+        |    CASE WHEN kind = 'image' AND sw > 0 AND sh > 0 THEN least(32, sh) ELSE sh END AS h,
+        |    CASE WHEN kind = 'image' AND sw > 0 AND sh > 0 THEN
+        |      (len - 1) // greatest(1, len // greatest(1,
+        |        CAST(trunc(len * least(1.0, 1024.0 / (sw * sh))) AS BIGINT))) + 1
+        |    ELSE len END AS nb
+        |  FROM b)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
     "m05_byte_entropy" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
         |h AS (SELECT media_id, upper(hex(content)) AS hx,
