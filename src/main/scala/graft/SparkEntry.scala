@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
-      ExtendedQueries.queries ++ CurationQueries.queries
+      ExtendedQueries.queries ++ CurationQueries.queries ++ MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle ++
-      ExtendedQueries.oracle ++ CurationQueries.oracle
+      ExtendedQueries.oracle ++ CurationQueries.oracle ++ MiningQueries.oracle
 }

@@ -281,6 +281,45 @@ object EventQueries {
     // hourly-series autocorrelation at lags 1-3 — the seasonality probe
     // behind anomaly detectors. Hourly sums stay DECIMAL(18,2) (exact);
     // lagged pairs come from an hour-shifted self-equi-join (never a
+    // hour-of-day seasonal baseline + 3σ residual anomaly flags — the
+    // seasonality-aware outlier detector (a metric that is normal at
+    // peak hour is anomalous at 3am; q91's per-type MAD can't see
+    // that). Baselines come from decimal-exact moments per
+    // (event_type, hour-of-day) cell — the q60/q126 rule — so μ and σ
+    // are identical doubles in both engines; the per-event flag
+    // comparison then re-joins the tiny (types × 24)-row baseline map
+    // BROADCAST into a map-side pass over the events. σ is guarded with
+    // greatest(·, 0): the variance formula can land a hair below zero
+    // on constant cells, and sqrt(negative) is NaN in Spark but an
+    // error-free NaN with different compare semantics downstream.
+    "q130_seasonal_anomaly" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        expr("CAST((tus div 3600000000) % 24 AS INT)").as("hr"),
+        dec(col("value")).as("v"))
+      val base = e.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(DoubleType).as("sv"),
+          sum((col("v") * col("v")).cast(DecimalType(28, 4))).cast(DoubleType).as("sq"))
+        .withColumn("mu", col("sv") / col("n"))
+        .withColumn("sigma",
+          sqrt(greatest(col("sq") / col("n") - col("mu") * col("mu"), lit(0.0))))
+      val flags = e
+        .join(broadcast(base.select(col("event_type"), col("hr"), col("mu"), col("sigma"))),
+          Seq("event_type", "hr"))
+        .filter(abs(col("v").cast(DoubleType) - col("mu")) > lit(3.0) * col("sigma"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n_anom"))
+      // μ/σ ship as RAW IEEE doubles (the q92/q96 rule): round(double, 4)
+      // disagrees between engines on .xxxx5 boundaries (Spark rounds the
+      // decimal rendering, DuckDB rounds scaled-double arithmetic) — at
+      // sf0.001 a cell mean landed exactly on 68.92875 and split them
+      base.join(flags, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), col("n"),
+          coalesce(col("n_anom"), lit(0L)).as("n_anom"),
+          col("mu").as("mean_v"),
+          col("sigma").as("sigma_v"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // window over the whole series), pair moments are decimal sums (the
     // q60 rule), and doubles appear only in the final correlation
     // formula (+ 0.0 canonicalizes the near-zero -0.0 case).
@@ -783,6 +822,24 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q130_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INT) AS hr,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |b AS (SELECT event_type, hr, count(*) AS n,
+        |        CAST(sum(v) AS DOUBLE) AS sv,
+        |        CAST(sum(CAST(v * v AS DECIMAL(28,4))) AS DOUBLE) AS sq
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, hr, n, sv / n AS mu,
+        |        sqrt(greatest(sq / n - (sv / n) * (sv / n), 0.0)) AS sigma FROM b),
+        |f AS (SELECT e.event_type, e.hr, count(*) AS n_anom
+        |      FROM e JOIN m ON e.event_type = m.event_type AND e.hr = m.hr
+        |      WHERE abs(CAST(e.v AS DOUBLE) - m.mu) > 3.0 * m.sigma GROUP BY 1, 2)
+        |SELECT m.event_type, m.hr, m.n, coalesce(f.n_anom, 0) AS n_anom,
+        |  m.mu AS mean_v, m.sigma AS sigma_v
+        |FROM m LEFT JOIN f ON m.event_type = f.event_type AND m.hr = f.hr
+        |ORDER BY m.event_type, m.hr""".stripMargin,
+
     "q103_rolling_median" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events

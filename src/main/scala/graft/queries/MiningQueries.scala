@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph- and corpus-mining operators: k-core density filtering, kNN
+  * graph construction over embeddings, and windowed co-occurrence
+  * statistics (the GloVe/word2vec preprocessing primitive).
+  *
+  * Every query hash-checks: graph rounds and co-occurrence counts are
+  * pure integer arithmetic, kNN scoring runs on floor(v·1024) quantized
+  * vectors (the e03b rule), and the only doubles are final scalars
+  * computed by identical expressions in both engines.
+  */
+object MiningQueries {
+
+  /** All-pairs kNN graph via LSH multiprobe buckets — the construction
+    * primitive under SemDeDup clustering, HNSW-style graph indexes and
+    * graph-based label propagation. Differs from the query-serving ANN
+    * family (e02/e03/e08/e12): every corpus vector is both probe and
+    * candidate, and the output is a directed top-k adjacency list.
+    *
+    * Scale design (100 TB): the corpus is signed map-side ONCE (integer
+    * LSH signature); the probe side expands to the 9 Hamming-≤1 buckets
+    * and the candidate join is a bucket equi-join — never an all-pairs
+    * product. Candidate volume is bounded by bucket occupancy (hot
+    * buckets would take the Dedup-style occupancy cap); the top-k
+    * window partitions on the probe id, so no global sort exists
+    * anywhere. Scoring is integer-exact: quantized dot + norms, with
+    * the double cosine used for RANKING only (identical expression both
+    * engines). Factored out so specs can drive planted corpora. */
+  private[graft] def knnGraphQuantized(emb: DataFrame, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
+      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    val corpus = base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+      col("n2").as("cn2"), col("sig").as("bucket"))
+    val masks = (Seq(0) ++ (0 until 8).map(1 << _)).toDF("m")
+    // probes carry the quantized vector through the ×9 expansion: the
+    // pair score needs both vectors anyway, and re-fetching them after
+    // the bucket match would shuffle the same bytes plus a join
+    val probes = base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"), col("sig"))
+      .crossJoin(broadcast(masks))
+      .withColumn("bucket", col("sig").bitwiseXOR(col("m")))
+      .select(col("vec_id"), col("qq"), col("qn2"), col("bucket"))
+    // each (probe, candidate) pair matches through AT MOST one mask
+    // (the 9 probe buckets are distinct), so no dedup is needed
+    val cand = corpus.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("cosq", col("qdot").cast(DoubleType) /
+        (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("qdot"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-core of the part co-purchase graph (parts sharing an order are
+    // adjacent): 4 peel rounds at degree >= 90 — at sf0.01 the cascade
+    // is genuinely multi-round (1745 -> 1534 -> 1221 -> 527 survivors).
+    // The co-purchase expansion is bounded per basket (<= C(13,2) pairs
+    // per order); the peel itself is KCore's aggregate+semi-join rounds.
+    // Output covers EVERY node (flag + final degree), so the result is
+    // never empty regardless of how far the cascade runs at a given SF.
+    "q128_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("s"), col("pb").as("t"))
+        .union(e.select(col("pb"), col("pa")))
+      graft.operators.KCore.peel(sym, k = 90, rounds = 4)
+        .select(col("node").as("p_partkey"), col("in_core"), col("deg_final"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
+    // candidates, integer-exact scoring (see knnGraphQuantized).
+    "e28_knn_graph" -> ((s, d) =>
+      knnGraphQuantized(Tables.embeddings(s, d), topK = 3)
+        .orderBy(col("vec_id"), col("rk"))),
+
+    // windowed word co-occurrence + PMI — the GloVe/word2vec
+    // preprocessing primitive (and the collocation detector feeding
+    // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
+    // from the token array per document (no positional self-join), the
+    // single shuffle is the (w1, w2) count aggregate on symmetric
+    // normalized keys. Unigram counts and the two scalar totals
+    // broadcast into the final PMI projection; PMI itself is one double
+    // expression over exact BIGINT counts, mirrored parenthesis-for-
+    // parenthesis in the oracle (+ 0.0 canonicalizes -0.0: PMI of
+    // independent pairs hovers near zero from below).
+    "d53_cooccurrence_pmi" -> ((s, d) =>
+      cooccurrencePmi(Tables.documents(s, d), minCount = 5)
+        .orderBy(col("w1"), col("w2"))))
+
+  /** d53's body over any (doc_id, text) frame, factored for planted-
+    * corpus specs. */
+  private[graft] def cooccurrencePmi(docs: DataFrame, minCount: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), expr("filter(split(text, '\\\\s+'), w -> w <> '')").as("ws"))
+    val unig = toks.select(explode(col("ws")).as("w"))
+    val uni = unig.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nt = unig.agg(count(lit(1)).as("nt"))
+    val pos = toks
+      .select(col("ws"), explode(expr("sequence(1, 5)")).as("o"))
+      .filter(size(col("ws")) > col("o"))
+      .select(col("ws"), col("o"), explode(expr("sequence(1, size(ws) - o)")).as("i"))
+      .select(
+        least(element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + col("o"))).as("w1"),
+        greatest(element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + col("o"))).as("w2"))
+    val np = pos.agg(count(lit(1)).as("np"))
+    val cp = pos.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    cp.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb")), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (round(log((col("c_ab") * lit(1.0) * col("nt") * col("nt")) /
+          (col("ca") * lit(1.0) * col("cb") * col("np"))), 4) + lit(0.0)).as("pmi"))
+  }
+
+  /** q128's unrolled peel rounds: d{r} = degrees of the edge set
+    * entering round r, a{r} = nodes with d{r}.c >= k, s{r} = edges
+    * among a{r}. */
+  private def kcoreRounds(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "sym" else s"s${r - 1}"
+      s"""d$r AS (SELECT s, count(*) AS c FROM $prev GROUP BY s),
+         |a$r AS (SELECT s FROM d$r WHERE c >= $k),
+         |s$r AS MATERIALIZED (SELECT $prev.s, $prev.t FROM $prev
+         |  JOIN a$r x ON $prev.s = x.s JOIN a$r y ON $prev.t = y.s)""".stripMargin
+    }.mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    "q128_kcore" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+         |nodes AS (SELECT DISTINCT s AS node FROM sym),
+         |${kcoreRounds(90, 4)},
+         |surv AS (SELECT s AS node, c AS deg_final FROM d4 WHERE c >= 90)
+         |SELECT nodes.node AS p_partkey,
+         |  CASE WHEN surv.node IS NULL THEN 0 ELSE 1 END AS in_core,
+         |  coalesce(surv.deg_final, 0) AS deg_final
+         |FROM nodes LEFT JOIN surv ON nodes.node = surv.node
+         |ORDER BY p_partkey""".stripMargin,
+
+    "e28_knn_graph" ->
+      s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
+         |emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |        list_transform(CAST(embedding AS DOUBLE[]),
+         |                       v -> CAST(floor(v * 1024) AS BIGINT)) AS q
+         |      FROM embeddings),
+         |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+         |       FROM emb),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+         |       FROM emb, range(1, 65) t(i)),
+         |bits AS (SELECT un.vec_id, planes.p,
+         |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+         |sig AS MATERIALIZED (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+         |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+         |probes AS (SELECT sig.vec_id, xor(sig.s, masks.m) AS bucket FROM sig CROSS JOIN masks),
+         |cand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
+         |        FROM probes p JOIN sig c ON p.bucket = c.s
+         |        WHERE p.vec_id <> c.vec_id),
+         |dot AS (SELECT cand.vec_id, cand.neighbor_id,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+         |      FROM cand JOIN emb a ON cand.vec_id = a.vec_id
+         |                JOIN emb b ON cand.neighbor_id = b.vec_id),
+         |scored AS (SELECT dot.vec_id, dot.neighbor_id, dot.qdot,
+         |        CAST(dot.qdot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+         |      FROM dot JOIN n2 na ON dot.vec_id = na.vec_id
+         |                JOIN n2 nb ON dot.neighbor_id = nb.vec_id)
+         |SELECT vec_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
+         |  neighbor_id, qdot
+         |FROM scored
+         |QUALIFY rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
+
+    "d53_cooccurrence_pmi" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        |           FROM documents),
+        |u AS (SELECT unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS cw FROM u GROUP BY w),
+        |nt AS (SELECT count(*) AS nt FROM u),
+        |off AS (SELECT unnest([1, 2, 3, 4, 5]) AS o),
+        |p AS (SELECT ws, o,
+        |        unnest(list_transform(range(1, len(ws) - o + 1), i -> CAST(i AS INT))) AS i
+        |      FROM t CROSS JOIN off WHERE len(ws) > o),
+        |pairs AS (SELECT least(ws[i], ws[i + o]) AS w1, greatest(ws[i], ws[i + o]) AS w2 FROM p),
+        |np AS (SELECT count(*) AS np FROM pairs),
+        |cp AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2)
+        |SELECT cp.w1, cp.w2, cp.c_ab,
+        |  round(ln((cp.c_ab * 1.0 * nt.nt * nt.nt) / (ca.cw * 1.0 * cb.cw * np.np)), 4) + 0.0 AS pmi
+        |FROM cp JOIN uni ca ON cp.w1 = ca.w JOIN uni cb ON cp.w2 = cb.w
+        |CROSS JOIN nt CROSS JOIN np
+        |WHERE cp.c_ab >= 5
+        |ORDER BY cp.w1, cp.w2""".stripMargin)
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KCore
+import graft.zeek.SharedSpark
+
+/** Specs for the mining family: k-core peeling, kNN graph
+  * construction, and windowed co-occurrence PMI. */
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  // ---------------------------------------------------------------- k-core
+
+  /** Straightforward sequential peel (the textbook definition) used as
+    * ground truth for KCore.peel. */
+  private def brutePeel(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): (Set[Long], Map[Long, Long]) = {
+    var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var lastDeg: Map[Long, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+      lastDeg = deg
+      val alive = deg.filter(_._2 >= k).keySet
+      es = es.filter { case (a, b) => alive(a) && alive(b) }
+    }
+    val surv = lastDeg.filter(_._2 >= k)
+    (surv.keySet, surv)
+  }
+
+  private def runPeel(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    import spark.implicits._
+    val e = edges.toDF("pa", "pb")
+    val sym = e.select(col("pa").as("s"), col("pb").as("t"))
+      .union(e.select(col("pb"), col("pa")))
+    KCore.peel(sym, k, rounds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+  }
+
+  test("k-core: clique survives, pendant tail cascades off over rounds") {
+    // 4-clique {1,2,3,4} (degree 3 inside) + tail 4-5-6: 6 has degree 1
+    // (dies round 1), 5 then has degree 1 (dies round 2), clique keeps
+    // degree >= 3 only after the tail stops counting toward 4's degree.
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = clique ++ Seq((4L, 5L), (5L, 6L))
+    val got = runPeel(edges, k = 3, rounds = 3)
+    val (aliveSet, degs) = brutePeel(edges, k = 3, rounds = 3)
+    assert(got.length == 6) // every node reported
+    for ((n, inCore, deg) <- got) {
+      assert((inCore == 1) == aliveSet(n), s"node $n flag")
+      assert(deg == degs.getOrElse(n, 0L), s"node $n degree")
+    }
+    assert(aliveSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("k-core: matches the sequential peel on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (k <- Seq(2, 5, 8)) {
+      val got = runPeel(edges, k, rounds = 4)
+        .map { case (n, f, dg) => n -> ((f, dg)) }.toMap
+      val (aliveSet, degs) = brutePeel(edges, k, rounds = 4)
+      for ((n, (f, dg)) <- got) {
+        assert((f == 1) == aliveSet(n), s"k=$k node $n flag")
+        assert(dg == degs.getOrElse(n, 0L), s"k=$k node $n degree")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- kNN graph
+
+  test("knn graph: duplicate vectors are mutual top-1 with maximal cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 0.4f - 0.2f)
+    val twin = vec()
+    val rows = Seq(0L -> twin, 1L -> twin.clone()) ++
+      (2L to 40L).map(i => i -> vec())
+    val emb = rows.toDF("vec_id", "embedding")
+    val g = MiningQueries.knnGraphQuantized(emb, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // identical vectors share every LSH bucket, so each must see the
+    // other as its rank-1 neighbor (quantized cosine exactly 1)
+    assert(g.exists { case (v, rk, n, _) => v == 0L && rk == 1L && n == 1L })
+    assert(g.exists { case (v, rk, n, _) => v == 1L && rk == 1L && n == 0L })
+    // per-node invariants: contiguous ranks from 1, <= topK rows
+    for ((v, rows) <- g.groupBy(_._1)) {
+      val rks = rows.map(_._2).sorted
+      assert(rks.length <= 3 && rks.sameElements(1L to rks.length), s"node $v ranks")
+    }
+  }
+
+  test("knn graph: qdot matches a driver-side quantized dot product") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 0.4f - 0.2f)
+    val rows = (0L to 30L).map(i => i -> vec())
+    val byId = rows.toMap
+    val emb = rows.toDF("vec_id", "embedding")
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1024.0).toLong)
+    val g = MiningQueries.knnGraphQuantized(emb, topK = 3).collect()
+    assert(g.nonEmpty)
+    for (r <- g) {
+      val (a, b) = (q(byId(r.getLong(0))), q(byId(r.getLong(2))))
+      val expect = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(r.getLong(3) == expect, s"pair ${r.getLong(0)}-${r.getLong(2)}")
+    }
+  }
+
+  // ------------------------------------------------------------------- PMI
+
+  test("pmi: planted collocation scores above an anti-correlated pair") {
+    import spark.implicits._
+    // "alpha beta" always adjacent; "alpha zeta" never within 5 tokens
+    val docs = (0L until 30L).map { i =>
+      i -> s"alpha beta c$i d$i e$i f$i g$i h$i zeta yy zz ww vv uu tt"
+    }.toDF("doc_id", "text")
+    val out = MiningQueries.cooccurrencePmi(docs, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (cAb, pmiAb) = out(("alpha", "beta"))
+    assert(cAb == 30L) // once per doc at offset 1
+    assert(!out.contains(("alpha", "zeta"))) // distance 8 > window 5
+    // yy/zz co-occur too, but alpha-beta must be positive (collocation)
+    assert(pmiAb > 0.0)
+  }
+
+  test("pmi: counts match a driver-side window count on a tiny corpus") {
+    import spark.implicits._
+    val texts = Seq("a b a c b", "b a a a d", "c c a b e")
+    val docs = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toDF("doc_id", "text")
+    def pairsOf(t: String): Seq[(String, String)] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      for {
+        o <- 1 to 5
+        i <- 0 until ws.length - o
+        if ws.length > o
+      } yield {
+        val (x, y) = (ws(i), ws(i + o))
+        (Seq(x, y).min, Seq(x, y).max)
+      }
+    }
+    val expect = texts.flatMap(pairsOf).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = MiningQueries.cooccurrencePmi(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+}
