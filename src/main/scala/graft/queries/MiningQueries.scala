@@ -89,6 +89,57 @@ object MiningQueries {
       knnGraphQuantized(Tables.embeddings(s, d), topK = 3)
         .orderBy(col("vec_id"), col("rk"))),
 
+    // semi-supervised label propagation over the e28 kNN graph — the
+    // label-spreading step that turns a small labeled seed set into
+    // corpus-wide weak labels (classifier bootstrapping, cluster
+    // naming). Nodes with vec_id % 3 == 0 are "unlabeled"; two rounds
+    // of majority vote over labeled kNN neighbors (count desc, label
+    // asc tie-break — deterministic), newly labeled nodes vote in the
+    // next round. Scale shape: each round is one edge join + one
+    // (node, label) aggregate + a per-node window — the labeled set
+    // only grows, rounds are bounded, no driver state. Every vote is
+    // an integer count, so the whole spread hash-checks on top of the
+    // already-exact kNN graph.
+    "e29_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      labelProp(emb.select(col("vec_id"), col("label"))
+          .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
+        knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id")),
+        rounds = 2)
+        .orderBy(col("vec_id"))
+    }),
+
+    // a-priori frequent itemsets (triples) over document word sets —
+    // the co-occurrence pattern miner (taxonomy hints, template
+    // detection, co-topic analysis). Classic a-priori pruning, shaped
+    // for scale: infrequent ITEMS are dropped first (broadcast
+    // frequent-item set shrinks every basket before any pair work),
+    // candidate triples extend only FREQUENT pairs, and both remaining
+    // sub-pairs of each candidate are a-priori-checked against the
+    // broadcast frequent-pair set BEFORE the support count — the
+    // candidate space is bounded by the frequent-pair table, never by
+    // the raw basket expansion. Supports are integer counts against
+    // relative thresholds (compare mirrored exactly in the oracle).
+    "d54_frequent_itemsets" -> ((s, d) =>
+      frequentTriples(
+        Tables.documents(s, d).select(col("doc_id"),
+          explode(expr("array_distinct(filter(split(text, '\\\\s+'), w -> w <> ''))")).as("w")),
+        minItem = 0.25, minSet = 0.45)
+        .orderBy(col("w1"), col("w2"), col("w3"))),
+
+    // DAU / WAU engagement stickiness — the product-analytics staple.
+    // Daily actives are one (day, user) distinct aggregate; the weekly
+    // active set reuses it: each active (user, day) projects forward
+    // into the 7 days it keeps the user "weekly active" for (map-only
+    // ×7 explode of DISTINCT user-days, not raw events), then one
+    // distinct count per day. The ratio is one exact IEEE division of
+    // two BIGINTs. Only full windows report (day >= first day + 6), so
+    // the series has no ramp-up artifacts.
+    "q131_stickiness" -> ((s, d) =>
+      stickiness(eventsTus(s, d)
+          .select(expr("tus div 86400000000").as("day"), col("user_id")))
+        .orderBy(col("day"))),
+
     // windowed word co-occurrence + PMI — the GloVe/word2vec
     // preprocessing primitive (and the collocation detector feeding
     // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
@@ -102,6 +153,96 @@ object MiningQueries {
     "d53_cooccurrence_pmi" -> ((s, d) =>
       cooccurrencePmi(Tables.documents(s, d), minCount = 5)
         .orderBy(col("w1"), col("w2"))))
+
+  /** events with epoch-micros `tus` (EventQueries' dispatch, local copy
+    * for this object's one events consumer). */
+  private def eventsTus(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.events(s, d)
+    val tus = df.schema("ts").dataType match {
+      case LongType            => expr("ts div 1000")
+      case _: TimestampNTZType => expr(
+        "unix_date(cast(ts as date)) * 86400000000 + " +
+          "(hour(ts) * 3600 + minute(ts) * 60) * CAST(1000000 AS BIGINT) + " +
+          "cast(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
+      case _                   => expr("unix_micros(ts)")
+    }
+    df.withColumn("tus", tus)
+  }
+
+  /** e29's body: bounded-round majority-vote label propagation over a
+    * directed edge list. `nodes` carries (vec_id, label) with NULL
+    * label = unlabeled; `edges` carries (vec_id, neighbor_id). Factored
+    * for planted-graph specs. */
+  private[graft] def labelProp(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val seeds = nodes.filter(col("label").isNotNull)
+    var labeled = seeds.withColumn("rnd", lit(0))
+    for (r <- 1 to rounds) {
+      val unl = nodes.select(col("vec_id"))
+        .join(labeled.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val votes = unl.join(edges, Seq("vec_id"))
+        .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .groupBy(col("vec_id"), col("label")).agg(count(lit(1)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("v").desc, col("label"))
+      val newly = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label")).withColumn("rnd", lit(r))
+      labeled = labeled.union(newly)
+    }
+    nodes.select(col("vec_id"))
+      .join(labeled, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("rnd"), lit(-1)).as("assigned_round"))
+  }
+
+  /** d54's a-priori body over an exploded (doc_id, w) item frame with
+    * relative support thresholds. Pruning is LOSSLESS: every triple
+    * above `minSet` support has all items above it and all sub-pairs
+    * above it (anti-monotonicity), so the result equals brute-force
+    * triple counting — the spec pins that. */
+  private[graft] def frequentTriples(dt: DataFrame, minItem: Double,
+      minSet: Double): DataFrame = {
+    val nd = dt.agg(countDistinct(col("doc_id")).as("nd"))
+    val f1 = dt.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .crossJoin(broadcast(nd))
+      .filter(col("c1") * lit(1.0) >= lit(minItem) * col("nd")).select(col("w"))
+    val kept = dt.join(broadcast(f1), Seq("w"))
+    val p = kept.as("a").join(kept.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"), col("b.w").as("w2"))
+    val f2 = p.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .crossJoin(broadcast(nd))
+      .filter(col("c2") * lit(1.0) >= lit(minSet) * col("nd"))
+      .select(col("w1"), col("w2"))
+    val ext = p.join(broadcast(f2), Seq("w1", "w2"))
+      .join(kept.select(col("doc_id").as("doc_id3"), col("w").as("w3")),
+        col("doc_id3") === col("doc_id") && col("w3") > col("w2"))
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"))
+    val cand = ext
+      .join(broadcast(f2.select(col("w1"), col("w2").as("w3"))), Seq("w1", "w3"), "left_semi")
+      .join(broadcast(f2.select(col("w1").as("w2"), col("w2").as("w3"))), Seq("w2", "w3"), "left_semi")
+    cand.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nd))
+      .filter(col("support") * lit(1.0) >= lit(minSet) * col("nd"))
+      .select(col("w1"), col("w2"), col("w3"), col("support"))
+  }
+
+  /** q131's body over a (day, user_id) activity frame (need not be
+    * distinct). */
+  private[graft] def stickiness(userDays: DataFrame): DataFrame = {
+    val ud = userDays.select(col("day"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    dau.join(wau, Seq("day")).crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") + 6 && col("day") <= col("d1"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
+  }
 
   /** d53's body over any (doc_id, text) frame, factored for planted-
     * corpus specs. */
@@ -134,6 +275,45 @@ object MiningQueries {
   /** q128's unrolled peel rounds: d{r} = degrees of the edge set
     * entering round r, a{r} = nodes with d{r}.c >= k, s{r} = edges
     * among a{r}. */
+  /** The e28 kNN-graph derivation (signatures → multiprobe buckets →
+    * quantized dots → per-node top-3) as a WITH-body ending in a `knn`
+    * CTE — shared by the e28 and e29 oracles (the kmeansCtes
+    * precedent). */
+  private def knnGraphCtes: String =
+    s"""planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
+       |emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |        list_transform(CAST(embedding AS DOUBLE[]),
+       |                       v -> CAST(floor(v * 1024) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |       FROM emb),
+       |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+       |       FROM emb, range(1, 65) t(i)),
+       |bits AS (SELECT un.vec_id, planes.p,
+       |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+       |sig AS MATERIALIZED (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+       |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+       |probes AS (SELECT sig.vec_id, xor(sig.s, masks.m) AS bucket FROM sig CROSS JOIN masks),
+       |cand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
+       |        FROM probes p JOIN sig c ON p.bucket = c.s
+       |        WHERE p.vec_id <> c.vec_id),
+       |dot AS (SELECT cand.vec_id, cand.neighbor_id,
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+       |      FROM cand JOIN emb a ON cand.vec_id = a.vec_id
+       |                JOIN emb b ON cand.neighbor_id = b.vec_id),
+       |scored AS (SELECT dot.vec_id, dot.neighbor_id, dot.qdot,
+       |        CAST(dot.qdot AS DOUBLE) /
+       |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+       |      FROM dot JOIN n2 na ON dot.vec_id = na.vec_id
+       |                JOIN n2 nb ON dot.neighbor_id = nb.vec_id),
+       |knn AS MATERIALIZED (SELECT vec_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
+       |    neighbor_id, qdot
+       |  FROM scored
+       |  QUALIFY rk <= 3)""".stripMargin
+
   private def kcoreRounds(k: Int, rounds: Int): String =
     (1 to rounds).map { r =>
       val prev = if (r == 1) "sym" else s"s${r - 1}"
@@ -159,40 +339,62 @@ object MiningQueries {
          |ORDER BY p_partkey""".stripMargin,
 
     "e28_knn_graph" ->
-      s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
-         |emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         |        list_transform(CAST(embedding AS DOUBLE[]),
-         |                       v -> CAST(floor(v * 1024) AS BIGINT)) AS q
-         |      FROM embeddings),
-         |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-         |       FROM emb),
-         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
-         |       FROM emb, range(1, 65) t(i)),
-         |bits AS (SELECT un.vec_id, planes.p,
-         |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
-         |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
-         |sig AS MATERIALIZED (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
-         |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
-         |probes AS (SELECT sig.vec_id, xor(sig.s, masks.m) AS bucket FROM sig CROSS JOIN masks),
-         |cand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
-         |        FROM probes p JOIN sig c ON p.bucket = c.s
-         |        WHERE p.vec_id <> c.vec_id),
-         |dot AS (SELECT cand.vec_id, cand.neighbor_id,
-         |        CAST(list_sum(list_transform(range(1, 65),
-         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
-         |      FROM cand JOIN emb a ON cand.vec_id = a.vec_id
-         |                JOIN emb b ON cand.neighbor_id = b.vec_id),
-         |scored AS (SELECT dot.vec_id, dot.neighbor_id, dot.qdot,
-         |        CAST(dot.qdot AS DOUBLE) /
-         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
-         |      FROM dot JOIN n2 na ON dot.vec_id = na.vec_id
-         |                JOIN n2 nb ON dot.neighbor_id = nb.vec_id)
-         |SELECT vec_id,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
-         |  neighbor_id, qdot
-         |FROM scored
-         |QUALIFY rk <= 3
-         |ORDER BY vec_id, rk""".stripMargin,
+      s"""WITH $knnGraphCtes
+         |SELECT vec_id, rk, neighbor_id, qdot FROM knn ORDER BY vec_id, rk""".stripMargin,
+
+    "e29_label_prop" ->
+      s"""WITH $knnGraphCtes,
+         |seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 3 <> 0),
+         |v1 AS (SELECT k.vec_id, s2.label, count(*) AS c
+         |       FROM knn k JOIN seeds s2 ON k.neighbor_id = s2.vec_id
+         |       WHERE k.vec_id % 3 = 0 GROUP BY 1, 2),
+         |n1 AS (SELECT vec_id, label FROM v1
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
+         |l1 AS (SELECT vec_id, label, 0 AS rnd FROM seeds
+         |       UNION ALL SELECT vec_id, label, 1 FROM n1),
+         |v2 AS (SELECT k.vec_id, l.label, count(*) AS c
+         |       FROM knn k JOIN l1 l ON k.neighbor_id = l.vec_id
+         |       WHERE k.vec_id NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
+         |n2b AS (SELECT vec_id, label FROM v2
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
+         |lab AS (SELECT * FROM l1 UNION ALL SELECT vec_id, label, 2 FROM n2b)
+         |SELECT e2.vec_id, lab.label, coalesce(lab.rnd, -1) AS assigned_round
+         |FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.vec_id
+         |ORDER BY e2.vec_id""".stripMargin,
+
+    "d54_frequent_itemsets" ->
+      """WITH dt AS MATERIALIZED (SELECT doc_id,
+        |        unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS w
+        |      FROM documents),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+        |f1 AS (SELECT w FROM dt GROUP BY w
+        |       HAVING count(*) * 1.0 >= 0.25 * (SELECT nd FROM nd)),
+        |kept AS MATERIALIZED (SELECT dt.doc_id, dt.w FROM dt JOIN f1 USING (w)),
+        |p AS MATERIALIZED (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |     FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w),
+        |f2 AS MATERIALIZED (SELECT w1, w2 FROM p GROUP BY w1, w2
+        |     HAVING count(*) * 1.0 >= 0.45 * (SELECT nd FROM nd)),
+        |cand AS (SELECT p.doc_id, p.w1, p.w2, c.w AS w3
+        |         FROM p JOIN f2 USING (w1, w2)
+        |         JOIN kept c ON c.doc_id = p.doc_id AND c.w > p.w2
+        |         WHERE EXISTS (SELECT 1 FROM f2 x WHERE x.w1 = p.w1 AND x.w2 = c.w)
+        |           AND EXISTS (SELECT 1 FROM f2 y WHERE y.w1 = p.w2 AND y.w2 = c.w))
+        |SELECT w1, w2, w3, count(*) AS support FROM cand
+        |GROUP BY w1, w2, w3 HAVING count(*) * 1.0 >= 0.45 * (SELECT nd FROM nd)
+        |ORDER BY w1, w2, w3""".stripMargin,
+
+    "q131_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |w AS (SELECT ud.day + t.i AS day, ud.user_id FROM ud, range(0, 7) t(i)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN b
+        |WHERE dau.day >= b.d0 + 6 AND dau.day <= b.d1
+        |ORDER BY dau.day""".stripMargin,
 
     "d53_cooccurrence_pmi" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws

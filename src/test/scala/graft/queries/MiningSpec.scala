@@ -128,6 +128,74 @@ class MiningSpec extends AnyFunSuite {
     assert(pmiAb > 0.0)
   }
 
+  // ------------------------------------------------------- label propagation
+
+  test("label prop: spreads over rounds, deterministic tie-break, -1 for unreached") {
+    import spark.implicits._
+    // chain 10 -> 1 -> 2 (labels spread one hop per round); 20 votes
+    // between labels 1 and 2 with equal counts (tie -> min label);
+    // 30 has no labeled neighbor (stays -1)
+    val nodes = Seq(
+      (1L, Option(7)), (2L, None), (10L, None), (20L, None), (30L, None),
+      (3L, Option(1)), (4L, Option(2)), (31L, None)
+    ).toDF("vec_id", "label")
+    val edges = Seq(
+      (10L, 1L), (2L, 10L), // 10 labels in round 1 (via 1), 2 in round 2 (via 10)
+      (20L, 3L), (20L, 4L), // tie between labels 1 and 2 -> min label 1
+      (30L, 31L) // unlabeled neighbor only
+    ).toDF("vec_id", "neighbor_id")
+    val got = MiningQueries.labelProp(nodes, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -999 else r.getInt(1)), r.getInt(2))).toMap
+    assert(got(1L) == ((7, 0)) && got(3L) == ((1, 0)) && got(4L) == ((2, 0)))
+    assert(got(10L) == ((7, 1)), "one hop in round 1")
+    assert(got(2L) == ((7, 2)), "two hops in round 2")
+    assert(got(20L) == ((1, 1)), "vote tie breaks to min label")
+    assert(got(30L) == ((-999, -1)) && got(31L) == ((-999, -1)))
+  }
+
+  // --------------------------------------------------------------- a-priori
+
+  test("a-priori triples equal brute-force counting on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 'p').map(_.toString)
+    val baskets = (0L until 120L).map { i =>
+      i -> rnd.shuffle(vocab).take(3 + rnd.nextInt(6)).toSet
+    }
+    val dt = baskets.flatMap { case (i, ws) => ws.map(w => (i, w)) }.toDF("doc_id", "w")
+    val (minItem, minSet) = (0.1, 0.05)
+    val nd = baskets.size
+    // brute force: count EVERY triple over raw baskets, no pruning
+    val expect = baskets.flatMap { case (_, ws) =>
+      ws.toSeq.sorted.combinations(3).map(c => (c(0), c(1), c(2)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter { case (_, c) => c * 1.0 >= minSet * nd }
+    val got = MiningQueries.frequentTriples(dt, minItem, minSet)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == expect, "lossless a-priori pruning")
+    assert(got.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- stickiness
+
+  test("stickiness: dau/wau match a driver-side recount") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val ud = (0 until 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(15).toLong))
+    val got = MiningQueries.stickiness(ud.toDF("day", "user_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val dist = ud.distinct
+    val (d0, d1) = (dist.map(_._1).min, dist.map(_._1).max)
+    assert(got.keySet == (d0 + 6 to d1).toSet, "full windows only")
+    for ((day, (dau, wau, st)) <- got) {
+      val expDau = dist.filter(_._1 == day).map(_._2).distinct.size.toLong
+      val expWau = dist.filter(t => t._1 >= day - 6 && t._1 <= day).map(_._2).distinct.size.toLong
+      assert((dau, wau) == ((expDau, expWau)), s"day $day")
+      assert(st == dau.toDouble / wau)
+    }
+  }
+
   test("pmi: counts match a driver-side window count on a tiny corpus") {
     import spark.implicits._
     val texts = Seq("a b a c b", "b a a a d", "c c a b e")
