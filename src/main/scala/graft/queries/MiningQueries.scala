@@ -31,6 +31,19 @@ object MiningQueries {
     * the double cosine used for RANKING only (identical expression both
     * engines). Factored out so specs can drive planted corpora. */
   private[graft] def knnGraphQuantized(emb: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+    knnCandidatesQuantized(emb)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("qdot"))
+  }
+
+  /** The candidate stage of [[knnGraphQuantized]]: LSH multiprobe
+    * bucket pairs scored with the quantized dot + cosine — shared by
+    * the kNN graph (top-k overall) and triplet mining (per-label
+    * argmax). Returns (vec_id, neighbor_id, qdot, cosq). */
+  private[graft] def knnCandidatesQuantized(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"),
@@ -49,17 +62,13 @@ object MiningQueries {
       .select(col("vec_id"), col("qq"), col("qn2"), col("bucket"))
     // each (probe, candidate) pair matches through AT MOST one mask
     // (the 9 probe buckets are distinct), so no dedup is needed
-    val cand = corpus.join(probes, Seq("bucket"))
+    corpus.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("qdot",
         expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .withColumn("cosq", col("qdot").cast(DoubleType) /
         (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
-      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
-        col("neighbor_id"), col("qdot"))
+      .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,6 +115,37 @@ object MiningQueries {
           .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
         knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id")),
         rounds = 2)
+        .orderBy(col("vec_id"))
+    }),
+
+    // hard positive/negative triplet mining — the metric-learning data
+    // generator (contrastive/triplet-loss training): for every anchor,
+    // the most-similar SAME-label neighbor (hard positive) and the
+    // most-similar DIFFERENT-label neighbor (hard negative) from the
+    // e28 LSH candidate set. Scale shape: candidates come from the
+    // bucketed multiprobe join (never all-pairs); the two label joins
+    // key on the vector id (corpus-sized sides — no broadcast hint, the
+    // co-partitioned shuffle join is the honest 100 TB plan); the two
+    // per-class argmaxes are vec_id-partitioned windows. Anchors with
+    // no same/different-label candidate in their buckets emit NULLs —
+    // the miss rate IS the probe-budget signal.
+    "e30_triplet_mining" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val c = knnCandidatesQuantized(emb)
+        .join(labels.select(col("vec_id"), col("label").as("a_label")), Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+          Seq("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      def argmax(f: DataFrame, idName: String, dotName: String) =
+        f.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("neighbor_id").as(idName), col("qdot").as(dotName))
+      val pos = argmax(c.filter(col("n_label") === col("a_label")), "pos_id", "pos_qdot")
+      val neg = argmax(c.filter(col("n_label") =!= col("a_label")), "neg_id", "neg_qdot")
+      labels.join(pos, Seq("vec_id"), "left").join(neg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("pos_id"), col("pos_qdot"),
+          col("neg_id"), col("neg_qdot"))
         .orderBy(col("vec_id"))
     }),
 
@@ -361,6 +401,24 @@ object MiningQueries {
          |SELECT e2.vec_id, lab.label, coalesce(lab.rnd, -1) AS assigned_round
          |FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.vec_id
          |ORDER BY e2.vec_id""".stripMargin,
+
+    "e30_triplet_mining" ->
+      s"""WITH $knnGraphCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |c AS (SELECT s.vec_id, s.neighbor_id, s.qdot, s.cosq,
+         |        la.label AS a_label, ln2.label AS n_label
+         |      FROM scored s JOIN lab la ON s.vec_id = la.vec_id
+         |                    JOIN lab ln2 ON s.neighbor_id = ln2.vec_id),
+         |pos AS (SELECT vec_id, neighbor_id AS pos_id, qdot AS pos_qdot
+         |        FROM c WHERE n_label = a_label
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) = 1),
+         |neg AS (SELECT vec_id, neighbor_id AS neg_id, qdot AS neg_qdot
+         |        FROM c WHERE n_label <> a_label
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) = 1)
+         |SELECT l.vec_id, l.label, pos.pos_id, pos.pos_qdot, neg.neg_id, neg.neg_qdot
+         |FROM lab l LEFT JOIN pos ON l.vec_id = pos.vec_id
+         |           LEFT JOIN neg ON l.vec_id = neg.vec_id
+         |ORDER BY l.vec_id""".stripMargin,
 
     "d54_frequent_itemsets" ->
       """WITH dt AS MATERIALIZED (SELECT doc_id,

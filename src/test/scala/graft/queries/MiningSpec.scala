@@ -128,6 +128,33 @@ class MiningSpec extends AnyFunSuite {
     assert(pmiAb > 0.0)
   }
 
+  // --------------------------------------------------------- triplet mining
+
+  test("triplet mining: planted same/different-label twins are the hard pos/neg") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 0.4f - 0.2f)
+    val anchor = vec()
+    // 0 = anchor (label 1); 1 = identical twin with SAME label -> pos;
+    // 2 = identical twin with DIFFERENT label -> neg; rest random
+    val rows = Seq((0L, anchor, 1), (1L, anchor.clone(), 1), (2L, anchor.clone(), 2)) ++
+      (3L to 40L).map(i => (i, vec(), (i % 3).toInt))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val c = MiningQueries.knnCandidatesQuantized(emb)
+      .join(labels.select(col("vec_id"), col("label").as("a_label")), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        Seq("neighbor_id"))
+    val posOf0 = c.filter(col("vec_id") === 0 && col("n_label") === col("a_label"))
+      .orderBy(col("cosq").desc, col("neighbor_id")).limit(1)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    val negOf0 = c.filter(col("vec_id") === 0 && col("n_label") =!= col("a_label"))
+      .orderBy(col("cosq").desc, col("neighbor_id")).limit(1)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(posOf0.sameElements(Array(1L)), "same-label twin is the hard positive")
+    assert(negOf0.sameElements(Array(2L)), "different-label twin is the hard negative")
+  }
+
   // ------------------------------------------------------- label propagation
 
   test("label prop: spreads over rounds, deterministic tie-break, -1 for unreached") {

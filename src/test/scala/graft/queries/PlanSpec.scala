@@ -427,6 +427,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q128: k-core peel is aggregates and semi-joins — no window, no nested loop") {
+    val p = plan("q128_kcore")
+    assert(!p.contains("Window"), "peeling must not use windows:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the mid-peel localCheckpoint hides early rounds from q128's final
+    // plan; assert the semi-join shape on an uncheckpointed peel
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "t")
+    val pp = graft.operators.KCore.peel(sym, k = 2, rounds = 3, checkpointEvery = 10)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("LeftSemi"), "expected alive-set semi joins:\n" + pp.take(3000))
+    assert(!pp.contains("Window") && !pp.contains("CartesianProduct"), pp.take(3000))
+  }
+
+  test("e28: kNN graph candidates come from a bucket equi-join; top-k windows partition on the probe id") {
+    val p = plan("e28_knn_graph")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the ×9 mask expansion may broadcast-nested-loop (9 literal rows);
+    // the corpus-sized candidate join must be keyed on bucket
+    assert(p.contains("Join [bucket") || p.linesIterator.exists(l =>
+        l.contains("HashJoin [bucket") || l.contains("Join bucket")),
+      "expected a bucket-keyed candidate join:\n" + p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"),
+      "top-k window must partition on vec_id:\n" + p.take(3000))
+  }
+
+  test("e30: triplet argmax windows partition on the anchor — no cartesian, no global sort") {
+    val p = plan("e30_triplet_mining")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+  }
+
+  test("d53: PMI pair generation is map-only explodes; stats sides broadcast") {
+    val p = plan("d53_cooccurrence_pmi")
+    assert(p.contains("Generate explode"), "expected explode-based pair generation:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "PMI joins must broadcast (unigram counts + scalar totals):\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q130: seasonal baselines broadcast back onto the events — no shuffle join, no window") {
+    val p = plan("q130_seasonal_anomaly")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), "baseline map must broadcast:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q131: weekly actives come from a map-only forward explode — no window") {
+    val p = plan("q131_stickiness")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("Generate explode"), "expected the ×7 day projection:\n" + p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
