@@ -281,6 +281,48 @@ object EventQueries {
     // hourly-series autocorrelation at lags 1-3 — the seasonality probe
     // behind anomaly detectors. Hourly sums stay DECIMAL(18,2) (exact);
     // lagged pairs come from an hour-shifted self-equi-join (never a
+    // STL-style decomposition of the hourly series per event type:
+    // trend = centered 25-OBSERVATION moving average (ROWS frame — a
+    // calendar RANGE frame would go empty on sparse series; at sf0.001
+    // most calendar hours have no events of a type), seasonal =
+    // hour-of-day mean of the detrended series, residual = the rest.
+    // Exactness trick: trend rows exist ONLY where the full 25-row
+    // frame is present, so the frame denominator is a CONSTANT — the
+    // seasonal mean of (v − trend) then rewrites to
+    // (25·Σv − Σframe_sums) / (25·n) over DECIMAL sums: no double is
+    // ever summed across rows (the q126 rule), and the three output
+    // series are single IEEE expressions over exact decimals. One
+    // hourly shuffle, one type-partitioned window, a (type × 24)
+    // broadcast join back.
+    "q132_stl_decompose" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        expr("tus div 3600000000").as("hidx"), dec(col("value")).as("v"))
+      val h = e.groupBy(col("event_type"), col("hidx"))
+        .agg(sum(col("v")).cast(DecimalType(18, 2)).as("hv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+        .rowsBetween(-12, 12)
+      val t = h
+        .withColumn("fs", sum(col("hv")).over(w).cast(DecimalType(18, 2)))
+        .withColumn("fc", count(lit(1)).over(w))
+        .filter(col("fc") === 25)
+        .withColumn("trend", col("fs").cast(DoubleType) / lit(25))
+      val sea = t.withColumn("hod", (col("hidx") % 24).cast(IntegerType))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("hv")).cast(DecimalType(28, 2)).as("sv"),
+          sum(col("fs")).cast(DecimalType(28, 2)).as("ss"))
+        .withColumn("seasonal",
+          (col("sv") * lit(25) - col("ss")).cast(DoubleType) / (lit(25.0) * col("n")))
+      t.withColumn("hod", (col("hidx") % 24).cast(IntegerType))
+        .join(broadcast(sea.select(col("event_type"), col("hod"), col("seasonal"))),
+          Seq("event_type", "hod"))
+        .select(col("event_type"), col("hidx"),
+          col("hv").cast(DoubleType).as("v"),
+          col("trend"), col("seasonal"),
+          (col("hv").cast(DoubleType) - col("trend") - col("seasonal")).as("resid"))
+        .orderBy(col("event_type"), col("hidx"))
+    }),
+
     // hour-of-day seasonal baseline + 3σ residual anomaly flags — the
     // seasonality-aware outlier detector (a metric that is normal at
     // peak hour is anomalous at 3am; q91's per-type MAD can't see
@@ -822,6 +864,30 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q132_stl_decompose" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hidx,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |h AS (SELECT event_type, hidx, CAST(sum(v) AS DECIMAL(18,2)) AS hv
+        |      FROM e GROUP BY 1, 2),
+        |t0 AS (SELECT event_type, hidx, hv,
+        |         CAST(sum(hv) OVER w AS DECIMAL(18,2)) AS fs,
+        |         count(*) OVER w AS fc
+        |       FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+        |                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t AS (SELECT event_type, hidx, hv, fs, CAST(fs AS DOUBLE) / 25 AS trend
+        |      FROM t0 WHERE fc = 25),
+        |sea AS (SELECT event_type, CAST(hidx % 24 AS INT) AS hod, count(*) AS n,
+        |          CAST(CAST(sum(hv) AS DECIMAL(28,2)) * 25
+        |               - CAST(sum(fs) AS DECIMAL(28,2)) AS DOUBLE)
+        |            / (25.0 * count(*)) AS seasonal
+        |        FROM t GROUP BY 1, 2)
+        |SELECT t.event_type, t.hidx, CAST(t.hv AS DOUBLE) AS v, t.trend, sea.seasonal,
+        |  CAST(t.hv AS DOUBLE) - t.trend - sea.seasonal AS resid
+        |FROM t JOIN sea ON t.event_type = sea.event_type
+        |               AND CAST(t.hidx % 24 AS INT) = sea.hod
+        |ORDER BY t.event_type, t.hidx""".stripMargin,
+
     "q130_seasonal_anomaly" ->
       """WITH e AS (SELECT event_type,
         |             CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INT) AS hr,

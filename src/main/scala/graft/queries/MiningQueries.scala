@@ -180,6 +180,36 @@ object MiningQueries {
           .select(expr("tus div 86400000000").as("day"), col("user_id")))
         .orderBy(col("day"))),
 
+    // document continuation detection — the crawl-pipeline reassembly
+    // probe: doc A's LAST k-token gram equals doc B's FIRST k-token
+    // gram ⟹ B plausibly continues A (split pages, chunked uploads).
+    // k = 3 here (the short synthetic docs never share longer
+    // boundaries; production corpora use k ≈ 10 — the knob, not the
+    // shape). One md5-keyed equi-join of two map-only gram projections;
+    // both sides inherit the d49 df-cap (a boilerplate opener/closer
+    // gram would make the join quadratic in its frequency), with the
+    // pruned key count reported so the probe stays honest.
+    "d55_continuation_pairs" -> ((s, d) =>
+      continuationPairs(Tables.documents(s, d), k = 3, maxDf = 50)
+        .orderBy(col("a"), col("b"))),
+
+    // cross-source duplicate matrix — "which ingest feeds copy each
+    // other": per content fingerprint (bag-of-words here — the word-SET
+    // md5, the coarse dedup granularity that catches reshuffled copies;
+    // exact-text md5 is the same query with a different key), per-source
+    // copy counts; the (source_a, source_b) pair contribution is
+    // ARITHMETIC (n_a·n_b cross-source, C(n,2) within-source) over the
+    // tiny per-fingerprint source histogram — document pairs are NEVER
+    // expanded, so a fingerprint with a million copies costs one row
+    // per source, not 10^12 join rows. One fingerprint shuffle, one
+    // per-fp self-join over ≤|sources| rows, one final roll-up.
+    "d56_dup_matrix" -> ((s, d) =>
+      dupMatrix(Tables.documents(s, d)
+          .select(md5(expr(
+            "array_join(array_sort(array_distinct(filter(split(text, '\\\\s+'), w -> w <> ''))), ' ')"))
+            .as("fp"), col("source")))
+        .orderBy(col("src_a"), col("src_b"))),
+
     // windowed word co-occurrence + PMI — the GloVe/word2vec
     // preprocessing primitive (and the collocation detector feeding
     // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
@@ -267,6 +297,42 @@ object MiningQueries {
       .crossJoin(broadcast(nd))
       .filter(col("support") * lit(1.0) >= lit(minSet) * col("nd"))
       .select(col("w1"), col("w2"), col("w3"), col("support"))
+  }
+
+  /** d55's body over any (doc_id, text) frame: boundary k-grams,
+    * df-capped md5 equi-join. */
+  private[graft] def continuationPairs(docs: DataFrame, k: Int,
+      maxDf: Int): DataFrame = {
+    val t = docs.withColumn("ws", split(col("text"), "\\s+"))
+      .filter(size(col("ws")) >= k)
+    val tails = t.select(col("doc_id").as("a"),
+      md5(expr(s"array_join(slice(ws, -$k, $k), ' ')")).as("gkey"))
+    val heads = t.select(col("doc_id").as("b"),
+      md5(expr(s"array_join(slice(ws, 1, $k), ' ')")).as("gkey"))
+    val hot = tails.groupBy(col("gkey")).agg(count(lit(1)).as("ta"))
+      .join(heads.groupBy(col("gkey")).agg(count(lit(1)).as("hb")), Seq("gkey"))
+      .filter(col("ta") > maxDf || col("hb") > maxDf)
+      .select(col("gkey"))
+    val nPruned = hot.agg(count(lit(1)).as("n_pruned_keys"))
+    val pairs = tails.join(broadcast(hot), Seq("gkey"), "left_anti")
+      .join(heads.join(broadcast(hot), Seq("gkey"), "left_anti"), Seq("gkey"))
+      .filter(col("a") =!= col("b"))
+    pairs.select(col("a"), col("b")).crossJoin(broadcast(nPruned))
+  }
+
+  /** d56's body over a (fp, source) frame: per-fingerprint source
+    * histogram → arithmetic pair counts (no pair expansion). */
+  private[graft] def dupMatrix(fps: DataFrame): DataFrame = {
+    val fp = fps.groupBy(col("fp"), col("source")).agg(count(lit(1)).as("n"))
+    val fx = fp.select(col("fp"), col("source").as("src_a"), col("n").as("na"))
+    val fy = fp.select(col("fp"), col("source").as("src_b"), col("n").as("nb"))
+    val m = fx.join(fy, Seq("fp")).filter(col("src_a") <= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(col("src_a") === col("src_b"),
+          expr("(na * (na - 1)) div 2"))
+          .otherwise(col("na") * col("nb")).as("p"))
+    m.groupBy(col("src_a"), col("src_b")).agg(sum(col("p")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
   }
 
   /** q131's body over a (day, user_id) activity frame (need not be
@@ -453,6 +519,35 @@ object MiningQueries {
         |FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN b
         |WHERE dau.day >= b.d0 + 6 AND dau.day <= b.d1
         |ORDER BY dau.day""".stripMargin,
+
+    "d55_continuation_pairs" ->
+      """WITH t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |t AS (SELECT * FROM t0 WHERE len(ws) >= 3),
+        |tails AS (SELECT doc_id AS a,
+        |            md5(array_to_string(ws[len(ws)-2:len(ws)], ' ')) AS gkey FROM t),
+        |heads AS (SELECT doc_id AS b,
+        |            md5(array_to_string(ws[1:3], ' ')) AS gkey FROM t),
+        |hot AS (SELECT gkey FROM
+        |          (SELECT gkey, count(*) AS ta FROM tails GROUP BY gkey) x
+        |          JOIN (SELECT gkey, count(*) AS hb FROM heads GROUP BY gkey) y USING (gkey)
+        |        WHERE ta > 50 OR hb > 50),
+        |np AS (SELECT count(*) AS n_pruned_keys FROM hot),
+        |p AS (SELECT tails.a, heads.b FROM tails JOIN heads USING (gkey)
+        |      WHERE gkey NOT IN (SELECT gkey FROM hot) AND tails.a <> heads.b)
+        |SELECT p.a, p.b, np.n_pruned_keys FROM p CROSS JOIN np ORDER BY p.a, p.b""".stripMargin,
+
+    "d56_dup_matrix" ->
+      """WITH fp AS (SELECT
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''))), ' ')) AS fp,
+        |    source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT x.source AS src_a, y.source AS src_b,
+        |        CASE WHEN x.source = y.source THEN (x.n * (x.n - 1)) // 2
+        |             ELSE x.n * y.n END AS p
+        |      FROM fp x JOIN fp y ON x.fp = y.fp AND x.source <= y.source)
+        |SELECT src_a, src_b, CAST(sum(p) AS BIGINT) AS n_pairs FROM m
+        |GROUP BY 1, 2 HAVING sum(p) > 0 ORDER BY src_a, src_b""".stripMargin,
 
     "d53_cooccurrence_pmi" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws

@@ -223,6 +223,80 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- continuation
+
+  test("continuation pairs: planted boundary match found; hot gram pruned") {
+    import spark.implicits._
+    // doc 1 ends with "x y z", doc 2 starts with "x y z" -> pair (1, 2);
+    // 60 docs share the SAME opener AND closer "hot hot hot" (> maxDf)
+    // -> the gram is pruned, contributing one pruned key and NO pairs
+    val docs = (Seq(
+      (1L, "aa bb cc x y z"),
+      (2L, "x y z dd ee ff"),
+      (3L, "gg hh ii jj kk ll")
+    ) ++ (100L until 160L).map(i => (i, "hot hot hot"))).toDF("doc_id", "text")
+    val out = MiningQueries.continuationPairs(docs, k = 3, maxDf = 50).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getLong(2) == 1L, "hot boundary gram reported as pruned")
+  }
+
+  test("continuation pairs: without the cap the hot gram would be quadratic") {
+    import spark.implicits._
+    val docs = (100L until 160L).map(i => (i, "hot hot hot")).toDF("doc_id", "text")
+    // cap off (maxDf huge): 60 docs all continue each other -> 60*59 pairs
+    val uncapped = MiningQueries.continuationPairs(docs, k = 3, maxDf = 10000).count()
+    assert(uncapped == 60L * 59L)
+    // cap on: zero pairs, one pruned key
+    assert(MiningQueries.continuationPairs(docs, k = 3, maxDf = 50).count() == 0L)
+  }
+
+  // ------------------------------------------------------------- dup matrix
+
+  test("dup matrix: arithmetic counts equal brute-force pair expansion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      (s"fp${rnd.nextInt(40)}", s"src${rnd.nextInt(4)}")
+    }
+    val got = MiningQueries.dupMatrix(rows.toDF("fp", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute force: expand every same-fp document pair, classify by source
+    val docs = rows.zipWithIndex
+    val expect = (for {
+      ((fa, sa), ia) <- docs
+      ((fb, sb), ib) <- docs
+      if ia < ib && fa == fb
+    } yield (Seq(sa, sb).min, Seq(sa, sb).max))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q132 STL
+
+  test("stl: trend and seasonal are consistent with the output series") {
+    val out = graft.SparkEntry.queries("q132_stl_decompose")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    for ((_, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._2)
+      // output = original observed series minus 12 rows at each end, so
+      // for output positions 12..len-13 the whole 25-row frame is inside
+      // the output — trend must equal its mean there
+      for (j <- 12 until rows.length - 12) {
+        val frame = rows.slice(j - 12, j + 13).map(_._3)
+        assert(math.abs(frame.sum / 25 - rows(j)._4) < 1e-6, s"trend at output pos $j")
+      }
+      // decomposition identity v = trend + seasonal + resid
+      for ((_, _, v, trend, seasonal, resid) <- rows)
+        assert(math.abs(v - (trend + seasonal + resid)) < 1e-9)
+      // seasonal is constant per hour-of-day
+      for ((_, g) <- rows.groupBy(r => r._2 % 24))
+        assert(g.map(_._5).distinct.size == 1)
+    }
+  }
+
   test("pmi: counts match a driver-side window count on a tiny corpus") {
     import spark.implicits._
     val texts = Seq("a b a c b", "b a a a d", "c c a b e")
