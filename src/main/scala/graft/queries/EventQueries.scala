@@ -281,6 +281,29 @@ object EventQueries {
     // hourly-series autocorrelation at lags 1-3 — the seasonality probe
     // behind anomaly detectors. Hourly sums stay DECIMAL(18,2) (exact);
     // lagged pairs come from an hour-shifted self-equi-join (never a
+    // moving DISTINCT-user count per type over a trailing 3-hour window
+    // — the surface gap this engine closes: Spark has no
+    // COUNT(DISTINCT) OVER, so the engine rewrites it as
+    // size(collect_set(...)) over a RANGE frame (sets are
+    // order-independent, so the count is deterministic under any frame
+    // evaluation order). Events first dedupe to (type, hour, user) —
+    // the window's state is then bounded by distinct users per frame,
+    // not raw event volume; at larger frames the KMV sketch aggregate
+    // family (q116-q118) is the documented approximate swap. The oracle
+    // proves the rewrite semantics via an independent formulation
+    // (offset explode + exact distinct count).
+    "q134_window_distinct" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+          expr("tus div 3600000000").as("hidx"), col("user_id"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+        .rangeBetween(-2, 0)
+      e.withColumn("u3h", size(collect_set(col("user_id")).over(w)).cast(LongType))
+        .select(col("event_type"), col("hidx"), col("u3h"))
+        .distinct()
+        .orderBy(col("event_type"), col("hidx"))
+    }),
+
     // STL-style decomposition of the hourly series per event type:
     // trend = centered 25-OBSERVATION moving average (ROWS frame — a
     // calendar RANGE frame would go empty on sparse series; at sf0.001
@@ -864,6 +887,19 @@ object EventQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q134_window_distinct" ->
+      """WITH e AS (SELECT DISTINCT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hidx,
+        |             user_id FROM events),
+        |hours AS (SELECT DISTINCT event_type, hidx FROM e),
+        |x AS (SELECT e.event_type, e.hidx + t.i AS target, e.user_id
+        |      FROM e, range(0, 3) t(i))
+        |SELECT h.event_type, h.hidx,
+        |  count(DISTINCT x.user_id) AS u3h
+        |FROM hours h JOIN x ON x.event_type = h.event_type AND x.target = h.hidx
+        |GROUP BY h.event_type, h.hidx
+        |ORDER BY h.event_type, h.hidx""".stripMargin,
+
     "q132_stl_decompose" ->
       """WITH e AS (SELECT event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hidx,

@@ -92,6 +92,42 @@ object MiningQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Adamic-Adar link prediction over the co-purchase graph — "what
+    // else belongs in this basket": for a query set of source nodes
+    // (p_partkey < 100 — the e25/e27 bounded-query-set framing),
+    // candidate links (a, b) are scored Σ 1/ln(deg(z)) over common
+    // neighbors z, existing edges anti-joined away, top-50 by score.
+    // Scale shape: wedges enumerate ONLY from the query-side adjacency
+    // (|Q|·deg wedge roots, never Σ deg² over the whole graph); wedge
+    // centers above a degree cap are pruned BEFORE expansion (hubs are
+    // exactly the centers Adamic-Adar down-weights toward zero anyway);
+    // each 1/ln(deg) term is cast to DECIMAL(18,9) pre-sum (the d21
+    // rule: identical per-row doubles, then an exact associative sum).
+    "q133_link_prediction" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("s"), col("pb").as("t"))
+        .union(e.select(col("pb"), col("pa")))
+      val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      val za = sym.select(col("s").as("z"), col("t").as("a"))
+        .filter(col("a") < 100)
+        .join(deg.select(col("s").as("z"), col("dg")), Seq("z"))
+        .filter(col("dg") <= 500)
+      val zb = sym.select(col("s").as("z"), col("t").as("b"))
+      val wedges = za.join(zb, Seq("z")).filter(col("a") < col("b"))
+      val term = (lit(1.0) / log(col("dg"))).cast(DecimalType(18, 9))
+      val scores = wedges.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"), sum(term).as("aa"))
+      scores.join(e.withColumnRenamed("pa", "a").withColumnRenamed("pb", "b"),
+          Seq("a", "b"), "left_anti")
+        .select(col("a"), col("b"), col("n_common"),
+          col("aa").cast(DoubleType).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("a"), col("b")).limit(50)
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -447,6 +483,24 @@ object MiningQueries {
     "e28_knn_graph" ->
       s"""WITH $knnGraphCtes
          |SELECT vec_id, rk, neighbor_id, qdot FROM knn ORDER BY vec_id, rk""".stripMargin,
+
+    "q133_link_prediction" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+        |za AS (SELECT sym.s AS z, sym.t AS a, deg.dg FROM sym
+        |       JOIN deg ON sym.s = deg.s WHERE sym.t < 100 AND deg.dg <= 500),
+        |zb AS (SELECT s AS z, t AS b FROM sym),
+        |w AS (SELECT za.a, zb.b, za.dg FROM za JOIN zb ON za.z = zb.z WHERE za.a < zb.b),
+        |sc AS (SELECT a, b, count(*) AS n_common,
+        |         sum(CAST(1.0 / ln(dg) AS DECIMAL(18,9))) AS aa
+        |       FROM w GROUP BY a, b),
+        |pred AS (SELECT sc.a, sc.b, sc.n_common, sc.aa FROM sc
+        |         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = sc.a AND e.pb = sc.b))
+        |SELECT a, b, n_common, CAST(aa AS DOUBLE) AS aa_score
+        |FROM pred ORDER BY aa_score DESC, a, b LIMIT 50""".stripMargin,
 
     "e29_label_prop" ->
       s"""WITH $knnGraphCtes,

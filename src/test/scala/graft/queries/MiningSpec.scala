@@ -223,6 +223,40 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- link prediction
+
+  test("link prediction: equals a brute-force Adamic-Adar recomputation at sf0.001") {
+    import scala.math.BigDecimal.RoundingMode
+    val got = graft.SparkEntry.queries("q133_link_prediction")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force from the raw table
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { b =>
+      val pks = b.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size }
+    def term(z: Long) =
+      BigDecimal.valueOf(1.0 / math.log(deg(z).toDouble)).setScale(9, RoundingMode.HALF_UP)
+    val cand = for {
+      (z, ns) <- adj.toSeq
+      if deg(z) <= 500
+      a <- ns if a < 100
+      b <- ns if a < b
+    } yield ((a, b), z)
+    val scores = cand.groupBy(_._1).map { case ((a, b), zs) =>
+      (a, b, zs.size.toLong, zs.map(w => term(w._2)).sum.toDouble)
+    }.filter { case (a, b, _, _) => !edges((a, b)) }
+    val expect = scores.toSeq.sortBy { case (a, b, _, s) => (-s, a, b) }.take(50)
+      .map { case (a, b, n, s) => (a, b, n, s) }
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty)
+  }
+
   // ---------------------------------------------------------- continuation
 
   test("continuation pairs: planted boundary match found; hot gram pruned") {
