@@ -32,6 +32,32 @@ object StreamOps {
         col("cnt"), col("sum_value"))
   }
 
+  /** Streaming DISTINCT-user counts per tumbling window — the streaming
+    * twin of q134's batch window-distinct rewrite. Structured Streaming
+    * rejects COUNT(DISTINCT) in stateful aggregations, so the engine
+    * stages it: watermarked dedup on (type, window, user) — state is
+    * one key per distinct user per OPEN window, the same bound the
+    * batch collect_set rewrite carries per frame — followed by a plain
+    * windowed count (two chained stateful operators, append mode;
+    * windows finalize when the watermark passes their end). At very
+    * high cardinality the KMV sketch aggregates (q116-q118, already
+    * proven under the streaming state store) are the approximate swap. */
+  def windowedDistinctUsers(events: DataFrame, tsCol: String, typeCol: String,
+      userCol: String, windowLength: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    // the window struct inherits the event-time watermark; the raw ts
+    // column must NOT survive alongside it (two event-time columns is a
+    // streaming analysis error)
+    val deduped = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(typeCol), window(col(tsCol), windowLength).as("w"), col(userCol))
+      .dropDuplicatesWithinWatermark(typeCol, "w", userCol)
+    deduped
+      .groupBy(col("w"), col(typeCol))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(col("w.start").as("window_start"), col(typeCol), col("distinct_users"))
+  }
+
   /** Streaming exact dedup on a fingerprint column: each document is
     * emitted at most once per watermark horizon. State holds only the
     * fingerprint keys inside the watermark window

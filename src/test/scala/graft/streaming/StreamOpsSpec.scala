@@ -74,6 +74,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed distinct users: duplicates collapse, windows finalize exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDS().toDF("ts", "event_type", "user_id")
+    val q = windowedDistinctUsers(df, "ts", "event_type", "user_id", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("windistinct").outputMode("append").start()
+    try {
+      // hour 0: user 1 appears THREE times for click (must count once),
+      // users 1 and 2 once each for view
+      input.addData((ts(5), "click", 1L), (ts(10), "click", 1L), (ts(20), "click", 1L),
+        (ts(15), "view", 1L), (ts(25), "view", 2L))
+      q.processAllAvailable()
+      input.addData((ts(70), "click", 9L)) // advance watermark past hour 0
+      q.processAllAvailable()
+      input.addData((ts(200), "click", 9L)) // finalize hour 1
+      q.processAllAvailable()
+      val rows = spark.table("windistinct").collect()
+        .map(r => (mins(r.getTimestamp(0).getTime), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((0L, "click", 1L)), rows.toString) // 3 events, 1 user
+      assert(rows.contains((0L, "view", 2L)), rows.toString)
+      assert(rows.contains((60L, "click", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling windows finalize and drop late data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
