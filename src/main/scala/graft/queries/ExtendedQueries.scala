@@ -365,6 +365,29 @@ object ExtendedQueries {
     // components. Integer fixed-point arithmetic makes 5 rounds of
     // damped propagation bit-identical in both engines (the oracle
     // unrolls the same iterations as CTEs).
+    // personalized PageRank from a customer-segment seed set (custkey
+    // < 10): "which suppliers matter to THESE customers" — the
+    // recommendation/locality variant of q75. Teleport mass lands only
+    // on seeds; per-round plan identical to the global variant (the
+    // seed flag rides the node table), integer fixed-point throughout,
+    // unrolled-CTE oracle.
+    "q135_ppr" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = Tables.customer(s, d).filter(col("c_custkey") < 10)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.PageRank.personalizedPageRank(edges, seeds, iters = 5)
+        .filter(col("node").startsWith("s") && col("val") > 0)
+        .orderBy(col("val").desc, col("node").asc)
+        .limit(20)
+    }),
+
     "q75_graph_pagerank" -> ((s, d) => {
       val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
@@ -1140,6 +1163,30 @@ object ExtendedQueries {
         |ORDER BY o_orderpriority, bucket""".stripMargin,
 
     "q75_graph_pagerank" -> pagerankOracle(5),
+
+    "q135_ppr" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (SELECT m.node, m.is_seed * 150000 + (85 * coalesce(x.s, 0)) // 100 AS val
+           |  FROM marked m LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.val // d.deg) AS s
+           |    FROM r${i - 1} r JOIN deg d ON r.node = d.node
+           |    JOIN edges e ON e.src = r.node GROUP BY e.dst) x ON m.node = x.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 10),
+         |marked AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |           FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS val FROM marked),
+         |$iterCtes
+         |SELECT node, CAST(val AS BIGINT) AS val FROM r5
+         |WHERE node LIKE 's%' AND val > 0
+         |ORDER BY val DESC, node LIMIT 20""".stripMargin
+    },
 
     "q76_recursive_tree" ->
       """WITH RECURSIVE ids AS (
