@@ -480,6 +480,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "expected the ×7 day projection:\n" + p.take(3000))
   }
 
+  test("q133: link prediction wedges are equi-joins; top-k is a TakeOrdered, no cartesian") {
+    val p = plan("q133_link_prediction")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must not be a global sort:\n" + p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("d54: a-priori frequent sets broadcast into the candidate joins") {
+    val p = plan("d54_frequent_itemsets")
+    // frequent items and frequent pairs are tiny by construction and
+    // must broadcast (item prune join + two sub-pair semi joins)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      "expected both sub-pair a-priori semi joins:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q135: personalized pagerank rounds are equi-joins and partial aggregates") {
+    val p = plan("q135_ppr")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
