@@ -42,16 +42,28 @@ object MiningQueries {
   /** The candidate stage of [[knnGraphQuantized]]: LSH multiprobe
     * bucket pairs scored with the quantized dot + cosine — shared by
     * the kNN graph (top-k overall) and triplet mining (per-label
-    * argmax). Returns (vec_id, neighbor_id, qdot, cosq). */
-  private[graft] def knnCandidatesQuantized(emb: DataFrame): DataFrame = {
+    * argmax). Returns (vec_id, neighbor_id, qdot, cosq).
+    *
+    * `bucketCap` bounds candidate-side bucket occupancy (deterministic:
+    * lowest neighbor ids kept): a degenerate corpus where one signature
+    * absorbs millions of vectors would otherwise make the bucket join
+    * quadratic in that bucket — the d06 hot-bucket rule. The default
+    * never triggers at test SFs (occupancy ≈ N/256), so the capped and
+    * uncapped graphs agree; the oracle replays the same cap. */
+  private[graft] def knnCandidatesQuantized(emb: DataFrame,
+      bucketCap: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
       .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
       .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("neighbor_id"))
     val corpus = base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
-      col("n2").as("cn2"), col("sig").as("bucket"))
+        col("n2").as("cn2"), col("sig").as("bucket"))
+      .withColumn("brn", row_number().over(bw)).filter(col("brn") <= bucketCap)
+      .drop("brn")
     val masks = (Seq(0) ++ (0 until 8).map(1 << _)).toDF("m")
     // probes carry the quantized vector through the ×9 expansion: the
     // pair score needs both vectors anyway, and re-fetching them after
@@ -435,10 +447,12 @@ object MiningQueries {
        |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
        |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
        |sig AS MATERIALIZED (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+       |sigc AS (SELECT vec_id, s FROM sig
+       |         QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
        |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
        |probes AS (SELECT sig.vec_id, xor(sig.s, masks.m) AS bucket FROM sig CROSS JOIN masks),
        |cand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
-       |        FROM probes p JOIN sig c ON p.bucket = c.s
+       |        FROM probes p JOIN sigc c ON p.bucket = c.s
        |        WHERE p.vec_id <> c.vec_id),
        |dot AS (SELECT cand.vec_id, cand.neighbor_id,
        |        CAST(list_sum(list_transform(range(1, 65),

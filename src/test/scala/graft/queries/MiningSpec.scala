@@ -93,6 +93,21 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: bucket occupancy cap bounds a signature-collision flood") {
+    import spark.implicits._
+    // 30 IDENTICAL vectors share every bucket; cap 5 keeps only the 5
+    // lowest ids as candidates, so candidate volume is probes × 5, not
+    // probes × 30 — and every surviving candidate id is < 5
+    val rnd = new scala.util.Random(31)
+    val twin = Array.fill(64)(rnd.nextFloat() * 0.4f - 0.2f)
+    val emb = (0L until 30L).map(i => i -> twin.clone()).toDF("vec_id", "embedding")
+    val capped = MiningQueries.knnCandidatesQuantized(emb, bucketCap = 5).collect()
+    assert(capped.nonEmpty)
+    assert(capped.map(_.getLong(1)).forall(_ < 5L), "only the 5 lowest ids survive as candidates")
+    val uncapped = MiningQueries.knnCandidatesQuantized(emb, bucketCap = 4096).count()
+    assert(capped.length < uncapped, "cap actually reduced candidate volume")
+  }
+
   test("knn graph: qdot matches a driver-side quantized dot product") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
