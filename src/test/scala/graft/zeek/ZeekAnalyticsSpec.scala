@@ -86,4 +86,56 @@ class ZeekAnalyticsSpec extends AnyFunSuite {
     val beacons = cv.filter(_._2 < 0.1).keySet
     assert(beacons == Set("10.0.0.5", "10.0.0.7"))
   }
+
+  test("dns tunneling: subdomain cardinality + length + entropy flags only the exfil domain") {
+    import org.apache.spark.sql.types._
+    // tunnel: 10.0.0.8 asks 40 DISTINCT long hex labels under
+    // exfil.example.com (DNS-tunnel exfil shape); normal: 10.0.0.9 asks
+    // a handful of short human names repeatedly
+    val dnsFields = Seq("ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+      "id.resp_p", "proto", "query", "qtype_name")
+    val dnsTypes = Seq("time", "string", "addr", "port", "addr", "port",
+      "enum", "string", "string")
+    val rnd = new scala.util.Random(42)
+    val sb = new StringBuilder(ZeekFixtures.header("dns", dnsFields, dnsTypes))
+    for (i <- 0 until 40) {
+      val label = (0 until 36).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+      sb.append(ZeekFixtures.row(s"${t0 + i}.000000", f"Dtun$i%05d",
+        "10.0.0.8", "53533", "192.0.2.53", "53", "udp",
+        s"$label.exfil.example.com", "TXT"))
+    }
+    val human = Seq("www.google.com", "mail.google.com", "www.google.com",
+      "calendar.google.com", "www.google.com", "mail.google.com")
+    for ((q, i) <- human.zipWithIndex)
+      sb.append(ZeekFixtures.row(s"${t0 + 100 + i}.000000", f"Dhum$i%06d",
+        "10.0.0.9", "53534", "192.0.2.53", "53", "udp", q, "A"))
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "dns.log.gz", sb.toString, gzip = true)
+
+    val dns = spark.read.format("zeek").load(dir.toString)
+      .withColumn("parts", split(col("query"), "\\."))
+      .withColumn("sld", expr("concat_ws('.', slice(parts, -2, 2))"))
+      .withColumn("sub", expr("concat_ws('.', slice(parts, 1, greatest(size(parts) - 2, 0)))"))
+    val card = dns.groupBy(col("id_orig_h"), col("sld"))
+      .agg(countDistinct(col("sub")).as("n_subs"),
+        avg(length(col("sub"))).as("avg_len"), count(lit(1)).as("n_q"))
+    // character-level Shannon entropy of the subdomain stream per domain
+    val ent = dns.select(col("id_orig_h"), col("sld"),
+        explode(split(col("sub"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("id_orig_h"), col("sld"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id_orig_h"), col("sld"))
+      .agg(sum(col("c")).as("tot"), sum(col("c") * log(col("c"))).as("clogc"))
+      .withColumn("entropy",
+        log(col("tot").cast(DoubleType)) - col("clogc") / col("tot"))
+    val flagged = card.join(ent, Seq("id_orig_h", "sld"))
+      .filter(col("n_subs") >= 20 && col("avg_len") >= 20 && col("entropy") >= 2.0)
+      .select(col("id_orig_h"), col("sld"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(flagged.toSeq == Seq(("10.0.0.8", "example.com")),
+      s"only the tunnel flags: ${flagged.toSeq}")
+    // the human domain's stats stay benign on every axis
+    val g = card.filter(col("id_orig_h") === "10.0.0.9").collect().head
+    assert(g.getAs[Long]("n_subs") <= 3 && g.getAs[Double]("avg_len") < 10)
+  }
 }
