@@ -402,6 +402,39 @@ object CurationQueries {
         .orderBy(col("vec_id"), col("k"))
     }),
 
+    // per-source length-distribution clipping — the relative cousin of
+    // d45's absolute Gopher rules: drop documents outside their OWN
+    // source's [p5, p95] token-length band (a source of tweets and a
+    // source of books need different cutoffs). Percentiles are EXACT
+    // rank arithmetic over a SOURCE-PARTITIONED window (scales with the
+    // largest source's slice, never a global sort — the d47 lesson at
+    // per-group granularity): the p5/p95 bound VALUES are the rows at
+    // ceil(0.05·n)/ceil(0.95·n) in (len, doc_id) order, selected by a
+    // conditional aggregate and broadcast back onto the corpus.
+    "d57_length_trim" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, '\\\\s+'), w -> w <> '')")).cast(LongType).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_toks"), col("doc_id"))
+      val ranked = t.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      val bounds = ranked
+        .withColumn("lo_rn", ceil(col("n") * 0.05).cast(IntegerType))
+        .withColumn("hi_rn", ceil(col("n") * 0.95).cast(IntegerType))
+        .groupBy(col("source"))
+        .agg(min(when(col("rn") === col("lo_rn"), col("n_toks"))).as("lo_val"),
+          min(when(col("rn") === col("hi_rn"), col("n_toks"))).as("hi_val"))
+      t.join(broadcast(bounds), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_toks") >= col("lo_val") && col("n_toks") <= col("hi_val"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          min(col("lo_val")).as("lo_val"), min(col("hi_val")).as("hi_val"))
+        .orderBy(col("source"))
+    }),
+
     // classifier calibration (reliability diagram): bin d23's predicted
     // keep-probability into deciles and compare against the rule-based
     // quality label — the audit that decides whether a trained filter's
@@ -438,6 +471,25 @@ object CurationQueries {
       |        FROM kept GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d57_length_trim" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_toks
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_toks,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM t),
+        |b AS (SELECT source,
+        |        min(CASE WHEN rn = CAST(ceil(n * 0.05) AS INT) THEN n_toks END) AS lo_val,
+        |        min(CASE WHEN rn = CAST(ceil(n * 0.95) AS INT) THEN n_toks END) AS hi_val
+        |      FROM r GROUP BY source)
+        |SELECT t.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN t.n_toks >= b.lo_val AND t.n_toks <= b.hi_val
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(b.lo_val) AS lo_val, min(b.hi_val) AS hi_val
+        |FROM t JOIN b ON t.source = b.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
     "d46_boilerplate_prune" ->
       s"""$boilerCtes
          |SELECT t.doc_id, CAST(ceil(len(t.ws) / 10.0) AS BIGINT) AS n_paras,

@@ -321,6 +321,20 @@ class MiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  // ------------------------------------------------------------- length trim
+
+  test("length trim: per-source p5/p95 band keeps ~90% and bounds are ordered") {
+    val rows = graft.SparkEntry.queries("d57_length_trim")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((src, nDocs, nKept, lo, hi) <- rows) {
+      assert(lo <= hi, s"$src bounds")
+      assert(nKept <= nDocs, src)
+      val frac = nKept.toDouble / nDocs
+      assert(frac >= 0.85 && frac <= 0.96, s"$src kept fraction $frac")
+    }
+  }
+
   // ---------------------------------------------------------------- q132 STL
 
   test("stl: trend and seasonal are consistent with the output series") {
