@@ -166,6 +166,55 @@ object MiningQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // greedy beam search over the e28 kNN graph — the NSW/HNSW-style
+    // graph-ANN SERVING pattern (the third index family next to
+    // bucketed LSH and IVF cells): start every query at a fixed entry
+    // node, expand graph neighbors for 3 rounds keeping a beam of 4
+    // per query, answer = top-3 visited by quantized cosine. Scale
+    // shape: each round is one frontier-edge equi-join + an anti-join
+    // against the visited set + a beam window PARTITIONED per query —
+    // work per round is O(frontier × out-degree), independent of
+    // corpus size; scoring reuses the integer-exact machinery, so the
+    // whole walk (and its miss/hit pattern) hash-checks.
+    "e31_graph_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      val edges = knnGraphQuantized(emb, topK = 3)
+        .select(col("vec_id").as("node"), col("neighbor_id"))
+      val qs = base.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val entry = base.agg(min(col("vec_id")).as("node"))
+      def score(cand: DataFrame): DataFrame = cand
+        .join(qs, Seq("qid"))
+        .join(base.select(col("vec_id").as("node"), col("q").as("cq"), col("n2").as("cn2")),
+          Seq("node"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("cosq", col("qdot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+        .select(col("qid"), col("node"), col("qdot"), col("cosq"))
+      val beamW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosq").desc, col("node"))
+      var frontier = qs.select(col("qid")).crossJoin(broadcast(entry))
+      var visited = score(frontier)
+      for (_ <- 1 to 3) {
+        val expanded = frontier.join(edges, Seq("node"))
+          .select(col("qid"), col("neighbor_id").as("node")).distinct()
+          .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
+        val kept = score(expanded)
+          .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= 4)
+          .drop("rn")
+        frontier = kept.select(col("qid"), col("node"))
+        visited = visited.union(kept)
+      }
+      visited.filter(col("node") =!= col("qid"))
+        .withColumn("rk", row_number().over(beamW)).filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast(LongType).as("rk"), col("node"), col("qdot"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // hard positive/negative triplet mining — the metric-learning data
     // generator (contrastive/triplet-loss training): for every anchor,
     // the most-similar SAME-label neighbor (hard positive) and the
@@ -470,6 +519,33 @@ object MiningQueries {
        |  FROM scored
        |  QUALIFY rk <= 3)""".stripMargin
 
+  /** e31's scored-candidate CTE pair: `$out` = (qid, node, qdot, cosq)
+    * for candidate set `$src` (a (qid, node) CTE). */
+  private def gsScore(src: String, out: String): String =
+    s"""${out}p AS (SELECT c.qid, c.node,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+       |    na.n2 AS na2, nb.n2 AS nb2
+       |  FROM $src c JOIN emb a ON c.qid = a.vec_id JOIN emb b ON c.node = b.vec_id
+       |  JOIN n2 na ON c.qid = na.vec_id JOIN n2 nb ON c.node = nb.vec_id),
+       |$out AS (SELECT qid, node, qdot,
+       |    CAST(qdot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosq
+       |  FROM ${out}p)""".stripMargin
+
+  /** e31's unrolled beam-search rounds over the knn CTE chain. */
+  private def graphSearchRounds(rounds: Int, beam: Int): String =
+    (1 to rounds).map { r =>
+      s"""ex$r AS (SELECT DISTINCT f.qid, ed.neighbor_id AS node
+         |  FROM f${r - 1} f JOIN gedges ed ON f.node = ed.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+         |                    WHERE v.qid = f.qid AND v.node = ed.neighbor_id)),
+         |${gsScore(s"ex$r", s"sc$r")},
+         |k$r AS (SELECT qid, node, qdot, cosq FROM sc$r
+         |        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, node) <= $beam),
+         |f$r AS (SELECT qid, node FROM k$r),
+         |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM k$r)""".stripMargin
+    }.mkString(",\n")
+
   private def kcoreRounds(k: Int, rounds: Int): String =
     (1 to rounds).map { r =>
       val prev = if (r == 1) "sym" else s"s${r - 1}"
@@ -535,6 +611,21 @@ object MiningQueries {
          |SELECT e2.vec_id, lab.label, coalesce(lab.rnd, -1) AS assigned_round
          |FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.vec_id
          |ORDER BY e2.vec_id""".stripMargin,
+
+    "e31_graph_search" ->
+      s"""WITH $knnGraphCtes,
+         |gedges AS (SELECT vec_id AS node, neighbor_id FROM knn),
+         |qs AS (SELECT vec_id AS qid FROM emb WHERE vec_id >= 100 AND vec_id < 105),
+         |entry AS (SELECT min(vec_id) AS node FROM emb),
+         |f0 AS (SELECT qs.qid, entry.node FROM qs CROSS JOIN entry),
+         |${gsScore("f0", "v0")},
+         |${graphSearchRounds(3, 4)}
+         |SELECT qid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, node) AS rk,
+         |  node, qdot
+         |FROM v3 WHERE node <> qid
+         |QUALIFY rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
 
     "e30_triplet_mining" ->
       s"""WITH $knnGraphCtes,

@@ -170,6 +170,25 @@ class MiningSpec extends AnyFunSuite {
     assert(negOf0.sameElements(Array(2L)), "different-label twin is the hard negative")
   }
 
+  // ------------------------------------------------------------ graph search
+
+  test("graph search: 5 queries x ranks 1..3, no self-hits, qdot recomputes") {
+    val out = graft.SparkEntry.queries("e31_graph_search")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.sorted.sameElements(100L to 104L))
+    for ((qid, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._2).sorted.sameElements(1L to 3L), s"query $qid ranks")
+      assert(rows.forall(_._3 != qid), s"query $qid self-hit")
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1024.0).toLong).toArray).toMap
+    for ((qid, _, node, qdot) <- out) {
+      val expect = emb(qid).zip(emb(node)).map { case (x, y) => x * y }.sum
+      assert(qdot == expect, s"qdot $qid-$node")
+    }
+  }
+
   // ------------------------------------------------------- label propagation
 
   test("label prop: spreads over rounds, deterministic tie-break, -1 for unreached") {
