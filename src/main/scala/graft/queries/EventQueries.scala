@@ -282,25 +282,29 @@ object EventQueries {
     // behind anomaly detectors. Hourly sums stay DECIMAL(18,2) (exact);
     // lagged pairs come from an hour-shifted self-equi-join (never a
     // moving DISTINCT-user count per type over a trailing 3-hour window
-    // — the surface gap this engine closes: Spark has no
-    // COUNT(DISTINCT) OVER, so the engine rewrites it as
-    // size(collect_set(...)) over a RANGE frame (sets are
-    // order-independent, so the count is deterministic under any frame
-    // evaluation order). Events first dedupe to (type, hour, user) —
-    // the window's state is then bounded by distinct users per frame,
-    // not raw event volume; at larger frames the KMV sketch aggregate
-    // family (q116-q118) is the documented approximate swap. The oracle
-    // proves the rewrite semantics via an independent formulation
-    // (offset explode + exact distinct count).
+    // — the SQL surface is `count(DISTINCT u) OVER (... RANGE 2
+    // PRECEDING)`, which Spark lacks. The naive rewrite
+    // (size(collect_set()) over the RANGE frame) partitions only by
+    // event type — a handful of single-task sorts over every
+    // (hour, user) row at 100 TB, the d12-class scale killer — so the
+    // ENGINE's formulation is the forward projection: each distinct
+    // (type, hour, user) row contributes to the ≤3 windows it keeps the
+    // user active for (map-only ×3 explode), then one countDistinct
+    // aggregate keyed on (type, window-hour) — shuffle-parallel in
+    // hours, not types. The window rewrite survives as the
+    // MiningSpec twin proving the two formulations agree; the DuckDB
+    // oracle is the NATIVE windowed DISTINCT (an independent
+    // formulation on the engine that has one).
     "q134_window_distinct" -> ((s, d) => {
       val e = events(s, d).select(col("event_type"),
           expr("tus div 3600000000").as("hidx"), col("user_id"))
         .distinct()
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
-        .rangeBetween(-2, 0)
-      e.withColumn("u3h", size(collect_set(col("user_id")).over(w)).cast(LongType))
-        .select(col("event_type"), col("hidx"), col("u3h"))
-        .distinct()
+      val proj = e.select(col("event_type"),
+        explode(expr("sequence(hidx, hidx + 2)")).as("hidx"), col("user_id"))
+      val hours = e.select(col("event_type"), col("hidx")).distinct()
+      hours.join(proj, Seq("event_type", "hidx"))
+        .groupBy(col("event_type"), col("hidx"))
+        .agg(countDistinct(col("user_id")).as("u3h"))
         .orderBy(col("event_type"), col("hidx"))
     }),
 
@@ -890,15 +894,11 @@ object EventQueries {
     "q134_window_distinct" ->
       """WITH e AS (SELECT DISTINCT event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hidx,
-        |             user_id FROM events),
-        |hours AS (SELECT DISTINCT event_type, hidx FROM e),
-        |x AS (SELECT e.event_type, e.hidx + t.i AS target, e.user_id
-        |      FROM e, range(0, 3) t(i))
-        |SELECT h.event_type, h.hidx,
-        |  count(DISTINCT x.user_id) AS u3h
-        |FROM hours h JOIN x ON x.event_type = h.event_type AND x.target = h.hidx
-        |GROUP BY h.event_type, h.hidx
-        |ORDER BY h.event_type, h.hidx""".stripMargin,
+        |             user_id FROM events)
+        |SELECT DISTINCT event_type, hidx,
+        |  count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY hidx
+        |                                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS u3h
+        |FROM e ORDER BY event_type, hidx""".stripMargin,
 
     "q132_stl_decompose" ->
       """WITH e AS (SELECT event_type,

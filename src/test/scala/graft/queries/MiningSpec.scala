@@ -340,6 +340,38 @@ class MiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  // --------------------------------------------------------- window distinct
+
+  test("window-distinct: the forward projection equals the collect_set window rewrite") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val got = graft.SparkEntry.queries("q134_window_distinct")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the COUNT(DISTINCT) OVER rewrite Spark users would hand-write
+    // (correct, but type-partitioned — kept as the semantic twin)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // same tus dispatch as EventQueries.events (tz-free NTZ parts)
+    val tus = e.schema("ts").dataType match {
+      case LongType            => expr("ts div 1000")
+      case _: TimestampNTZType => expr(
+        "unix_date(cast(ts as date)) * 86400000000 + " +
+          "(hour(ts) * 3600 + minute(ts) * 60) * CAST(1000000 AS BIGINT) + " +
+          "cast(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
+      case _                   => expr("unix_micros(ts)")
+    }
+    val base = e.withColumn("tus", tus)
+      .select(col("event_type"), expr("tus div 3600000000").as("hidx"), col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx")).rangeBetween(-2, 0)
+    val twin = base
+      .withColumn("u3h", size(collect_set(col("user_id")).over(w)).cast(LongType))
+      .select(col("event_type"), col("hidx"), col("u3h")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == twin)
+    assert(got.nonEmpty)
+  }
+
   // ------------------------------------------------------------- length trim
 
   test("length trim: per-source p5/p95 band keeps ~90% and bounds are ordered") {
