@@ -406,26 +406,32 @@ object CurationQueries {
     // d45's absolute Gopher rules: drop documents outside their OWN
     // source's [p5, p95] token-length band (a source of tweets and a
     // source of books need different cutoffs). Percentiles are EXACT
-    // rank arithmetic over a SOURCE-PARTITIONED window (scales with the
-    // largest source's slice, never a global sort — the d47 lesson at
-    // per-group granularity): the p5/p95 bound VALUES are the rows at
-    // ceil(0.05·n)/ceil(0.95·n) in (len, doc_id) order, selected by a
-    // conditional aggregate and broadcast back onto the corpus.
+    // but never sort documents: the corpus aggregates to the per-source
+    // LENGTH HISTOGRAM first (one map-combined shuffle; keys =
+    // (source, distinct length) — thousands of cells however many
+    // documents exist), the per-source window then cumulates over that
+    // tiny histogram, and the bound VALUE is the smallest length whose
+    // cumulative count reaches ceil(p·n) — identical to the rank-row
+    // definition the oracle uses (a row-sorting window here would be
+    // one task per source over every document at 100 TB, the d12/q134
+    // class). Bounds broadcast back onto the corpus.
     "d57_length_trim" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(expr("filter(split(text, '\\\\s+'), w -> w <> '')")).cast(LongType).as("n_toks"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_toks"), col("doc_id"))
-      val ranked = t.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
+      val hist = t.groupBy(col("source"), col("n_toks")).agg(count(lit(1)).as("cnt"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_toks"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
-      val bounds = ranked
-        .withColumn("lo_rn", ceil(col("n") * 0.05).cast(IntegerType))
-        .withColumn("hi_rn", ceil(col("n") * 0.95).cast(IntegerType))
+      val bounds = cum
+        .withColumn("lo_rn", ceil(col("n") * 0.05))
+        .withColumn("hi_rn", ceil(col("n") * 0.95))
         .groupBy(col("source"))
-        .agg(min(when(col("rn") === col("lo_rn"), col("n_toks"))).as("lo_val"),
-          min(when(col("rn") === col("hi_rn"), col("n_toks"))).as("hi_val"))
+        .agg(min(when(col("cum") >= col("lo_rn"), col("n_toks"))).as("lo_val"),
+          min(when(col("cum") >= col("hi_rn"), col("n_toks"))).as("hi_val"))
       t.join(broadcast(bounds), Seq("source"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
