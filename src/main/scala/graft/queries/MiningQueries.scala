@@ -24,10 +24,9 @@ object MiningQueries {
     * Scale design (100 TB): the corpus is signed map-side ONCE (integer
     * LSH signature); the probe side expands to the 9 Hamming-≤1 buckets
     * and the candidate join is a bucket equi-join — never an all-pairs
-    * product. Candidate volume is bounded by bucket occupancy (hot
-    * buckets would take the Dedup-style occupancy cap); the top-k
-    * window partitions on the probe id, so no global sort exists
-    * anywhere. Scoring is integer-exact: quantized dot + norms, with
+    * product. Candidate volume is bounded by the REAL per-bucket
+    * occupancy cap in [[knnCandidatesQuantized]]; the top-k window
+    * partitions on the probe id, so no global sort exists anywhere. Scoring is integer-exact: quantized dot + norms, with
     * the double cosine used for RANKING only (identical expression both
     * engines). Factored out so specs can drive planted corpora. */
   private[graft] def knnGraphQuantized(emb: DataFrame, topK: Int): DataFrame = {
