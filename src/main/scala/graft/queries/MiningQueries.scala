@@ -306,6 +306,44 @@ object MiningQueries {
             .as("fp"), col("source")))
         .orderBy(col("src_a"), col("src_b"))),
 
+    // IVF index health diagnostics — FAISS's imbalance factor over the
+    // coarse cells: per-cell occupancy plus nLists·Σc²/N² (1.0 =
+    // perfectly balanced; → nLists as one cell absorbs everything) —
+    // the "is my partitioning still good" check an ANN serving tier
+    // runs after every ingest batch. Coarse assignment is fully
+    // DECLARATIVE (no UDF): quantized dims join the broadcast centroid
+    // table, one (vec, cell) distance aggregate, argmin by a
+    // vec-partitioned window with the strict-<-lowest-cell tie rule —
+    // the same assignment e13b's encode performs, so the oracle replays
+    // it from the same centroid literals. Imbalance divides twice
+    // (never forms N² in integers) so no product overflows at corpus
+    // scale.
+    "e32_index_health" -> ((s, d) => {
+      import s.implicits._
+      val nLists = 16
+      val cents = (for (c <- 0 until nLists; dd <- 0 until 64)
+        yield (c, dd, graft.ann.Ann.ivfFixedCentroid(c, dd))).toDF("dim_cell", "dim", "cv")
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+      val d2 = qv.join(broadcast(cents), Seq("dim"))
+        .groupBy(col("vec_id"), col("dim_cell").as("cell"))
+        .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+      val assign = d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val occ = assign.groupBy(col("cell")).agg(count(lit(1)).as("occupancy"))
+      val stats = occ.agg(count(lit(1)).as("n_used"),
+          sum(col("occupancy")).as("n"),
+          sum(col("occupancy") * col("occupancy")).as("ss"))
+        .select(col("n_used"),
+          ((lit(nLists) * col("ss")).cast(DoubleType) /
+            col("n").cast(DoubleType) / col("n").cast(DoubleType)).as("imbalance"))
+      occ.crossJoin(broadcast(stats))
+        .select(col("cell"), col("occupancy"), col("n_used"), col("imbalance"))
+        .orderBy(col("cell"))
+    }),
+
     // windowed word co-occurrence + PMI — the GloVe/word2vec
     // preprocessing primitive (and the collocation detector feeding
     // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
@@ -677,6 +715,23 @@ object MiningQueries {
         |FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN b
         |WHERE dau.day >= b.d0 + 6 AND dau.day <= b.d1
         |ORDER BY dau.day""".stripMargin,
+
+    "e32_index_health" ->
+      s"""WITH cents(cell, dim, cv) AS (VALUES ${PipelineQueries.ivfCentroidValues(16, 64)}),
+         |q AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim,
+         |        CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1024) AS BIGINT) AS qd
+         |      FROM embeddings, range(1, 65) t(i)),
+         |d2 AS (SELECT q.vec_id, cents.cell,
+         |         sum((q.qd - cents.cv) * (q.qd - cents.cv)) AS d2
+         |       FROM q JOIN cents ON q.dim = cents.dim GROUP BY 1, 2),
+         |a AS (SELECT vec_id, cell FROM d2
+         |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+         |occ AS (SELECT cell, count(*) AS occupancy FROM a GROUP BY cell),
+         |st AS (SELECT count(*) AS n_used, sum(occupancy) AS n,
+         |         sum(occupancy * occupancy) AS ss FROM occ)
+         |SELECT occ.cell, occ.occupancy, st.n_used,
+         |  CAST(16 * st.ss AS DOUBLE) / CAST(st.n AS DOUBLE) / CAST(st.n AS DOUBLE) AS imbalance
+         |FROM occ CROSS JOIN st ORDER BY occ.cell""".stripMargin,
 
     "d55_continuation_pairs" ->
       """WITH t0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

@@ -106,7 +106,7 @@ object PipelineQueries {
   /** The deterministic IVF coarse centroids as a SQL VALUES list of
     * (cell, dim, value) — e13b's oracle re-runs coarse assignment from
     * the same integers. */
-  private def ivfCentroidValues(nLists: Int, dims: Int): String =
+  private[queries] def ivfCentroidValues(nLists: Int, dims: Int): String =
     (for (c <- 0 until nLists; d <- 0 until dims)
       yield s"($c,$d,${Ann.ivfFixedCentroid(c, d)})").mkString(",")
 

@@ -170,6 +170,21 @@ class MiningSpec extends AnyFunSuite {
     assert(negOf0.sameElements(Array(2L)), "different-label twin is the hard negative")
   }
 
+  // ------------------------------------------------------------ index health
+
+  test("index health: occupancies partition the corpus; imbalance >= 1") {
+    val out = graft.SparkEntry.queries("e32_index_health")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum == 500L, "every vector lands in exactly one cell")
+    assert(out.map(_._3).distinct.size == 1 && out.head._3 == out.length.toLong)
+    val imb = out.head._4
+    assert(out.map(_._4).distinct.size == 1)
+    // Cauchy-Schwarz: nLists * sum(c^2) / N^2 >= n_used_fraction >= 1 when
+    // all cells used; equality only for a perfectly uniform spread
+    assert(imb >= 1.0 - 1e-12 && imb <= 16.0 + 1e-12, s"imbalance $imb")
+  }
+
   // ------------------------------------------------------------ graph search
 
   test("graph search: 5 queries x ranks 1..3, no self-hits, qdot recomputes") {
