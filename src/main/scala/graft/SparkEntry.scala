@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries ++
-      ExtendedQueries.queries ++ CurationQueries.queries ++ MiningQueries.queries
+      ExtendedQueries.queries ++ CurationQueries.queries ++ MiningQueries.queries ++
+      AuditQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ EventQueries.oracle ++ PipelineQueries.oracle ++
-      ExtendedQueries.oracle ++ CurationQueries.oracle ++ MiningQueries.oracle
+      ExtendedQueries.oracle ++ CurationQueries.oracle ++ MiningQueries.oracle ++
+      AuditQueries.oracle
 }

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Corpus-audit operators: the profiling / substring-dedup / indexing
+  * primitives a curation team runs BEFORE committing to a pipeline
+  * design — column profiling (the "expectations" step), maximal
+  * duplicated-substring spans (the Lee et al. suffix-array dedup
+  * signal, approximated as duplicated n-gram islands), content-defined
+  * chunking (the rsync/LBFS shift-resistant dedup primitive), and
+  * positional-index phrase search.
+  *
+  * Every query hash-checks: outputs are integers, md5 fingerprints and
+  * token positions; there is not a single float anywhere in the family.
+  */
+object AuditQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-column data-quality profile of the documents table in long
+    // form — the "write the expectation suite" step. ONE pass: all
+    // per-column aggregates ride a single map-side-combined aggregate
+    // (Spark plans the multi-distinct via one Expand — still a single
+    // shuffle), then a driver-free stack() to long form. At 100 TB this
+    // is the cheapest possible shape: no per-column scans, no windows.
+    "d60_column_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(length(col(c).cast(StringType))).cast(LongType).as(s"${c}__mn"),
+          max(length(col(c).cast(StringType))).cast(LongType).as(s"${c}__mx"))
+      }
+      val g = docs.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      g.selectExpr("n_rows",
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_len, max_len)")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_len"), col("max_len"))
+        .orderBy(col("col_name"))
+    }),
+
+    // maximal duplicated-substring spans — the signal the suffix-array
+    // dedup of Lee et al. (2022) extracts, approximated corpus-scale as
+    // islands of consecutive token positions whose 5-gram occurs in >1
+    // document. Scale shape: grams shrink to md5 keys BEFORE the df
+    // shuffle (position + 16-byte key, never text); the island merge is
+    // a window PARTITIONED by doc (bounded per doc, no global sort).
+    // The span [start, start+4+gap] reconstruction is pure integer
+    // arithmetic on the island's min/max positions.
+    "d58_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+        .filter(size(col("t")) >= 5)
+      val pos = toks.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))")))
+        .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("p"),
+          md5(col("col")).as("g"))
+      // df counts DISTINCT documents per gram (a gram repeated inside
+      // one doc is repetition, not duplication — d16's province)
+      val df5 = pos.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val dup = pos.join(df5.filter(col("df") > 1), Seq("g"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      dup.withColumn("isl", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("p")).as("span_start"), max(col("p")).as("pmax"),
+          count(lit(1)).as("n_dup_grams"))
+        .select(col("doc_id"), col("span_start"),
+          (col("pmax") + lit(4)).as("span_end"),
+          (col("pmax") + lit(5) - col("span_start")).as("span_tokens"),
+          col("n_dup_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // content-defined chunking: chunk boundaries fall AFTER any token
+    // whose trailing 3-gram hashes to 0 mod 16 (avg chunk ~16 tokens) —
+    // the Rabin/LBFS rule, so an insertion early in a document shifts
+    // at most one chunk instead of re-fingerprinting every fixed-stride
+    // window (d31's failure mode). Chunk fingerprints then dedup
+    // corpus-wide by exact match. Scale shape: the boundary predicate
+    // and chunk ids are computed in a window PARTITIONED by doc; the
+    // chunk-text slice joins positions back to the token ARRAY on
+    // doc_id (co-keyed, narrow); the df count shuffles md5 keys only.
+    "d59_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+      val pos = toks.select(col("doc_id"), col("t"),
+          posexplode(expr(
+            "transform(sequence(1, size(t)), i -> CASE WHEN i >= 3 " +
+              "THEN array_join(slice(t, i - 2, 3), ' ') END)")))
+        .select(col("doc_id"), col("t"),
+          (col("pos") + lit(1)).cast(LongType).as("p"), col("col").as("g3"))
+        .withColumn("b", when(col("g3").isNotNull &&
+          conv(substring(md5(col("g3")), 1, 8), 16, 10).cast(LongType) % 16 === 0,
+          1L).otherwise(0L))
+      val cum = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = pos
+        .withColumn("chunk_id", coalesce(sum(col("b")).over(cum), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(min(col("p")).as("start"), count(lit(1)).as("n_tokens"),
+          first(col("t")).as("t"))
+        .withColumn("fp", md5(expr("array_join(slice(t, CAST(start AS INT), CAST(n_tokens AS INT)), ' ')")))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          col("n_tokens"), col("fp"))
+      val dfc = chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      chunks.join(dfc, Seq("fp"))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          col("n_tokens"), col("fp"), col("df"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // exact phrase search over a positional inverted index — the
+    // position-alignment trick: postings for the phrase's words are
+    // keyed by (candidate start = token_pos − word_offset), and a
+    // position is a match iff ALL the phrase's offsets land on it
+    // (count(DISTINCT offset) = phrase length). One shuffle on the
+    // alignment key; no k-way positional self-join. The phrase table is
+    // tiny and broadcast; at 100 TB the token explode is map-side and
+    // the postings are semi-joined down to the phrase vocabulary BEFORE
+    // any shuffle.
+    "d61_phrase_search" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d)
+      val phrases = AuditQueries.phraseDefs.toDF("phrase_id", "phrase")
+      val pw = phrases.select(col("phrase_id"),
+          posexplode(split(col("phrase"), " ")))
+        .select(col("phrase_id"), col("pos").cast(LongType).as("off"),
+          col("col").as("w"))
+      val plen = phrases.select(col("phrase_id"),
+        size(split(col("phrase"), " ")).cast(LongType).as("plen"))
+      val toks = docs.select(col("doc_id"),
+          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("tp"),
+          col("col").as("w"))
+      val cand = toks.join(broadcast(pw), Seq("w"))
+        .select(col("phrase_id"), col("doc_id"),
+          (col("tp") - col("off")).as("start"), col("off"))
+      cand.groupBy(col("phrase_id"), col("doc_id"), col("start"))
+        .agg(countDistinct(col("off")).as("n_off"))
+        .join(broadcast(plen), Seq("phrase_id"))
+        .filter(col("n_off") === col("plen") && col("start") >= 0)
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          (min(col("start")) + lit(1)).as("first_pos"))
+        .orderBy(col("phrase_id"), col("doc_id"))
+    })
+  )
+
+  /** Search phrases for d61 — common word-pairs/triples of the synthetic
+    * corpus vocabulary, including one with a repeated word (exercises
+    * the count(DISTINCT offset) alignment rule). */
+  private[queries] val phraseDefs: Seq[(Long, String)] = Seq(
+    (1L, "table value"), (2L, "fast key scan"), (3L, "table table"))
+
+  private def phraseValues: String =
+    phraseDefs.map { case (id, p) => s"(CAST($id AS BIGINT), '$p')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "d60_column_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+           |  CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "d58_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> {'p': CAST(i AS BIGINT), 'g': md5(array_to_string(t[i:i+4], ' '))})) AS u
+        |  FROM toks WHERE len(t) >= 5)),
+        |df5 AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+        |dup AS (SELECT pos.doc_id, pos.p FROM pos JOIN df5 USING (g) WHERE df5.df > 1),
+        |isl AS (SELECT doc_id, p,
+        |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |        FROM dup)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  max(p) + 5 - min(p) AS span_tokens, count(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
+    "d59_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, u.p AS p, u.g3 AS g3 FROM (
+        |  SELECT doc_id, t, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'p': CAST(i AS BIGINT),
+        |          'g3': CASE WHEN i >= 3 THEN array_to_string(t[i-2:i], ' ') END})) AS u
+        |  FROM toks)),
+        |b AS (SELECT doc_id, t, p,
+        |        CASE WHEN g3 IS NOT NULL AND
+        |          ('0x' || substr(md5(g3), 1, 8))::BIGINT % 16 = 0
+        |        THEN 1 ELSE 0 END AS b
+        |      FROM pos),
+        |cid AS (SELECT doc_id, t, p,
+        |          coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |        FROM b),
+        |chunks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    min(p) AS start, count(*) AS n_tokens,
+        |    md5(array_to_string(any_value(t)[min(p):min(p)+count(*)-1], ' ')) AS fp
+        |  FROM cid GROUP BY doc_id, chunk_id),
+        |dfc AS (SELECT fp, count(*) AS df FROM chunks GROUP BY fp)
+        |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
+        |FROM chunks c JOIN dfc USING (fp)
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d61_phrase_search" ->
+      s"""WITH phrases(phrase_id, phrase) AS (VALUES $phraseValues),
+         |pw AS (SELECT phrase_id, u.off AS off, u.w AS w FROM (
+         |  SELECT phrase_id, unnest(list_transform(range(len(sp)),
+         |    i -> {'off': CAST(i AS BIGINT), 'w': sp[CAST(i AS INT) + 1]})) AS u
+         |  FROM (SELECT phrase_id, string_split(phrase, ' ') AS sp FROM phrases))),
+         |plen AS (SELECT phrase_id, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen FROM phrases),
+         |toks AS (SELECT doc_id, u.tp AS tp, u.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(t)),
+         |    i -> {'tp': CAST(i AS BIGINT), 'w': t[CAST(i AS INT) + 1]})) AS u
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents))),
+         |cand AS (SELECT pw.phrase_id, toks.doc_id, toks.tp - pw.off AS start, pw.off
+         |         FROM toks JOIN pw USING (w)),
+         |al AS (SELECT phrase_id, doc_id, start, count(DISTINCT off) AS n_off
+         |       FROM cand GROUP BY 1, 2, 3),
+         |m AS (SELECT al.phrase_id, al.doc_id, al.start FROM al
+         |      JOIN plen USING (phrase_id)
+         |      WHERE al.n_off = plen.plen AND al.start >= 0)
+         |SELECT phrase_id, doc_id, count(*) AS n_matches, min(start) + 1 AS first_pos
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
