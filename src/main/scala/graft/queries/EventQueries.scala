@@ -421,6 +421,39 @@ object EventQueries {
         .orderBy(col("event_type"), col("lag"))
     }),
 
+    // CUSUM changepoint detection per metric stream — "where did this
+    // metric's level shift": for each event_type the mean-centered
+    // cumulative sum S_i = n·prefix_i − i·total is maximized in |S|
+    // (the classic offline CUSUM estimator). All arithmetic is EXACT:
+    // values quantize to floor(v·1000) BIGINT (identical IEEE product
+    // per row), prefix sums run in DECIMAL(38,0) against the oracle's
+    // HUGEINT (both exact integers — the e23/q125 overflow rule, no
+    // silent 64-bit wrap at any corpus size), and the final |S| casts
+    // to DOUBLE only in the output scalar. Scale shape: both windows
+    // PARTITION by event_type (per-key range sort, no global funnel);
+    // the per-type totals are a 5-row broadcast.
+    "q136_cusum_changepoint" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"), col("tus"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("q"))
+      val tot = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("tq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("tus"), col("event_id"))
+      val cs = ev
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .withColumn("ps", sum(col("q").cast(DecimalType(28, 0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), Seq("event_type"))
+        .withColumn("sabs", abs(col("ps") * col("n") -
+          col("i").cast(DecimalType(28, 0)) * col("tq")))
+      val top = Window.partitionBy(col("event_type"))
+        .orderBy(col("sabs").desc, col("i"))
+      cs.withColumn("rk", row_number().over(top)).filter(col("rk") === 1)
+        .select(col("event_type"), col("n"), col("i").as("cp_index"),
+          col("event_id").as("cp_event_id"),
+          col("sabs").cast(DoubleType).as("cusum_max"))
+        .orderBy(col("event_type"))
+    }),
+
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with
     // the lag/cumsum islands formulation. Session start = first event,
@@ -1331,6 +1364,24 @@ object EventQueries {
         |  round((sab - sa * sb / n) /
         |        (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)), 4) + 0.0 AS acf
         |FROM m WHERE n >= 3 ORDER BY event_type, lag""".stripMargin,
+
+    "q136_cusum_changepoint" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |              CAST(floor(value * 1000) AS BIGINT) AS q FROM events),
+        |tot AS (SELECT event_type, count(*) AS n, sum(q) AS tq FROM ev GROUP BY 1),
+        |cs AS (SELECT ev.event_type, ev.event_id,
+        |         CAST(row_number() OVER w AS BIGINT) AS i,
+        |         sum(ev.q) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+        |       FROM ev WINDOW w AS (PARTITION BY ev.event_type ORDER BY ev.tus, ev.event_id)),
+        |sdev AS (SELECT cs.event_type, cs.event_id, cs.i, tot.n,
+        |           abs(cs.ps * tot.n - cs.i * tot.tq) AS sabs
+        |         FROM cs JOIN tot USING (event_type)),
+        |top AS (SELECT event_type, event_id, i, n, sabs,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY sabs DESC, i) AS rk
+        |        FROM sdev)
+        |SELECT event_type, n, i AS cp_index, event_id AS cp_event_id,
+        |  CAST(sabs AS DOUBLE) AS cusum_max
+        |FROM top WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q64_session_window" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),

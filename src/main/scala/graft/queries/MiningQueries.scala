@@ -344,6 +344,91 @@ object MiningQueries {
         .orderBy(col("cell"))
     }),
 
+    // neighborhood function N(seed, r) — distinct nodes within r hops,
+    // the effective-diameter / spid primitive (HyperANF's exact twin).
+    // Three rounds of reach-set expansion over the co-purchase graph
+    // for a bounded seed set (pk < 100): each round is one equi-join on
+    // the frontier key + one (seed, node) distinct — narrow int pairs
+    // through every shuffle, counts grouped per seed. The 100 TB shape
+    // swaps the exact (seed, node) set for KMV registers (q116's
+    // aggregate family) merged per seed — same rounds, sketch-sized
+    // state; this exact form is the oracle-checkable ground truth.
+    "q137_neighborhood_function" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+        .union(e.select(col("pb"), col("pa")))
+      val seeds = sym.select(col("es")).distinct().filter(col("es") < 100)
+      var reach = seeds.select(col("es").as("seed"), col("es").as("node"))
+      val perRound = (1 to 3).map { r =>
+        val expanded = reach.join(sym, reach("node") === sym("es"))
+          .select(col("seed"), col("et").as("node"))
+        reach = reach.union(expanded).distinct()
+        reach.groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
+          .select(col("seed"), lit(r.toLong).as("r"), col("n_reach"))
+      }
+      perRound.reduce(_ union _).orderBy(col("seed"), col("r"))
+    }),
+
+    // k-center / farthest-first clustering init (Gonzalez 1985 — the
+    // deterministic k-means++ alternative and the 2-approximation for
+    // k-center): greedily pick the point farthest from the chosen set.
+    // Fully integer-exact on floor(v·1024) quantized vectors, so the
+    // whole trajectory hash-checks. Scale shape: each of the k rounds
+    // is a MAP-ONLY min-distance pass (centers ride as literals in the
+    // expression — the e19 Lloyd's rule) + one global top-1, i.e. k
+    // bounded driver actions of one row each (the e16/BPE precedent);
+    // no state beyond k·d driver-held centers.
+    "e33_kcenter_init" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      def dist2To(c: Seq[Long]) = expr(
+        s"aggregate(zip_with(q, array(${c.mkString("L, ")}L), " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+      val first = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+      var centers = Vector(first.getSeq[Long](1))
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1L, first.getLong(0), 0L))
+      for (r <- 2 to 6) {
+        val next = emb
+          .withColumn("md", centers.map(dist2To).reduce((a, b) => least(a, b)))
+          .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+        centers :+= next.getSeq[Long](1)
+        picks += ((r.toLong, next.getLong(0), next.getLong(2)))
+      }
+      picks.toSeq.toDF("rank", "center_vec_id", "dist2").orderBy(col("rank"))
+    }),
+
+    // kNN-distance outlier scoring (Ramaswamy et al. — "distance to the
+    // k-th neighbor"): every vector's 3rd-nearest candidate from the
+    // SAME multiprobe LSH candidate stage the kNN graph uses, plus its
+    // candidate count. Vectors with no (or <3) candidates surface with
+    // NULL kth columns — exactly the isolated points a density audit
+    // wants flagged. Output is ids + integer qdot only, so the whole
+    // index-quality probe hash-checks; ranking uses the per-row double
+    // cosine (identical expression both engines), never a float sum.
+    "e34_knn_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = knnCandidatesQuantized(emb.select(col("vec_id"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      val agg = cand.groupBy(col("vec_id")).agg(count(lit(1)).as("n_cand"))
+      val kth = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 3)
+        .select(col("vec_id"), col("neighbor_id").as("kth_neighbor_id"),
+          col("qdot").as("kth_qdot"))
+      emb.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .join(kth, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("kth_neighbor_id"), col("kth_qdot"))
+        .orderBy(col("vec_id"))
+    }),
+
     // windowed word co-occurrence + PMI — the GloVe/word2vec
     // preprocessing primitive (and the collocation detector feeding
     // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
@@ -592,7 +677,71 @@ object MiningQueries {
          |  JOIN a$r x ON $prev.s = x.s JOIN a$r y ON $prev.t = y.s)""".stripMargin
     }.mkString(",\n")
 
+  /** e33's unrolled farthest-first rounds: cN = the N-th chosen center
+    * (argmax of the running min-distance dN-1, ties to the lowest
+    * vec_id), dN = elementwise least of the previous distances and the
+    * distance to cN. Pure BIGINT quantized arithmetic throughout. */
+  private def kcenterCtes(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a.q[CAST(i AS INT)] - $b.q[CAST(i AS INT)]) * ($a.q[CAST(i AS INT)] - $b.q[CAST(i AS INT)]))) AS BIGINT)"
+    val head =
+      s"""qv AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |        v -> CAST(floor(v * 1024) AS BIGINT)) AS q FROM embeddings),
+         |c1 AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT qv.vec_id, ${d2("qv", "c")} AS md FROM qv CROSS JOIN c1 c)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT d.vec_id, qv.q, d.md FROM d${r - 1} d JOIN qv ON d.vec_id = qv.vec_id
+         |  ORDER BY d.md DESC, d.vec_id LIMIT 1),
+         |d$r AS (SELECT d.vec_id, least(d.md, ${d2("qv", "c")}) AS md
+         |  FROM d${r - 1} d JOIN qv ON d.vec_id = qv.vec_id CROSS JOIN c$r c)""".stripMargin
+    }
+    val centers = (1 to k).map { r =>
+      val dist = if (r == 1) "CAST(0 AS BIGINT)" else "md"
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id AS center_vec_id, $dist AS dist2 FROM c$r"
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s",\npicks AS (${centers.mkString("\nUNION ALL\n")})"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_neighborhood_function" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "r0" else s"r${r - 1}"
+        s"""r$r AS MATERIALIZED (SELECT DISTINCT seed, node FROM (
+           |  SELECT seed, node FROM $prev
+           |  UNION ALL
+           |  SELECT $prev.seed, sym.t AS node FROM $prev JOIN sym ON $prev.node = sym.s))""".stripMargin
+      }.mkString(",\n")
+      val counts = (1 to 3).map(r =>
+        s"SELECT seed, CAST($r AS BIGINT) AS r, count(*) AS n_reach FROM r$r GROUP BY seed")
+        .mkString("\nUNION ALL\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+         |seeds AS (SELECT DISTINCT s AS seed FROM sym WHERE s < 100),
+         |r0 AS (SELECT seed, seed AS node FROM seeds),
+         |$rounds
+         |$counts
+         |ORDER BY seed, r""".stripMargin
+    },
+
+    "e33_kcenter_init" ->
+      s"""WITH ${kcenterCtes(6)}
+         |SELECT rank, center_vec_id, dist2 FROM picks ORDER BY rank""".stripMargin,
+
+    "e34_knn_outliers" ->
+      s"""WITH $knnGraphCtes,
+         |agg AS (SELECT vec_id, count(*) AS n_cand FROM scored GROUP BY vec_id),
+         |kth AS (SELECT vec_id, neighbor_id AS kth_neighbor_id, qdot AS kth_qdot
+         |        FROM scored
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) = 3)
+         |SELECT emb.vec_id, coalesce(agg.n_cand, 0) AS n_cand,
+         |  kth.kth_neighbor_id, kth.kth_qdot
+         |FROM emb LEFT JOIN agg ON emb.vec_id = agg.vec_id
+         |         LEFT JOIN kth ON emb.vec_id = kth.vec_id
+         |ORDER BY emb.vec_id""".stripMargin,
+
     "q128_kcore" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
