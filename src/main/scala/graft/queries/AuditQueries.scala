@@ -18,6 +18,90 @@ import org.apache.spark.sql.types._
   */
 object AuditQueries {
 
+  /** d58's core: islands of consecutive positions whose n-gram occurs
+    * in more than one document, merged to maximal spans. `docs` needs
+    * (doc_id, text). */
+  private[queries] def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= n)
+    val pos = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("p"),
+        md5(col("col")).as("g"))
+    // df counts DISTINCT documents per gram (a gram repeated inside
+    // one doc is repetition, not duplication — d16's province)
+    val df5 = pos.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val dup = pos.join(df5.filter(col("df") > 1), Seq("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    dup.withColumn("isl", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("pmax"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"),
+        (col("pmax") + lit(n - 1)).as("span_end"),
+        (col("pmax") + lit(n) - col("span_start")).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  /** d59's core: content-defined chunks (trailing-3-gram rolling hash,
+    * boundary when hash ≡ 0 mod `modulus`) + corpus-wide fingerprint
+    * dup counts. `docs` needs (doc_id, text). */
+  private[queries] def cdcChunks(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+    val pos = toks.select(col("doc_id"), col("t"),
+        posexplode(expr(
+          "transform(sequence(1, size(t)), i -> CASE WHEN i >= 3 " +
+            "THEN array_join(slice(t, i - 2, 3), ' ') END)")))
+      .select(col("doc_id"), col("t"),
+        (col("pos") + lit(1)).cast(LongType).as("p"), col("col").as("g3"))
+      .withColumn("b", when(col("g3").isNotNull &&
+        conv(substring(md5(col("g3")), 1, 8), 16, 10).cast(LongType) % modulus === 0,
+        1L).otherwise(0L))
+    val cum = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = pos
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(cum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("p")).as("start"), count(lit(1)).as("n_tokens"),
+        first(col("t")).as("t"))
+      .withColumn("fp", md5(expr("array_join(slice(t, CAST(start AS INT), CAST(n_tokens AS INT)), ' ')")))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        col("n_tokens"), col("fp"))
+    val dfc = chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    chunks.join(dfc, Seq("fp"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        col("n_tokens"), col("fp"), col("df"))
+  }
+
+  /** d61's core: exact phrase occurrences via position alignment.
+    * `phrases` needs (phrase_id, phrase); `docs` needs (doc_id, text). */
+  private[queries] def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val pw = phrases.select(col("phrase_id"),
+        posexplode(split(col("phrase"), " ")))
+      .select(col("phrase_id"), col("pos").cast(LongType).as("off"),
+        col("col").as("w"))
+    val plen = phrases.select(col("phrase_id"),
+      size(split(col("phrase"), " ")).cast(LongType).as("plen"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("tp"),
+        col("col").as("w"))
+    val cand = toks.join(broadcast(pw), Seq("w"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("tp") - col("off")).as("start"), col("off"))
+    cand.groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter(col("n_off") === col("plen") && col("start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("start")) + lit(1)).as("first_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-column data-quality profile of the documents table in long
     // form — the "write the expectation suite" step. ONE pass: all
@@ -53,32 +137,9 @@ object AuditQueries {
     // a window PARTITIONED by doc (bounded per doc, no global sort).
     // The span [start, start+4+gap] reconstruction is pure integer
     // arithmetic on the island's min/max positions.
-    "d58_dup_spans" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-          expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
-        .filter(size(col("t")) >= 5)
-      val pos = toks.select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))")))
-        .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("p"),
-          md5(col("col")).as("g"))
-      // df counts DISTINCT documents per gram (a gram repeated inside
-      // one doc is repetition, not duplication — d16's province)
-      val df5 = pos.select(col("g"), col("doc_id")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val dup = pos.join(df5.filter(col("df") > 1), Seq("g"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      dup.withColumn("isl", col("p") - row_number().over(w))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("p")).as("span_start"), max(col("p")).as("pmax"),
-          count(lit(1)).as("n_dup_grams"))
-        .select(col("doc_id"), col("span_start"),
-          (col("pmax") + lit(4)).as("span_end"),
-          (col("pmax") + lit(5) - col("span_start")).as("span_tokens"),
-          col("n_dup_grams"))
-        .orderBy(col("doc_id"), col("span_start"))
-    }),
+    "d58_dup_spans" -> ((s, d) =>
+      dupSpans(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("span_start"))),
 
     // content-defined chunking: chunk boundaries fall AFTER any token
     // whose trailing 3-gram hashes to 0 mod 16 (avg chunk ~16 tokens) —
@@ -89,35 +150,9 @@ object AuditQueries {
     // and chunk ids are computed in a window PARTITIONED by doc; the
     // chunk-text slice joins positions back to the token ARRAY on
     // doc_id (co-keyed, narrow); the df count shuffles md5 keys only.
-    "d59_cdc_chunks" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
-      val pos = toks.select(col("doc_id"), col("t"),
-          posexplode(expr(
-            "transform(sequence(1, size(t)), i -> CASE WHEN i >= 3 " +
-              "THEN array_join(slice(t, i - 2, 3), ' ') END)")))
-        .select(col("doc_id"), col("t"),
-          (col("pos") + lit(1)).cast(LongType).as("p"), col("col").as("g3"))
-        .withColumn("b", when(col("g3").isNotNull &&
-          conv(substring(md5(col("g3")), 1, 8), 16, 10).cast(LongType) % 16 === 0,
-          1L).otherwise(0L))
-      val cum = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val chunks = pos
-        .withColumn("chunk_id", coalesce(sum(col("b")).over(cum), lit(0L)))
-        .groupBy(col("doc_id"), col("chunk_id"))
-        .agg(min(col("p")).as("start"), count(lit(1)).as("n_tokens"),
-          first(col("t")).as("t"))
-        .withColumn("fp", md5(expr("array_join(slice(t, CAST(start AS INT), CAST(n_tokens AS INT)), ' ')")))
-        .select(col("doc_id"), col("chunk_id"), col("start"),
-          col("n_tokens"), col("fp"))
-      val dfc = chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      chunks.join(dfc, Seq("fp"))
-        .select(col("doc_id"), col("chunk_id"), col("start"),
-          col("n_tokens"), col("fp"), col("df"))
-        .orderBy(col("doc_id"), col("chunk_id"))
-    }),
+    "d59_cdc_chunks" -> ((s, d) =>
+      cdcChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // exact phrase search over a positional inverted index — the
     // position-alignment trick: postings for the phrase's words are
@@ -131,28 +166,8 @@ object AuditQueries {
     "d61_phrase_search" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val docs = Tables.documents(s, d)
-      val phrases = AuditQueries.phraseDefs.toDF("phrase_id", "phrase")
-      val pw = phrases.select(col("phrase_id"),
-          posexplode(split(col("phrase"), " ")))
-        .select(col("phrase_id"), col("pos").cast(LongType).as("off"),
-          col("col").as("w"))
-      val plen = phrases.select(col("phrase_id"),
-        size(split(col("phrase"), " ")).cast(LongType).as("plen"))
-      val toks = docs.select(col("doc_id"),
-          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")))
-        .select(col("doc_id"), col("pos").cast(LongType).as("tp"),
-          col("col").as("w"))
-      val cand = toks.join(broadcast(pw), Seq("w"))
-        .select(col("phrase_id"), col("doc_id"),
-          (col("tp") - col("off")).as("start"), col("off"))
-      cand.groupBy(col("phrase_id"), col("doc_id"), col("start"))
-        .agg(countDistinct(col("off")).as("n_off"))
-        .join(broadcast(plen), Seq("phrase_id"))
-        .filter(col("n_off") === col("plen") && col("start") >= 0)
-        .groupBy(col("phrase_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          (min(col("start")) + lit(1)).as("first_pos"))
+      phraseSearch(Tables.documents(s, d),
+          AuditQueries.phraseDefs.toDF("phrase_id", "phrase"))
         .orderBy(col("phrase_id"), col("doc_id"))
     })
   )

@@ -51,6 +51,29 @@ object EventQueries {
         coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
           lit(0).cast(DecimalType(18, 2))).as("monetary"))
 
+  /** q136's core (exposed for AuditSpec's planted step-change test).
+    * `ev` needs (event_type, event_id, tus, value). */
+  private[queries] def cusumChangepoints(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_type"), col("event_id"), col("tus"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("q"))
+    val tot = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("tq"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tus"), col("event_id"))
+    val cs = ev
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("ps", sum(col("q").cast(DecimalType(28, 0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("sabs", abs(col("ps") * col("n") -
+        col("i").cast(DecimalType(28, 0)) * col("tq")))
+    val top = Window.partitionBy(col("event_type"))
+      .orderBy(col("sabs").desc, col("i"))
+    cs.withColumn("rk", row_number().over(top)).filter(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("i").as("cp_index"),
+        col("event_id").as("cp_event_id"),
+        col("sabs").cast(DoubleType).as("cusum_max"))
+  }
+
   /** ntile(k)'s exact bucket rule as map-side arithmetic over a 1-based
     * global rank: the first n%k buckets take n/k+1 rows, the rest n/k.
     * The divisions are exact (numerators below 2^52 stay integral in
@@ -432,27 +455,8 @@ object EventQueries {
     // to DOUBLE only in the output scalar. Scale shape: both windows
     // PARTITION by event_type (per-key range sort, no global funnel);
     // the per-type totals are a 5-row broadcast.
-    "q136_cusum_changepoint" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_type"), col("event_id"), col("tus"),
-        expr("CAST(floor(value * 1000) AS BIGINT)").as("q"))
-      val tot = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("tq"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("tus"), col("event_id"))
-      val cs = ev
-        .withColumn("i", row_number().over(w).cast(LongType))
-        .withColumn("ps", sum(col("q").cast(DecimalType(28, 0)))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(tot), Seq("event_type"))
-        .withColumn("sabs", abs(col("ps") * col("n") -
-          col("i").cast(DecimalType(28, 0)) * col("tq")))
-      val top = Window.partitionBy(col("event_type"))
-        .orderBy(col("sabs").desc, col("i"))
-      cs.withColumn("rk", row_number().over(top)).filter(col("rk") === 1)
-        .select(col("event_type"), col("n"), col("i").as("cp_index"),
-          col("event_id").as("cp_event_id"),
-          col("sabs").cast(DoubleType).as("cusum_max"))
-        .orderBy(col("event_type"))
-    }),
+    "q136_cusum_changepoint" -> ((s, d) =>
+      cusumChangepoints(events(s, d)).orderBy(col("event_type"))),
 
     // Spark's native session_window operator (gap-merged sessions as a
     // first-class grouping) — the oracle rebuilds the same sessions with

@@ -362,15 +362,8 @@ object MiningQueries {
       val sym = e.select(col("pa").as("es"), col("pb").as("et"))
         .union(e.select(col("pb"), col("pa")))
       val seeds = sym.select(col("es")).distinct().filter(col("es") < 100)
-      var reach = seeds.select(col("es").as("seed"), col("es").as("node"))
-      val perRound = (1 to 3).map { r =>
-        val expanded = reach.join(sym, reach("node") === sym("es"))
-          .select(col("seed"), col("et").as("node"))
-        reach = reach.union(expanded).distinct()
-        reach.groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
-          .select(col("seed"), lit(r.toLong).as("r"), col("n_reach"))
-      }
-      perRound.reduce(_ union _).orderBy(col("seed"), col("r"))
+      neighborhoodCounts(sym, seeds.select(col("es").as("seed")), rounds = 3)
+        .orderBy(col("seed"), col("r"))
     }),
 
     // k-center / farthest-first clustering init (Gonzalez 1985 — the
@@ -382,27 +375,8 @@ object MiningQueries {
     // expression — the e19 Lloyd's rule) + one global top-1, i.e. k
     // bounded driver actions of one row each (the e16/BPE precedent);
     // no state beyond k·d driver-held centers.
-    "e33_kcenter_init" -> ((s, d) => {
-      val spark = s
-      import spark.implicits._
-      val emb = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-      def dist2To(c: Seq[Long]) = expr(
-        s"aggregate(zip_with(q, array(${c.mkString("L, ")}L), " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)")
-      val first = emb.orderBy(col("vec_id")).limit(1).collect()(0)
-      var centers = Vector(first.getSeq[Long](1))
-      val picks = scala.collection.mutable.ArrayBuffer(
-        (1L, first.getLong(0), 0L))
-      for (r <- 2 to 6) {
-        val next = emb
-          .withColumn("md", centers.map(dist2To).reduce((a, b) => least(a, b)))
-          .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
-        centers :+= next.getSeq[Long](1)
-        picks += ((r.toLong, next.getLong(0), next.getLong(2)))
-      }
-      picks.toSeq.toDF("rank", "center_vec_id", "dist2").orderBy(col("rank"))
-    }),
+    "e33_kcenter_init" -> ((s, d) =>
+      kcenterInit(s, Tables.embeddings(s, d), k = 6).orderBy(col("rank"))),
 
     // kNN-distance outlier scoring (Ramaswamy et al. — "distance to the
     // k-th neighbor"): every vector's 3rd-nearest candidate from the
@@ -442,6 +416,46 @@ object MiningQueries {
     "d53_cooccurrence_pmi" -> ((s, d) =>
       cooccurrencePmi(Tables.documents(s, d), minCount = 5)
         .orderBy(col("w1"), col("w2"))))
+
+  /** q137's core: N(seed, r) for r = 1..rounds by reach-set expansion.
+    * `sym` needs directed edge columns (es, et); `seeds` a seed column. */
+  private[queries] def neighborhoodCounts(sym: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var reach = seeds.select(col("seed"), col("seed").as("node"))
+    val perRound = (1 to rounds).map { r =>
+      val expanded = reach.join(sym, reach("node") === sym("es"))
+        .select(col("seed"), col("et").as("node"))
+      reach = reach.union(expanded).distinct()
+      reach.groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
+        .select(col("seed"), lit(r.toLong).as("r"), col("n_reach"))
+    }
+    perRound.reduce(_ union _)
+  }
+
+  /** e33's core: Gonzalez farthest-first picks over floor(v·1024)
+    * quantized vectors; returns (rank, center_vec_id, dist2). */
+  private[queries] def kcenterInit(s: SparkSession, embIn: DataFrame,
+      k: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val emb = embIn.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+    def dist2To(c: Seq[Long]) = expr(
+      s"aggregate(zip_with(q, array(${c.mkString("L, ")}L), " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    val first = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers = Vector(first.getSeq[Long](1))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 0L))
+    for (r <- 2 to k) {
+      val next = emb
+        .withColumn("md", centers.map(dist2To).reduce((a, b) => least(a, b)))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      centers :+= next.getSeq[Long](1)
+      picks += ((r.toLong, next.getLong(0), next.getLong(2)))
+    }
+    picks.toSeq.toDF("rank", "center_vec_id", "dist2")
+  }
 
   /** events with epoch-micros `tus` (EventQueries' dispatch, local copy
     * for this object's one events consumer). */

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.zeek.SharedSpark
+
+/** Planted-data invariants for the corpus-audit family (d58-d61) and
+  * the round-7 session-3 additions (q136, q137, e33). */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- d58 spans
+
+  test("dup spans: shared run merges to one maximal span per doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f q r s"),
+      // internal repetition only — 'm n o p q' twice in the SAME doc
+      (3L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val got = AuditQueries.dupSpans(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: grams at pos 1..2 duplicated -> span tokens 1..6
+    // doc 2: grams at pos 3..4 duplicated -> span tokens 3..8
+    assert(got.toSeq == Seq((1L, 1L, 6L, 6L, 2L), (2L, 3L, 8L, 6L, 2L)),
+      s"got: ${got.toSeq}")
+    // doc 3 absent: df counts DISTINCT docs, within-doc repetition is not duplication
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  // ------------------------------------------------------------ d59 chunks
+
+  test("cdc chunks: partition the doc; chunking is shift-resistant") {
+    // deterministic pseudo-random token stream
+    val words = (0 until 120).map(i => s"w${(i * 37 + 11) % 53}")
+    val a = words.mkString(" ")
+    val b = ("zzz " + a)
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = AuditQueries.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val aCh = ch.filter(_._1 == 1L).sortBy(_._2)
+    val bCh = ch.filter(_._1 == 2L).sortBy(_._2)
+    // chunks tile the token stream exactly
+    assert(aCh.map(_._4).sum == 120)
+    assert(bCh.map(_._4).sum == 121)
+    for (c <- Seq(aCh, bCh)) {
+      val starts = c.map(_._3)
+      val ends = c.map(x => x._3 + x._4)
+      assert(starts.head == 1L)
+      assert(starts.tail.sameElements(ends.init), "chunks are contiguous")
+    }
+    // THE content-defined property: a single token prepended to the doc
+    // re-fingerprints at most the first chunk — every later chunk of A
+    // reappears in B verbatim (fixed-stride chunking would shift all).
+    val aFps = aCh.map(_._5).drop(1).toSet
+    val bFps = bCh.map(_._5).toSet
+    assert(aFps.subsetOf(bFps),
+      s"missing after shift: ${aFps.diff(bFps).size} of ${aFps.size}")
+  }
+
+  // ------------------------------------------------------------ d61 phrase
+
+  test("phrase search: adjacency required, repeated words need both offsets") {
+    val docs = Seq(
+      (1L, "table table x"),
+      (2L, "table x table"),
+      (3L, "a b a b a")).toDF("doc_id", "text")
+    val phrases = Seq((1L, "table table"), (2L, "a b a")).toDF("phrase_id", "phrase")
+    val got = AuditQueries.phraseSearch(docs, phrases)
+      .orderBy("phrase_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2 has both 'table's but NOT adjacent -> no match
+    // 'a b a' overlaps itself in doc 3: starts at 1 and 3
+    assert(got.toSeq == Seq((1L, 1L, 1L, 1L), (2L, 3L, 2L, 1L)), s"got: ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------------- q136 cusum
+
+  test("cusum: planted level shift is found at the step boundary") {
+    val rows = (1 to 100).map { i =>
+      ("m", i.toLong, i.toLong * 1000L, if (i <= 50) 10.0 else 20.0)
+    }
+    val ev = rows.toDF("event_type", "event_id", "tus", "value")
+    val got = EventQueries.cusumChangepoints(ev).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("cp_index") == 50L)
+    assert(r.getAs[Long]("cp_event_id") == 50L)
+    // |S_50| = |100 * (50 * 10000) - 50 * 1500000| = 25,000,000 exactly
+    assert(r.getAs[Double]("cusum_max") == 2.5e7)
+  }
+
+  // ------------------------------------------- q137 neighborhood function
+
+  test("neighborhood function: path graph counts grow one hop per round") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+      .union(e.select(col("pb"), col("pa")))
+    val seeds = Seq(1L, 3L).toDF("seed")
+    val got = MiningQueries.neighborhoodCounts(sym, seeds, rounds = 3)
+      .orderBy("seed", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L),   // 1 -> {1,2}, {1,2,3}, {1,2,3,4}
+      (3L, 1L, 3L), (3L, 2L, 5L), (3L, 3L, 5L)),  // 3 is the center of the path
+      s"got: ${got.toSeq}")
+  }
+
+  // --------------------------------------------------------- e33 k-center
+
+  test("k-center init matches the sequential farthest-first traversal") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)), (1L, Array(0.1f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)), (5L, Array(1.0f, 1.0f, 1.0f)),
+      (6L, Array(0.5f, 0.5f, 0.0f)), (7L, Array(0.9f, 0.1f, 0.8f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = MiningQueries.kcenterInit(spark, emb, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // sequential ground truth with the same floor(v*1024) quantization
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1024).toLong)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs.map { case (id, v) => (id, q(v)) }
+    var centers = Vector(qv.minBy(_._1))
+    var expect = Vector((1L, centers.head._1, 0L))
+    for (r <- 2 to 4) {
+      val scored = qv.map { case (id, v) => (id, centers.map(c => d2(c._2, v)).min) }
+      val pick = scored.maxBy { case (id, md) => (md, -id) }
+      centers :+= qv.find(_._1 == pick._1).get
+      expect :+= ((r.toLong, pick._1, pick._2))
+    }
+    assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
+  }
+}
