@@ -504,6 +504,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("d58: span windows partition on the doc; df shuffle carries md5 keys, not text") {
+    val p = plan("d58_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(3000))
+    // every window is per-document — a global island merge would be the
+    // d12 single-task mistake
+    for (l <- p.linesIterator if l.contains("windowspecdefinition"))
+      assert(l.contains("windowspecdefinition(doc_id"), "unpartitioned window:\n" + l)
+  }
+
+  test("d59: chunk-id windows partition on the doc") {
+    val p = plan("d59_cdc_chunks")
+    for (l <- p.linesIterator if l.contains("windowspecdefinition"))
+      assert(l.contains("windowspecdefinition(doc_id"), "unpartitioned window:\n" + l)
+  }
+
+  test("d60: the profile is one multi-distinct aggregate — no join, no window") {
+    val p = plan("d60_column_profile")
+    assert(!p.contains("Join"), "profile should be a single aggregate:\n" + p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+    assert(p.contains("Expand"), "multi-distinct should plan one Expand:\n" + p.take(3000))
+  }
+
+  test("d61: phrase vocabulary broadcasts onto the postings — tokens never sort-merge") {
+    val p = plan("d61_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "token postings shuffled for a 3-row phrase table:\n" + p.take(3000))
+  }
+
+  test("q136: CUSUM windows partition on event_type; totals broadcast") {
+    val p = plan("q136_cusum_changepoint")
+    for (l <- p.linesIterator if l.contains("windowspecdefinition"))
+      assert(l.contains("windowspecdefinition(event_type"), "unpartitioned window:\n" + l)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q137: reach expansion is equi-joins — no cartesian, no window") {
+    val p = plan("q137_neighborhood_function")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+  }
+
+  test("e34: kth-neighbor window partitions on the probe id; bucket equi-join feeds it") {
+    val p = plan("e34_knn_outliers")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
