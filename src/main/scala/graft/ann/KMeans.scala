@@ -37,7 +37,34 @@ object KMeans {
     * returns the FINAL assignment under the last centroids:
     * (idCol, cluster, dist) with integer squared-L2 `dist`. */
   def lloydAssignments(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, iters: Int = 3, scale: Int = 1024): DataFrame = {
+      k: Int = 4, iters: Int = 3, scale: Int = 1024): DataFrame =
+    lloydRun(emb, idCol, vecCol, k, iters, scale) { assigned =>
+      assigned.select(col("id"), col("cid").as("cluster"),
+        expr("array_min(dists)").as("dist"))
+    }
+
+  /** Like [[lloydAssignments]], but keeps the per-vector distances to
+    * EVERY final centroid and returns the simplified-silhouette inputs:
+    * (idCol, cluster, a, b) with a = integer squared-L2 to the own
+    * centroid and b = min over the other centroids. Same map-only
+    * assignment plan — the distance array adds k BIGINTs per row, never
+    * a join. */
+  def lloydSilhouetteInputs(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 3, scale: Int = 1024): DataFrame =
+    lloydRun(emb, idCol, vecCol, k, iters, scale) { assigned =>
+      assigned
+        .withColumn("a", expr("array_min(dists)"))
+        .withColumn("b", expr(
+          "array_min(filter(transform(dists, (x, i) -> CASE WHEN i <> cid THEN x END), x -> x IS NOT NULL))"))
+        .select(col("id"), col("cid").as("cluster"), col("a"), col("b"))
+    }
+
+  /** Shared Lloyd's driver loop: quantize → seed → iterate → hand the
+    * final assignment frame (id, qv, dists, cid) to `finish`, then
+    * checkpoint the result and release the cache. */
+  private def lloydRun(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int)(
+      finish: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && iters >= 0)
     // the seed collect + each iteration's update collect + the final
     // assignment all read q — persist once instead of iters+2 source scans
@@ -73,8 +100,7 @@ object KMeans {
     // materialize the final assignment from the cache, then release it —
     // the returned frame stays correct either way (unpersisted cache
     // plans recompute from source)
-    val out = assigned.select(col("id").as(idCol), col("cid").as("cluster"),
-      expr("array_min(dists)").as("dist")).localCheckpoint()
+    val out = finish(assigned).withColumnRenamed("id", idCol).localCheckpoint()
     q.unpersist(false)
     out
   }

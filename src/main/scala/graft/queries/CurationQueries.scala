@@ -230,6 +230,28 @@ object CurationQueries {
     // on the integer-exact Lloyd's machinery, so the WHOLE
     // cluster-then-evaluate pipeline hash-checks; the contingency table
     // is k×|labels| (tiny), all heavy work is e19's one-shuffle rounds.
+    // simplified (centroid-based) silhouette per cluster — the
+    // label-free companion to e24's purity: a = squared-L2 to the own
+    // final centroid, b = min over the other centroids, s = (b−a)/max.
+    // a/b are integer-exact off the e19 Lloyd's machinery (assignment
+    // stays MAP-ONLY — the distance array adds k BIGINTs per row, no
+    // join); the per-row ratio is one identical double expression
+    // cast to DECIMAL(18,9) pre-sum (the d21 rule), so the per-cluster
+    // means hash-check. Full silhouette would pair all points (n²);
+    // the centroid form is the standard large-corpus proxy.
+    "e35_silhouette" -> ((s, d) => {
+      val ab = graft.ann.KMeans.lloydSilhouetteInputs(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iters = 3)
+      ab.withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0, lit(0.0))
+            .otherwise((col("b") - col("a")) * lit(1.0) / greatest(col("a"), col("b")))
+            .cast(DecimalType(18, 9)))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("sil")).cast(DoubleType) / count(lit(1)), 6) + lit(0.0)).as("mean_sil"))
+        .orderBy(col("cluster"))
+    }),
+
     "e24_cluster_purity" -> ((s, d) => {
       val ct = graft.ann.KMeans.lloydAssignments(Tables.embeddings(s, d),
           "vec_id", "embedding", k = 4, iters = 3)
@@ -676,6 +698,25 @@ object CurationQueries {
          |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nq.n_queries), 4) AS recall_at_5
          |FROM nc LEFT JOIN hits ON nc.radius = hits.radius CROSS JOIN nq
          |ORDER BY nc.radius""".stripMargin,
+
+    "e35_silhouette" ->
+      s"""${PipelineQueries.kmeansCtes(4, 3, 64)},
+         |alld AS (SELECT q.id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      ii -> (q.qv[CAST(ii AS INT)] - c.cv[CAST(ii AS INT)]) * (q.qv[CAST(ii AS INT)] - c.cv[CAST(ii AS INT)]))) AS dist
+         |  FROM q, c3 c),
+         |ab AS (SELECT alld.id, af.cid AS cluster,
+         |         max(CASE WHEN alld.cid = af.cid THEN alld.dist END) AS a,
+         |         min(CASE WHEN alld.cid <> af.cid THEN alld.dist END) AS b
+         |       FROM alld JOIN afinal af ON alld.id = af.id
+         |       GROUP BY alld.id, af.cid),
+         |sil AS (SELECT cluster,
+         |          CAST(CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |               ELSE (b - a) * 1.0 / greatest(a, b) END AS DECIMAL(18,9)) AS s
+         |        FROM ab)
+         |SELECT cluster, count(*) AS n,
+         |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) + 0.0 AS mean_sil
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "e24_cluster_purity" ->
       s"""${PipelineQueries.kmeansCtes(4, 3, 64)},
