@@ -384,6 +384,49 @@ object StreamOps {
       }
   }
 
+  case class DriftEvent(key: String, event_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+  case class DriftState(n: Long, sum: Double, ph: Double, phMin: Double)
+  case class DriftAlarm(key: String, event_id: Long, n: Long, mean: Double,
+    ph_dev: Double)
+
+  /** Streaming drift detection per metric key via the PAGE-HINKLEY test
+    * (the online CUSUM variant; Page 1954, Gama et al. 2014) — the
+    * streaming twin of batch q136: PH_t accumulates x_t − mean_t − δ,
+    * and an alarm fires when PH_t − min(PH) exceeds `lambda`. State is
+    * O(1) per key (n, sum, ph, phMin — no event history), the detector
+    * RESTARTS after each alarm (standard change-adaptation), and batch
+    * slices sort by (ts, event_id) before updating so results are
+    * deterministic under Spark's unordered micro-batch delivery. Emits
+    * one row per alarm (Update mode, no timeout — state lives as long
+    * as the key; callers with unbounded key spaces should front a TTL
+    * via the entityProfiles transformWithState shape instead). */
+  def driftMonitor(events: Dataset[DriftEvent], delta: Double = 0.0,
+      lambda: Double = 50.0): Dataset[DriftAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DriftState, DriftAlarm](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[DriftEvent], state: GroupState[DriftState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[DriftAlarm]
+          var s = state.getOption.getOrElse(DriftState(0L, 0.0, 0.0, 0.0))
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = s.n + 1
+            val sum = s.sum + e.value
+            val mean = sum / n
+            val ph = s.ph + (e.value - mean - delta)
+            val phMin = math.min(s.phMin, ph)
+            if (ph - phMin > lambda) {
+              out += DriftAlarm(key, e.event_id, n, mean, ph - phMin)
+              s = DriftState(0L, 0.0, 0.0, 0.0) // restart after the alarm
+            } else s = DriftState(n, sum, ph, phMin)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when no event arrives within `gapMillis` (enforced by
     * event-time timeout against the watermark) and is emitted exactly

@@ -637,4 +637,33 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.matches("v\\d+"))
     assert(versions.length <= 2, versions.mkString(","))
   }
+
+  test("page-hinkley drift monitor alarms after a level shift, stays quiet on a flat stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[DriftEvent]
+    val alarms = driftMonitor(input.toDS(), delta = 0.0, lambda = 50.0)
+    val q = alarms.writeStream.format("memory").queryName("drift")
+      .outputMode("update").start()
+    try {
+      // key "m": 30 flat values, then a +10 level shift; key "flat": all 10.0
+      input.addData((1 to 30).map(i =>
+        DriftEvent("m", i.toLong, ts(i), 10.0)) ++
+        (1 to 60).map(i => DriftEvent("flat", 100L + i, ts(i), 10.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 0, "no alarm before the shift")
+
+      input.addData((31 to 60).map(i => DriftEvent("m", i.toLong, ts(i), 20.0)): _*)
+      q.processAllAvailable()
+      val out = spark.table("drift").as[DriftAlarm].collect()
+      assert(out.length == 1, s"exactly one alarm: ${out.toSeq}")
+      val a = out(0)
+      assert(a.key == "m")
+      // PH needs ~2*lambda/shift events past the change to accumulate
+      assert(a.event_id > 30L && a.event_id <= 50L, s"alarm at ${a.event_id}")
+      assert(a.ph_dev > 50.0)
+      // mean at alarm time sits between the two levels
+      assert(a.mean > 10.0 && a.mean < 20.0)
+    } finally q.stop()
+  }
 }
