@@ -154,6 +154,28 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // NEAR-DUP-level benchmark decontamination — the fuzzy companion to
+    // d15/d19/d35's exact n-gram hits: a corpus document is contaminated
+    // if it is a MinHash near-duplicate of an eval document (a light
+    // paraphrase or partial copy that exact-shingle matching underflags;
+    // the decontamination regime frontier labs actually run). Reuses
+    // d29's incremental machinery with the eval set as the probe side:
+    // eval signatures probe the LSH bucket index, corpus×corpus pairs
+    // never expand — at 100 TB the cost is proportional to the EVAL set,
+    // not the corpus pair space. Banding recall is full on this corpus
+    // (the d06 adjudication), so the result equals the exact cross-pair
+    // set the oracle computes.
+    "d62_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.minhashNearDupsIncremental(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", threshold = 0.5)
+        .filter(col("a") < 20 && col("b") >= 20)
+        .select(col("b").as("corpus_id"), col("a").as("eval_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // exact phrase search over a positional inverted index — the
     // position-alignment trick: postings for the phrase's words are
     // keyed by (candidate start = token_pos − word_offset), and a
@@ -233,6 +255,22 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d62_fuzzy_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |co AS (SELECT c.doc_id AS corpus_id, v.doc_id AS eval_id, count(*) AS common
+        |       FROM e c JOIN e v ON c.s = v.s
+        |       WHERE c.doc_id >= 20 AND v.doc_id < 20 GROUP BY 1, 2)
+        |SELECT corpus_id, eval_id,
+        |  round(common * 1.0 / (sc.n + sv.n - common), 4) AS jaccard
+        |FROM co JOIN sizes sc ON co.corpus_id = sc.doc_id
+        |        JOIN sizes sv ON co.eval_id = sv.doc_id
+        |WHERE common * 1.0 / (sc.n + sv.n - common) >= 0.5
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "d61_phrase_search" ->
       s"""WITH phrases(phrase_id, phrase) AS (VALUES $phraseValues),

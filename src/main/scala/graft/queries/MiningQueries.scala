@@ -366,6 +366,29 @@ object MiningQueries {
         .orderBy(col("seed"), col("r"))
     }),
 
+    // HyperBall/HyperANF register propagation (Boldi & Vigna 2013) —
+    // q137's TRUE 100 TB shape: instead of exact (seed, node) reach
+    // sets, EVERY node carries a mergeable k-min-values register
+    // (k = 32 md5 hashes), and each round merges each node's register
+    // with its neighbors' (union, keep the k smallest). Per-round cost
+    // is O(edges · k) with k CONSTANT — neighborhood sizes for ALL
+    // nodes at once, which no exact formulation can do at scale. KMV
+    // instead of HLL keeps it deterministic: collect_set is unordered
+    // but array_sort canonicalizes, ties are impossible (md5 is
+    // injective on these ids), and the (k−1)/kth-fraction estimate is
+    // one identical double expression — so even the ESTIMATES
+    // hash-check against the oracle's unrolled list-algebra replay.
+    "q138_hyperball" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+        .union(e.select(col("pb"), col("pa")))
+      hyperballEstimates(sym, rounds = 2, k = 32).orderBy(col("node"))
+    }),
+
     // k-center / farthest-first clustering init (Gonzalez 1985 — the
     // deterministic k-means++ alternative and the 2-approximation for
     // k-center): greedily pick the point farthest from the chosen set.
@@ -416,6 +439,33 @@ object MiningQueries {
     "d53_cooccurrence_pmi" -> ((s, d) =>
       cooccurrencePmi(Tables.documents(s, d), minCount = 5)
         .orderBy(col("w1"), col("w2"))))
+
+  /** q138's core: per-node KMV neighborhood registers after `rounds`
+    * merge rounds, with the (k−1)/kth-hash-fraction cardinality
+    * estimate (exact length below the k cap). `sym` needs directed
+    * edge columns (es, et). Returns (node, n_reg, n_est). */
+  private[queries] def hyperballEstimates(sym: DataFrame, rounds: Int,
+      k: Int): DataFrame = {
+    val nodes = sym.select(col("es").as("node")).distinct()
+    var reg = nodes.select(col("node"),
+      array(md5(col("node").cast(StringType))).as("reg"))
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(reg, sym("et") === reg("node"))
+        .select(sym("es").as("node"), col("reg"))
+      reg = reg.union(nbr)
+        .select(col("node"), explode(col("reg")).as("h"))
+        .groupBy(col("node"))
+        .agg(expr(s"slice(array_sort(collect_set(h)), 1, $k)").as("reg"))
+    }
+    // md5 hex sorts uniformly; the kth smallest's leading-60-bit
+    // fraction v/16^15 estimates the register's fill rate, so
+    // |N| ≈ (k−1)/frac — one identical double expression both engines
+    reg.select(col("node"), size(col("reg")).cast(LongType).as("n_reg"),
+      round(when(size(col("reg")) < k, size(col("reg")).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) * pow(lit(16.0), lit(15)) /
+          conv(substring(element_at(col("reg"), k), 1, 15), 16, 10)
+            .cast(LongType).cast(DoubleType)), 4).as("n_est"))
+  }
 
   /** q137's core: N(seed, r) for r = 1..rounds by reach-set expansion.
     * `sym` needs directed edge columns (es, et); `seeds` a seed column. */
@@ -738,6 +788,27 @@ object MiningQueries {
          |$rounds
          |$counts
          |ORDER BY seed, r""".stripMargin
+    },
+
+    "q138_hyperball" -> {
+      val rounds = (1 to 2).map { r =>
+        s"""n$r AS (SELECT sym.s AS node, r.reg FROM sym JOIN r${r - 1} r ON sym.t = r.node
+           |  UNION ALL SELECT node, reg FROM r${r - 1}),
+           |r$r AS (SELECT node, list_sort(list_distinct(flatten(list(reg))))[1:32] AS reg
+           |  FROM n$r GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+         |nodes AS (SELECT DISTINCT s AS node FROM sym),
+         |r0 AS (SELECT node, [md5(CAST(node AS VARCHAR))] AS reg FROM nodes),
+         |$rounds
+         |SELECT node, CAST(len(reg) AS BIGINT) AS n_reg,
+         |  round(CASE WHEN len(reg) < 32 THEN CAST(len(reg) AS DOUBLE)
+         |    ELSE 31.0 * power(16.0, 15) /
+         |      CAST(('0x' || substr(reg[32], 1, 15))::BIGINT AS DOUBLE) END, 4) AS n_est
+         |FROM r2 ORDER BY node""".stripMargin
     },
 
     "e33_kcenter_init" ->

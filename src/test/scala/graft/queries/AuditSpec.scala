@@ -107,6 +107,39 @@ class AuditSpec extends AnyFunSuite {
       s"got: ${got.toSeq}")
   }
 
+  // -------------------------------------------------------- q138 hyperball
+
+  test("hyperball: below the register cap the estimate IS the exact neighborhood size") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+      .union(e.select(col("pb"), col("pa")))
+    val got = MiningQueries.hyperballEstimates(sym, rounds = 2, k = 32)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 2-hop neighborhoods on the 1-2-3-4-5 path (incl. self)
+    val expect = Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L)
+    assert(got.length == 5)
+    for ((n, nReg, nEst) <- got) {
+      assert(nReg == expect(n), s"node $n register size")
+      assert(nEst == expect(n).toDouble, s"node $n exact estimate")
+    }
+  }
+
+  test("hyperball: capped registers estimate within KMV error on a clique") {
+    val n = 60
+    val e = (for (a <- 1 to n; b <- 1 to n if a < b) yield (a.toLong, b.toLong))
+      .toDF("pa", "pb")
+    val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+      .union(e.select(col("pb"), col("pa")))
+    val got = MiningQueries.hyperballEstimates(sym, rounds = 1, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((node, nReg, nEst) <- got) {
+      assert(nReg == 16L, s"node $node register should cap at k")
+      // true |N| = 60; KMV with k=16 has ~25% relative sd — 3σ bound
+      assert(nEst > 15.0 && nEst < 240.0, s"node $node estimate $nEst")
+    }
+  }
+
   // --------------------------------------------------------- e33 k-center
 
   test("k-center init matches the sequential farthest-first traversal") {
