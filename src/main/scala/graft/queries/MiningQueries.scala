@@ -319,16 +319,8 @@ object MiningQueries {
     // (never forms N² in integers) so no product overflows at corpus
     // scale.
     "e32_index_health" -> ((s, d) => {
-      import s.implicits._
       val nLists = 16
-      val cents = (for (c <- 0 until nLists; dd <- 0 until 64)
-        yield (c, dd, graft.ann.Ann.ivfFixedCentroid(c, dd))).toDF("dim_cell", "dim", "cv")
-      val qv = Tables.embeddings(s, d).select(col("vec_id"),
-        posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
-          .as(Seq("dim", "qd")))
-      val d2 = qv.join(broadcast(cents), Seq("dim"))
-        .groupBy(col("vec_id"), col("dim_cell").as("cell"))
-        .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("d2"))
+      val d2 = ivfCoarseD2(s, Tables.embeddings(s, d), nLists)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
       val assign = d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -342,6 +334,64 @@ object MiningQueries {
       occ.crossJoin(broadcast(stats))
         .select(col("cell"), col("occupancy"), col("n_used"), col("imbalance"))
         .orderBy(col("cell"))
+    }),
+
+    // IVF nprobe recall/cost sweep — e25's tuning table for the OTHER
+    // index family: at nprobe = 1/2/4 of 16 fixed cells, how much
+    // recall@5 does each probe level buy and at what candidate cost?
+    // The e08b/e32 fixed-centroid machinery keeps the whole sweep
+    // integer-exact (coarse assignment ties → lowest cell, quantized
+    // cosine ranking, id tie-breaks), so recall AND cost hash-check.
+    // Scale shape: the k·d centroid table broadcasts; corpus assignment
+    // is the e32 map-side explode + one partial-aggregated shuffle; the
+    // probe join keys on the cell; the brute-force truth broadcasts the
+    // 8 queries (e02's shape) — the corpus never shuffles for scoring.
+    "e36_ivf_nprobe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      val d2 = ivfCoarseD2(s, emb, nLists = 16)
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+      val assign = d2.withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("cell"))
+      val qcells = d2.filter(col("vec_id") < 8)
+        .withColumn("cr", row_number().over(aw)).filter(col("cr") <= 4)
+        .select(col("vec_id").as("qid"), col("cell"), col("cr"))
+      val probes = Seq(1, 2, 4).toDF("nprobe")
+      val cand = qcells.join(broadcast(probes), col("cr") <= col("nprobe"))
+        .join(assign, Seq("cell"))
+        .select(col("nprobe"), col("qid"), col("cid"))
+      val qside = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("na"))
+      def score(df: DataFrame) = df
+        .join(q.select(col("vec_id").as("cid"), col("q").as("qb"), col("n2").as("nb")), Seq("cid"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("cosq", col("qdot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nprobe"), col("qid")).orderBy(col("cosq").desc, col("cid"))
+      val top5 = score(cand.join(broadcast(qside), Seq("qid")))
+        .withColumn("rk", row_number().over(tw)).filter(col("rk") <= 5)
+        .select(col("nprobe"), col("qid"), col("cid"))
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosq").desc, col("cid"))
+      val exact = score(q.select(col("vec_id").as("cid")).crossJoin(broadcast(qside)))
+        .withColumn("rk", row_number().over(bw)).filter(col("rk") <= 5)
+        .select(col("qid"), col("cid"))
+      val hits = top5.join(exact, Seq("qid", "cid"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      val nc = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("total_cand"))
+      val nq = qcells.agg(countDistinct(col("qid")).as("n_queries"))
+      nc.join(hits, Seq("nprobe"), "left").crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("total_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) * lit(1.0) /
+            (lit(5) * col("n_queries")), 4).as("recall_at_5"))
+        .orderBy(col("nprobe"))
     }),
 
     // neighborhood function N(seed, r) — distinct nodes within r hops,
@@ -439,6 +489,22 @@ object MiningQueries {
     "d53_cooccurrence_pmi" -> ((s, d) =>
       cooccurrencePmi(Tables.documents(s, d), minCount = 5)
         .orderBy(col("w1"), col("w2"))))
+
+  /** e32/e36's coarse stage: integer squared-L2 from every vector to
+    * every FIXED IVF centroid — (vec_id, cell, d2). The k·d centroid
+    * table broadcasts; the per-dim explode is map-side and the only
+    * shuffle is the (vec_id, cell) partial-aggregated sum. */
+  private def ivfCoarseD2(s: SparkSession, emb: DataFrame, nLists: Int): DataFrame = {
+    import s.implicits._
+    val cents = (for (c <- 0 until nLists; dd <- 0 until 64)
+      yield (c, dd, graft.ann.Ann.ivfFixedCentroid(c, dd))).toDF("dim_cell", "dim", "cv")
+    val qv = emb.select(col("vec_id"),
+      posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+        .as(Seq("dim", "qd")))
+    qv.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("dim_cell").as("cell"))
+      .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("d2"))
+  }
 
   /** q138's core: per-node KMV neighborhood registers after `rounds`
     * merge rounds, with the (k−1)/kth-hash-fraction cardinality
@@ -789,6 +855,55 @@ object MiningQueries {
          |$counts
          |ORDER BY seed, r""".stripMargin
     },
+
+    "e36_ivf_nprobe_sweep" ->
+      s"""WITH cents(cell, dim, cv) AS (VALUES ${PipelineQueries.ivfCentroidValues(16, 64)}),
+         |emb AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |        v -> CAST(floor(v * 1024) AS BIGINT)) AS q FROM embeddings),
+         |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM emb),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim, q[CAST(t.i AS INT)] AS qd
+         |       FROM emb, range(1, 65) t(i)),
+         |d2 AS (SELECT un.vec_id, cents.cell, sum((un.qd - cents.cv) * (un.qd - cents.cv)) AS d2
+         |       FROM un JOIN cents ON un.dim = cents.dim GROUP BY 1, 2),
+         |assign AS (SELECT vec_id AS cid, cell FROM d2
+         |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+         |qcells AS (SELECT vec_id AS qid, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+         |           FROM d2 WHERE vec_id < 8 QUALIFY cr <= 4),
+         |probes(nprobe) AS (VALUES (1), (2), (4)),
+         |cand AS MATERIALIZED (SELECT probes.nprobe, qcells.qid, assign.cid
+         |        FROM qcells JOIN probes ON qcells.cr <= probes.nprobe
+         |        JOIN assign ON qcells.cell = assign.cell),
+         |sc AS (SELECT cand.nprobe, cand.qid, cand.cid,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+         |         na.n2 AS na, nb.n2 AS nb
+         |       FROM cand JOIN emb a ON cand.qid = a.vec_id JOIN emb b ON cand.cid = b.vec_id
+         |       JOIN n2 na ON cand.qid = na.vec_id JOIN n2 nb ON cand.cid = nb.vec_id),
+         |top5 AS (SELECT nprobe, qid, cid FROM (
+         |    SELECT nprobe, qid, cid,
+         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+         |    FROM sc) t
+         |  QUALIFY row_number() OVER (PARTITION BY nprobe, qid ORDER BY cosq DESC, cid) <= 5),
+         |ex AS (SELECT qv.vec_id AS qid, c.vec_id AS cid,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> qv.q[CAST(i AS INT)] * c.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+         |         na.n2 AS na, nb.n2 AS nb
+         |       FROM emb qv JOIN emb c ON qv.vec_id < 8
+         |       JOIN n2 na ON qv.vec_id = na.vec_id JOIN n2 nb ON c.vec_id = nb.vec_id),
+         |exact AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+         |    FROM ex) t
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, cid) <= 5),
+         |hits AS (SELECT top5.nprobe, count(*) AS hits FROM top5
+         |         JOIN exact ON top5.qid = exact.qid AND top5.cid = exact.cid GROUP BY 1),
+         |nc AS (SELECT nprobe, count(*) AS total_cand FROM cand GROUP BY 1),
+         |nqq AS (SELECT count(DISTINCT qid) AS n_queries FROM qcells)
+         |SELECT nc.nprobe, nc.total_cand, CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nqq.n_queries), 4) AS recall_at_5
+         |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
+         |ORDER BY nc.nprobe""".stripMargin,
 
     "q138_hyperball" -> {
       val rounds = (1 to 2).map { r =>
