@@ -553,6 +553,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
   }
 
+  test("e36: centroid table and probe set broadcast; no cartesian product") {
+    val p = plan("e36_ivf_nprobe_sweep")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q138: hyperball register merges are equi-joins + partial aggregates — no window, no cartesian") {
+    val p = plan("q138_hyperball")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
