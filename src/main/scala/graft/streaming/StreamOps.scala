@@ -384,6 +384,51 @@ object StreamOps {
       }
   }
 
+  /** Streaming near-duplicate detection against a HISTORICAL corpus —
+    * the d29/d62 incremental-LSH shape lifted to Structured Streaming:
+    * the static corpus is banded ONCE into an LSH bucket index
+    * (signature-only rows + the text for the confirm step), each
+    * arriving document signs map-side and stream-static-joins on the
+    * band key, and candidate pairs confirm with exact shingle Jaccard.
+    * A (stream, corpus) pair matching through several bands collapses
+    * via `dropDuplicatesWithinWatermark` keyed on the pair — bounded
+    * state, exactly-once pair emission within the watermark. At 100 TB
+    * the corpus index is a one-off batch artifact (re-bucketed only on
+    * compaction); per-trigger cost is proportional to the BATCH, never
+    * the corpus pair space. */
+  def streamingNearDups(stream: DataFrame, idCol: String, tsCol: String,
+      textCol: String, corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame, id: String, text: String, pfx: String) =
+      df.withColumn("__sig",
+          graft.dedup.Dedup.minhashSignature(numHashes, shingleSize)(col(text)))
+        .filter(col("__sig").isNotNull)
+        .select((col(id).as(s"${pfx}_id") +: (if (pfx == "s") Seq(col(tsCol)) else Nil)) ++ Seq(
+          col(text).as(s"${pfx}_text"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"),
+          col("__sig").as(s"${pfx}_sig")): _*)
+        .withColumn("band_key",
+          hash(col("band"), slice(col(s"${pfx}_sig"), col("band") * rows + 1, lit(rows))))
+        .drop(s"${pfx}_sig", "band")
+    val corpusIdx = banded(corpus, corpusIdCol, corpusTextCol, "c")
+    val probes = banded(stream.withWatermark(tsCol, watermarkDelay),
+      idCol, textCol, "s")
+    val jacc = udf { (x: String, y: String) =>
+      val sa = graft.dedup.Dedup.shingles(x, shingleSize).toSet
+      val sb = graft.dedup.Dedup.shingles(y, shingleSize).toSet
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    probes.join(corpusIdx, Seq("band_key"))
+      .withColumn("jaccard", jacc(col("s_text"), col("c_text")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(tsCol), col("s_id"), col("c_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("s_id", "c_id")
+  }
+
   case class DriftEvent(key: String, event_id: Long, ts: java.sql.Timestamp,
     value: Double)
   case class DriftState(n: Long, sum: Double, ph: Double, phMin: Double)

@@ -638,6 +638,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(versions.length <= 2, versions.mkString(","))
   }
 
+  test("streaming near-dups: arriving doc matches the corpus index once, unrelated doc never") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different vocabulary here nothing shared at all truly none")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val out = streamingNearDups(stream, "doc_id", "ts", "text",
+      corpus, "doc_id", "text", threshold = 0.5, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), base.replace("today", "tonight")), // near-dup of corpus 100
+        (2L, ts(1), "zebra xylophone quark plasma neutrino lattice fermion boson")) // no match
+      q.processAllAvailable()
+      input.addData((3L, ts(60), "another unrelated batch of words entirely fresh set"))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .select(col("s_id"), col("c_id"), col("jaccard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exactly ONE pair despite the near-identical docs matching many bands
+      assert(got.length == 1, s"got: ${got.toSeq}")
+      assert(got(0)._1 == 1L && got(0)._2 == 100L)
+      assert(got(0)._3 > 0.8, s"jaccard ${got(0)._3}")
+    } finally q.stop()
+  }
+
   test("page-hinkley drift monitor alarms after a level shift, stays quiet on a flat stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
