@@ -154,6 +154,30 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // tokenizer-vocabulary coverage / OOV-rate report per source — the
+    // budget-planning step before committing to a vocab size (does a
+    // k-entry vocabulary cover src17's token stream as well as src0's?).
+    // Vocab = top-16 terms by corpus occurrence count (tie → term asc;
+    // a TakeOrdered over the term-count table, k-bounded like d12);
+    // the vocab broadcasts into a map-side membership join, per-source
+    // aggregates are one shuffle. At 100 TB the vocab stays k-sized and
+    // the token stream never shuffles for the membership test.
+    "d63_vocab_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("term"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("term")).limit(16)
+        .select(col("term"), lit(1L).as("in_v"))
+      toks.join(broadcast(top), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+          countDistinct(when(col("in_v").isNull, col("term"))).as("oov_distinct"))
+        .withColumn("coverage",
+          round(lit(1.0) - col("oov_tokens") * lit(1.0) / col("n_tokens"), 4))
+        .orderBy(col("source"))
+    }),
+
     // NEAR-DUP-level benchmark decontamination — the fuzzy companion to
     // d15/d19/d35's exact n-gram hits: a corpus document is contaminated
     // if it is a MinHash near-duplicate of an eval document (a light
@@ -255,6 +279,18 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d63_vocab_coverage" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents),
+        |top AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tk GROUP BY term) t
+        |        ORDER BY cnt DESC, term LIMIT 16),
+        |j AS (SELECT tk.source, tk.term, (top.term IS NOT NULL) AS inv
+        |      FROM tk LEFT JOIN top ON tk.term = top.term)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(count(DISTINCT CASE WHEN NOT inv THEN term END) AS BIGINT) AS oov_distinct,
+        |  round(1.0 - sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "d62_fuzzy_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

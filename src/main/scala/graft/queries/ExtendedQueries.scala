@@ -19,6 +19,23 @@ object ExtendedQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** The q93/q139 synthetic CDC feed: v1 upserts (%5), v2 tombstones
+    * (%10), v3 upserts (%20). */
+  private def scd2Feed(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val v1 = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(1L).as("version"), lit("U").as("op"),
+        lit("X1").as("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"))
+    val v2 = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(2L).as("version"), lit("D").as("op"),
+        lit(null).cast(StringType).as("o_orderstatus"),
+        lit(null).cast(DoubleType).as("o_totalprice"))
+    val v3 = orders.filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), lit(3L).as("version"), lit("U").as("op"),
+        lit("X3").as("o_orderstatus"), (col("o_totalprice") + 300).as("o_totalprice"))
+    v1.unionByName(v2).unionByName(v3)
+  }
+
   /** q75's oracle: the SAME integer fixed-point PageRank iterations as
     * [[graft.operators.PageRank.integerPageRank]], unrolled as CTEs
     * (DuckDB `//` == Spark `div` for the all-positive values here). */
@@ -831,22 +848,21 @@ object ExtendedQueries {
     // next change (tombstones close without opening). One key-partitioned
     // window — O(changes) at any dimension size (operators.Scd2); the
     // hash also pins the q84 ≡ snapshotAt(∞) relationship the spec proves.
-    "q93_scd2" -> ((s, d) => {
-      val orders = Tables.orders(s, d)
-      val v1 = orders.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), lit(1L).as("version"), lit("U").as("op"),
-          lit("X1").as("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"))
-      val v2 = orders.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit(2L).as("version"), lit("D").as("op"),
-          lit(null).cast(StringType).as("o_orderstatus"),
-          lit(null).cast(DoubleType).as("o_totalprice"))
-      val v3 = orders.filter(col("o_orderkey") % 20 === 0)
-        .select(col("o_orderkey"), lit(3L).as("version"), lit("U").as("op"),
-          lit("X3").as("o_orderstatus"), (col("o_totalprice") + 300).as("o_totalprice"))
-      graft.operators.Scd2.buildHistory(
-        v1.unionByName(v2).unionByName(v3), Seq("o_orderkey"))
-        .orderBy(col("o_orderkey"), col("valid_from"))
-    }),
+    "q93_scd2" -> ((s, d) =>
+      graft.operators.Scd2.buildHistory(scd2Feed(s, d), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
+    // point-in-time (bitemporal) read of the q93 history: the state of
+    // every order AS OF version 2 — v1 upserts visible except where the
+    // v2 tombstone closed them, v3 not yet. One map-only interval
+    // filter over the history (Scd2.snapshotAt) — the time-travel read
+    // a lakehouse serves from the SCD2 artifact without replaying the
+    // feed. Oracle rebuilds the same intervals with a lead window.
+    "q139_scd2_snapshot" -> ((s, d) =>
+      graft.operators.Scd2.snapshotAt(
+          graft.operators.Scd2.buildHistory(scd2Feed(s, d), Seq("o_orderkey")),
+          asOf = 2L)
+        .orderBy(col("o_orderkey"))),
 
     // skyline (Pareto front) over part: cheapest-for-the-size trade-off
     // curve — map-side local Pareto prune, then an exact dominance
@@ -1323,6 +1339,20 @@ object ExtendedQueries {
         |  valid_to IS NULL AS is_current
         |FROM h WHERE op <> 'D'
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "q139_scd2_snapshot" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'U' AS op, 'X1' AS o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT), 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT), 'U', 'X3', o_totalprice + 300 FROM orders WHERE o_orderkey % 20 = 0),
+        |h AS (SELECT *, lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+        |      FROM ch)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM h WHERE op <> 'D' AND version <= 2 AND (valid_to IS NULL OR valid_to > 2)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q95_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
