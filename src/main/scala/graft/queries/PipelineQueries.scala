@@ -1536,6 +1536,31 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // exact media dedup report — the "don't train on the same image
+    // twice" step: content digests group identical blobs, the keeper is
+    // the lowest media_id per digest (the d40 canonical-pick rule), and
+    // the per-kind summary prices the dedup win in files AND bytes.
+    // The digest window is bounded per content group; the only shuffle
+    // keys on the 16-byte digest — content bytes never shuffle. At
+    // sf0.1 the corpus carries 8 genuine duplicate blobs, so the
+    // dedupable-bytes column is exercised, not vacuous.
+    "m06_media_dedup" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
+      val g = media.select(col("media_id"), col("kind"),
+        md5(col("content")).as("digest"),
+        length(col("content")).cast(LongType).as("n_bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("digest")).orderBy(col("media_id"))
+      val tagged = g.withColumn("keeper", row_number().over(w) === 1)
+      tagged.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          countDistinct(col("digest")).as("n_distinct"),
+          sum(when(!col("keeper"), 1L).otherwise(0L)).as("n_dup_files"),
+          sum(col("n_bytes")).as("bytes_total"),
+          sum(when(!col("keeper"), col("n_bytes")).otherwise(0L)).as("bytes_dedupable"))
+        .orderBy(col("kind"))
+    }),
+
     // per-media byte-histogram Shannon entropy — the binary-junk /
     // encrypted-blob detector a multimodal ingest runs before decode
     // (entropy ≈ 8 ⇒ compressed/encrypted, ≈ 4-5 ⇒ text, low ⇒ padding).
@@ -2104,6 +2129,20 @@ object PipelineQueries {
         |  CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
         |  CAST(sum(nb) AS BIGINT) AS total_bytes
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "m06_media_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT)) AS kind,
+        |    md5(text) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY media_id) = 1 AS keeper FROM m)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN NOT keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_files,
+        |  CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(CASE WHEN NOT keeper THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_dedupable
+        |FROM t GROUP BY kind ORDER BY kind""".stripMargin,
 
     "m05_byte_entropy" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
