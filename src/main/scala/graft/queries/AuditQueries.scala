@@ -154,6 +154,31 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // labeled training pairs for a dedup CLASSIFIER — the step before
+    // replacing a hand-tuned Jaccard threshold with a learned model:
+    // candidate pairs at a LOW similarity floor (0.1) become examples,
+    // labeled by the production threshold (>= 0.5), with the similarity
+    // and length-ratio features a linear model consumes. On this corpus
+    // that yields 25 positives and ~110 organic negatives. Machinery =
+    // d08's inverted-index join under a df cap (the oracle mirrors the
+    // cap's exact effect: common counts exclude capped shingles, sizes
+    // stay full), so the pair space is bounded at any corpus size.
+    "d64_dedup_training_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.1, shingleSize = 2, maxDf = 1000)
+      val n = docs.select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("nt"))
+      pairs
+        .join(n.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+        .join(n.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"),
+          round(least(col("na"), col("nb")) * lit(1.0) /
+            greatest(col("na"), col("nb")), 4).as("len_ratio"),
+          when(col("jaccard") >= 0.5, 1L).otherwise(0L).as("label"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // tokenizer-vocabulary coverage / OOV-rate report per source — the
     // budget-planning step before committing to a vocab size (does a
     // k-entry vocabulary cover src17's token stream as well as src0's?).
@@ -279,6 +304,26 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d64_dedup_training_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
+        |sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+        |keep AS (SELECT s FROM e GROUP BY s HAVING count(*) > 1 AND count(*) <= 1000),
+        |ek AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s)),
+        |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM ek x JOIN ek y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |j AS (SELECT a, b, common * 1.0 / (sa.n + sb.n - common) AS jac
+        |      FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+        |      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.1),
+        |tc AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS nt FROM documents)
+        |SELECT j.a, j.b, round(j.jac, 4) AS jaccard,
+        |  round(least(ta.nt, tb.nt) * 1.0 / greatest(ta.nt, tb.nt), 4) AS len_ratio,
+        |  CAST(CASE WHEN j.jac >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM j JOIN tc ta ON j.a = ta.doc_id JOIN tc tb ON j.b = tb.doc_id
+        |ORDER BY j.a, j.b""".stripMargin,
 
     "d63_vocab_coverage" ->
       """WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents),

@@ -138,4 +138,49 @@ class ZeekAnalyticsSpec extends AnyFunSuite {
     val g = card.filter(col("id_orig_h") === "10.0.0.9").collect().head
     assert(g.getAs[Long]("n_subs") <= 3 && g.getAs[Double]("avg_len") < 10)
   }
+
+  test("asset inventory across the reference's 24-hour known_hosts rotation matches an independent parse") {
+    import org.apache.spark.sql.types._
+    // the analyst workflow a rotated-log deployment runs daily: glob the
+    // whole day, first/last-seen + activity per host, provenance via the
+    // filename column — against the reference's OWN fixture files
+    val glob = "/root/reference/data/known_hosts_*.log.gz"
+    val inv = spark.read.format("zeek").option("filename", "true").load(glob)
+      .groupBy(col("host_ip"))
+      .agg(count(lit(1)).as("n_records"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(col("conns_opened").cast(LongType)).as("conns"),
+        countDistinct(col("filename")).as("n_files"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+    // independent oracle: gunzip + parse the TSVs directly
+    val files = new java.io.File("/root/reference/data").listFiles()
+      .filter(_.getName.matches("known_hosts_.*\\.log\\.gz")).sortBy(_.getName)
+    assert(files.length == 24, s"expected the 24 hourly files, got ${files.length}")
+    def tsMicros(s: String): Long = {
+      val Array(sec, frac) = s.split("\\.")
+      sec.toLong * 1000000L + (frac + "000000").take(6).toLong
+    }
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Set[String])]
+    for (f <- files) {
+      val src = scala.io.Source.fromInputStream(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f)))
+      try src.getLines().filterNot(_.startsWith("#")).foreach { line =>
+        val c = line.split("\t", -1)
+        val (host, t, conns) = (c(3), tsMicros(c(0)), c(6).toLong)
+        val prev = acc.getOrElse(host, (Long.MaxValue, Long.MinValue, 0L, 0L, Set.empty[String]))
+        acc(host) = (math.min(prev._1, t), math.max(prev._2, t),
+          prev._3 + conns, prev._4 + 1, prev._5 + f.getName)
+      } finally src.close()
+    }
+    assert(inv.size == acc.size, s"${inv.size} hosts vs oracle ${acc.size}")
+    for ((host, (first, last, conns, n, fileSet)) <- acc) {
+      val got = inv(host)
+      assert(got == ((n, first, last, conns, fileSet.size.toLong)),
+        s"host $host: got $got expected ${(n, first, last, conns, fileSet.size)}")
+    }
+  }
 }
