@@ -139,6 +139,44 @@ class ZeekAnalyticsSpec extends AnyFunSuite {
     assert(g.getAs[Long]("n_subs") <= 3 && g.getAs[Double]("avg_len") < 10)
   }
 
+  test("dhcp lease churn: per-device address stability from the reference's dhcp.log") {
+    import org.apache.spark.sql.types._
+    // device-tracking workflow: how many leases per MAC, does the
+    // device keep its address, how many full DORA handshakes — list
+    // (set/vector) columns exercised in an analytics aggregate
+    val got = spark.read.format("zeek").load("/root/reference/data/dhcp.log.gz")
+      .filter(col("mac").isNotNull)
+      .groupBy(col("mac"))
+      .agg(count(lit(1)).as("n_leases"),
+        countDistinct(col("assigned_addr")).as("n_addrs"),
+        sum(when(array_contains(col("msg_types"), "ACK"), 1L).otherwise(0L)).as("n_acks"),
+        sum(size(col("uids")).cast(LongType)).as("n_conns"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // independent oracle: gunzip + parse the TSV directly
+    val src = scala.io.Source.fromInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream("/root/reference/data/dhcp.log.gz")))
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Set[String], Long, Long)]
+    try src.getLines().filterNot(_.startsWith("#")).foreach { line =>
+      val c = line.split("\t", -1)
+      val (mac, assigned, uids, msgs) = (c(4), c(9), c(1), c(13))
+      if (mac != "-") {
+        val prev = acc.getOrElse(mac, (0L, Set.empty[String], 0L, 0L))
+        val addrs = if (assigned == "-") prev._2 else prev._2 + assigned
+        val acks = prev._3 + (if (msgs != "-" && msgs.split(",").contains("ACK")) 1L else 0L)
+        val conns = prev._4 + (if (uids == "-") 0L
+          else if (uids == "(empty)") 0L else uids.split(",").length.toLong)
+        acc(mac) = (prev._1 + 1, addrs, acks, conns)
+      }
+    } finally src.close()
+    assert(got.size == acc.size, s"${got.size} macs vs oracle ${acc.size}")
+    for ((mac, (n, addrs, acks, conns)) <- acc)
+      assert(got(mac) == ((n, addrs.size.toLong, acks, conns)),
+        s"mac $mac: got ${got(mac)} expected ${(n, addrs.size, acks, conns)}")
+  }
+
   test("asset inventory across the reference's 24-hour known_hosts rotation matches an independent parse") {
     import org.apache.spark.sql.types._
     // the analyst workflow a rotated-log deployment runs daily: glob the
