@@ -154,6 +154,26 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // join-key skew profile — the diagnostic a pipeline runs BEFORE a
+    // big shuffle join to decide between plain hash, broadcast, and the
+    // q36 salting treatment: per-key counts for the prospective key
+    // (l_partkey), the top-5 heavy keys, and the max/avg skew factor.
+    // One partial-aggregated count shuffle + a k-bounded TakeOrdered +
+    // a 1-row broadcast — nothing here gets harder at 100 TB, which is
+    // the point of running it first.
+    "d65_skew_profile" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(desc("cnt"), col("l_partkey")).limit(5)
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"))
+      top.crossJoin(broadcast(stats))
+        .select(col("l_partkey"), col("cnt"), col("n_keys"), col("total"),
+          round(col("max_cnt") * col("n_keys") * lit(1.0) / col("total"), 4)
+            .as("skew_factor"))
+        .orderBy(desc("cnt"), col("l_partkey"))
+    }),
+
     // labeled training pairs for a dedup CLASSIFIER — the step before
     // replacing a hand-tuned Jaccard threshold with a learned model:
     // candidate pairs at a LOW similarity floor (0.1) become examples,
@@ -304,6 +324,16 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d65_skew_profile" ->
+      """WITH counts AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |top AS (SELECT l_partkey, cnt FROM counts ORDER BY cnt DESC, l_partkey LIMIT 5),
+        |stats AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |                 max(cnt) AS max_cnt FROM counts)
+        |SELECT top.l_partkey, top.cnt, stats.n_keys, stats.total,
+        |  round(stats.max_cnt * stats.n_keys * 1.0 / stats.total, 4) AS skew_factor
+        |FROM top CROSS JOIN stats
+        |ORDER BY top.cnt DESC, top.l_partkey""".stripMargin,
 
     "d64_dedup_training_pairs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
