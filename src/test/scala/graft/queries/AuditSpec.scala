@@ -59,6 +59,70 @@ class AuditSpec extends AnyFunSuite {
       s"missing after shift: ${aFps.diff(bFps).size} of ${aFps.size}")
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("cdc chunks equal a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1L to 8L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(150))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val got = AuditQueries.cdcChunks(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val expect = docs.flatMap { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // boundary AFTER token i when md5(trailing 3-gram) has first-8-hex % 16 == 0
+      val boundary = (1 to t.length).map { i =>
+        i >= 3 && java.lang.Long.parseLong(
+          md5Hex(t.slice(i - 3, i).mkString(" ")).take(8), 16) % 16 == 0
+      }
+      val chunkId = boundary.scanLeft(0L)((acc, b) => acc + (if (b) 1 else 0)).init
+      (1 to t.length).groupBy(i => chunkId(i - 1)).toSeq.map { case (cid, ps) =>
+        val (start, n) = (ps.min.toLong, ps.size.toLong)
+        (id, cid, start, n, md5Hex(t.slice(start.toInt - 1, start.toInt - 1 + n.toInt).mkString(" ")))
+      }
+    }.toSet
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5)) == expect)
+  }
+
+  test("dup spans equal a sequential reference on random corpora with planted overlaps") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10")
+    val shared = Seq.fill(9)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (1L to 6L).map { i =>
+      val own = Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      // plant the shared run into half the docs at a random offset
+      val t = if (i % 2 == 0) {
+        val at = rnd.nextInt(own.size)
+        own.take(at) ++ shared ++ own.drop(at)
+      } else own
+      (i, t.mkString(" "))
+    }
+    val got = AuditQueries.dupSpans(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val grams = docs.map { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (1 to t.length - 4).map(i => i -> t.slice(i - 1, i + 4).mkString(" "))
+    }.toMap
+    val df = grams.toSeq.flatMap { case (id, g) => g.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expect = grams.toSeq.flatMap { case (id, g) =>
+      val dupPos = g.filter(x => df(x._2) > 1).map(_._1)
+      // islands of consecutive duplicated positions
+      dupPos.foldLeft(List.empty[List[Int]]) {
+        case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }.map { isl =>
+        val (mn, mx) = (isl.min.toLong, isl.max.toLong)
+        (id, mn, mx + 4, mx + 5 - mn, isl.size.toLong)
+      }
+    }.toSet
+    assert(got == expect, s"got ${got.size} spans vs expected ${expect.size}")
+  }
+
   // ------------------------------------------------------------ d61 phrase
 
   test("phrase search: adjacency required, repeated words need both offsets") {
