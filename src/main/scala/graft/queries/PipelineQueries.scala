@@ -1314,6 +1314,42 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ codebook distortion report — e32's index-health idea for the
+    // COMPRESSION half of the index stack: per subspace, the encoding
+    // error (integer squared-L2 to the chosen code) and code usage the
+    // e12b fixed codebooks achieve on this corpus. High mean_d2 or
+    // collapsed code usage in one subspace = that subspace needs its
+    // own retrain — the FAISS codebook-audit workflow. Fully integer
+    // (BIGINT distortions, count'd code usage); the only double is the
+    // final mean. Scale shape: the m·ksub·d codebook broadcasts, the
+    // per-dim explode is map-side, encode picks argmins in a window
+    // bounded by ksub rows per (vector, subspace).
+    "e37_pq_distortion" -> ((s, d) => {
+      val spark2 = s
+      import spark2.implicits._
+      val (m, ksub, dims) = (4, 8, 64)
+      val sub = dims / m
+      val books = (for (sp <- 0 until m; c <- 0 until ksub; dd <- 0 until sub)
+        yield (sp, c, sp * sub + dd, Ann.pqFixedCentroid(sp, c, dd)))
+        .toDF("sp", "code", "dim", "cv")
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+      val d2 = qv.join(broadcast(books), Seq("dim"))
+        .groupBy(col("vec_id"), col("sp"), col("code"))
+        .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("code"))
+      val enc = d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      enc.groupBy(col("sp"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("total_d2"),
+          countDistinct(col("code")).as("n_codes_used"))
+        .select(col("sp").as("subspace"), col("n_vectors"), col("total_d2"),
+          col("n_codes_used"),
+          round(col("total_d2") * lit(1.0) / col("n_vectors"), 4).as("mean_d2"))
+        .orderBy(col("subspace"))
+    }),
+
     // SQ8: int8 codes at a FIXED data-independent scale → the whole
     // quantized pipeline (encode, integer L2, ranking) hash-checks
     // against the oracle directly — no literals, no twin needed.
@@ -2129,6 +2165,23 @@ object PipelineQueries {
         |  CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
         |  CAST(sum(nb) AS BIGINT) AS total_bytes
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "e37_pq_distortion" ->
+      s"""WITH books(sp, code, dim, cv) AS (VALUES ${pqCentroidValues(4, 8, 64)}),
+         |emb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |          v -> CAST(floor(v * 1024) AS BIGINT)) AS q FROM embeddings),
+         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim, q[CAST(t.i AS INT)] AS qd
+         |       FROM emb, range(1, 65) t(i)),
+         |d2 AS (SELECT un.vec_id, books.sp, books.code,
+         |         sum((un.qd - books.cv) * (un.qd - books.cv)) AS d2
+         |       FROM un JOIN books ON un.dim = books.dim GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, sp, code, d2 FROM d2
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2, code) = 1)
+         |SELECT sp AS subspace, count(*) AS n_vectors,
+         |  CAST(sum(d2) AS BIGINT) AS total_d2,
+         |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+         |  round(sum(d2) * 1.0 / count(*), 4) AS mean_d2
+         |FROM enc GROUP BY sp ORDER BY sp""".stripMargin,
 
     "m06_media_dedup" ->
       """WITH m AS (SELECT doc_id AS media_id,
