@@ -416,6 +416,31 @@ object MiningQueries {
         .orderBy(col("seed"), col("r"))
     }),
 
+    // degree-distribution profile of the co-purchase graph — the graph
+    // sibling of d65's key-skew profile: the degree histogram (the
+    // power-law readout that decides hub caps like q133's and bucket
+    // caps like e28's) plus the scalar shape stats, attached d65-style.
+    // Two partial-aggregated shuffles (degree, then histogram), a 1-row
+    // broadcast — flat cost at any graph size.
+    "q140_degree_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("s0"), col("pb").as("t0"))
+        .union(e.select(col("pb"), col("pa")))
+      val deg = sym.groupBy(col("s0")).agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      val stats = deg.agg(count(lit(1)).as("n"), sum(col("deg")).as("sum_deg"),
+        max(col("deg")).as("max_deg"))
+      hist.crossJoin(broadcast(stats))
+        .select(col("deg"), col("n_nodes"), col("n").as("n_nodes_total"),
+          expr("sum_deg div 2").as("n_edges"), col("max_deg"),
+          round(col("sum_deg") * lit(1.0) / col("n"), 4).as("avg_deg"))
+        .orderBy(col("deg"))
+    }),
+
     // HyperBall/HyperANF register propagation (Boldi & Vigna 2013) —
     // q137's TRUE 100 TB shape: instead of exact (seed, node) reach
     // sets, EVERY node carries a mergeable k-min-values register
@@ -904,6 +929,20 @@ object MiningQueries {
          |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nqq.n_queries), 4) AS recall_at_5
          |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
          |ORDER BY nc.nprobe""".stripMargin,
+
+    "q140_degree_profile" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+        |hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg),
+        |stats AS (SELECT count(*) AS n, CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |                 max(deg) AS max_deg FROM deg)
+        |SELECT hist.deg, hist.n_nodes, stats.n AS n_nodes_total,
+        |  sum_deg // 2 AS n_edges, stats.max_deg,
+        |  round(stats.sum_deg * 1.0 / stats.n, 4) AS avg_deg
+        |FROM hist CROSS JOIN stats ORDER BY hist.deg""".stripMargin,
 
     "q138_hyperball" -> {
       val rounds = (1 to 2).map { r =>
