@@ -416,6 +416,24 @@ object MiningQueries {
         .orderBy(col("seed"), col("r"))
     }),
 
+    // mutual nearest neighbors over the kNN graph — the MNN matching
+    // primitive (alignment, batch-effect pairing, and the strictest
+    // near-dup signal: each is the other's single closest vector).
+    // Pure composition on the shared candidate stage: rk = 1 rows
+    // self-join on the reversed pair — two narrow (id, id) streams, an
+    // equi-join on the pair key, nothing quadratic anywhere.
+    "e38_mutual_nn" -> ((s, d) => {
+      val knn = knnGraphQuantized(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3)
+      val t1 = knn.filter(col("rk") === 1)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("qdot"))
+      t1.as("x").join(t1.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+            col("x.a") < col("x.b"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("x.qdot").as("qdot"))
+        .orderBy(col("a"))
+    }),
+
     // degree-distribution profile of the co-purchase graph — the graph
     // sibling of d65's key-skew profile: the degree histogram (the
     // power-law readout that decides hub caps like q133's and bucket
@@ -929,6 +947,13 @@ object MiningQueries {
          |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nqq.n_queries), 4) AS recall_at_5
          |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
          |ORDER BY nc.nprobe""".stripMargin,
+
+    "e38_mutual_nn" ->
+      s"""WITH $knnGraphCtes,
+         |t1 AS (SELECT vec_id AS a, neighbor_id AS b, qdot FROM knn WHERE rk = 1)
+         |SELECT x.a, x.b, x.qdot FROM t1 x JOIN t1 y
+         |ON x.a = y.b AND x.b = y.a AND x.a < x.b
+         |ORDER BY x.a""".stripMargin,
 
     "q140_degree_profile" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -328,6 +328,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup impact report — the "what does this dedup buy us" readout a
+    // team reads BEFORE running d14: the cluster-size histogram of
+    // d09's near-dup components plus the corpus-level removable count
+    // (n_docs − n_clusters: keep one canonical per component). Pure
+    // composition on the cluster machinery; the histogram and the 1-row
+    // stats are both aggregate-of-aggregate shuffles over cluster ids.
+    "d66_dedup_impact" -> ((s, d) => {
+      val cl = DedupClusters.nearDupClusters(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5)
+      val hist = cl.groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"))
+      val stats = cl.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters_total"))
+      hist.crossJoin(broadcast(stats))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
+          col("n_docs"),
+          (col("n_docs") - col("n_clusters_total")).as("total_removable"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // sequence packing (offset binning): documents are packed into
     // fixed-token-capacity training bins per source shard, in doc order —
     // bin = floor(exclusive-cumulative-tokens / capacity). One window
@@ -1855,6 +1877,19 @@ object PipelineQueries {
           |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
           |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size
           |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin),
+
+    "d66_dedup_impact" ->
+      (clusterCtes +
+        """,
+          |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+          |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size),
+          |stats AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+          |                 count(*) AS n_clusters_total FROM sz)
+          |SELECT hist.cluster_size, hist.n_clusters,
+          |  hist.cluster_size * hist.n_clusters AS n_docs_at_size,
+          |  (hist.cluster_size - 1) * hist.n_clusters AS n_removable,
+          |  stats.n_docs, stats.n_docs - stats.n_clusters_total AS total_removable
+          |FROM hist CROSS JOIN stats ORDER BY hist.cluster_size""".stripMargin),
 
     // d09's recursive-CTE closure extended with the md5-of-cluster split
     "d35_span_decontaminate" ->
