@@ -416,6 +416,41 @@ object MiningQueries {
         .orderBy(col("seed"), col("r"))
     }),
 
+    // degree assortativity (Newman 2002) — do hubs connect to hubs?
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list, from decimal-exact moment sums (the q60/q101 rule: BIGINT
+    // degrees, DECIMAL(38,0) product sums vs the oracle's HUGEINT,
+    // doubles only in the final correlation). Negative assortativity =
+    // hub-and-spoke (salting/hub caps matter); positive = core-periphery.
+    // Two joins on the degree table + one 1-row moment aggregate.
+    "q141_assortativity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      val sym = e.select(col("pa").as("s0"), col("pb").as("t0"))
+        .union(e.select(col("pb"), col("pa")))
+      val deg = sym.groupBy(col("s0")).agg(count(lit(1)).as("dg"))
+      val ed = sym
+        .join(deg.select(col("s0"), col("dg").as("x")), Seq("s0"))
+        .join(deg.select(col("s0").as("t0"), col("dg").as("y")), Seq("t0"))
+        .select(col("x"), col("x").cast(DecimalType(19, 0)).as("px"),
+          col("y"), col("y").cast(DecimalType(19, 0)).as("py"))
+      val mrow = ed.agg(count(lit(1)).as("m"),
+        sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+        sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+        sum(col("px") * col("py")).cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("px") * col("px")).cast(DecimalType(38, 0)).as("sxx"),
+        sum(col("py") * col("py")).cast(DecimalType(38, 0)).as("syy"))
+      def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      mrow.select(col("m").as("n_edges_directed"),
+        (round((D(col("m")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+          sqrt((D(col("m")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
+               (D(col("m")) * D(col("syy")) - D(col("sy")) * D(col("sy")))), 4) +
+          lit(0.0)).as("assortativity"))
+    }),
+
     // mutual nearest neighbors over the kNN graph — the MNN matching
     // primitive (alignment, batch-effect pairing, and the strictest
     // near-dup signal: each is the other's single closest vector).
@@ -954,6 +989,24 @@ object MiningQueries {
          |SELECT x.a, x.b, x.qdot FROM t1 x JOIN t1 y
          |ON x.a = y.b AND x.b = y.a AND x.a < x.b
          |ORDER BY x.a""".stripMargin,
+
+    "q141_assortativity" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+        |ed AS (SELECT ds.dg AS x, dt.dg AS y FROM sym
+        |       JOIN deg ds ON sym.s = ds.s JOIN deg dt ON sym.t = dt.s),
+        |mo AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM ed)
+        |SELECT m AS n_edges_directed,
+        |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    + 0.0 AS assortativity
+        |FROM mo""".stripMargin,
 
     "q140_degree_profile" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
