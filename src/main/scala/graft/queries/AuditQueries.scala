@@ -154,6 +154,36 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // vocabulary-growth (Heaps' law) curve — how fast do NEW 5-grams
+    // appear as the corpus grows in ingest order? The flattening rate
+    // decides dedup aggressiveness and vocab budgets. Each gram's
+    // FIRST document (min doc_id over an md5-keyed shuffle) buckets
+    // into 50-doc ingest epochs; the cumulative sum windows over the
+    // EPOCH table (corpus_size/50 rows — dimension-sized by
+    // construction, the d44 rule, never a per-row global window).
+    "d67_heaps_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+        .filter(size(col("t")) >= 5)
+      val grams = toks.select(col("doc_id"),
+          explode(expr(
+            "array_distinct(transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' ')))")))
+        .select(col("doc_id"), md5(col("col")).as("g"))
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      val perb = first.withColumn("bucket", expr("fd div 50"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_grams"))
+      val nb = docs.withColumn("bucket", expr("doc_id div 50"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nb.join(perb, Seq("bucket"), "left")
+        .withColumn("n_new_grams", coalesce(col("n_new_grams"), lit(0L)))
+        .withColumn("cum_grams", sum(col("n_new_grams")).over(w))
+        .select(col("bucket"), col("n_docs"), col("n_new_grams"), col("cum_grams"))
+        .orderBy(col("bucket"))
+    }),
+
     // join-key skew profile — the diagnostic a pipeline runs BEFORE a
     // big shuffle join to decide between plain hash, broadcast, and the
     // q36 salting treatment: per-key counts for the prospective key
@@ -324,6 +354,20 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d67_heaps_curve" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+        |            i -> md5(array_to_string(t[i:i+4], ' '))))) AS g
+        |          FROM toks WHERE len(t) >= 5),
+        |first AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+        |perb AS (SELECT fd // 50 AS bucket, count(*) AS n_new_grams FROM first GROUP BY 1),
+        |nb AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT nb.bucket, nb.n_docs, coalesce(perb.n_new_grams, 0) AS n_new_grams,
+        |  CAST(sum(coalesce(perb.n_new_grams, 0)) OVER (ORDER BY nb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_grams
+        |FROM nb LEFT JOIN perb ON nb.bucket = perb.bucket
+        |ORDER BY nb.bucket""".stripMargin,
 
     "d65_skew_profile" ->
       """WITH counts AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
