@@ -565,6 +565,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p.take(3000))
   }
 
+  test("d63: vocab membership is a broadcast join; the token stream never sort-merges") {
+    val p = plan("d63_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("d65/q140/q141: profile scalars broadcast — no cartesian beyond the 1-row stats join") {
+    for (q <- Seq("d65_skew_profile", "q140_degree_profile", "q141_assortativity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("d67: the only window runs over the epoch table, never per row") {
+    val p = plan("d67_heaps_curve")
+    // first-occurrence is an aggregate; the cumulative window sits on the
+    // ~n_docs/50-row epoch join — acceptable as dimension-sized (d44 rule)
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("e37: codebook broadcasts; encode argmin windows partition per (vector, subspace)") {
+    val p = plan("e37_pq_distortion")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+  }
+
+  test("e38: mutual-NN is an equi-join of two rk=1 streams — no cartesian") {
+    val p = plan("e38_mutual_nn")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q139: snapshot read is the history window + a map-only interval filter — no join") {
+    val p = plan("q139_scd2_snapshot")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("windowspecdefinition(o_orderkey"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
