@@ -416,6 +416,27 @@ object MiningQueries {
         .orderBy(col("seed"), col("r"))
     }),
 
+    // hubness report — the high-dimensional ANN pathology metric
+    // (Radovanović et al. 2010): how often each vector appears in OTHER
+    // vectors' top-k. Hubs distort retrieval (they crowd every result
+    // list) and orphans are unreachable through the graph — both are
+    // direct serving-quality signals for the e28/e31 graph index. Pure
+    // composition: one in-degree aggregate over the kNN edges + a 1-row
+    // broadcast of the distribution extremes.
+    "e39_hubness" -> ((s, d) => {
+      val knn = knnGraphQuantized(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3)
+      val ind = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_deg"))
+      val all = Tables.embeddings(s, d).select(col("vec_id"))
+        .join(ind.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      val stats = all.agg(max(col("in_deg")).as("max_in_deg"),
+        sum(when(col("in_deg") === 0, 1L).otherwise(0L)).as("n_orphans"))
+      all.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
+        .orderBy(col("vec_id"))
+    }),
+
     // degree assortativity (Newman 2002) — do hubs connect to hubs?
     // Pearson correlation of endpoint degrees over the directed edge
     // list, from decimal-exact moment sums (the q60/q101 rule: BIGINT
@@ -989,6 +1010,17 @@ object MiningQueries {
          |SELECT x.a, x.b, x.qdot FROM t1 x JOIN t1 y
          |ON x.a = y.b AND x.b = y.a AND x.a < x.b
          |ORDER BY x.a""".stripMargin,
+
+    "e39_hubness" ->
+      s"""WITH $knnGraphCtes,
+         |ind AS (SELECT neighbor_id, count(*) AS in_deg FROM knn GROUP BY 1),
+         |allv AS (SELECT emb.vec_id, coalesce(ind.in_deg, 0) AS in_deg
+         |         FROM emb LEFT JOIN ind ON emb.vec_id = ind.neighbor_id),
+         |stats AS (SELECT max(in_deg) AS max_in_deg,
+         |            CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |          FROM allv)
+         |SELECT allv.vec_id, allv.in_deg, stats.max_in_deg, stats.n_orphans
+         |FROM allv CROSS JOIN stats ORDER BY allv.vec_id""".stripMargin,
 
     "q141_assortativity" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
