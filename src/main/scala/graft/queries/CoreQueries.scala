@@ -298,6 +298,32 @@ object CoreQueries {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // TPC-H Q21's shape on our columns: per-row EXISTS plus a
+    // NOT EXISTS over the SAME correlated table — the hardest standard
+    // decorrelation pattern (Catalyst plans both as semi/anti joins on
+    // l_orderkey; no per-row subquery execution survives). Blame the
+    // sole supplier whose item came back returned in a multi-supplier
+    // finalized order.
+    "q142_late_supplier_blame" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql("""SELECT s_name, count(*) AS numwait
+              |FROM supplier, lineitem l1, orders
+              |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              |  AND EXISTS (SELECT 1 FROM lineitem l2
+              |              WHERE l2.l_orderkey = l1.l_orderkey
+              |                AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              |                  WHERE l3.l_orderkey = l1.l_orderkey
+              |                    AND l3.l_suppkey <> l1.l_suppkey
+              |                    AND l3.l_returnflag = 'R')
+              |GROUP BY s_name
+              |ORDER BY numwait DESC, s_name
+              |LIMIT 20""".stripMargin)
+    }),
+
     // --- scalar function families --------------------------------------
     "q23_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -627,6 +653,22 @@ object CoreQueries {
         |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
         |  AND c_acctbal > 9000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q142_late_supplier_blame" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "q23_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
