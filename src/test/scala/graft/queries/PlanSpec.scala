@@ -603,6 +603,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(o_orderkey"), p.take(3000))
   }
 
+  test("q142: correlated EXISTS/NOT-EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q142_late_supplier_blame")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("e39: hubness is one in-degree aggregate + a broadcast of the extremes") {
+    val p = plan("e39_hubness")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("q123: journey windows reuse the user-hash exchange — exactly one shuffle") {
     val p = plan("q123_attribution")
     // (user_id) hash output satisfies the (user_id, grp) window's
