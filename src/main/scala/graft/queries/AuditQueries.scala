@@ -102,6 +102,27 @@ object AuditQueries {
         (min(col("start")) + lit(1)).as("first_pos"))
   }
 
+  /** d68's core: per-source token-budget quota sampling — docs draw in
+    * md5-priority order, kept while the source's running token total
+    * stays within `budget`. Returns the per-source report
+    * (source, n_docs, total_tokens, n_kept, kept_tokens, kept_frac). */
+  private[queries] def sourceQuota(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = docs.select(col("source"), col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast(LongType).as("toks"))
+      .withColumn("pri", md5(concat(lit("quota:"), col("doc_id"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("kept", col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("kept_frac",
+        round(col("kept_tokens") * lit(1.0) / col("total_tokens"), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-column data-quality profile of the documents table in long
     // form — the "write the expectation suite" step. ONE pass: all
@@ -153,6 +174,17 @@ object AuditQueries {
     "d59_cdc_chunks" -> ((s, d) =>
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-source token-budget quota sampling — the domain-rebalancing
+    // step (downsample over-represented sources to a fixed token
+    // budget before mixing): docs draw in a deterministic md5 priority
+    // order and are kept while the source's running token total stays
+    // within budget. Scale shape: the only window is PARTITIONED by
+    // source (never global), the cumulative sum is one pass, and the
+    // report is one partial-aggregated shuffle — the d57/d44 rule.
+    // Token counts are integers; the one ratio is rounded like d63's.
+    "d68_source_quota" -> ((s, d) =>
+      sourceQuota(Tables.documents(s, d), budget = 800L).orderBy(col("source"))),
 
     // vocabulary-growth (Heaps' law) curve — how fast do NEW 5-grams
     // appear as the corpus grows in ingest order? The flattening rate
@@ -354,6 +386,21 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "d68_source_quota" ->
+      """WITH scored AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS toks,
+        |    md5('quota:' || CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+        |cum AS (SELECT source, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM scored),
+        |flagged AS (SELECT source, toks, (cum <= 800) AS kept FROM cum)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  round(sum(CASE WHEN kept THEN toks ELSE 0 END) * 1.0 / sum(toks), 4) AS kept_frac
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
 
     "d67_heaps_curve" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),

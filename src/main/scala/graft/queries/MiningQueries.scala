@@ -575,6 +575,70 @@ object MiningQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Newman modularity of the e29 label-propagation communities over
+    // the e28 kNN graph — the community-quality readout (is the
+    // propagated labeling better than chance?). Per community c:
+    // Q_c = l_c/m − (d_c/2m)², where l_c = intra-community undirected
+    // edges, d_c = community degree sum, m = undirected edges among
+    // labeled nodes — all exact BIGINTs; the only doubles are the two
+    // final divisions, written parenthesis-for-parenthesis in the
+    // oracle. Scale shape: the directed kNN edges canonicalize to
+    // undirected pairs in one distinct, labels attach via two id-keyed
+    // joins, and l_c/d_c/m are three partial-aggregated counts (m rides
+    // as a 1-row broadcast) — nothing beyond the graph machinery that
+    // already scales.
+    "q143_modularity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val lbl = labelProp(
+        emb.select(col("vec_id"), col("label"))
+          .withColumn("label",
+            when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
+        g, rounds = 2)
+        .filter(col("label").isNotNull).select(col("vec_id"), col("label"))
+      modularityByCommunity(g, lbl).orderBy(col("label"))
+    }),
+
+    // one NN-descent refinement round over the e28 kNN graph (Dong et
+    // al. 2011 — the standard way large-scale kNN graphs converge
+    // past what one LSH pass finds): candidates = current neighbors ∪
+    // neighbors-of-neighbors, rescored with the integer-exact
+    // quantized dot, new top-3 per node; is_new marks edges the LSH
+    // pass missed. Scale shape: the two-hop expansion is an id-keyed
+    // self-join bounded by k² per node (k = 3, never corpus-sized),
+    // rescoring joins the quantized-vector table on each endpoint id,
+    // and the final top-k is a per-node window — no all-pairs product
+    // anywhere, per-round cost O(N·k²·d).
+    "e40_nn_descent" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      nnDescentRound(g, emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // grid-density clustering (the DBSCAN/GriDBSCAN shape at corpus
+    // scale): quantize the first two embedding dims to 128-wide grid
+    // cells, call cells with ≥ 8 points "core", and connect core cells
+    // through their 8-neighborhood by 3 rounds of min-label
+    // propagation — points in non-core cells are noise. Everything is
+    // integer (cell coords, counts, min-labels), so the whole
+    // clustering hash-checks. Scale shape: cell assignment is map-only
+    // arithmetic; the cell table is |occupied cells| ≪ N; adjacency is
+    // a broadcast 9-offset explode + equi-join on the cell key (never
+    // an inequality join); each round is one cell-keyed aggregate.
+    "e41_grid_density" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1024) AS BIGINT)").as("q0"),
+          expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024) AS BIGINT)").as("q1"))
+        .select(col("vec_id"),
+          floor(col("q0") / lit(128.0)).as("gx"),
+          floor(col("q1") / lit(128.0)).as("gy"))
+      gridDensityClusters(pts, minPts = 8, rounds = 3)
+        .orderBy(col("gx"), col("gy"))
+    }),
+
     // windowed word co-occurrence + PMI — the GloVe/word2vec
     // preprocessing primitive (and the collocation detector feeding
     // phrase mining). Pair generation is MAP-ONLY: offsets 1..5 explode
@@ -713,6 +777,98 @@ object MiningQueries {
       .join(labeled, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("rnd"), lit(-1)).as("assigned_round"))
+  }
+
+  /** q143's core: per-community Newman modularity terms over a
+    * directed edge list (canonicalized to undirected internally) and a
+    * (vec_id, label) community map — labeled nodes only contribute.
+    * Returns (label, n_nodes, lc, dc, q_contrib). */
+  private[graft] def modularityByCommunity(g: DataFrame, lbl: DataFrame): DataFrame = {
+    val ue = g.select(least(col("vec_id"), col("neighbor_id")).as("a"),
+      greatest(col("vec_id"), col("neighbor_id")).as("b")).distinct()
+    val le = ue
+      .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), Seq("b"))
+    val m = le.agg(count(lit(1)).as("m"))
+    val lc = le.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("lc"))
+    val dc = le.select(col("la").as("label"))
+      .union(le.select(col("lb")))
+      .groupBy(col("label")).agg(count(lit(1)).as("dc"))
+    val sizes = lbl.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    sizes.join(lc, Seq("label"), "left").join(dc, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("lc"), lit(0L)).as("lc"),
+        coalesce(col("dc"), lit(0L)).as("dc"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("lc"), col("dc"),
+        (col("lc").cast(DoubleType) / col("m") -
+          (col("dc").cast(DoubleType) / (col("m") * 2)) *
+          (col("dc").cast(DoubleType) / (col("m") * 2))).as("q_contrib"))
+  }
+
+  /** e40's core: one NN-descent refinement round — candidates are the
+    * current neighbors plus neighbors-of-neighbors of `g`, rescored
+    * with the integer-exact quantized dot over `emb`'s vectors, new
+    * top-`topK` per node; is_new marks edges absent from `g`. */
+  private[graft] def nnDescentRound(g: DataFrame, emb: DataFrame,
+      topK: Int): DataFrame = {
+    val base = emb.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    val two = g.select(col("vec_id"), col("neighbor_id").as("mid"))
+      .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val cand = g.union(two).distinct()
+    val scored = cand
+      .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("n2").as("cn2")), Seq("neighbor_id"))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("cosq", col("qdot").cast(DoubleType) /
+        (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .join(g.withColumn("in_base", lit(true)), Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("qdot"),
+        col("in_base").isNull.as("is_new"))
+  }
+
+  /** e41's core: grid-density clustering over pre-gridded points
+    * (vec_id, gx, gy) — cells with ≥ `minPts` points are core, core
+    * cells connect through the 8-neighborhood by `rounds` rounds of
+    * min-label propagation. Returns one row per OCCUPIED cell:
+    * (gx, gy, cnt, is_core, cluster, cluster_points). */
+  private[graft] def gridDensityClusters(pts: DataFrame, minPts: Int,
+      rounds: Int): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val cells = pts.groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("cnt"))
+    val core = cells.filter(col("cnt") >= minPts)
+      .withColumn("lbl", col("gx") * 100000 + col("gy"))
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+      (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+    var cur = core
+    for (_ <- 1 to rounds) {
+      val nb = cur.select(col("gx"), col("gy"), col("lbl"))
+        .crossJoin(broadcast(offs))
+        .select((col("gx") + col("dx")).as("gx"),
+          (col("gy") + col("dy")).as("gy"), col("lbl"))
+      cur = cur.select(col("gx"), col("gy"), col("cnt"))
+        .join(nb, Seq("gx", "gy"))
+        .groupBy(col("gx"), col("gy"), col("cnt"))
+        .agg(min(col("lbl")).as("lbl"))
+    }
+    val cs = cur.groupBy(col("lbl")).agg(sum(col("cnt")).as("cluster_points"))
+    cells.join(cur.select(col("gx"), col("gy"), col("lbl").as("cluster")),
+        Seq("gx", "gy"), "left")
+      .join(cs.withColumnRenamed("lbl", "cluster"), Seq("cluster"), "left")
+      .select(col("gx"), col("gy"), col("cnt"),
+        (col("cnt") >= minPts).as("is_core"), col("cluster"), col("cluster_points"))
   }
 
   /** d54's a-priori body over an exploded (doc_id, w) item frame with
@@ -869,6 +1025,37 @@ object MiningQueries {
        |    neighbor_id, qdot
        |  FROM scored
        |  QUALIFY rk <= 3)""".stripMargin
+
+  /** e29's two label-propagation rounds as a WITH-body ending in a
+    * `lab(vec_id, label, rnd)` CTE over the `knn` chain — shared by the
+    * e29 and q143 oracles (the knnGraphCtes precedent). */
+  private def labelPropCtes: String =
+    s"""seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 3 <> 0),
+       |v1 AS (SELECT k.vec_id, s2.label, count(*) AS c
+       |       FROM knn k JOIN seeds s2 ON k.neighbor_id = s2.vec_id
+       |       WHERE k.vec_id % 3 = 0 GROUP BY 1, 2),
+       |n1 AS (SELECT vec_id, label FROM v1
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
+       |l1 AS (SELECT vec_id, label, 0 AS rnd FROM seeds
+       |       UNION ALL SELECT vec_id, label, 1 FROM n1),
+       |v2 AS (SELECT k.vec_id, l.label, count(*) AS c
+       |       FROM knn k JOIN l1 l ON k.neighbor_id = l.vec_id
+       |       WHERE k.vec_id NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
+       |n2b AS (SELECT vec_id, label FROM v2
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
+       |lab AS (SELECT * FROM l1 UNION ALL SELECT vec_id, label, 2 FROM n2b)""".stripMargin
+
+  /** e41's unrolled min-label propagation rounds over the core-cell
+    * 8-neighborhood: r{k} = per-cell min of r{k-1} labels across the
+    * 9 offsets (self included). */
+  private def gridDensityRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "core0" else s"r${r - 1}"
+      s"""r$r AS (SELECT c.gx, c.gy, c.cnt, min(n.lbl) AS lbl
+         |  FROM core0 c CROSS JOIN offs o
+         |  JOIN $prev n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+         |  GROUP BY c.gx, c.gy, c.cnt)""".stripMargin
+    }.mkString(",\n")
 
   /** e31's scored-candidate CTE pair: `$out` = (qid, node, qdot, cosq)
     * for candidate set `$src` (a (qid, node) CTE). */
@@ -1129,23 +1316,78 @@ object MiningQueries {
 
     "e29_label_prop" ->
       s"""WITH $knnGraphCtes,
-         |seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 3 <> 0),
-         |v1 AS (SELECT k.vec_id, s2.label, count(*) AS c
-         |       FROM knn k JOIN seeds s2 ON k.neighbor_id = s2.vec_id
-         |       WHERE k.vec_id % 3 = 0 GROUP BY 1, 2),
-         |n1 AS (SELECT vec_id, label FROM v1
-         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
-         |l1 AS (SELECT vec_id, label, 0 AS rnd FROM seeds
-         |       UNION ALL SELECT vec_id, label, 1 FROM n1),
-         |v2 AS (SELECT k.vec_id, l.label, count(*) AS c
-         |       FROM knn k JOIN l1 l ON k.neighbor_id = l.vec_id
-         |       WHERE k.vec_id NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
-         |n2b AS (SELECT vec_id, label FROM v2
-         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1),
-         |lab AS (SELECT * FROM l1 UNION ALL SELECT vec_id, label, 2 FROM n2b)
+         |$labelPropCtes
          |SELECT e2.vec_id, lab.label, coalesce(lab.rnd, -1) AS assigned_round
          |FROM embeddings e2 LEFT JOIN lab ON e2.vec_id = lab.vec_id
          |ORDER BY e2.vec_id""".stripMargin,
+
+    "q143_modularity" ->
+      s"""WITH $knnGraphCtes,
+         |$labelPropCtes,
+         |lbl AS (SELECT vec_id, label FROM lab),
+         |ue AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         |        greatest(vec_id, neighbor_id) AS b FROM knn),
+         |le AS MATERIALIZED (SELECT ue.a, ue.b, la.label AS la, lb.label AS lb
+         |      FROM ue JOIN lbl la ON ue.a = la.vec_id
+         |              JOIN lbl lb ON ue.b = lb.vec_id),
+         |m AS (SELECT count(*) AS m FROM le),
+         |lc AS (SELECT la AS label, count(*) AS lc FROM le WHERE la = lb GROUP BY 1),
+         |dc AS (SELECT label, count(*) AS dc FROM (
+         |        SELECT la AS label FROM le UNION ALL SELECT lb FROM le) GROUP BY 1),
+         |sizes AS (SELECT label, count(*) AS n_nodes FROM lbl GROUP BY 1)
+         |SELECT sizes.label, sizes.n_nodes,
+         |  coalesce(lc.lc, 0) AS lc, coalesce(dc.dc, 0) AS dc,
+         |  CAST(coalesce(lc.lc, 0) AS DOUBLE) / m.m -
+         |    (CAST(coalesce(dc.dc, 0) AS DOUBLE) / (m.m * 2)) *
+         |    (CAST(coalesce(dc.dc, 0) AS DOUBLE) / (m.m * 2)) AS q_contrib
+         |FROM sizes LEFT JOIN lc ON sizes.label = lc.label
+         |           LEFT JOIN dc ON sizes.label = dc.label
+         |           CROSS JOIN m
+         |ORDER BY sizes.label""".stripMargin,
+
+    "e40_nn_descent" ->
+      s"""WITH $knnGraphCtes,
+         |ge AS MATERIALIZED (SELECT vec_id, neighbor_id FROM knn),
+         |two AS (SELECT a.vec_id, b.neighbor_id FROM ge a
+         |        JOIN ge b ON a.neighbor_id = b.vec_id
+         |        WHERE b.neighbor_id <> a.vec_id),
+         |cand2 AS MATERIALIZED (SELECT DISTINCT vec_id, neighbor_id FROM (
+         |        SELECT * FROM ge UNION ALL SELECT * FROM two)),
+         |dot2 AS (SELECT c.vec_id, c.neighbor_id,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+         |      FROM cand2 c JOIN emb a ON c.vec_id = a.vec_id
+         |                   JOIN emb b ON c.neighbor_id = b.vec_id),
+         |sc2 AS (SELECT d2.vec_id, d2.neighbor_id, d2.qdot,
+         |        CAST(d2.qdot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+         |      FROM dot2 d2 JOIN n2 na ON d2.vec_id = na.vec_id
+         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id),
+         |top2 AS (SELECT vec_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
+         |    neighbor_id, qdot
+         |  FROM sc2 QUALIFY rk <= 3)
+         |SELECT t.vec_id, t.rk, t.neighbor_id, t.qdot,
+         |  (ge.vec_id IS NULL) AS is_new
+         |FROM top2 t LEFT JOIN ge ON t.vec_id = ge.vec_id
+         |                        AND t.neighbor_id = ge.neighbor_id
+         |ORDER BY t.vec_id, t.rk""".stripMargin,
+
+    "e41_grid_density" ->
+      s"""WITH pts AS (SELECT vec_id,
+         |    CAST(floor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024) AS BIGINT) / 128.0) AS BIGINT) AS gx,
+         |    CAST(floor(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1024) AS BIGINT) / 128.0) AS BIGINT) AS gy
+         |  FROM embeddings),
+         |cells AS MATERIALIZED (SELECT gx, gy, count(*) AS cnt FROM pts GROUP BY 1, 2),
+         |core0 AS (SELECT gx, gy, cnt, gx * 100000 + gy AS lbl FROM cells WHERE cnt >= 8),
+         |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         |${gridDensityRounds(3)},
+         |cs AS (SELECT lbl, CAST(sum(cnt) AS BIGINT) AS cluster_points FROM r3 GROUP BY lbl)
+         |SELECT c.gx, c.gy, c.cnt, (c.cnt >= 8) AS is_core,
+         |  r3.lbl AS cluster, cs.cluster_points
+         |FROM cells c LEFT JOIN r3 ON c.gx = r3.gx AND c.gy = r3.gy
+         |             LEFT JOIN cs ON r3.lbl = cs.lbl
+         |ORDER BY c.gx, c.gy""".stripMargin,
 
     "e31_graph_search" ->
       s"""WITH $knnGraphCtes,

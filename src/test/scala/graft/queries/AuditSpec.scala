@@ -233,4 +233,44 @@ class AuditSpec extends AnyFunSuite {
     }
     assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
   }
+
+  // ----------------------------------------------------------- d68 quota
+
+  test("source quota: greedy md5-priority draw matches a sequential replay") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h i j"),          // 10 tokens
+      (2L, "srcA", "a b c d e f g"),                // 7
+      (3L, "srcA", "a b c d e"),                    // 5
+      (4L, "srcB", "one two three"),                // 3
+      (5L, "srcB", ("x " * 30).trim)                // 30
+    ).toDF("doc_id", "source", "text")
+    val budget = 15L
+    val got = AuditQueries.sourceQuota(docs, budget)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    // sequential ground truth with the same md5 priority + cumsum rule
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Seq((1L, "srcA", 10L), (2L, "srcA", 7L), (3L, "srcA", 5L),
+      (4L, "srcB", 3L), (5L, "srcB", 30L))
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val ordered = ds.sortBy(d => (md5hex(s"quota:${d._1}"), d._1))
+      var cum = 0L
+      var kept = 0L
+      var keptToks = 0L
+      ordered.foreach { d =>
+        cum += d._3
+        if (cum <= budget) { kept += 1; keptToks += d._3 }
+      }
+      val (nDocs, total, nKept, keptTokens) = got(src)
+      assert(nDocs == ds.size && total == ds.map(_._3).sum, s"$src totals")
+      assert(nKept == kept && keptTokens == keptToks,
+        s"$src kept: got ($nKept, $keptTokens) expect ($kept, $keptToks)")
+    }
+    // the budget is a hard per-source cap
+    got.values.foreach { case (_, _, _, keptTokens) => assert(keptTokens <= budget) }
+  }
 }

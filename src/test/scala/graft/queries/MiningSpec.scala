@@ -446,4 +446,133 @@ class MiningSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expect)
   }
+
+  // ------------------------------------------------------- q143 modularity
+
+  test("modularity: two planted triangles with one bridge score the textbook Q") {
+    import spark.implicits._
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3; communities A/B per triangle
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("vec_id", "neighbor_id")
+    val lbl = Seq((0L, 1), (1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 2))
+      .toDF("vec_id", "label")
+    val got = MiningQueries.modularityByCommunity(g, lbl)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // m = 7; each community: lc = 3, dc = 7 -> Q_c = 3/7 - (7/14)^2
+    val expQ = 3.0 / 7 - (7.0 / 14) * (7.0 / 14)
+    assert(got.toSeq == Seq((1, 3L, 3L, 7L, expQ), (2, 3L, 3L, 7L, expQ)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("modularity: labeled isolated node contributes a zero-term community") {
+    import spark.implicits._
+    val g = Seq((0L, 1L)).toDF("vec_id", "neighbor_id")
+    val lbl = Seq((0L, 1), (1L, 1), (9L, 7)).toDF("vec_id", "label")
+    val got = MiningQueries.modularityByCommunity(g, lbl)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // community 1 holds the single edge entirely: Q = 1/1 - (2/2)^2 = 0
+    assert(got.toSeq == Seq((1, 2L, 1L, 2L, 0.0), (7, 1L, 0L, 0L, 0.0)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("modularity: mixed labeling splits intra and inter edges correctly") {
+    import spark.implicits._
+    // square 0-1-2-3-0 with diagonal communities: every edge is inter
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("vec_id", "neighbor_id")
+    val lbl = Seq((0L, 1), (2L, 1), (1L, 2), (3L, 2)).toDF("vec_id", "label")
+    val got = MiningQueries.modularityByCommunity(g, lbl)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // m = 4, lc = 0 both, dc = 4 both -> Q_c = 0 - (4/8)^2 = -0.25
+    assert(got.toSeq == Seq((1, 0L, 4L, -0.25), (2, 0L, 4L, -0.25)),
+      s"got: ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------- e40 NN-descent
+
+  test("nn-descent: finds the two-hop neighbor the base graph missed") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    // base graph only knows 0->1; 2 is reachable as a neighbor-of-neighbor
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("vec_id", "neighbor_id")
+    val got = MiningQueries.nnDescentRound(g, emb, topK = 2)
+      .orderBy("vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    // node 0: cos(0,2) > cos(0,1), so 2 ranks first and is NEW
+    assert(got.filter(_._1 == 0L).toSeq ==
+      Seq((0L, 1L, 2L, true), (0L, 2L, 1L, false)), s"got: ${got.toSeq}")
+  }
+
+  test("nn-descent: refinement never worsens the best neighbor (random corpus)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // base graph: a ring with skip links — deliberately not the true kNN
+    val g = (0L until 40L).flatMap(i =>
+      Seq((i, (i + 1) % 40), (i, (i + 7) % 40))).toDF("vec_id", "neighbor_id")
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1024).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val qv = vecs.map { case (id, v) => id -> q(v) }.toMap
+    val baseBest = (0L until 40L).map(i =>
+      i -> Seq((i + 1) % 40, (i + 7) % 40).map(j => cos(qv(i), qv(j))).max).toMap
+    val got = MiningQueries.nnDescentRound(g, emb, topK = 1).collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(2))
+      val c = cos(qv(i), qv(j))
+      assert(c >= baseBest(i) - 1e-12, s"node $i: new best $c < base ${baseBest(i)}")
+    }
+    // on a ring-vs-random mismatch, at least one node must improve
+    assert(got.exists(_.getBoolean(4)), "no edge improved — candidate stage broken?")
+  }
+
+  // ------------------------------------------------------ e41 grid density
+
+  test("grid density: two blobs cluster separately, sparse cells are noise") {
+    import spark.implicits._
+    val pts =
+      ((0 until 10).map(i => (i.toLong, 0L, 0L)) ++          // blob A core cell
+        (10 until 18).map(i => (i.toLong, 0L, 1L)) ++        // adjacent core cell
+        (18 until 27).map(i => (i.toLong, 5L, 5L)) ++        // blob B (far away)
+        Seq((27L, 9L, 9L), (28L, -3L, 2L)))                  // noise singletons
+        .toDF("vec_id", "gx", "gy")
+    val got = MiningQueries.gridDensityClusters(pts, minPts = 8, rounds = 3)
+      .orderBy("gx", "gy").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    // A's two adjacent core cells merge under min label 0*100000+0 = 0
+    assert(got((0L, 0L)) == ((10L, true, Some(0L), Some(18L))))
+    assert(got((0L, 1L)) == ((8L, true, Some(0L), Some(18L))))
+    // B is its own cluster
+    assert(got((5L, 5L)) == ((9L, true, Some(500005L), Some(9L))))
+    // noise cells: not core, no cluster
+    assert(got((9L, 9L)) == ((1L, false, None, None)))
+    assert(got((-3L, 2L)) == ((1L, false, None, None)))
+  }
+
+  test("grid density: diagonal adjacency connects, a 2-cell gap does not") {
+    import spark.implicits._
+    val pts =
+      ((0 until 8).map(i => (i.toLong, 0L, 0L)) ++
+        (8 until 16).map(i => (i.toLong, 1L, 1L)) ++         // diagonal neighbor
+        (16 until 24).map(i => (i.toLong, 4L, 4L)))          // 2+ cells away
+        .toDF("vec_id", "gx", "gy")
+    val got = MiningQueries.gridDensityClusters(pts, minPts = 8, rounds = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(got((0L, 0L)) == got((1L, 1L)), "diagonal cells share a cluster")
+    assert(got((4L, 4L)) != got((0L, 0L)), "distant core cell stays separate")
+  }
 }
