@@ -624,4 +624,38 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges:\n" + p.take(3000))
   }
+
+  test("q143: modularity terms are equi-joins + aggregates; only the 1-row m broadcasts") {
+    val p = plan("q143_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the edge-count scalar rides a broadcast nested loop (1-row side),
+    // never a shuffled join
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("e40: two-hop expansion is an id-keyed self-join; top-k windows per node") {
+    val p = plan("e40_nn_descent")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), "per-node window missing:\n" + p.take(3000))
+    // no global (unpartitioned) sort: every Sort is either inside a
+    // partitioned window or the final presentation orderBy
+    assert(!p.contains("windowspecdefinition()"), p.take(3000))
+  }
+
+  test("e41: offsets broadcast into the cell equi-join; no inequality adjacency join") {
+    val p = plan("e41_grid_density")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "offset table should broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // adjacency is an equi-join on the shifted (gx, gy) key
+    assert(p.contains("Exchange hashpartitioning(gx"), p.take(3000))
+  }
+
+  test("d68: the only window partitions per source — never a global sort") {
+    val p = plan("d68_source_quota")
+    assert(p.contains("windowspecdefinition(source"), p.take(3000))
+    // a global Window would show an empty partition spec
+    assert(!p.contains("windowspecdefinition(pri"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
