@@ -139,6 +139,26 @@ object MiningQueries {
         .orderBy(col("aa_score").desc, col("a"), col("b")).limit(50)
     }),
 
+    // local clustering coefficient (Watts-Strogatz) for a probe set of
+    // nodes over the co-purchase graph — the per-node sibling of q77's
+    // global triangle count (community density around a node; the
+    // "are my neighbors each other's neighbors?" audit). lcc =
+    // 2·tri/(deg·(deg−1)) over exact BIGINT wedge/triangle counts; the
+    // division is the only double, written identically in the oracle.
+    // Scale shape: wedges generate ONLY around the bounded probe set
+    // (50 ids) under a q133-style hub cap (500 — mirrored exactly in
+    // the oracle), so wedge volume is |probes|·cap² regardless of
+    // graph size; wedge closure is an equi-join on the canonical
+    // (a, b) edge key; degrees are one partial-aggregated count.
+    "q144_local_clustering" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      localClustering(e, probeMax = 50L, degCap = 500L).orderBy(col("node"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -779,6 +799,32 @@ object MiningQueries {
         coalesce(col("rnd"), lit(-1)).as("assigned_round"))
   }
 
+  /** q144's core: Watts-Strogatz local clustering coefficient for
+    * probe nodes (id < `probeMax`) over canonical undirected edges
+    * (pa < pb). Hubs past `degCap` report NULL n_tri/lcc (their wedge
+    * space is the thing the cap exists to avoid). */
+  private[graft] def localClustering(e: DataFrame, probeMax: Long,
+      degCap: Long): DataFrame = {
+    val sym = e.select(col("pa").as("z"), col("pb").as("t"))
+      .union(e.select(col("pb"), col("pa")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+    val centers = deg.filter(col("z") < probeMax && col("dg") >= 2 && col("dg") <= degCap)
+    val za = sym.join(centers.select(col("z")), Seq("z"))
+      .select(col("z"), col("t").as("wa"))
+    val zb = sym.select(col("z"), col("t").as("wb"))
+    val wedges = za.join(zb, Seq("z")).filter(col("wa") < col("wb"))
+    val tri = wedges
+      .join(e.select(col("pa").as("wa"), col("pb").as("wb")), Seq("wa", "wb"))
+      .groupBy(col("z")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("z") < probeMax)
+      .join(tri, Seq("z"), "left")
+      .select(col("z").as("node"), col("dg").as("deg"),
+        when(col("dg") >= 2 && col("dg") <= degCap,
+          coalesce(col("n_tri"), lit(0L))).as("n_tri"))
+      .withColumn("lcc",
+        (col("n_tri") * 2).cast(DoubleType) / (col("deg") * (col("deg") - 1)))
+  }
+
   /** q143's core: per-community Newman modularity terms over a
     * directed edge list (canonicalized to undirected internally) and a
     * (vec_id, label) community map — labeled nodes only contribute.
@@ -1240,6 +1286,26 @@ object MiningQueries {
         |  sum_deg // 2 AS n_edges, stats.max_deg,
         |  round(stats.sum_deg * 1.0 / stats.n, 4) AS avg_deg
         |FROM hist CROSS JOIN stats ORDER BY hist.deg""".stripMargin,
+
+    "q144_local_clustering" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT pa AS z, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT z, count(*) AS dg FROM sym GROUP BY z),
+        |centers AS (SELECT z FROM deg WHERE z < 50 AND dg >= 2 AND dg <= 500),
+        |wedges AS (SELECT s1.z, s1.t AS wa, s2.t AS wb
+        |           FROM sym s1 JOIN centers c ON s1.z = c.z
+        |                JOIN sym s2 ON s1.z = s2.z AND s1.t < s2.t),
+        |tri AS (SELECT w.z, count(*) AS n_tri FROM wedges w
+        |        JOIN e ON w.wa = e.pa AND w.wb = e.pb GROUP BY w.z),
+        |base AS (SELECT deg.z AS node, deg.dg AS deg,
+        |    CASE WHEN deg.dg >= 2 AND deg.dg <= 500
+        |         THEN coalesce(tri.n_tri, 0) END AS n_tri
+        |  FROM deg LEFT JOIN tri ON deg.z = tri.z WHERE deg.z < 50)
+        |SELECT node, deg, n_tri,
+        |  CAST(n_tri * 2 AS DOUBLE) / (deg * (deg - 1)) AS lcc
+        |FROM base ORDER BY node""".stripMargin,
 
     "q138_hyperball" -> {
       val rounds = (1 to 2).map { r =>

@@ -538,6 +538,39 @@ class MiningSpec extends AnyFunSuite {
     assert(got.exists(_.getBoolean(4)), "no edge improved — candidate stage broken?")
   }
 
+  // -------------------------------------------------- q144 local clustering
+
+  test("local clustering: triangle nodes score 1, star center scores 0") {
+    import spark.implicits._
+    // triangle {0,1,2}; star center 3 with leaves 10,11,12 (no leaf edges)
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 10L), (3L, 11L), (3L, 12L)).toDF("pa", "pb")
+    val got = MiningQueries.localClustering(e, probeMax = 10L, degCap = 500L)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 2L, 1L, 1.0), (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0), (3L, 3L, 0L, 0.0)), s"got: ${got.toSeq}")
+  }
+
+  test("local clustering: half-connected neighborhood scores the exact fraction; hubs go NULL") {
+    import spark.implicits._
+    // node 0 with neighbors 1,2,3,4; only (1,2) and (3,4) closed -> 2 of 6 wedges
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 2L), (3L, 4L),
+      // node 5: degree 3 > cap 2 -> NULLs
+      (5L, 6L), (5L, 7L), (5L, 8L)).toDF("pa", "pb")
+    val got = MiningQueries.localClustering(e, probeMax = 6L, degCap = 2L)
+      .orderBy("node").collect()
+    val n0 = got.find(_.getLong(0) == 0L).get
+    // deg 4 > cap 2 -> node 0 is ALSO capped here; re-run with a higher cap
+    assert(n0.isNullAt(2) && n0.isNullAt(3))
+    val got2 = MiningQueries.localClustering(e, probeMax = 6L, degCap = 500L)
+      .orderBy("node").collect()
+    val m0 = got2.find(_.getLong(0) == 0L).get
+    assert(m0.getLong(1) == 4L && m0.getLong(2) == 2L &&
+      m0.getDouble(3) == 2.0 * 2 / (4 * 3), s"node0: $m0")
+  }
+
   // ------------------------------------------------------ e41 grid density
 
   test("grid density: two blobs cluster separately, sparse cells are noise") {

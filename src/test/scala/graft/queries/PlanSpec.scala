@@ -651,6 +651,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(gx"), p.take(3000))
   }
 
+  test("q144: wedge closure is an equi-join on the canonical edge key — no cartesian") {
+    val p = plan("q144_local_clustering")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
