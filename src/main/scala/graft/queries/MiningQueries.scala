@@ -159,6 +159,65 @@ object MiningQueries {
       localClustering(e, probeMax = 50L, degCap = 500L).orderBy(col("node"))
     }),
 
+    // kNN-graph recall report — e36's tuning-table pattern applied to
+    // the GRAPH index family: for a fixed probe set, how many of the
+    // exact top-3 neighbors does the e28 LSH graph hold, and how many
+    // does one e40 NN-descent round recover? The index-quality readout
+    // that decides whether to spend another refinement round. Scale
+    // shape: the exact stage broadcasts the 8 probes over ONE linear
+    // corpus pass (per-probe top-3 windows — never an all-pairs
+    // product); the refined candidates come from the probes' own edges
+    // plus one two-hop join (≤ k² per probe); hit counts are integer
+    // intersections, and the recalls are one identical division.
+    "e42_graph_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      val pr = base.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"))
+      def score(df: DataFrame): DataFrame = df
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("cosq", col("qdot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("cid"))
+      val exact = score(base
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+          .crossJoin(broadcast(pr))
+          .filter(col("cid") =!= col("vec_id")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("vec_id"), col("cid"))
+      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val gp = g.filter(col("vec_id") < 8)
+      val two = gp.select(col("vec_id"), col("neighbor_id").as("mid"))
+        .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
+        .select(col("vec_id"), col("neighbor_id"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+      val refined = score(gp.union(two).distinct()
+          .select(col("vec_id"), col("neighbor_id").as("cid"))
+          .join(broadcast(pr), Seq("vec_id"))
+          .join(base.select(col("vec_id").as("cid"), col("q").as("cq"),
+            col("n2").as("cn2")), Seq("cid")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("vec_id"), col("cid"))
+      val hb = gp.withColumnRenamed("neighbor_id", "cid")
+        .join(exact, Seq("vec_id", "cid"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_base"))
+      val hr = refined.join(exact, Seq("vec_id", "cid"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_refined"))
+      pr.select(col("vec_id"))
+        .join(hb, Seq("vec_id"), "left").join(hr, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("hits_base"), lit(0L)).as("hits_base"),
+          coalesce(col("hits_refined"), lit(0L)).as("hits_refined"))
+        .withColumn("recall_base", round(col("hits_base") * lit(1.0) / 3, 4))
+        .withColumn("recall_refined", round(col("hits_refined") * lit(1.0) / 3, 4))
+        .orderBy(col("vec_id"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -1286,6 +1345,53 @@ object MiningQueries {
         |  sum_deg // 2 AS n_edges, stats.max_deg,
         |  round(stats.sum_deg * 1.0 / stats.n, 4) AS avg_deg
         |FROM hist CROSS JOIN stats ORDER BY hist.deg""".stripMargin,
+
+    "e42_graph_recall" ->
+      s"""WITH $knnGraphCtes,
+         |ex AS (SELECT q.vec_id, c.vec_id AS cid,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> q.q[CAST(i AS INT)] * c.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+         |        nq.n2 AS na, nc.n2 AS nb
+         |       FROM emb q JOIN emb c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |       JOIN n2 nq ON q.vec_id = nq.vec_id JOIN n2 nc ON c.vec_id = nc.vec_id),
+         |exact AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+         |    FROM ex) t
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, cid) <= 3),
+         |pe AS (SELECT vec_id, neighbor_id FROM knn WHERE vec_id < 8),
+         |two3 AS (SELECT a.vec_id, b.neighbor_id FROM pe a
+         |         JOIN knn b ON a.neighbor_id = b.vec_id
+         |         WHERE b.neighbor_id <> a.vec_id),
+         |cand3 AS (SELECT DISTINCT vec_id, neighbor_id AS cid FROM (
+         |         SELECT * FROM pe UNION ALL SELECT * FROM two3)),
+         |dot3 AS (SELECT c.vec_id, c.cid,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+         |        na.n2 AS na, nb.n2 AS nb
+         |      FROM cand3 c JOIN emb a ON c.vec_id = a.vec_id
+         |                   JOIN emb b ON c.cid = b.vec_id
+         |      JOIN n2 na ON c.vec_id = na.vec_id JOIN n2 nb ON c.cid = nb.vec_id),
+         |refined AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+         |    FROM dot3) t
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, cid) <= 3),
+         |hb AS (SELECT pe.vec_id, count(*) AS hits_base FROM pe
+         |       JOIN exact ON pe.vec_id = exact.vec_id AND pe.neighbor_id = exact.cid
+         |       GROUP BY 1),
+         |hr AS (SELECT r.vec_id, count(*) AS hits_refined FROM refined r
+         |       JOIN exact ON r.vec_id = exact.vec_id AND r.cid = exact.cid
+         |       GROUP BY 1),
+         |pv AS (SELECT DISTINCT vec_id FROM emb WHERE vec_id < 8)
+         |SELECT pv.vec_id,
+         |  coalesce(hb.hits_base, 0) AS hits_base,
+         |  coalesce(hr.hits_refined, 0) AS hits_refined,
+         |  round(coalesce(hb.hits_base, 0) * 1.0 / 3, 4) AS recall_base,
+         |  round(coalesce(hr.hits_refined, 0) * 1.0 / 3, 4) AS recall_refined
+         |FROM pv LEFT JOIN hb ON pv.vec_id = hb.vec_id
+         |        LEFT JOIN hr ON pv.vec_id = hr.vec_id
+         |ORDER BY pv.vec_id""".stripMargin,
 
     "q144_local_clustering" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

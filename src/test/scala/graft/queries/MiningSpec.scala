@@ -571,6 +571,44 @@ class MiningSpec extends AnyFunSuite {
       m0.getDouble(3) == 2.0 * 2 / (4 * 3), s"node0: $m0")
   }
 
+  // ------------------------------------------------------ e42 graph recall
+
+  test("graph recall: matches a driver-side replay at sf0.001; refinement is monotone") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1024).toLong)
+    val qv = vecs.map { case (id, v) => id -> q(v) }
+    def cos(a: Long, b: Long): Double = {
+      val dot = qv(a).zip(qv(b)).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(qv(a).map(x => x * x).sum.toDouble) *
+        math.sqrt(qv(b).map(x => x * x).sum.toDouble))
+    }
+    val g = MiningQueries.knnGraphQuantized(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")), topK = 3)
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = g.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val probes = vecs.keySet.filter(_ < 8).toSeq.sorted
+    def top3(p: Long, cands: Set[Long]): Set[Long] =
+      cands.toSeq.sortBy(c => (-cos(p, c), c)).take(3).toSet
+    val expect = probes.map { p =>
+      val exact = top3(p, vecs.keySet - p)
+      val base = adj.getOrElse(p, Set.empty)
+      val cand = base ++ base.flatMap(v => adj.getOrElse(v, Set.empty)) - p
+      val refined = top3(p, cand)
+      (p, (base & exact).size.toLong, (refined & exact).size.toLong)
+    }
+    val got = graft.SparkEntry.queries("e42_graph_recall")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
+    got.foreach { case (p, hb, hr) =>
+      assert(hr >= hb, s"probe $p: refinement lost recall ($hr < $hb)")
+    }
+  }
+
   // ------------------------------------------------------ e41 grid density
 
   test("grid density: two blobs cluster separately, sparse cells are noise") {

@@ -657,6 +657,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("e42: probes broadcast into the exact scan; per-probe top-3 windows") {
+    val p = plan("e42_graph_recall")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe set should broadcast:\n" + p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
