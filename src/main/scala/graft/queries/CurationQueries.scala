@@ -482,6 +482,36 @@ object CurationQueries {
           round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6).as("mean_p"),
           round(sum(col("label")) * lit(1.0) / count(lit(1)), 6).as("frac_pos"))
         .orderBy(col("bin"))
+    }),
+
+    // population stability index between corpus halves over the d02
+    // quality-score distribution — the "did my corpus quality shift?"
+    // monitor (the industry-standard drift scalar next to q124's
+    // chi-square, reading DISTRIBUTION movement rather than test
+    // significance). Halves = doc_id parity; bins = fixed-width deciles
+    // of the score. Per-bin PSI terms (p_a−p_b)·ln(p_a/p_b) pass
+    // through DECIMAL(18,9) (the q133 ln-ulp rule); bins empty on
+    // either side report NULL (the practitioners' add-epsilon knob is
+    // a policy choice this report should surface, not hide). Scale:
+    // one map-side score + bin, one partial-aggregated count shuffle,
+    // a 1-row broadcast of the totals.
+    "d69_quality_psi" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        least(floor(TextFunctions.qualityScore(col("text")) * 10), lit(9L))
+          .cast(LongType).as("bin"),
+        (col("doc_id") % 2 === 0).as("is_a"))
+      val per = scored.groupBy(col("bin")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      def D(c: Column) = c.cast(DoubleType)
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("ca"), col("cb"),
+          when(col("ca") > 0 && col("cb") > 0,
+            ((D(col("ca")) / col("na") - D(col("cb")) / col("nb")) *
+              log((D(col("ca")) / col("na")) / (D(col("cb")) / col("nb"))))
+              .cast(DecimalType(18, 9)).cast(DoubleType)).as("psi_term"))
+        .orderBy(col("bin"))
     }))
 
   private val boilerCtes =
@@ -751,5 +781,22 @@ object CurationQueries {
          |SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, count(*) AS n,
          |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_p,
          |  round(sum(label) * 1.0 / count(*), 6) AS frac_pos
-         |FROM pr GROUP BY 1 ORDER BY bin""".stripMargin)
+         |FROM pr GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "d69_quality_psi" ->
+      s"""WITH scored AS (SELECT
+         |    least(CAST(floor(${PipelineQueries.qualitySql("text")} * 10) AS BIGINT), 9) AS bin,
+         |    (doc_id % 2 = 0) AS is_a
+         |  FROM documents),
+         |per AS (SELECT bin,
+         |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM scored GROUP BY bin),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM per)
+         |SELECT bin, ca, cb,
+         |  CASE WHEN ca > 0 AND cb > 0 THEN
+         |    CAST(CAST((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) *
+         |      ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+         |      AS DECIMAL(18,9)) AS DOUBLE) END AS psi_term
+         |FROM per CROSS JOIN tot ORDER BY bin""".stripMargin)
 }

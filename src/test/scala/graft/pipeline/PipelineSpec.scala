@@ -712,6 +712,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 0.5).get._2 == opPairs)
   }
 
+  test("quality psi: bins partition both halves; terms match a driver recompute") {
+    val out = graft.queries.CurationQueries.queries("d69_quality_psi")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val nA = docs.filter(col("doc_id") % 2 === 0).count()
+    val nB = docs.count() - nA
+    assert(out.map(_._2).sum == nA && out.map(_._3).sum == nB)
+    out.foreach { case (bin, ca, cb, psi) =>
+      assert(bin >= 0 && bin <= 9)
+      if (ca > 0 && cb > 0) {
+        val pa = ca.toDouble / nA
+        val pb = cb.toDouble / nB
+        val raw = (pa - pb) * math.log(pa / pb)
+        assert(psi.isDefined && math.abs(psi.get - raw) < 1e-8,
+          s"bin $bin: ${psi} vs $raw")
+        assert(psi.get >= 0.0, s"PSI term negative at bin $bin")
+      } else assert(psi.isEmpty, s"bin $bin should be NULL")
+    }
+  }
+
   test("embedding drift: cosine bounded, half sizes partition each label") {
     val out = graft.queries.CurationQueries.queries("e23_embedding_drift")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
