@@ -50,16 +50,27 @@ object MiningQueries {
     * never triggers at test SFs (occupancy ≈ N/256), so the capped and
     * uncapped graphs agree; the oracle replays the same cap. */
   private[graft] def knnCandidatesQuantized(emb: DataFrame,
-      bucketCap: Int = 4096): DataFrame = {
-    val spark = emb.sparkSession
+      bucketCap: Int = 4096): DataFrame =
+    knnCandidatesBetween(emb, emb, bucketCap)
+
+  /** The generalized candidate stage: PROBE vectors multiprobe the
+    * bucketed CORPUS vectors (same machinery as
+    * [[knnCandidatesQuantized]], which is the probe = corpus case).
+    * The split is what makes e43's incremental maintenance honest at
+    * scale: a new-batch update probes with the batch only, so bucket
+    * traffic is proportional to the BATCH, never the corpus. The
+    * bucket cap bounds occupancy within the given corpus side. */
+  private[graft] def knnCandidatesBetween(probeEmb: DataFrame,
+      corpusEmb: DataFrame, bucketCap: Int = 4096): DataFrame = {
+    val spark = probeEmb.sparkSession
     import spark.implicits._
-    val base = emb.select(col("vec_id"), col("embedding"),
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
       .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
       .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("neighbor_id"))
-    val corpus = base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+    val corpus = prep(corpusEmb).select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
         col("n2").as("cn2"), col("sig").as("bucket"))
       .withColumn("brn", row_number().over(bw)).filter(col("brn") <= bucketCap)
       .drop("brn")
@@ -67,7 +78,8 @@ object MiningQueries {
     // probes carry the quantized vector through the ×9 expansion: the
     // pair score needs both vectors anyway, and re-fetching them after
     // the bucket match would shuffle the same bytes plus a join
-    val probes = base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"), col("sig"))
+    val probes = prep(probeEmb)
+      .select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"), col("sig"))
       .crossJoin(broadcast(masks))
       .withColumn("bucket", col("sig").bitwiseXOR(col("m")))
       .select(col("vec_id"), col("qq"), col("qn2"), col("bucket"))
@@ -216,6 +228,53 @@ object MiningQueries {
         .withColumn("recall_base", round(col("hits_base") * lit(1.0) / 3, 4))
         .withColumn("recall_refined", round(col("hits_refined") * lit(1.0) / 3, 4))
         .orderBy(col("vec_id"))
+    }),
+
+    // incremental kNN-graph maintenance — fold a NEW vector batch
+    // (vec_id % 10 == 0) into the existing e28 graph over the OLD
+    // corpus without a rebuild (the d29 incremental-near-dups pattern
+    // applied to the graph index). New nodes rank their full candidate
+    // set; affected old nodes (≥ 1 new-batch bucket hit) merge their
+    // EXISTING top-3 with the new-batch candidates only — top-3 of
+    // (old top-3 ∪ new candidates) provably equals the full-rebuild
+    // top-3, so the whole delta hash-checks against a rebuild oracle
+    // (the spec pins the equivalence). Scale shape: both candidate
+    // stages are [[knnCandidatesBetween]] with the NEW BATCH on one
+    // side, so bucket traffic is proportional to the batch; untouched
+    // old nodes never appear. (The per-bucket cap applies per side —
+    // at a cap-binding occupancy the delta is a documented superset.)
+    "e43_incremental_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val newEmb = emb.filter(col("vec_id") % 10 === 0)
+      val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val gOld = knnGraphQuantized(oldEmb, topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val c1 = knnCandidatesBetween(newEmb, emb)
+      val c2 = knnCandidatesBetween(oldEmb, newEmb)
+      val base = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      val oldScored = gOld.join(c2.select(col("vec_id")).distinct(), Seq("vec_id"))
+        .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
+        .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("neighbor_id"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("cosq", col("qdot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+        .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      def top3(df: DataFrame, status: String) = df
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("qdot"), lit(status).as("status"))
+      top3(c1, "insert")
+        .union(top3(oldScored.union(c2), "update"))
+        .join(gOld.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
+        .select(col("vec_id"), col("rk"), col("neighbor_id"), col("qdot"),
+          col("status"), col("had").isNull.as("is_new_edge"))
+        .orderBy(col("vec_id"), col("rk"))
     }),
 
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
@@ -1345,6 +1404,49 @@ object MiningQueries {
         |  sum_deg // 2 AS n_edges, stats.max_deg,
         |  round(stats.sum_deg * 1.0 / stats.n, 4) AS avg_deg
         |FROM hist CROSS JOIN stats ORDER BY hist.deg""".stripMargin,
+
+    // e43's oracle is the REBUILD formulation restricted to affected
+    // nodes: top-3 of (old top-3 ∪ new-batch candidates) equals the
+    // full top-3 because every old candidate outside the old top-3 is
+    // dominated by three old-top-3 entries (ties break on neighbor_id
+    // both sides). The old-graph chain reuses the full chain's
+    // per-vector CTEs (sig/emb/n2 are corpus-membership-independent).
+    "e43_incremental_knn" ->
+      s"""WITH $knnGraphCtes,
+         |osig AS (SELECT vec_id, s FROM sig WHERE vec_id % 10 <> 0),
+         |osigc AS (SELECT vec_id, s FROM osig
+         |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
+         |oprobes AS (SELECT osig.vec_id, xor(osig.s, masks.m) AS bucket
+         |            FROM osig CROSS JOIN masks),
+         |ocand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
+         |        FROM oprobes p JOIN osigc c ON p.bucket = c.s
+         |        WHERE p.vec_id <> c.vec_id),
+         |odot AS (SELECT ocand.vec_id, ocand.neighbor_id,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+         |      FROM ocand JOIN emb a ON ocand.vec_id = a.vec_id
+         |                 JOIN emb b ON ocand.neighbor_id = b.vec_id),
+         |oscored AS (SELECT odot.vec_id, odot.neighbor_id,
+         |        CAST(odot.qdot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+         |      FROM odot JOIN n2 na ON odot.vec_id = na.vec_id
+         |                JOIN n2 nb ON odot.neighbor_id = nb.vec_id),
+         |oknn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM oscored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) <= 3),
+         |nsigc AS (SELECT vec_id, s FROM sig WHERE vec_id % 10 = 0
+         |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
+         |aff_old AS (SELECT DISTINCT p.vec_id FROM oprobes p
+         |            JOIN nsigc c ON p.bucket = c.s WHERE p.vec_id <> c.vec_id),
+         |aff AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0
+         |        UNION SELECT vec_id FROM aff_old),
+         |upd AS (SELECT k.vec_id, k.rk, k.neighbor_id, k.qdot
+         |        FROM knn k JOIN aff ON k.vec_id = aff.vec_id)
+         |SELECT upd.vec_id, upd.rk, upd.neighbor_id, upd.qdot,
+         |  CASE WHEN upd.vec_id % 10 = 0 THEN 'insert' ELSE 'update' END AS status,
+         |  (o.vec_id IS NULL) AS is_new_edge
+         |FROM upd LEFT JOIN oknn o
+         |  ON upd.vec_id = o.vec_id AND upd.neighbor_id = o.neighbor_id
+         |ORDER BY upd.vec_id, upd.rk""".stripMargin,
 
     "e42_graph_recall" ->
       s"""WITH $knnGraphCtes,

@@ -571,6 +571,36 @@ class MiningSpec extends AnyFunSuite {
       m0.getDouble(3) == 2.0 * 2 / (4 * 3), s"node0: $m0")
   }
 
+  // -------------------------------------------------- e43 incremental kNN
+
+  test("incremental knn: delta equals the full rebuild restricted to affected nodes") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val full = MiningQueries.knnGraphQuantized(emb, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val affected = MiningQueries.knnCandidatesBetween(
+        emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0))
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet ++
+      emb.filter(col("vec_id") % 10 === 0).collect().map(_.getLong(0)).toSet
+    val got = graft.SparkEntry.queries("e43_incremental_knn")(spark, d).collect()
+    val gotEdges = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expectEdges = full.filter(e => affected(e._1))
+    assert(gotEdges == expectEdges,
+      s"delta != rebuild: missing ${expectEdges -- gotEdges}, extra ${gotEdges -- expectEdges}")
+    // untouched old nodes never appear in the delta
+    assert(got.map(_.getLong(0)).toSet == affected.intersect(got.map(_.getLong(0)).toSet)
+      && got.map(_.getLong(0)).forall(affected))
+    // status marks batch membership; surviving old edges are not "new"
+    got.foreach { r =>
+      val isNewNode = r.getLong(0) % 10 == 0
+      assert(r.getString(4) == (if (isNewNode) "insert" else "update"))
+      if (isNewNode) assert(r.getBoolean(5), "new-node edges must be is_new_edge")
+    }
+    assert(got.exists(r => !r.getBoolean(5)),
+      "expected at least one surviving old edge in the delta")
+  }
+
   // ------------------------------------------------------ e42 graph recall
 
   test("graph recall: matches a driver-side replay at sf0.001; refinement is monotone") {

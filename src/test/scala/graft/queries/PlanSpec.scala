@@ -665,6 +665,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
   }
 
+  test("e43: both candidate stages bucket-equi-join; top-k windows per node") {
+    val p = plan("e43_incremental_knn")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+    // the ×9 multiprobe masks broadcast; the bucket match is an equi-join
+    assert(p.contains("Exchange hashpartitioning(bucket") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
