@@ -51,6 +51,35 @@ object EventQueries {
         coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
           lit(0).cast(DecimalType(18, 2))).as("monetary"))
 
+  /** q145's core: the Kaplan-Meier table (event days only) for
+    * signup → first-purchase durations, right-censored at stream end.
+    * `ev` needs (user_id, event_type, tus). */
+  private[queries] def survivalTable(ev: DataFrame): DataFrame = {
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+    val pu = ev.filter(col("event_type") === "purchase").join(su, "user_id")
+      .filter(col("tus") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val tmax = ev.agg(max(col("tus")).as("tmax"))
+    val subj = su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(tmax))
+      .select(col("user_id"),
+        when(col("t1").isNotNull, expr("(t1 - t0) div 86400000000"))
+          .otherwise(expr("(tmax - t0) div 86400000000")).as("dur"),
+        col("t1").isNotNull.as("ev"))
+    val days = subj.groupBy(col("dur")).agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("ev"), 1L).otherwise(0L)).as("c"))
+    val n = subj.agg(count(lit(1)).as("n_subjects"))
+    val w = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, -1)
+    days.crossJoin(broadcast(n))
+      .withColumn("removed_before", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .withColumn("n_risk", col("n_subjects") - col("removed_before"))
+      .filter(col("d") > 0)
+      .select(col("dur").as("t_day"), col("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        round(lit(1.0) - col("d").cast(DoubleType) / col("n_risk"), 6).as("km_factor"))
+  }
+
   /** q136's core (exposed for AuditSpec's planted step-change test).
     * `ev` needs (event_type, event_id, tus, value). */
   private[queries] def cusumChangepoints(evIn: DataFrame): DataFrame = {
@@ -583,6 +612,19 @@ object EventQueries {
       step(1, "view", a).union(step(2, "click", b)).union(step(3, "purchase", c))
         .orderBy(col("step"))
     }),
+
+    // Kaplan-Meier survival table — time from first signup to first
+    // subsequent purchase, right-censored at stream end (the classic
+    // conversion-latency / churn readout). Emits the KM table at event
+    // days only: n_risk, events, censored, and the per-step factor
+    // 1 − d/n (one rounded division). The CUMULATIVE product is
+    // deliberately not emitted — a float product over ordered steps is
+    // order-dependent; consumers fold the factors themselves. Scale
+    // shape: per-user firsts are two partial-aggregated min passes; the
+    // risk-set cumsum windows over the DAY table only (stream-span
+    // rows — the d44/d67 dimension-table rule), never per user.
+    "q145_survival" -> ((s, d) =>
+      survivalTable(events(s, d)).orderBy(col("t_day"))),
 
     // exponentially decayed rolling sum (integer half-life weights):
     // D_t = Σ_{j=1..10} value_{t-j} · 2^(10−j) per user stream — the
@@ -1169,6 +1211,31 @@ object EventQueries {
         |UNION ALL SELECT 2, 'click', count(*) FROM b
         |UNION ALL SELECT 3, 'purchase', count(*) FROM c
         |ORDER BY step""".stripMargin,
+
+    "q145_survival" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |su AS (SELECT user_id, min(tus) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.tus) AS t1 FROM ev e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus >= su.t0 GROUP BY 1),
+        |tm AS (SELECT max(tus) AS tmax FROM ev),
+        |subj AS (SELECT su.user_id,
+        |    CASE WHEN pu.t1 IS NOT NULL THEN (pu.t1 - su.t0) // 86400000000
+        |         ELSE (tm.tmax - su.t0) // 86400000000 END AS dur,
+        |    (pu.t1 IS NOT NULL) AS ev
+        |  FROM su LEFT JOIN pu USING (user_id) CROSS JOIN tm),
+        |days AS (SELECT dur,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY dur),
+        |n AS (SELECT count(*) AS n_subjects FROM subj),
+        |risk AS (SELECT dur, d, c,
+        |    n.n_subjects - coalesce(CAST(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        |  FROM days CROSS JOIN n)
+        |SELECT dur AS t_day, n_risk, d AS n_events, c AS n_censored,
+        |  round(1.0 - CAST(d AS DOUBLE) / n_risk, 6) AS km_factor
+        |FROM risk WHERE d > 0 ORDER BY t_day""".stripMargin,
 
     "q81_decayed_sum" -> {
       val terms = (1 to 10).map { j =>

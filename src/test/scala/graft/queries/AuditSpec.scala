@@ -234,6 +234,28 @@ class AuditSpec extends AnyFunSuite {
     assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
   }
 
+  // ------------------------------------------------------- q145 survival
+
+  test("survival table: planted cohort yields the textbook KM rows") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 2 * day),
+      (2L, "signup", 0L), (2L, "purchase", 2 * day),
+      (3L, "signup", 0L), (3L, "purchase", 5 * day),
+      (4L, "signup", 0L),                               // censored at day 10
+      (5L, "signup", 3 * day),                          // censored at day 7
+      (6L, "signup", 4 * day), (6L, "purchase", 1 * day), // pre-signup purchase ignored
+      (9L, "view", 10 * day)                            // sets stream end; no signup
+    ).toDF("user_id", "event_type", "tus")
+    val got = EventQueries.survivalTable(ev).orderBy("t_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // 6 subjects; events at day 2 (x2) and day 5; risk set shrinks by
+    // prior removals only
+    assert(got.toSeq == Seq(
+      (2L, 6L, 2L, 0L, 0.666667),
+      (5L, 4L, 1L, 0L, 0.75)), s"got: ${got.toSeq}")
+  }
+
   // ----------------------------------------------------------- d68 quota
 
   test("source quota: greedy md5-priority draw matches a sequential replay") {
