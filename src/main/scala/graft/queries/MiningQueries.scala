@@ -277,6 +277,34 @@ object MiningQueries {
         .orderBy(col("vec_id"), col("rk"))
     }),
 
+    // kNN-graph DELETION maintenance — e43's counterpart for removals
+    // (the GDPR/right-to-erasure path an index at scale must serve):
+    // drop a tombstoned batch (vec_id % 17 == 0) and repair ONLY the
+    // nodes that pointed at a deleted vector. Unaffected nodes keep
+    // their edges unchanged (removals can't improve a survivor's rank
+    // — the spec pins that), so repair cost is proportional to the
+    // tombstones' in-degree, never the corpus. Affected probes re-rank
+    // against the remaining corpus through the same bucketed candidate
+    // stage; is_new_edge marks replacement edges. The oracle is the
+    // remaining-corpus rebuild restricted to affected nodes.
+    "e44_knn_deletion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val remEmb = emb.filter(col("vec_id") % 17 =!= 0)
+      val gFull = knnGraphQuantized(emb, topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val affected = gFull.filter(col("neighbor_id") % 17 === 0)
+        .filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id")).distinct()
+      val cand = knnCandidatesBetween(remEmb.join(affected, Seq("vec_id")), remEmb)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .join(gFull.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
+        .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+          col("neighbor_id"), col("qdot"), col("had").isNull.as("is_new_edge"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -1404,6 +1432,40 @@ object MiningQueries {
         |  sum_deg // 2 AS n_edges, stats.max_deg,
         |  round(stats.sum_deg * 1.0 / stats.n, 4) AS avg_deg
         |FROM hist CROSS JOIN stats ORDER BY hist.deg""".stripMargin,
+
+    // e44's oracle: the remaining-corpus candidate chain, restricted
+    // to the nodes whose full-graph top-3 held a tombstoned neighbor.
+    "e44_knn_deletion" ->
+      s"""WITH $knnGraphCtes,
+         |rsig AS (SELECT vec_id, s FROM sig WHERE vec_id % 17 <> 0),
+         |rsigc AS (SELECT vec_id, s FROM rsig
+         |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
+         |aff AS (SELECT DISTINCT vec_id FROM knn
+         |        WHERE neighbor_id % 17 = 0 AND vec_id % 17 <> 0),
+         |rprobes AS (SELECT rsig.vec_id, xor(rsig.s, masks.m) AS bucket
+         |            FROM rsig JOIN aff USING (vec_id) CROSS JOIN masks),
+         |rcand AS MATERIALIZED (SELECT p.vec_id, c.vec_id AS neighbor_id
+         |        FROM rprobes p JOIN rsigc c ON p.bucket = c.s
+         |        WHERE p.vec_id <> c.vec_id),
+         |rdot AS (SELECT rcand.vec_id, rcand.neighbor_id,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+         |      FROM rcand JOIN emb a ON rcand.vec_id = a.vec_id
+         |                 JOIN emb b ON rcand.neighbor_id = b.vec_id),
+         |rscored AS (SELECT rdot.vec_id, rdot.neighbor_id, rdot.qdot,
+         |        CAST(rdot.qdot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+         |      FROM rdot JOIN n2 na ON rdot.vec_id = na.vec_id
+         |                JOIN n2 nb ON rdot.neighbor_id = nb.vec_id),
+         |rknn AS (SELECT vec_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
+         |    neighbor_id, qdot
+         |  FROM rscored QUALIFY rk <= 3)
+         |SELECT r.vec_id, r.rk, r.neighbor_id, r.qdot,
+         |  (g.vec_id IS NULL) AS is_new_edge
+         |FROM rknn r LEFT JOIN (SELECT vec_id, neighbor_id FROM knn) g
+         |  ON r.vec_id = g.vec_id AND r.neighbor_id = g.neighbor_id
+         |ORDER BY r.vec_id, r.rk""".stripMargin,
 
     // e43's oracle is the REBUILD formulation restricted to affected
     // nodes: top-3 of (old top-3 ∪ new-batch candidates) equals the

@@ -601,6 +601,32 @@ class MiningSpec extends AnyFunSuite {
       "expected at least one surviving old edge in the delta")
   }
 
+  // ----------------------------------------------------- e44 knn deletion
+
+  test("knn deletion: repair equals the remaining-corpus rebuild; unaffected nodes keep their rows") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val remEmb = emb.filter(col("vec_id") % 17 =!= 0)
+    val full = MiningQueries.knnGraphQuantized(emb, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuild = MiningQueries.knnGraphQuantized(remEmb, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val affected = full.filter(e => e._3 % 17 == 0 && e._1 % 17 != 0).map(_._1)
+    val got = graft.SparkEntry.queries("e44_knn_deletion")(spark, d).collect()
+    val gotEdges = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotEdges == rebuild.filter(e => affected(e._1)),
+      "repair != remaining-corpus rebuild for affected nodes")
+    // no tombstoned neighbor survives anywhere in the repair
+    assert(got.forall(_.getLong(2) % 17 != 0))
+    // the skip-unaffected claim: every unaffected surviving node's
+    // rebuild rows are exactly its full-graph rows
+    rebuild.filter(e => !affected(e._1)).foreach { e =>
+      assert(full(e), s"unaffected node ${e._1} changed: $e")
+    }
+    assert(affected.nonEmpty, "fixture should tombstone at least one referenced vector")
+  }
+
   // ------------------------------------------------------ e42 graph recall
 
   test("graph recall: matches a driver-side replay at sf0.001; refinement is monotone") {

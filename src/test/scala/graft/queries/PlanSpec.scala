@@ -674,6 +674,12 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("e44: repair probes only the affected set; no cartesian, per-node windows") {
+    val p = plan("e44_knn_deletion")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
