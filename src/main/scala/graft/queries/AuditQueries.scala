@@ -175,6 +175,27 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Benford first-digit audit over lineitem prices — the forensic
+    // data-quality screen (fabricated or truncated numeric columns
+    // bend away from the log10(1+1/d) law). Digits come from the
+    // DECIMAL-rendered price (exact text both engines, no double
+    // formatting drift); expected probabilities pass through
+    // DECIMAL(18,9) to absorb log10 ulps (the q133 rule). One map-side
+    // digit extraction, one 9-row count shuffle, a 1-row broadcast.
+    "q146_benford" -> ((s, d) => {
+      val digits = Tables.lineitem(s, d).select(
+        substring(col("l_extendedprice").cast(DecimalType(15, 2))
+          .cast(StringType), 1, 1).as("digit"))
+      val per = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / col("total"), 6).as("observed_p"),
+          log(10.0, lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+            .cast(DecimalType(18, 9)).cast(DoubleType).as("expected_p"))
+        .orderBy(col("digit"))
+    }),
+
     // per-source token-budget quota sampling — the domain-rebalancing
     // step (downsample over-represented sources to a fixed token
     // budget before mixing): docs draw in a deterministic md5 priority
@@ -386,6 +407,16 @@ object AuditQueries {
         |SELECT c.doc_id, c.chunk_id, c.start, c.n_tokens, c.fp, dfc.df
         |FROM chunks c JOIN dfc USING (fp)
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    "q146_benford" ->
+      """WITH dg AS (SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1) AS digit
+        |            FROM lineitem),
+        |per AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+        |  CAST(CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS expected_p
+        |FROM per CROSS JOIN tot ORDER BY digit""".stripMargin,
 
     "d68_source_quota" ->
       """WITH scored AS (SELECT source, doc_id,

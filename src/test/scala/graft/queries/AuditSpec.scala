@@ -234,6 +234,24 @@ class AuditSpec extends AnyFunSuite {
     assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
   }
 
+  // -------------------------------------------------------- q146 benford
+
+  test("benford: counts partition the table, expected follows log10(1+1/d)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = AuditQueries.queries("q146_benford")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(got.map(_._2).sum == total)
+    got.foreach { case (dg, n, obs, exp) =>
+      assert(dg.length == 1 && dg.head.isDigit && dg != "0")
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / dg.toInt)) < 1e-8, s"digit $dg exp $exp")
+      assert(math.abs(obs - n.toDouble / total) < 1e-5)
+    }
+    // prices spread over orders of magnitude: low digits must dominate 9
+    val byDigit = got.map(d => d._1 -> d._2).toMap
+    assert(byDigit.getOrElse("1", 0L) > byDigit.getOrElse("9", 0L))
+  }
+
   // ------------------------------------------------------- q145 survival
 
   test("survival table: planted cohort yields the textbook KM rows") {
