@@ -49,4 +49,37 @@ object GlobalRank {
     }
     (spark.createDataFrame(rdd, schema), offsets.last)
   }
+
+  /** Scale-safe global INCLUSIVE prefix sum of a LongType column in
+    * `order` — the distributed replacement for
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, which Spark
+    * plans as a single-partition window. Same two-phase shape as
+    * [[withGlobalIndexAndCount]]: range-partition + in-partition sort,
+    * one small job collects the P per-partition value sums, and the
+    * per-row pass adds the partition offset to its running total.
+    *
+    * Determinism: rows with EQUAL sort keys accumulate in arbitrary
+    * order, so their individual prefix sums are not stable — pass
+    * UNIQUE sort keys (aggregate per key first, as a sweep line does)
+    * or a tie-breaking key. */
+  def withGlobalPrefixSum(df: DataFrame, valueCol: String, sumCol: String,
+      order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(sumCol, LongType, nullable = false))
+    val base = sorted.rdd
+    val sums = base
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(vIdx)).sum),
+        preservesPartitioning = true)
+      .collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -626,6 +626,28 @@ object EventQueries {
     "q145_survival" -> ((s, d) =>
       survivalTable(events(s, d)).orderBy(col("t_day"))),
 
+    // concurrency profile (sweep line) — how many 10-minute event
+    // intervals are active at once, at every change point. The classic
+    // formulation is `sum(delta) OVER (ORDER BY t)`, a SINGLE-task
+    // global window; here the cumulative sum runs through
+    // GlobalRank.withGlobalPrefixSum (range-partitioned two-phase
+    // prefix sum — P partial sums to the driver, map-side offsets), so
+    // no unpartitioned window exists anywhere in the plan
+    // (plan-asserted). Boundary deltas aggregate per timestamp FIRST,
+    // making the prefix-sum keys unique and the result deterministic.
+    "q147_concurrency" -> ((s, d) => {
+      val ev = events(s, d)
+      val bounds = ev.select(col("tus").as("t"), lit(1L).as("delta"))
+        .union(ev.select((col("tus") + expr("CAST(600000000 AS BIGINT)")).as("t"),
+          lit(-1L).as("delta")))
+        .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+        .filter(col("delta") =!= 0)
+      graft.operators.GlobalRank
+        .withGlobalPrefixSum(bounds, "delta", "concurrency", col("t"))
+        .select(col("t"), col("delta"), col("concurrency"))
+        .orderBy(col("t"))
+    }),
+
     // exponentially decayed rolling sum (integer half-life weights):
     // D_t = Σ_{j=1..10} value_{t-j} · 2^(10−j) per user stream — the
     // time-decay scoring primitive (recency-weighted engagement). The
@@ -1236,6 +1258,17 @@ object EventQueries {
         |SELECT dur AS t_day, n_risk, d AS n_events, c AS n_censored,
         |  round(1.0 - CAST(d AS DOUBLE) / n_risk, 6) AS km_factor
         |FROM risk WHERE d > 0 ORDER BY t_day""".stripMargin,
+
+    "q147_concurrency" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |b AS (SELECT tus AS t, 1 AS delta FROM ev
+        |      UNION ALL SELECT tus + 600000000, -1 FROM ev),
+        |agg AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM b
+        |        GROUP BY t HAVING sum(delta) <> 0)
+        |SELECT t, delta,
+        |  CAST(sum(delta) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+        |FROM agg ORDER BY t""".stripMargin,
 
     "q81_decayed_sum" -> {
       val terms = (1 to 10).map { j =>

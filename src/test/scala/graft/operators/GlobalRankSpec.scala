@@ -46,4 +46,16 @@ class GlobalRankSpec extends AnyFunSuite {
     val sorted = df.repartitionByRange(parts, col("k"))
     assert(sorted.rdd.getNumPartitions == parts)
   }
+
+  test("prefix sum equals a sequential scanLeft on unique keys, incl. negatives") {
+    import spark.implicits._
+    val rows = (0L until 5000L).map(i => (i * 48271 % 65537, (i % 13) - 6))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+    val df = rows.toDF("k", "v")
+    val out = GlobalRank.withGlobalPrefixSum(df, "v", "run", col("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }.drop(1)
+    assert(out.toSeq == expect, "prefix sums diverge from the sequential fold")
+  }
 }

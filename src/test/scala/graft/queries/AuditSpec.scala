@@ -234,6 +234,21 @@ class AuditSpec extends AnyFunSuite {
     assert(got.toSeq == expect, s"got: ${got.toSeq}\nexpect: $expect")
   }
 
+  // ---------------------------------------------------- q147 concurrency
+
+  test("concurrency: profile is non-negative, ends at zero, max matches a recount") {
+    val sf = "/root/testdata/sf0.001"
+    val got = EventQueries.queries("q147_concurrency")(spark, sf)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, _, c) => assert(c >= 0, s"negative concurrency at $t") }
+    assert(got.last._3 == 0, "every interval must close by the final boundary")
+    // sequential sweep recount
+    var acc = 0L
+    got.foreach { case (_, d, c) => acc += d; assert(acc == c) }
+    assert(got.map(_._3).max > 1, "fixture should overlap somewhere")
+  }
+
   // -------------------------------------------------------- q146 benford
 
   test("benford: counts partition the table, expected follows log10(1+1/d)") {

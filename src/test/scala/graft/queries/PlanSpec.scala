@@ -680,6 +680,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(vec_id"), p.take(3000))
   }
 
+  test("q147: the sweep-line cumsum has NO window anywhere — prefix sum is two-phase") {
+    val p = plan("q147_concurrency")
+    assert(!p.contains("Window"), "global-window cumsum crept back in:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
