@@ -517,6 +517,41 @@ object ExtendedQueries {
         .orderBy(col("bucket"))
     }),
 
+    // --- zone-map skipping effectiveness --------------------------------------
+    // the "was the z-order rewrite worth it?" readout: simulate 64-file
+    // layouts under (a) the q79 z-order and (b) a hash-scatter
+    // insertion order, build per-file min/max zone maps on the partkey
+    // dimension, and count how many files four range predicates can
+    // skip under each layout. All integers (file ids, bounds, skip
+    // counts), so the whole report hash-checks; the z-order layout
+    // should skip most files while the scatter layout skips none —
+    // exactly the footer-stats argument for paying the layout shuffle.
+    // Scale shape: two partial-aggregated zone-map passes + a broadcast
+    // 4-row predicate table; never a row-level predicate join.
+    "q148_zonemap_skip" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val z = graft.operators.ZOrder.zValue2(
+        col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8)
+      val rows = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).as("px"),
+          shiftright(z, 10).as("zfile"), (col("l_orderkey") % 64).as("hfile"))
+      def zones(fileCol: String, layout: String) =
+        rows.groupBy(col(fileCol).as("file"))
+          .agg(min(col("px")).as("lo"), max(col("px")).as("hi"))
+          .withColumn("layout", lit(layout))
+      val zmaps = zones("zfile", "zorder").union(zones("hfile", "scatter"))
+      val preds = Seq((0, 31), (64, 95), (128, 159), (192, 223))
+        .toDF("p_lo", "p_hi")
+      zmaps.crossJoin(broadcast(preds))
+        .groupBy(col("layout"), col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hi") < col("p_lo") || col("lo") > col("p_hi"), 1L)
+            .otherwise(0L)).as("n_skipped"))
+        .withColumn("n_scanned", col("n_files") - col("n_skipped"))
+        .orderBy(col("layout"), col("p_lo"))
+    }),
+
     // --- 3-D z-order layout ---------------------------------------------------
     // q79 with a THIRD key column interleaved (operators.ZOrder.zValueN):
     // top-6-bit buckets stay bounded boxes in ALL THREE dims, so footer
@@ -1240,6 +1275,25 @@ object ExtendedQueries {
          |  min(l_partkey % 256) AS pk_lo, max(l_partkey % 256) AS pk_hi,
          |  min(l_suppkey % 256) AS sk_lo, max(l_suppkey % 256) AS sk_hi
          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "q148_zonemap_skip" -> {
+      val z = graft.operators.ZOrder.zValue2Sql("(l_partkey % 256)", "(l_suppkey % 256)", bits = 8)
+      s"""WITH rows_ AS (SELECT (l_partkey % 256) AS px, ($z >> 10) AS zfile,
+         |               (l_orderkey % 64) AS hfile FROM lineitem),
+         |zm AS (SELECT 'zorder' AS layout, zfile AS file, min(px) AS lo, max(px) AS hi
+         |       FROM rows_ GROUP BY zfile
+         |       UNION ALL
+         |       SELECT 'scatter', hfile, min(px), max(px) FROM rows_ GROUP BY hfile),
+         |preds(p_lo, p_hi) AS (VALUES (0, 31), (64, 95), (128, 159), (192, 223))
+         |SELECT zm.layout, preds.p_lo, preds.p_hi, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN zm.hi < preds.p_lo OR zm.lo > preds.p_hi
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+         |  count(*) - CAST(sum(CASE WHEN zm.hi < preds.p_lo OR zm.lo > preds.p_hi
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+         |FROM zm CROSS JOIN preds
+         |GROUP BY zm.layout, preds.p_lo, preds.p_hi
+         |ORDER BY zm.layout, preds.p_lo""".stripMargin
     },
 
     "q85_zorder3d" -> {

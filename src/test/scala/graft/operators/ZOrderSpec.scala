@@ -139,4 +139,26 @@ class ZOrderSpec extends AnyFunSuite {
     // unbounded (range 255) — the z-order rectangles above are what make
     // min/max footer pruning work on both predicates
   }
+
+  test("q148: z-order skips on every predicate and strictly beats the scatter layout") {
+    val rows = graft.queries.ExtendedQueries
+      .queries("q148_zonemap_skip")(SharedSpark.spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (zo, sc) = rows.partition(_._1 == "zorder")
+    assert(zo.length == 4 && sc.length == 4)
+    rows.foreach { case (_, p, files, skipped, scanned) =>
+      assert(skipped + scanned == files, s"counts must partition files at $p")
+    }
+    zo.foreach { case (_, p, files, skipped, _) =>
+      assert(skipped > 0 && skipped >= files / 2, s"zorder must skip most files at $p")
+    }
+    // per predicate, z-order scans no more than scatter (tiny sf0.001
+    // scatter files can skip a sparse range by luck); totals strictly win
+    val scScan = sc.map(r => r._2 -> r._5).toMap
+    zo.foreach { case (_, p, _, _, scanned) =>
+      assert(scanned <= scScan(p), s"zorder scanned more than scatter at $p")
+    }
+    assert(zo.map(_._5).sum < sc.map(_._5).sum)
+  }
 }
