@@ -139,6 +139,45 @@ class ZeekAnalyticsSpec extends AnyFunSuite {
     assert(g.getAs[Long]("n_subs") <= 3 && g.getAs[Double]("avg_len") < 10)
   }
 
+  test("data exfil: upload-volume asymmetry flags only the bulk uploader") {
+    import org.apache.spark.sql.types._
+    // exfil: 10.0.0.9 pushes 5 MB per conn to one staging host, 15
+    // conns a minute apart; normal: browsing-sized uploads to varied
+    // destinations, plus ONE big single-shot backup (below the
+    // sustained-count threshold — volume alone must not flag it)
+    def bRow(ts: String, uid: String, origH: String, respH: String, bytes: Long) =
+      ZeekFixtures.row(ts, uid, origH, "44444", respH, "443",
+        "tcp", "1.5", bytes.toString, "40", "T", "0.5", "a,b", "0.1,0.2")
+    val sb = new StringBuilder(
+      ZeekFixtures.header("conn", ZeekFixtures.connFields, ZeekFixtures.connTypes))
+    for (i <- 0 until 15)
+      sb.append(bRow(s"${t0 + 60L * i}.000000", f"Cexfil$i%04d",
+        "10.0.0.9", "198.51.100.77", 5000000L))
+    for (i <- 0 until 20)
+      sb.append(bRow(s"${t0 + 13L * i}.000000", f"Cnorm$i%05d",
+        "10.0.0.10", s"203.0.113.${i % 5}", 900L + i))
+    sb.append(bRow(s"$t0.500000", "Cbackup0000", "10.0.0.11", "203.0.113.250", 50000000L))
+    val dir = ZeekFixtures.tempDir()
+    ZeekFixtures.write(dir, "conn.log.gz", sb.toString, gzip = true)
+
+    val conns = spark.read.format("zeek").load(dir.toString)
+    val perPair = conns.groupBy(col("id_orig_h"), col("id_resp_h"))
+      .agg(sum(col("orig_bytes")).as("up_bytes"), count(lit(1)).as("n_conns"))
+    val flagged = perPair
+      .filter(col("up_bytes") >= 10000000L && col("n_conns") >= 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // planted ground truth: exactly 15 × 5 MB to the staging host
+    assert(flagged.toSeq == Seq(("10.0.0.9", "198.51.100.77", 75000000L, 15L)),
+      s"flags: ${flagged.toSeq}")
+    // the one-shot backup trips volume but not the sustained-count test
+    val backup = perPair.filter(col("id_orig_h") === "10.0.0.11").collect().head
+    assert(backup.getLong(2) >= 10000000L && backup.getLong(3) < 10)
+    // browsing traffic is orders of magnitude below the volume bar
+    val norm = perPair.filter(col("id_orig_h") === "10.0.0.10")
+      .agg(sum(col("up_bytes"))).collect().head.getLong(0)
+    assert(norm < 100000L)
+  }
+
   test("dhcp lease churn: per-device address stability from the reference's dhcp.log") {
     import org.apache.spark.sql.types._
     // device-tracking workflow: how many leases per MAC, does the
