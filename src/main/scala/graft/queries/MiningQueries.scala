@@ -15,6 +15,14 @@ import org.apache.spark.sql.types._
   */
 object MiningQueries {
 
+  /** Fused codegen integer dot (see [[graft.functions.LongDot]]) — one
+    * inline loop instead of the allocating non-codegen
+    * `aggregate(zip_with(...))` chain; bit-identical 64-bit sums.
+    * `ldot(s)(q, q)` is the squared norm. */
+  private def ldot(s: SparkSession)(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorExpressions.longDot(s)(a, b)
+
   /** All-pairs kNN graph via LSH multiprobe buckets — the construction
     * primitive under SemDeDup clustering, HNSW-style graph indexes and
     * graph-based label propagation. Differs from the query-serving ANN
@@ -67,7 +75,7 @@ object MiningQueries {
     def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
       .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
-      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("n2", ldot(spark)(col("q"), col("q")))
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("neighbor_id"))
     val corpus = prep(corpusEmb).select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
@@ -87,8 +95,7 @@ object MiningQueries {
     // (the 9 probe buckets are distinct), so no dedup is needed
     corpus.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("qdot", ldot(spark)(col("qq"), col("cq")))
       .withColumn("cosq", col("qdot").cast(DoubleType) /
         (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
       .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
@@ -185,12 +192,11 @@ object MiningQueries {
       val emb = Tables.embeddings(s, d)
       val base = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .withColumn("n2", ldot(s)(col("q"), col("q")))
       val pr = base.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"))
       def score(df: DataFrame): DataFrame = df
-        .withColumn("qdot",
-          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
         .withColumn("cosq", col("qdot").cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
       val w = org.apache.spark.sql.expressions.Window
@@ -253,13 +259,12 @@ object MiningQueries {
       val c2 = knnCandidatesBetween(oldEmb, newEmb)
       val base = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .withColumn("n2", ldot(s)(col("q"), col("q")))
       val oldScored = gOld.join(c2.select(col("vec_id")).distinct(), Seq("vec_id"))
         .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
         .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
           col("n2").as("cn2")), Seq("neighbor_id"))
-        .withColumn("qdot",
-          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
         .withColumn("cosq", col("qdot").cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
         .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
@@ -345,7 +350,7 @@ object MiningQueries {
       val emb = Tables.embeddings(s, d)
       val base = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .withColumn("n2", ldot(s)(col("q"), col("q")))
       val edges = knnGraphQuantized(emb, topK = 3)
         .select(col("vec_id").as("node"), col("neighbor_id"))
       val qs = base.filter(col("vec_id") >= 100 && col("vec_id") < 105)
@@ -355,8 +360,7 @@ object MiningQueries {
         .join(qs, Seq("qid"))
         .join(base.select(col("vec_id").as("node"), col("q").as("cq"), col("n2").as("cn2")),
           Seq("node"))
-        .withColumn("qdot",
-          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
         .withColumn("cosq", col("qdot").cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
         .select(col("qid"), col("node"), col("qdot"), col("cosq"))
@@ -517,7 +521,7 @@ object MiningQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .withColumn("n2", ldot(s)(col("q"), col("q")))
       val d2 = ivfCoarseD2(s, emb, nLists = 16)
       val aw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
@@ -534,8 +538,7 @@ object MiningQueries {
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("na"))
       def score(df: DataFrame) = df
         .join(q.select(col("vec_id").as("cid"), col("q").as("qb"), col("n2").as("nb")), Seq("cid"))
-        .withColumn("qdot",
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("qdot", ldot(s)(col("qa"), col("qb")))
         .withColumn("cosq", col("qdot").cast(DoubleType) /
           (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
       val tw = org.apache.spark.sql.expressions.Window
@@ -1007,7 +1010,7 @@ object MiningQueries {
       topK: Int): DataFrame = {
     val base = emb.select(col("vec_id"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("n2", ldot(emb.sparkSession)(col("q"), col("q")))
     val two = g.select(col("vec_id"), col("neighbor_id").as("mid"))
       .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
       .select(col("vec_id"), col("neighbor_id"))
@@ -1017,8 +1020,7 @@ object MiningQueries {
       .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
       .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
         col("n2").as("cn2")), Seq("neighbor_id"))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("qdot", ldot(emb.sparkSession)(col("qq"), col("cq")))
       .withColumn("cosq", col("qdot").cast(DoubleType) /
         (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
     val w = org.apache.spark.sql.expressions.Window
