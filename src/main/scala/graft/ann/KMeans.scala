@@ -76,11 +76,14 @@ object KMeans {
       .map(_.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
 
     def assigned: DataFrame = {
+      // fused codegen squared-L2 (graft.functions.LongL2Sq) instead of
+      // the allocating aggregate(zip_with(...)) chain — bit-identical
+      graft.functions.VectorExpressions.registerAll(emb.sparkSession)
       val centLit = centroids
         .map(c => s"cast(array(${c.mkString(",")}) as array<bigint>)")
         .mkString("array(", ",", ")")
       q.withColumn("dists", expr(
-          s"transform($centLit, c -> aggregate(zip_with(qv, c, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x))"))
+          s"transform($centLit, c -> long_l2sq(qv, c))"))
         .withColumn("cid", expr("array_position(dists, array_min(dists))").cast("int") - 1)
     }
 

@@ -208,6 +208,55 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "long_dot"
 }
 
+/** long_l2sq(array<bigint>, array<bigint>) → bigint — squared L2 in one
+  * fused codegen loop (the Lloyd's-assignment / farthest-first scorer);
+  * exact 64-bit sums, NULL on dimension mismatch. */
+case class LongL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"long_l2sq requires array<bigint> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+      java.lang.Long.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long s = 0L;
+         |  for (int i = 0; i < $n; i++) { long d = $a.getLong(i) - $b.getLong(i); s += d * d; }
+         |  ${ev.value} = s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "long_l2sq"
+}
+
 object VectorExpressions {
   /** Register SQL functions cosine_sim / dot_product / l2_distance / long_dot. */
   def registerAll(spark: SparkSession): Unit = {
@@ -221,6 +270,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("dot_product", binary("dot_product", DotProduct.apply), "scala_udf")
     reg.createOrReplaceTempFunction("l2_distance", binary("l2_distance", L2Distance.apply), "scala_udf")
     reg.createOrReplaceTempFunction("long_dot", binary("long_dot", LongDot.apply), "scala_udf")
+    reg.createOrReplaceTempFunction("long_l2sq", binary("long_l2sq", LongL2Sq.apply), "scala_udf")
   }
 
   /** Column helper for [[LongDot]]; registers on demand like

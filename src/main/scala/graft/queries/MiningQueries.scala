@@ -886,11 +886,11 @@ object MiningQueries {
       k: Int): DataFrame = {
     val spark = s
     import spark.implicits._
+    graft.functions.VectorExpressions.registerAll(s)
     val emb = embIn.select(col("vec_id"),
       expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
     def dist2To(c: Seq[Long]) = expr(
-      s"aggregate(zip_with(q, array(${c.mkString("L, ")}L), " +
-        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+      s"long_l2sq(q, array(${c.mkString("L, ")}L))")
     val first = emb.orderBy(col("vec_id")).limit(1).collect()(0)
     var centers = Vector(first.getSeq[Long](1))
     val picks = scala.collection.mutable.ArrayBuffer(

@@ -45,6 +45,24 @@ class LongDotSpec extends AnyFunSuite {
     assert(n2 == 25L)
   }
 
+  test("long_l2sq equals the higher-order fold and handles negatives") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 100000L),
+        Array.fill(64)(rnd.nextLong() % 100000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("fused", call_function("long_l2sq", col("a"), col("b")))
+      .withColumn("fold",
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    assert(df.filter(col("fused") =!= col("fold")).count() == 0)
+    val one = Seq((Array(1L, -4L), Array(4L, 2L))).toDF("a", "b")
+      .select(call_function("long_l2sq", col("a"), col("b"))).collect().head.getLong(0)
+    assert(one == 9L + 36L)
+  }
+
   test("long_dot: wrong element type is an analysis error, not garbage") {
     import spark.implicits._
     VectorExpressions.registerAll(spark)
