@@ -125,6 +125,39 @@ object Multimodal {
     }
   }
 
+  /** dHash (difference hash) bands over the REAL decoded image: the 9×8
+    * luminance grid's row-adjacent comparisons, packed as four 16-bit
+    * band values (bit j = k·16+p lives at grid row j/8, col j%8 — band
+    * values stay small ints, so banded LSH grouping and Hamming math
+    * never risk 64-bit sign games). Returns None for non-images (the
+    * caller falls back to the byte-stride stub, which m07 computes in
+    * pure SQL so the oracle can replay it). Grid sampling is the
+    * fixed-point floor rule `(x·w/9, y·h/8)` — deterministic across
+    * image sizes. */
+  def dHashBands(b: Array[Byte]): Option[Seq[Int]] = {
+    if (!looksLikeImage(b)) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.tabulate(8, 9) { (y, x) =>
+        val rgb = img.getRGB(math.min((x.toLong * w / 9).toInt, w - 1),
+          math.min((y.toLong * h / 8).toInt, h - 1))
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      }
+      Some((0 until 4).map { k =>
+        (0 until 16).foldLeft(0) { (acc, p) =>
+          val j = k * 16 + p
+          acc * 2 + (if (lum(j / 8)(j % 8) > lum(j / 8)(j % 8 + 1)) 1 else 0)
+        }
+      })
+    }
+  }
+
   final case class DecodedAudio(sampleRate: Int, channels: Int,
       nFrames: Int, feature: Array[Float])
 

@@ -95,4 +95,30 @@ class MultimodalImageSpec extends AnyFunSuite {
     val again = Multimodal.resize(media, 32, 32).collect().map(r => r.media_id -> r).toMap
     assert(out(1L).content.sameElements(again(1L).content))
   }
+
+  test("dHash: brightness shift stays perceptually near; a different pattern is far") {
+    def pattern(w: Int, h: Int, shift: Int, invert: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = if (invert) 255 - x * 255 / (w - 1) else x * 255 / (w - 1)
+        val v = math.min(255, math.max(0, base + shift))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    def hamming(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val orig = Multimodal.dHashBands(pattern(96, 64, 0, invert = false)).get
+    val bright = Multimodal.dHashBands(pattern(96, 64, 30, invert = false)).get
+    val other = Multimodal.dHashBands(pattern(96, 64, 0, invert = true)).get
+    // dHash is a difference hash: a uniform brightness shift preserves
+    // the adjacent-pixel ordering, so the shifted copy stays within the
+    // m07 near-dup threshold while the inverted gradient flips ~all bits
+    assert(hamming(orig, bright) <= 6, s"shifted copy drifted: ${hamming(orig, bright)}")
+    assert(hamming(orig, other) >= 32, s"inverted pattern too close: ${hamming(orig, other)}")
+    // non-image bytes take the stub path (None here — the SQL branch owns it)
+    assert(Multimodal.dHashBands("plain text".getBytes("UTF-8")).isEmpty)
+  }
 }
