@@ -528,6 +528,48 @@ object CurationQueries {
       |          string_agg(para, ' | ' ORDER BY idx) AS clean_text
       |        FROM kept GROUP BY doc_id)""".stripMargin
 
+  /** e25's oracle body (a standalone SELECT) — exposed so e45's
+    * index-family comparison can embed it as a subquery. */
+  private[queries] def e25OracleSql: String =
+    s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+       |       FROM emb, range(1, 65) t(i)),
+       |bits AS (SELECT un.vec_id, planes.p,
+       |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
+       |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
+       |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
+       |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
+       |masks(mradius, m) AS (VALUES (0,0),(1,1),(1,2),(1,4),(1,8),(1,16),(1,32),(1,64),(1,128)),
+       |radii(radius) AS (VALUES (0),(1)),
+       |q AS (SELECT r.radius, emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
+       |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id
+       |      CROSS JOIN radii r JOIN masks ON masks.mradius <= r.radius
+       |      WHERE emb.vec_id < 5),
+       |cand AS (SELECT q.radius, q.query_id, corpus.neighbor_id,
+       |           list_cosine_similarity(q.qe, corpus.cv) AS cos
+       |         FROM q JOIN corpus ON q.bucket = corpus.bucket
+       |         WHERE q.query_id <> corpus.neighbor_id),
+       |top AS (SELECT radius, query_id, neighbor_id FROM cand
+       |        QUALIFY row_number() OVER (PARTITION BY radius, query_id
+       |                                   ORDER BY cos DESC, neighbor_id) <= 5),
+       |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rk
+       |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+       |tr AS (SELECT query_id, neighbor_id FROM bf WHERE rk <= 5),
+       |hits AS (SELECT t.radius, count(*) AS hits FROM top t
+       |         JOIN tr ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
+       |         GROUP BY t.radius),
+       |nc AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY radius),
+       |nq AS (SELECT count(*) AS n_queries FROM emb WHERE vec_id < 5)
+       |SELECT nc.radius, nc.n_cand,
+       |  CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nq.n_queries), 4) AS recall_at_5
+       |FROM nc LEFT JOIN hits ON nc.radius = hits.radius CROSS JOIN nq
+       |ORDER BY nc.radius""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d57_length_trim" ->
       """WITH t AS (SELECT doc_id, source,
@@ -689,45 +731,7 @@ object CurationQueries {
         |SELECT x3.p AS pos, round(CAST(x3.x AS DOUBLE) / nrm.norm, 4) + 0.0 AS component
         |FROM x3 CROSS JOIN nrm ORDER BY pos""".stripMargin,
 
-    "e25_lsh_radius_sweep" ->
-      s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
-         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
-         |       FROM emb, range(1, 65) t(i)),
-         |bits AS (SELECT un.vec_id, planes.p,
-         |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
-         |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
-         |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
-         |corpus AS (SELECT emb.vec_id AS neighbor_id, emb.e AS cv, sig.s AS bucket
-         |           FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
-         |masks(mradius, m) AS (VALUES (0,0),(1,1),(1,2),(1,4),(1,8),(1,16),(1,32),(1,64),(1,128)),
-         |radii(radius) AS (VALUES (0),(1)),
-         |q AS (SELECT r.radius, emb.vec_id AS query_id, emb.e AS qe, xor(sig.s, masks.m) AS bucket
-         |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id
-         |      CROSS JOIN radii r JOIN masks ON masks.mradius <= r.radius
-         |      WHERE emb.vec_id < 5),
-         |cand AS (SELECT q.radius, q.query_id, corpus.neighbor_id,
-         |           list_cosine_similarity(q.qe, corpus.cv) AS cos
-         |         FROM q JOIN corpus ON q.bucket = corpus.bucket
-         |         WHERE q.query_id <> corpus.neighbor_id),
-         |top AS (SELECT radius, query_id, neighbor_id FROM cand
-         |        QUALIFY row_number() OVER (PARTITION BY radius, query_id
-         |                                   ORDER BY cos DESC, neighbor_id) <= 5),
-         |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         row_number() OVER (PARTITION BY a.vec_id
-         |           ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rk
-         |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
-         |tr AS (SELECT query_id, neighbor_id FROM bf WHERE rk <= 5),
-         |hits AS (SELECT t.radius, count(*) AS hits FROM top t
-         |         JOIN tr ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
-         |         GROUP BY t.radius),
-         |nc AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY radius),
-         |nq AS (SELECT count(*) AS n_queries FROM emb WHERE vec_id < 5)
-         |SELECT nc.radius, nc.n_cand,
-         |  CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
-         |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nq.n_queries), 4) AS recall_at_5
-         |FROM nc LEFT JOIN hits ON nc.radius = hits.radius CROSS JOIN nq
-         |ORDER BY nc.radius""".stripMargin,
+    "e25_lsh_radius_sweep" -> e25OracleSql,
 
     "e35_silhouette" ->
       s"""${PipelineQueries.kmeansCtes(4, 3, 64)},

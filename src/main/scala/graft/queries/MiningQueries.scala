@@ -310,6 +310,25 @@ object MiningQueries {
         .orderBy(col("vec_id"), col("rk"))
     }),
 
+    // unified index-family tuning table — e25's LSH radius sweep and
+    // e36's IVF nprobe sweep in ONE comparable report (family, param,
+    // candidates scanned, hits, recall@5): the table an ANN deployment
+    // reads to pick its index family and operating point. Pure
+    // composition: both arms are the existing hash-checked sweeps, so
+    // the union hash-checks too (the oracle embeds both oracle bodies
+    // as subqueries). Costs exactly the two sweeps it reuses.
+    "e45_index_sweep" -> ((s, d) => {
+      val lsh = CurationQueries.queries("e25_lsh_radius_sweep")(s, d)
+        .select(lit("lsh").as("family"), col("radius").cast(LongType).as("param"),
+          col("n_cand").cast(LongType).as("n_cand"),
+          col("hits").cast(LongType).as("hits"), col("recall_at_5"))
+      val ivf = queries("e36_ivf_nprobe_sweep")(s, d)
+        .select(lit("ivf").as("family"), col("nprobe").cast(LongType).as("param"),
+          col("total_cand").cast(LongType).as("n_cand"),
+          col("hits").cast(LongType).as("hits"), col("recall_at_5"))
+      lsh.union(ivf).orderBy(col("family"), col("param"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -1313,6 +1332,57 @@ object MiningQueries {
       s",\npicks AS (${centers.mkString("\nUNION ALL\n")})"
   }
 
+  /** e36's oracle body (a standalone SELECT) — exposed so e45's
+    * index-family comparison can embed it as a subquery. */
+  private[queries] def e36OracleSql: String =
+    s"""WITH cents(cell, dim, cv) AS (VALUES ${PipelineQueries.ivfCentroidValues(16, 64)}),
+       |emb AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |        v -> CAST(floor(v * 1024) AS BIGINT)) AS q FROM embeddings),
+       |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM emb),
+       |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim, q[CAST(t.i AS INT)] AS qd
+       |       FROM emb, range(1, 65) t(i)),
+       |d2 AS (SELECT un.vec_id, cents.cell, sum((un.qd - cents.cv) * (un.qd - cents.cv)) AS d2
+       |       FROM un JOIN cents ON un.dim = cents.dim GROUP BY 1, 2),
+       |assign AS (SELECT vec_id AS cid, cell FROM d2
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+       |qcells AS (SELECT vec_id AS qid, cell,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
+       |           FROM d2 WHERE vec_id < 8 QUALIFY cr <= 4),
+       |probes(nprobe) AS (VALUES (1), (2), (4)),
+       |cand AS MATERIALIZED (SELECT probes.nprobe, qcells.qid, assign.cid
+       |        FROM qcells JOIN probes ON qcells.cr <= probes.nprobe
+       |        JOIN assign ON qcells.cell = assign.cell),
+       |sc AS (SELECT cand.nprobe, cand.qid, cand.cid,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+       |         na.n2 AS na, nb.n2 AS nb
+       |       FROM cand JOIN emb a ON cand.qid = a.vec_id JOIN emb b ON cand.cid = b.vec_id
+       |       JOIN n2 na ON cand.qid = na.vec_id JOIN n2 nb ON cand.cid = nb.vec_id),
+       |top5 AS (SELECT nprobe, qid, cid FROM (
+       |    SELECT nprobe, qid, cid,
+       |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+       |    FROM sc) t
+       |  QUALIFY row_number() OVER (PARTITION BY nprobe, qid ORDER BY cosq DESC, cid) <= 5),
+       |ex AS (SELECT qv.vec_id AS qid, c.vec_id AS cid,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           i -> qv.q[CAST(i AS INT)] * c.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
+       |         na.n2 AS na, nb.n2 AS nb
+       |       FROM emb qv JOIN emb c ON qv.vec_id < 8
+       |       JOIN n2 na ON qv.vec_id = na.vec_id JOIN n2 nb ON c.vec_id = nb.vec_id),
+       |exact AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
+       |    FROM ex) t
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, cid) <= 5),
+       |hits AS (SELECT top5.nprobe, count(*) AS hits FROM top5
+       |         JOIN exact ON top5.qid = exact.qid AND top5.cid = exact.cid GROUP BY 1),
+       |nc AS (SELECT nprobe, count(*) AS total_cand FROM cand GROUP BY 1),
+       |nqq AS (SELECT count(DISTINCT qid) AS n_queries FROM qcells)
+       |SELECT nc.nprobe, nc.total_cand, CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nqq.n_queries), 4) AS recall_at_5
+       |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
+       |ORDER BY nc.nprobe""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q137_neighborhood_function" -> {
       val rounds = (1 to 3).map { r =>
@@ -1336,54 +1406,17 @@ object MiningQueries {
          |ORDER BY seed, r""".stripMargin
     },
 
-    "e36_ivf_nprobe_sweep" ->
-      s"""WITH cents(cell, dim, cv) AS (VALUES ${PipelineQueries.ivfCentroidValues(16, 64)}),
-         |emb AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |        v -> CAST(floor(v * 1024) AS BIGINT)) AS q FROM embeddings),
-         |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM emb),
-         |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS dim, q[CAST(t.i AS INT)] AS qd
-         |       FROM emb, range(1, 65) t(i)),
-         |d2 AS (SELECT un.vec_id, cents.cell, sum((un.qd - cents.cv) * (un.qd - cents.cv)) AS d2
-         |       FROM un JOIN cents ON un.dim = cents.dim GROUP BY 1, 2),
-         |assign AS (SELECT vec_id AS cid, cell FROM d2
-         |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
-         |qcells AS (SELECT vec_id AS qid, cell,
-         |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cr
-         |           FROM d2 WHERE vec_id < 8 QUALIFY cr <= 4),
-         |probes(nprobe) AS (VALUES (1), (2), (4)),
-         |cand AS MATERIALIZED (SELECT probes.nprobe, qcells.qid, assign.cid
-         |        FROM qcells JOIN probes ON qcells.cr <= probes.nprobe
-         |        JOIN assign ON qcells.cell = assign.cell),
-         |sc AS (SELECT cand.nprobe, cand.qid, cand.cid,
-         |         CAST(list_sum(list_transform(range(1, 65),
-         |           i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
-         |         na.n2 AS na, nb.n2 AS nb
-         |       FROM cand JOIN emb a ON cand.qid = a.vec_id JOIN emb b ON cand.cid = b.vec_id
-         |       JOIN n2 na ON cand.qid = na.vec_id JOIN n2 nb ON cand.cid = nb.vec_id),
-         |top5 AS (SELECT nprobe, qid, cid FROM (
-         |    SELECT nprobe, qid, cid,
-         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
-         |    FROM sc) t
-         |  QUALIFY row_number() OVER (PARTITION BY nprobe, qid ORDER BY cosq DESC, cid) <= 5),
-         |ex AS (SELECT qv.vec_id AS qid, c.vec_id AS cid,
-         |         CAST(list_sum(list_transform(range(1, 65),
-         |           i -> qv.q[CAST(i AS INT)] * c.q[CAST(i AS INT)])) AS BIGINT) AS qdot,
-         |         na.n2 AS na, nb.n2 AS nb
-         |       FROM emb qv JOIN emb c ON qv.vec_id < 8
-         |       JOIN n2 na ON qv.vec_id = na.vec_id JOIN n2 nb ON c.vec_id = nb.vec_id),
-         |exact AS (SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      CAST(qdot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosq
-         |    FROM ex) t
-         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosq DESC, cid) <= 5),
-         |hits AS (SELECT top5.nprobe, count(*) AS hits FROM top5
-         |         JOIN exact ON top5.qid = exact.qid AND top5.cid = exact.cid GROUP BY 1),
-         |nc AS (SELECT nprobe, count(*) AS total_cand FROM cand GROUP BY 1),
-         |nqq AS (SELECT count(DISTINCT qid) AS n_queries FROM qcells)
-         |SELECT nc.nprobe, nc.total_cand, CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
-         |  round(coalesce(hits.hits, 0) * 1.0 / (5 * nqq.n_queries), 4) AS recall_at_5
-         |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
-         |ORDER BY nc.nprobe""".stripMargin,
+    "e36_ivf_nprobe_sweep" -> e36OracleSql,
+
+    "e45_index_sweep" ->
+      s"""SELECT 'lsh' AS family, CAST(radius AS BIGINT) AS param,
+         |  CAST(n_cand AS BIGINT) AS n_cand, CAST(hits AS BIGINT) AS hits, recall_at_5
+         |FROM (${CurationQueries.e25OracleSql})
+         |UNION ALL
+         |SELECT 'ivf', CAST(nprobe AS BIGINT), CAST(total_cand AS BIGINT),
+         |  CAST(hits AS BIGINT), recall_at_5
+         |FROM ($e36OracleSql)
+         |ORDER BY family, param""".stripMargin,
 
     "e38_mutual_nn" ->
       s"""WITH $knnGraphCtes,

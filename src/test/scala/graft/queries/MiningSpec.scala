@@ -571,6 +571,30 @@ class MiningSpec extends AnyFunSuite {
       m0.getDouble(3) == 2.0 * 2 / (4 * 3), s"node0: $m0")
   }
 
+  // ---------------------------------------------------- e45 index sweep
+
+  test("index sweep: the unified table equals its two arms row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("e45_index_sweep")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val lsh = CurationQueries.queries("e25_lsh_radius_sweep")(spark, d).collect()
+      .map(r => ("lsh", r.getInt(0).toLong) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ivf = MiningQueries.queries("e36_ivf_nprobe_sweep")(spark, d).collect()
+      .map(r => ("ivf", r.getInt(0).toLong) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = (lsh ++ ivf).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // recall must be monotone in the budget within each family
+    Seq("lsh", "ivf").foreach { fam =>
+      val rows = got.filter(_._1._1 == fam).toSeq.sortBy(_._1._2).map(_._2._3)
+      assert(rows.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true },
+        s"$fam recall not monotone: $rows")
+    }
+  }
+
   // -------------------------------------------------- e43 incremental kNN
 
   test("incremental knn: delta equals the full rebuild restricted to affected nodes") {
