@@ -484,6 +484,41 @@ object CurationQueries {
         .orderBy(col("bin"))
     }),
 
+    // quality-filter agreement matrix — before committing to ONE filter
+    // at 100 TB, measure how the three house signals disagree: the d45
+    // Gopher rule mask, the d02 heuristic score at the d14 threshold,
+    // and the d23 linear classifier at p >= 0.5. The 8-cell contingency
+    // (with corpus fractions) is the meta-audit that finds filters
+    // which silently gate disjoint corpus slices. One map-side pass
+    // computes all three verdicts; the only shuffle is the 8-row
+    // aggregate; the total rides a 1-row broadcast.
+    "d70_filter_agreement" -> ((s, d) => {
+      val flags = Tables.documents(s, d)
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("sum_len",
+          expr("aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x)"))
+        .withColumn("alpha_words",
+          expr("size(filter(ws, w -> w rlike '[A-Za-z]'))"))
+        .withColumn("symbol_words",
+          expr("size(filter(ws, w -> w rlike '^[^A-Za-z0-9]+$'))"))
+        .select(
+          (col("n_words").between(50, 100000) &&
+            (col("sum_len").cast(DoubleType) / col("n_words")).between(3.0, 10.0) &&
+            col("symbol_words").cast(DoubleType) / col("n_words") < 0.1 &&
+            col("alpha_words").cast(DoubleType) / col("n_words") > 0.8).as("gopher"),
+          (TextFunctions.qualityScore(col("text")) >= 0.35).as("heuristic"),
+          (TextFunctions.hardSigmoid(TextFunctions.classifierLogit(col("text"))) >= 0.5)
+            .as("classifier"))
+      val cells = flags.groupBy(col("gopher"), col("heuristic"), col("classifier"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.agg(sum(col("n_docs")).as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("gopher"), col("heuristic"), col("classifier"), col("n_docs"),
+          round(col("n_docs") * lit(1.0) / col("total"), 4).as("frac"))
+        .orderBy(col("gopher"), col("heuristic"), col("classifier"))
+    }),
+
     // population stability index between corpus halves over the d02
     // quality-score distribution — the "did my corpus quality shift?"
     // monitor (the industry-standard drift scalar next to q124's
@@ -786,6 +821,37 @@ object CurationQueries {
          |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_p,
          |  round(sum(label) * 1.0 / count(*), 6) AS frac_pos
          |FROM pr GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "d70_filter_agreement" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         |m AS (SELECT doc_id, text,
+         |        len(ws) AS n_words,
+         |        list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+         |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         |        len(list_filter(ws, x -> regexp_matches(x, '^[^A-Za-z0-9]+$$'))) AS symbol_words,
+         |        len(string_split_regex(text, '\\s+')) AS n,
+         |        len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${PipelineQueries.stopList}))) AS stop_cnt,
+         |        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt,
+         |        length(text) AS tlen
+         |      FROM w),
+         |f AS (SELECT
+         |    (n_words BETWEEN 50 AND 100000
+         |      AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+         |      AND CAST(symbol_words AS DOUBLE) / n_words < 0.1
+         |      AND CAST(alpha_words AS DOUBLE) / n_words > 0.8) AS gopher,
+         |    (${PipelineQueries.qualitySql("text")} >= 0.35) AS heuristic,
+         |    (least(greatest((-1.2 + stop_cnt * 1.0 / greatest(n, 1) * 3.5
+         |       - punct_cnt * 1.0 / greatest(tlen, 1) * 8.0
+         |       + least(n, 200) * 1.0 / 200.0 * 2.0) * 0.25 + 0.5, 0.0), 1.0) >= 0.5)
+         |      AS classifier
+         |  FROM m),
+         |cells AS (SELECT gopher, heuristic, classifier, count(*) AS n_docs
+         |          FROM f GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cells)
+         |SELECT gopher, heuristic, classifier, n_docs,
+         |  round(n_docs * 1.0 / total, 4) AS frac
+         |FROM cells CROSS JOIN tot
+         |ORDER BY gopher, heuristic, classifier""".stripMargin,
 
     "d69_quality_psi" ->
       s"""WITH scored AS (SELECT

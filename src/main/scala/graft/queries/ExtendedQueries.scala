@@ -899,6 +899,32 @@ object ExtendedQueries {
           asOf = 2L)
         .orderBy(col("o_orderkey"))),
 
+    // SCD2 as-of dimension LOOKUP — the lakehouse fact-enrichment
+    // pattern q93/q139 build toward: each fact row joins the version of
+    // its dimension key that was valid AT ITS OWN as-of time (here
+    // asof = l_linenumber % 3 + 1 over the q93 history). The join is
+    // EQUI on the key — the interval predicate is a residual filter on
+    // the few history rows per key — so at 100 TB this is a plain
+    // co-partitioned key join, never a range join across keys. Facts
+    // whose as-of falls in a tombstone hole (deleted at v2, no v3)
+    // surface with NULL attributes — the honest "key did not exist
+    // then" answer, not a silent drop.
+    "q149_scd2_lookup" -> ((s, d) => {
+      val hist = graft.operators.Scd2.buildHistory(scd2Feed(s, d), Seq("o_orderkey"))
+      val facts = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") % 3 + 1).cast(LongType).as("asof"))
+      facts.join(hist,
+          facts("l_orderkey") === hist("o_orderkey") &&
+            col("valid_from") <= col("asof") &&
+            (col("valid_to").isNull || col("asof") < col("valid_to")),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("asof"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // skyline (Pareto front) over part: cheapest-for-the-size trade-off
     // curve — map-side local Pareto prune, then an exact dominance
     // anti-join over the broadcast-sized candidates (operators.Skyline);
@@ -1407,6 +1433,30 @@ object ExtendedQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM h WHERE op <> 'D' AND version <= 2 AND (valid_to IS NULL OR valid_to > 2)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q149_scd2_lookup" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'U' AS op, 'X1' AS o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT), 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT), 'U', 'X3', o_totalprice + 300 FROM orders WHERE o_orderkey % 20 = 0),
+        |h AS (SELECT *, lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+        |      FROM ch),
+        |hist AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |                version AS valid_from, valid_to
+        |         FROM h WHERE op <> 'D'),
+        |facts AS (SELECT l_orderkey, l_linenumber,
+        |            CAST(l_linenumber % 3 + 1 AS BIGINT) AS asof
+        |          FROM lineitem WHERE l_orderkey % 5 = 0)
+        |SELECT f.l_orderkey, f.l_linenumber, f.asof,
+        |       hist.o_orderstatus, hist.o_totalprice
+        |FROM facts f LEFT JOIN hist
+        |  ON f.l_orderkey = hist.o_orderkey
+        | AND hist.valid_from <= f.asof
+        | AND (hist.valid_to IS NULL OR f.asof < hist.valid_to)
+        |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin,
 
     "q95_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p

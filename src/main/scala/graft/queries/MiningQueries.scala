@@ -329,6 +329,31 @@ object MiningQueries {
       lsh.union(ivf).orderBy(col("family"), col("param"))
     }),
 
+    // embedding-space health — the "is my embedding space collapsing"
+    // monitor an ANN deployment watches between retrainings: the LSH
+    // signature histogram's occupancy (of the 256 possible 8-bit
+    // buckets), max bucket load, and Shannon entropy (≈ 8 bits =
+    // healthy spread; → 0 = representation collapse, which silently
+    // turns every bucketed index quadratic). Entropy terms pass through
+    // DECIMAL(18,6) pre-sum (the m05 rule) so the scalar hash-checks.
+    // One map-side signature pass, a ≤256-row histogram shuffle, one
+    // 1-row broadcast.
+    "e46_embedding_space_health" -> ((s, d) => {
+      val h = Tables.embeddings(s, d)
+        .select(graft.ann.Ann.lshSignatureQuantized(col("embedding")).as("sig"))
+        .groupBy(col("sig")).agg(count(lit(1)).as("c"))
+      val tot = h.agg(sum(col("c")).as("n_vectors"),
+        count(lit(1)).as("n_occupied"), max(col("c")).as("max_bucket"))
+      h.crossJoin(broadcast(tot))
+        .withColumn("t", (col("c") * lit(1.0) / col("n_vectors") *
+          log2(col("c") * lit(1.0) / col("n_vectors"))).cast(DecimalType(18, 6)))
+        .groupBy(col("n_vectors"), col("n_occupied"), col("max_bucket"))
+        .agg((-sum(col("t"))).cast(DoubleType).as("entropy"))
+        .withColumn("balance", round(col("entropy") / 8.0, 6))
+        .select(col("n_vectors"), col("n_occupied"), col("max_bucket"),
+          col("entropy"), col("balance"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -1407,6 +1432,27 @@ object MiningQueries {
     },
 
     "e36_ivf_nprobe_sweep" -> e36OracleSql,
+
+    "e46_embedding_space_health" ->
+      s"""WITH planes(p, d, wt) AS (VALUES ${PipelineQueries.lshPlanesValues(8, 64)}),
+         |emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |un2 AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
+         |       FROM emb2, range(1, 65) t(i)),
+         |bits2 AS (SELECT un2.vec_id, planes.p,
+         |    CASE WHEN sum(planes.wt * CAST(floor(un2.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM un2 JOIN planes ON un2.d = planes.d GROUP BY un2.vec_id, planes.p),
+         |sig2 AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits2 GROUP BY vec_id),
+         |h AS (SELECT s, count(*) AS c FROM sig2 GROUP BY s),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_vectors,
+         |               count(*) AS n_occupied, max(c) AS max_bucket FROM h),
+         |t AS (SELECT tot.n_vectors, tot.n_occupied, tot.max_bucket,
+         |        CAST((c * 1.0 / tot.n_vectors) * log2(c * 1.0 / tot.n_vectors)
+         |          AS DECIMAL(18,6)) AS t
+         |      FROM h CROSS JOIN tot)
+         |SELECT n_vectors, n_occupied, max_bucket,
+         |  CAST(-sum(t) AS DOUBLE) AS entropy,
+         |  round(CAST(-sum(t) AS DOUBLE) / 8.0, 6) AS balance
+         |FROM t GROUP BY n_vectors, n_occupied, max_bucket""".stripMargin,
 
     "e45_index_sweep" ->
       s"""SELECT 'lsh' AS family, CAST(radius AS BIGINT) AS param,

@@ -36,6 +36,27 @@ class Scd2Spec extends AnyFunSuite {
       (5L, "e1", 1L, None, true)))
   }
 
+  test("as-of lookup joins each fact to its own version; tombstone holes are NULL") {
+    import spark.implicits._
+    val hist = Scd2.buildHistory(changes(), Seq("k"))
+    // facts at asofs probing every interval shape in the fixture
+    val facts = Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 2L), (4L, 1L), (4L, 2L), (5L, 9L))
+      .toDF("k", "asof")
+    val got = facts.join(hist,
+        facts("k") === hist("k") && col("valid_from") <= col("asof") &&
+          (col("valid_to").isNull || col("asof") < col("valid_to")), "left")
+      .select(facts("k"), col("asof"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    assert(got == Set(
+      (2L, 1L, Some("b1")),  // first interval
+      (2L, 2L, None),        // tombstone hole between D@2 and U@3
+      (2L, 3L, Some("b3")),  // reborn current row
+      (3L, 2L, None),        // deleted, never reborn
+      (4L, 1L, Some("d1")), (4L, 2L, Some("d2")),
+      (5L, 9L, Some("e1"))), got.toString) // open interval serves any later asof
+  }
+
   test("snapshotAt(v) equals replaying the feed through CdcMerge up to v") {
     import spark.implicits._
     val ch = changes()

@@ -571,6 +571,33 @@ class MiningSpec extends AnyFunSuite {
       m0.getDouble(3) == 2.0 * 2 / (4 * 3), s"node0: $m0")
   }
 
+  // ----------------------------------------------- e46 space health + d70
+
+  test("embedding-space health: totals, bounds and balance arithmetic hold") {
+    val d = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("e46_embedding_space_health")(spark, d)
+      .collect().head
+    val (nv, nOcc, maxB, ent, bal) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(nv == Tables.embeddings(spark, d).count())
+    assert(nOcc >= 1 && nOcc <= 256 && maxB >= 1 && maxB <= nv)
+    assert(ent >= 0.0 && ent <= 8.0 + 1e-9, s"entropy $ent")
+    assert(math.abs(bal - BigDecimal(ent / 8.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("filter agreement: cells partition the corpus; gopher margin matches d45") {
+    val d = "/root/testdata/sf0.001"
+    val cells = CurationQueries.queries("d70_filter_agreement")(spark, d)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+    val total = Tables.documents(spark, d).count()
+    assert(cells.map(_._4).sum == total)
+    val gopherTrue = cells.filter(_._1).map(_._4).sum
+    val d45Pass = graft.SparkEntry.queries("d45_gopher_rules")(spark, d)
+      .filter(org.apache.spark.sql.functions.col("pass")).count()
+    assert(gopherTrue == d45Pass, s"gopher margin $gopherTrue != d45 $d45Pass")
+  }
+
   // ---------------------------------------------------- e45 index sweep
 
   test("index sweep: the unified table equals its two arms row-for-row") {
