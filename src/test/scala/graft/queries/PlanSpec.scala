@@ -686,6 +686,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q149: as-of lookup is an equi-join on the key; history window partitions per key") {
+    val p = plan("q149_scd2_lookup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition(o_orderkey"), p.take(3000))
+    // the interval predicate must ride the equi-join as a residual,
+    // not degrade the join to a nested loop over keys
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("d70/e46: one aggregate shuffle each; totals ride a 1-row broadcast") {
+    Seq("d70_filter_agreement", "e46_embedding_space_health").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin"), s"$q joined the big side:\n" + p.take(3000))
+    }
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
