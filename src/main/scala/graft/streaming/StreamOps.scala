@@ -429,6 +429,56 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("s_id", "c_id")
   }
 
+  /** Streaming kNN-graph INSERT maintenance — the new-node side of the
+    * e43 incremental update lifted to Structured Streaming: the static
+    * corpus is signed and bucketed ONCE (a batch artifact, like
+    * [[streamingNearDups]]'s index); each arriving vector signs
+    * map-side, expands its 9 Hamming-≤1 probe buckets, stream-static
+    * joins the bucket index, and emits its top-`topK` corpus edges
+    * with the integer-exact quantized scores (the fused
+    * [[graft.functions.LongDot]] scorer). Ranking uses a watermarked
+    * aggregate with a bounded sorted-array top-k — streaming supports
+    * no rank windows, and the candidate set per probe is bounded by
+    * bucket occupancy, so the collect_list is small by construction.
+    * Per-trigger cost ∝ batch × occupancy, never corpus size; the
+    * affected-OLD-node repair stays a batch job (e43). */
+  def streamingKnnInserts(stream: DataFrame, idCol: String, tsCol: String,
+      vecCol: String, corpus: DataFrame, corpusIdCol: String,
+      corpusVecCol: String, topK: Int = 3,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = corpus.sparkSession
+    def ldot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.longDot(spark)(a, b)
+    val corpusIdx = corpus
+      .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("c_q",
+        expr("transform(__cv, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+      .withColumn("bucket", graft.ann.Ann.lshSignatureQuantized(col("__cv")))
+      .withColumn("c_n2", ldot(col("c_q"), col("c_q")))
+      .drop("__cv")
+    val probes = stream.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("s_id"), col(tsCol).as("__ts"), col(vecCol).as("__v"))
+      .withColumn("s_q",
+        expr("transform(__v, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
+      .withColumn("__sig", graft.ann.Ann.lshSignatureQuantized(col("__v")))
+      .withColumn("s_n2", ldot(col("s_q"), col("s_q")))
+      .select(col("s_id"), col("__ts"), col("s_q"), col("s_n2"),
+        explode(expr(
+          "transform(sequence(0, 8), i -> CASE WHEN i = 0 THEN __sig " +
+            "ELSE CAST(__sig ^ shiftleft(1, i - 1) AS INT) END)")).as("bucket"))
+    probes.join(corpusIdx, Seq("bucket"))
+      .filter(col("s_id") =!= col("neighbor_id"))
+      .withColumn("qdot", ldot(col("s_q"), col("c_q")))
+      .withColumn("cosq", col("qdot").cast("double") /
+        (sqrt(col("s_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+      .groupBy(col("s_id"), col("__ts"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-cosq AS nc, " +
+        s"neighbor_id, qdot))), 1, $topK)").as("top"))
+      .select(col("s_id"), col("__ts").as(tsCol), posexplode(col("top")))
+      .select(col("s_id"), col(tsCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.qdot").as("qdot"))
+  }
+
   case class DriftEvent(key: String, event_id: Long, ts: java.sql.Timestamp,
     value: Double)
   case class DriftState(n: Long, sum: Double, ph: Double, phMin: Double)

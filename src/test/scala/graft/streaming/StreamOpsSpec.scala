@@ -697,4 +697,41 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(a.mean > 10.0 && a.mean < 20.0)
     } finally q.stop()
   }
+
+  test("streaming knn inserts equal the batch incremental candidate stage") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    val corpusVecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val newVecs = (100L until 104L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Timestamp, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "ts", "embedding")
+    val out = streamingKnnInserts(stream, "vec_id", "ts", "embedding",
+      corpus, "vec_id", "embedding", topK = 3)
+    val q = out.writeStream.format("memory").queryName("knnins")
+      .outputMode("append").start()
+    try {
+      input.addData(newVecs.map { case (id, v) => (id, ts(0), v) }: _*)
+      q.processAllAvailable()
+      input.addData((999L, ts(60), Array.fill(16)(0.5f))) // advances the watermark
+      q.processAllAvailable()
+      val got = spark.table("knnins")
+        .filter(col("s_id") < 999)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      // batch ground truth: the e43 candidate stage + per-probe top-3
+      val expect = {
+        val cand = graft.queries.MiningQueries.knnCandidatesBetween(
+          newVecs.toDF("vec_id", "embedding"), corpus)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+        cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .collect().map(r => (r.getLong(0), r.getInt(4).toLong, r.getLong(1), r.getLong(2)))
+          .toSet
+      }
+      assert(got == expect,
+        s"stream != batch:\nmissing ${expect -- got}\nextra ${got -- expect}")
+      assert(got.nonEmpty, "fixture produced no candidate edges")
+    } finally q.stop()
+  }
 }
