@@ -648,6 +648,31 @@ object EventQueries {
         .orderBy(col("t"))
     }),
 
+    // time-capped conversion funnel — q80 with the product-analytics
+    // constraint that each step must land within 24 h of the previous
+    // one (an uncapped funnel overcounts: a purchase months after the
+    // click is not that click's conversion). Same scale shape as q80 —
+    // per-step min aggregates chained through key joins, the cap is a
+    // residual predicate on the join — and at sf0.01 the cap genuinely
+    // bites (150 → 60 → 25 vs q80's 150 → 150 → 150-ish).
+    "q150_capped_funnel" -> ((s, d) => {
+      val cap = 86400000000L // 24 h in µs
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("tus"))
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("ta"))
+      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("tus") >= col("ta") && col("tus") <= col("ta") + cap)
+        .groupBy("user_id").agg(min(col("tus")).as("tb"))
+      val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("tus") >= col("tb") && col("tus") <= col("tb") + cap)
+        .groupBy("user_id").agg(min(col("tus")).as("tc"))
+      val step = (n: Int, nm: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).as("step"), lit(nm).as("name"), col("users"))
+      step(1, "view", a).union(step(2, "click", b)).union(step(3, "purchase", c))
+        .orderBy(col("step"))
+    }),
+
     // exponentially decayed rolling sum (integer half-life weights):
     // D_t = Σ_{j=1..10} value_{t-j} · 2^(10−j) per user stream — the
     // time-decay scoring primitive (recency-weighted engagement). The
@@ -1229,6 +1254,21 @@ object EventQueries {
         |      WHERE e.event_type = 'click' AND e.tus >= a.ta GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.tus) AS tc FROM ev e JOIN b USING (user_id)
         |      WHERE e.event_type = 'purchase' AND e.tus >= b.tb GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, count(*) AS users FROM a
+        |UNION ALL SELECT 2, 'click', count(*) FROM b
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM c
+        |ORDER BY step""".stripMargin,
+
+    "q150_capped_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |a AS (SELECT user_id, min(tus) AS ta FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.tus) AS tb FROM ev e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tus >= a.ta
+        |        AND e.tus <= a.ta + 86400000000 GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.tus) AS tc FROM ev e JOIN b USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tus >= b.tb
+        |        AND e.tus <= b.tb + 86400000000 GROUP BY 1)
         |SELECT 1 AS step, 'view' AS name, count(*) AS users FROM a
         |UNION ALL SELECT 2, 'click', count(*) FROM b
         |UNION ALL SELECT 3, 'purchase', count(*) FROM c

@@ -354,6 +354,27 @@ object MiningQueries {
           col("entropy"), col("balance"))
     }),
 
+    // NN-descent with REVERSE neighbors — the full Dong et al. trick
+    // e40's forward-only round approximates: a node's candidates are
+    // its general neighbors (out-edges ∪ IN-edges) and THEIR general
+    // neighbors; reverse edges recover asymmetric misses (v found u but
+    // u never found v). Same integer-exact rescoring and per-node
+    // top-3; is_new marks edges neither LSH nor rank held before. Scale
+    // shape: symmetrization doubles the edge list (still O(N·k) rows),
+    // the two-hop join is bounded by (2k)² per node, everything keys on
+    // node ids. The spec pins that the reverse-aware candidate set is a
+    // superset of e40's, so its best neighbor is never worse.
+    "e47_nn_descent_reverse" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val gen = g.union(
+          g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+        .distinct()
+      nnDescentRound(gen, emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
     "e28_knn_graph" -> ((s, d) =>
@@ -1590,6 +1611,37 @@ object MiningQueries {
          |FROM upd LEFT JOIN oknn o
          |  ON upd.vec_id = o.vec_id AND upd.neighbor_id = o.neighbor_id
          |ORDER BY upd.vec_id, upd.rk""".stripMargin,
+
+    "e47_nn_descent_reverse" ->
+      s"""WITH $knnGraphCtes,
+         |ge AS (SELECT vec_id, neighbor_id FROM knn),
+         |gen AS MATERIALIZED (SELECT DISTINCT vec_id, neighbor_id FROM (
+         |        SELECT vec_id, neighbor_id FROM ge
+         |        UNION ALL SELECT neighbor_id, vec_id FROM ge)),
+         |two AS (SELECT a.vec_id, b.neighbor_id FROM gen a
+         |        JOIN gen b ON a.neighbor_id = b.vec_id
+         |        WHERE b.neighbor_id <> a.vec_id),
+         |cand2 AS MATERIALIZED (SELECT DISTINCT vec_id, neighbor_id FROM (
+         |        SELECT * FROM gen UNION ALL SELECT * FROM two)),
+         |dot2 AS (SELECT c.vec_id, c.neighbor_id,
+         |        CAST(list_sum(list_transform(range(1, 65),
+         |          i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS qdot
+         |      FROM cand2 c JOIN emb a ON c.vec_id = a.vec_id
+         |                   JOIN emb b ON c.neighbor_id = b.vec_id),
+         |sc2 AS (SELECT d2.vec_id, d2.neighbor_id, d2.qdot,
+         |        CAST(d2.qdot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
+         |      FROM dot2 d2 JOIN n2 na ON d2.vec_id = na.vec_id
+         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id),
+         |top2 AS (SELECT vec_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
+         |    neighbor_id, qdot
+         |  FROM sc2 QUALIFY rk <= 3)
+         |SELECT t.vec_id, t.rk, t.neighbor_id, t.qdot,
+         |  (gen.vec_id IS NULL) AS is_new
+         |FROM top2 t LEFT JOIN gen ON t.vec_id = gen.vec_id
+         |                         AND t.neighbor_id = gen.neighbor_id
+         |ORDER BY t.vec_id, t.rk""".stripMargin,
 
     "e42_graph_recall" ->
       s"""WITH $knnGraphCtes,

@@ -678,6 +678,38 @@ class MiningSpec extends AnyFunSuite {
     assert(affected.nonEmpty, "fixture should tombstone at least one referenced vector")
   }
 
+  // ------------------------------------------- e47 reverse-aware NN-descent
+
+  test("reverse neighbors recover the asymmetric miss a forward round cannot") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    // only 1 -> 2 exists: node 2 has NO forward edges at all
+    val g = Seq((1L, 2L)).toDF("vec_id", "neighbor_id")
+    val fwd = MiningQueries.nnDescentRound(g, emb, topK = 3).collect()
+    assert(!fwd.exists(_.getLong(0) == 2L), "forward round invented edges for node 2")
+    val gen = g.union(g.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"))).distinct()
+    val rev = MiningQueries.nnDescentRound(gen, emb, topK = 3).collect()
+    val n2 = rev.filter(_.getLong(0) == 2L)
+    assert(n2.length == 1 && n2.head.getLong(2) == 1L,
+      "reverse edge must give node 2 its neighbor back")
+  }
+
+  test("q150: capped funnel never exceeds the uncapped q80 counts and is monotone") {
+    val d = "/root/testdata/sf0.001"
+    def steps(q: String): Map[Int, Long] =
+      graft.SparkEntry.queries(q)(spark, d).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val capped = steps("q150_capped_funnel")
+    val open = steps("q80_funnel")
+    (1 to 3).foreach(i => assert(capped(i) <= open(i), s"step $i exceeds uncapped"))
+    assert(capped(1) >= capped(2) && capped(2) >= capped(3), "funnel must narrow")
+    assert(capped(2) < open(2) || capped(3) < open(3),
+      "the 24h cap should bite somewhere at this SF")
+  }
+
   // ------------------------------------------------------ e42 graph recall
 
   test("graph recall: matches a driver-side replay at sf0.001; refinement is monotone") {
