@@ -37,7 +37,15 @@ object GlobalRank {
     val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(idxCol, LongType, nullable = false))
-    val base = sorted.rdd
+    // persist pins ONE materialization across the two jobs below: the
+    // offsets collected by the size pass must describe the exact rows the
+    // index pass sees, and without the pin a NONDETERMINISTIC source
+    // recomputed between jobs (or under stage retry) could shift rows
+    // across partitions. Spark's ContextCleaner unpersists automatically
+    // once the returned frame is unreachable. (Shuffle-file reuse already
+    // covers the common case; the pin covers recomputation paths too.)
+    val base = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one tiny job: P partition sizes (zipWithIndex's count pass, exposed)
     val sizes = base
       .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
@@ -70,7 +78,9 @@ object GlobalRank {
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val schema = StructType(sorted.schema.fields :+
       StructField(sumCol, LongType, nullable = false))
-    val base = sorted.rdd
+    // same single-materialization pin as withGlobalIndexAndCount
+    val base = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = base
       .mapPartitions(it => Iterator.single(it.map(_.getLong(vIdx)).sum),
         preservesPartitioning = true)

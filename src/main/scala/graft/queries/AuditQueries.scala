@@ -186,6 +186,11 @@ object AuditQueries {
       val digits = Tables.lineitem(s, d).select(
         substring(col("l_extendedprice").cast(DecimalType(15, 2))
           .cast(StringType), 1, 1).as("digit"))
+        // guard: prices < 1 render "0.xx" → digit '0', whose
+        // log10(1 + 1/0) is Infinity — Spark's DECIMAL cast of inf
+        // yields NULL while DuckDB's errors. Benford's law is only
+        // defined over leading digits 1-9 anyway; filter BOTH engines.
+        .filter(col("digit").between("1", "9"))
       val per = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
       val tot = per.agg(sum(col("n")).as("total"))
       per.crossJoin(broadcast(tot))
@@ -411,7 +416,8 @@ object AuditQueries {
     "q146_benford" ->
       """WITH dg AS (SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1) AS digit
         |            FROM lineitem),
-        |per AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |per AS (SELECT digit, count(*) AS n FROM dg
+        |        WHERE digit BETWEEN '1' AND '9' GROUP BY digit),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
         |SELECT digit, n,
         |  round(CAST(n AS DOUBLE) / total, 6) AS observed_p,

@@ -121,11 +121,17 @@ object CoreQueries {
     }),
 
     // --- joins ---------------------------------------------------------
+    // Broadcast hints only on the true dimension side (the filtered
+    // customer segment). The orders⋈customer result is SF-LINEAR (~20%
+    // of orders) — a forced broadcast there is an OOM at 100× because
+    // explicit hints are not size-gated and AQE cannot override them;
+    // stats/AQE pick broadcast at small SF and degrade to a shuffle
+    // join at scale on their own.
     "q03_shipping_priority" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
-      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+      l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"))
@@ -133,6 +139,10 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Hints only on region (5 rows) and nation (25 rows) — constant-size
+    // dimensions at every SF. The ASIA customer slice is ~20% of the
+    // customer table (SF-linear), so its join strategy is left to
+    // stats/AQE: broadcast at bench SF, shuffle join at 100×.
     "q05_local_supplier" -> ((s, d) => {
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d).join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
@@ -142,7 +152,7 @@ object CoreQueries {
       val l = Tables.lineitem(s, d)
       l.join(sup, l("l_suppkey") === sup("s_suppkey"))
         .join(o, col("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"),

@@ -72,10 +72,15 @@ object MiningQueries {
       corpusEmb: DataFrame, bucketCap: Int = 4096): DataFrame = {
     val spark = probeEmb.sparkSession
     import spark.implicits._
+    // n2 > 0 guard: a zero quantized vector has no direction — its cosine
+    // is 0/0 = NaN, and NaN sorts GREATEST in Spark, so an unguarded zero
+    // vector would rank as everyone's top neighbor. Dropped at prep time
+    // (both sides); the oracles carry the same WHERE n2 > 0.
     def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
       .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
       .withColumn("n2", ldot(spark)(col("q"), col("q")))
+      .filter(col("n2") > 0)
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("neighbor_id"))
     val corpus = prep(corpusEmb).select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
@@ -1278,7 +1283,8 @@ object MiningQueries {
        |        CAST(dot.qdot AS DOUBLE) /
        |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
        |      FROM dot JOIN n2 na ON dot.vec_id = na.vec_id
-       |                JOIN n2 nb ON dot.neighbor_id = nb.vec_id),
+       |                JOIN n2 nb ON dot.neighbor_id = nb.vec_id
+       |      WHERE na.n2 > 0 AND nb.n2 > 0),
        |knn AS MATERIALIZED (SELECT vec_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
        |    neighbor_id, qdot
@@ -1558,7 +1564,8 @@ object MiningQueries {
          |        CAST(rdot.qdot AS DOUBLE) /
          |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
          |      FROM rdot JOIN n2 na ON rdot.vec_id = na.vec_id
-         |                JOIN n2 nb ON rdot.neighbor_id = nb.vec_id),
+         |                JOIN n2 nb ON rdot.neighbor_id = nb.vec_id
+         |      WHERE na.n2 > 0 AND nb.n2 > 0),
          |rknn AS (SELECT vec_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
          |    neighbor_id, qdot
@@ -1594,7 +1601,8 @@ object MiningQueries {
          |        CAST(odot.qdot AS DOUBLE) /
          |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
          |      FROM odot JOIN n2 na ON odot.vec_id = na.vec_id
-         |                JOIN n2 nb ON odot.neighbor_id = nb.vec_id),
+         |                JOIN n2 nb ON odot.neighbor_id = nb.vec_id
+         |      WHERE na.n2 > 0 AND nb.n2 > 0),
          |oknn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM oscored
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) <= 3),
          |nsigc AS (SELECT vec_id, s FROM sig WHERE vec_id % 10 = 0
@@ -1632,7 +1640,8 @@ object MiningQueries {
          |        CAST(d2.qdot AS DOUBLE) /
          |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
          |      FROM dot2 d2 JOIN n2 na ON d2.vec_id = na.vec_id
-         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id),
+         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id
+         |      WHERE na.n2 > 0 AND nb.n2 > 0),
          |top2 AS (SELECT vec_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
          |    neighbor_id, qdot
@@ -1831,7 +1840,8 @@ object MiningQueries {
          |        CAST(d2.qdot AS DOUBLE) /
          |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosq
          |      FROM dot2 d2 JOIN n2 na ON d2.vec_id = na.vec_id
-         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id),
+         |                   JOIN n2 nb ON d2.neighbor_id = nb.vec_id
+         |      WHERE na.n2 > 0 AND nb.n2 > 0),
          |top2 AS (SELECT vec_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) AS rk,
          |    neighbor_id, qdot

@@ -449,19 +449,32 @@ object StreamOps {
     val spark = corpus.sparkSession
     def ldot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.longDot(spark)(a, b)
+    // Same hardening as the batch candidate stage (knnCandidatesBetween):
+    // the 4096 per-bucket occupancy cap (the d06 hot-bucket rule — a
+    // degenerate signature would otherwise make every trigger's
+    // stream-static join and the collect_list state quadratic in that
+    // bucket) and the n2 > 0 guard (a zero vector's cosine is NaN, which
+    // sorts GREATEST and would top every ranking). The corpus index is a
+    // static batch artifact, so the capping window is legal here.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("neighbor_id"))
     val corpusIdx = corpus
       .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("c_q",
         expr("transform(__cv, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
       .withColumn("bucket", graft.ann.Ann.lshSignatureQuantized(col("__cv")))
       .withColumn("c_n2", ldot(col("c_q"), col("c_q")))
-      .drop("__cv")
+      .filter(col("c_n2") > 0)
+      .withColumn("__brn", row_number().over(bw))
+      .filter(col("__brn") <= 4096)
+      .drop("__cv", "__brn")
     val probes = stream.withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).as("s_id"), col(tsCol).as("__ts"), col(vecCol).as("__v"))
       .withColumn("s_q",
         expr("transform(__v, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))"))
       .withColumn("__sig", graft.ann.Ann.lshSignatureQuantized(col("__v")))
       .withColumn("s_n2", ldot(col("s_q"), col("s_q")))
+      .filter(col("s_n2") > 0)
       .select(col("s_id"), col("__ts"), col("s_q"), col("s_n2"),
         explode(expr(
           "transform(sequence(0, 8), i -> CASE WHEN i = 0 THEN __sig " +

@@ -15,13 +15,16 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  test("q03: dimension side broadcast, no shuffle join on lineitem") {
+  // q03/q05 assert only that the TRUE dimension side is broadcast — the
+  // SF-linear sides (date-filtered orders⋈customer, ASIA customers) carry
+  // no hint, so stats/AQE may legitimately pick a shuffle join for them at
+  // scale. Pinning !SortMergeJoin here would freeze the wrong plan.
+  test("q03: filtered customer dimension is broadcast") {
     val p = plan("q03_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin"), "fact-side shuffle join crept in:\n" + p.take(2000))
   }
 
-  test("q05: join chain broadcasts region/nation/customer side") {
+  test("q05: join chain broadcasts region/nation dimensions") {
     val p = plan("q05_local_supplier")
     assert(p.contains("BroadcastHashJoin"))
   }
