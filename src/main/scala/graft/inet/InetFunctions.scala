@@ -196,6 +196,15 @@ object InetFunctions {
   def is_ipv6(c: Column): Column = isV6Udf(c)
   def inet_equal(a: Column, b: Column): Column = equalUdf(a, b)
 
+  /** Column form of the codegen-native `inet_sort_key` (see
+    * [[InetExpressions.sortKey]]): registers the SQL function on the
+    * column's session and calls it, so the plan carries the
+    * StaticInvoke expression, not a ScalaUDF. */
+  def inet_sort_key(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_sort_key", c)
+  }
+
   /** Register SQL-callable versions: inet_normalize, inet_contains,
     * is_ipv4, is_ipv6, inet_equal — backed by codegen-native
     * [[InetExpressions]] (StaticInvoke), not ScalaUDF wrappers. */

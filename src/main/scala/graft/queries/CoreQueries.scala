@@ -514,6 +514,31 @@ object CoreQueries {
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // NUMERIC inet ordering — closes the one observable divergence from
+    // the reference's INET column type (zeek_reader.cpp:144-154 makes
+    // addr DuckDB INET, whose ORDER BY is numeric: "10.0.0.9" before
+    // "10.0.0.10"; our StringType addresses sort lexically). The codegen
+    // inet_sort_key expression renders each address as its 16-byte
+    // v6-mapped key, and ranks come from GlobalRank.withGlobalIndex
+    // (range-partition + zipWithIndex — never a single-task window), so
+    // the order is OBSERVABLE to the hash compare (which canonicalizes
+    // row order away). The oracle re-derives numeric order from the
+    // octets and the key bytes from hex — same total order, no inet
+    // extension needed. IPs are deterministic octet mixes that force
+    // 1-, 2-, and 3-digit octets to interleave (the lexical trap).
+    "q151_inet_order" -> ((s, d) => {
+      val ips = Tables.events(s, d).select(
+          concat(lit("10."), (col("event_id") % 200).cast(StringType), lit("."),
+            ((col("event_id") * 7) % 256).cast(StringType), lit("."),
+            ((col("event_id") * 13) % 256).cast(StringType)).as("ip"))
+        .distinct()
+      val keyed = ips.withColumn("k",
+        graft.inet.InetFunctions.inet_sort_key(s, col("ip")))
+      graft.operators.GlobalRank.withGlobalIndex(keyed, "rk", col("k"))
+        .select(col("rk"), col("ip"), lower(hex(col("k"))).as("key_hex"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -780,8 +805,22 @@ object CoreQueries {
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
         | count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q28_approx_distinct: intentionally no oracle — HLL sketches differ
     // across engines; driver records a rows-only check.
+
+    "q151_inet_order" ->
+      """WITH ips AS (SELECT DISTINCT '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
+        |    CAST((event_id * 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((event_id * 13) % 256 AS VARCHAR) AS ip FROM events),
+        |oct AS (SELECT ip,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM ips)
+        |SELECT row_number() OVER (ORDER BY o1, o2, o3, o4) - 1 AS rk, ip,
+        |  '00000000000000000000ffff' ||
+        |    printf('%02x%02x%02x%02x', o1, o2, o3, o4) AS key_hex
+        |FROM oct ORDER BY rk""".stripMargin
   )
 }
