@@ -137,7 +137,12 @@ object StreamOps {
     *
     * Time columns must be integral (epoch micros/millis — cast
     * timestamps upstream). NULL key or time rows pass through unmatched;
-    * dimension rows with NULL key/time are dropped from the snapshot. */
+    * dimension rows with NULL key/time are dropped from the snapshot.
+    *
+    * Steer by dimension size: this collect-and-broadcast form up to
+    * ~100 MB of payload; beyond that, [[asofLookupLarge]] keeps the
+    * dimension distributed (foreachBatch + the native as-of merge
+    * join) with identical output. */
   def asofLookup(stream: DataFrame, dim: DataFrame, keyCol: String,
       streamTimeCol: String, dimTimeCol: String, prefix: String = "dim_"): DataFrame = {
     import org.apache.spark.sql.Row
@@ -183,6 +188,47 @@ object StreamOps {
         Row.fromSeq(r.toSeq ++ extra)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** [[asofLookup]] for dimensions TOO BIG to collect: identical output
+    * (same columns, same as-of semantics, same NULL handling), but the
+    * dimension stays DISTRIBUTED — both sides hash-partition on the key
+    * and the native [[graft.plans.AsofMergeJoin]] exec does one
+    * two-pointer merge per partition pair. Cost: one shuffle of the
+    * batch + one of the dimension per call, vs [[asofLookup]]'s zero
+    * shuffles but driver-resident dimension. Steer by dimension size:
+    * collect-and-broadcast up to ~100 MB of payload, this beyond.
+    *
+    * This is a BATCH transform by design — streaming callers run it per
+    * micro-batch inside `foreachBatch`, which is exactly where a
+    * billion-row dimension refresh belongs (re-read the dimension there
+    * for a live one):
+    * {{{
+    * events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    *   StreamOps.asofLookupLarge(batch, dim, "user", "t", "ft")
+    *     .write.mode("append").parquet(out)
+    * }.start()
+    * }}}
+    *
+    * NULL semantics mirror [[asofLookup]]: NULL-key/time stream rows
+    * pass through unmatched (they route AROUND the join — the merge
+    * exec would otherwise group NULL keys together), NULL-key/time
+    * dimension rows are dropped. */
+  def asofLookupLarge(batch: DataFrame, dim: DataFrame, keyCol: String,
+      streamTimeCol: String, dimTimeCol: String, prefix: String = "dim_"): DataFrame = {
+    val payloadCols = dim.columns.filterNot(c => c == keyCol || c == dimTimeCol).toSeq
+    val dimClean = dim
+      .filter(col(keyCol).isNotNull && col(dimTimeCol).isNotNull)
+      .select((Seq(keyCol, dimTimeCol) ++ payloadCols).map(col): _*)
+    val matched = graft.plans.AsofMergeJoin.asofBackward(
+      batch.filter(col(keyCol).isNotNull && col(streamTimeCol).isNotNull),
+      dimClean, Seq(keyCol), streamTimeCol, dimTimeCol, rightPrefix = prefix)
+    val dimSchema = dim.schema
+    val unmatched = payloadCols.foldLeft(
+      batch.filter(col(keyCol).isNull || col(streamTimeCol).isNull)) {
+      (df, c) => df.withColumn(prefix + c, lit(null).cast(dimSchema(c).dataType))
+    }
+    matched.unionByName(unmatched)
   }
 
   /** Online benchmark decontamination: tag a document STREAM against a

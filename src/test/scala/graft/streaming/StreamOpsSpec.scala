@@ -157,6 +157,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.head.getDouble(2) == 0.5 && batch.head.getString(3) == "v1")
   }
 
+  test("asofLookupLarge == asofLookup on a shared fixture (distributed dimension)") {
+    import spark.implicits._
+    // dim with NULL key and NULL time rows (must be dropped), ties at
+    // the same timestamp (last in sort order wins), multiple keys
+    val dim = Seq(
+      ("u1", 10L, 0.5, "v1"), ("u1", 30L, 0.9, "v2"), ("u1", 30L, 0.95, "v2b"),
+      ("u2", 7L, 0.1, "w1"), (null, 5L, 9.9, "bad"), ("u3", -1L, 0.2, "x1"))
+      .toDF("user", "ft", "score", "tag")
+      .union(Seq(("u2", null.asInstanceOf[java.lang.Long], 8.8, "bad2"))
+        .toDF("user", "ft", "score", "tag"))
+    // events with NULL key / NULL time (must pass through unmatched)
+    val events = Seq(("u1", 5L), ("u1", 10L), ("u1", 30L), ("u1", 31L),
+      ("u2", 6L), ("u2", 7L), ("u3", 100L), ("u4", 1L), (null, 20L))
+      .toDF("user", "t")
+      .union(Seq(("u1", null.asInstanceOf[java.lang.Long])).toDF("user", "t"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.size).map(i => if (r.isNullAt(i)) null else r.get(i)))
+      .sortBy(_.mkString("|")).toSeq
+    val small = asofLookup(events, dim, "user", "t", "ft")
+    val large = asofLookupLarge(events, dim, "user", "t", "ft")
+    assert(large.columns.toSeq == small.columns.toSeq)
+    assert(canon(large) == canon(small),
+      s"\nlarge=${canon(large)}\nsmall=${canon(small)}")
+
+    // the foreachBatch recipe end-to-end: per-micro-batch enrichment
+    // equals the broadcast form over the same rows
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = input.toDS().toDF("user", "t").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= canon(asofLookupLarge(b, dim, "user", "t", "ft"))
+        }: Unit
+      }.start()
+    try {
+      input.addData(("u1", 25L), ("u2", 50L), ("u4", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = canon(asofLookup(
+      Seq(("u1", 25L), ("u2", 50L), ("u4", 3L)).toDF("user", "t"),
+      dim, "user", "t", "ft"))
+    assert(got.sortBy(_.mkString("|")).toSeq == want, s"\ngot=$got\nwant=$want")
+  }
+
   test("kmv_distinct runs as a streaming windowed aggregate with state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
