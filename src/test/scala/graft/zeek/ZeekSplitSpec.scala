@@ -104,4 +104,37 @@ class ZeekSplitSpec extends AnyFunSuite {
     assert(df.count() == 1000)
     assert(df.distinct().count() == 1000)
   }
+
+  test("recompress: one big gzip file becomes multi-part zstd with identical rows") {
+    val dir = ZeekFixtures.tempDir()
+    // a compressed file is ONE partition no matter its size — the
+    // 1 TB .gz problem in miniature
+    val p = ZeekFixtures.write(dir, "conn.log.gz", bigLog(20000), gzip = true)
+    val single = spark.read.format("zeek").load(p)
+    assert(single.rdd.getNumPartitions == 1)
+
+    val out = Zeek.recompress(spark, p, s"$dir/parts", rowsPerFile = 3000L)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".log.zst")).map(_.getName).toSeq
+    assert(parts.size >= 7, s"expected >= 7 rotated parts, got $parts")
+
+    val multi = spark.read.format("zeek").load(s"$out/*.log.zst")
+    // partition-per-file parallelism restored
+    assert(multi.rdd.getNumPartitions == parts.size)
+    // identical content: same rows, same values, schema preserved
+    assert(multi.schema == single.schema)
+    assert(multi.count() == 20000)
+    val a = single.select("id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = multi.select("id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    // the #path directive carried over from the input's own header
+    val firstPart = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".log.zst")).head
+    val in = ZeekIO.open(firstPart.getAbsolutePath,
+      spark.sessionState.newHadoopConf())
+    val header = try ZeekHeader.parseHeaderOnly(in) finally in.close()
+    assert(header.path.contains("t"), header.path.toString)
+  }
 }
