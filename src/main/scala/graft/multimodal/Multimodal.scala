@@ -158,6 +158,49 @@ object Multimodal {
     }
   }
 
+  /** Real perceptual VIDEO fingerprint for JPEG-framed containers
+    * (MJPEG-in-AVI, jpeg samples in MP4) — the m08 kernel: up to
+    * `maxFrames` evenly-strided demuxed keyframes each get the image
+    * [[dHashBands]], and the video hash is the per-bit MAJORITY vote
+    * across frames (ties → 0), so a re-encoded/trimmed copy with a few
+    * divergent frames still lands within Hamming distance. Same 4×16-bit
+    * band layout as the image hash. Returns None when the bytes are not
+    * a parseable container or no sampled frame decodes (non-MJPEG
+    * codecs) — the caller keeps the deterministic SQL stub. O(maxFrames)
+    * decodes per row regardless of video length. */
+  def videoDHashBands(content: Array[Byte], maxFrames: Int = 8): Option[Seq[Int]] = {
+    if (!VideoContainers.looksLikeVideo(content)) return None
+    VideoContainers.parse(content) match {
+      case Some((_, samples)) if samples.nonEmpty =>
+        val stride = math.max(1, samples.length / maxFrames)
+        val ones = new Array[Int](64)
+        var decoded = 0
+        var i = 0
+        while (i < samples.length && decoded < maxFrames) {
+          val (off, len) = samples(i)
+          if (off >= 0 && len > 0 && off + len <= content.length) {
+            val fb = java.util.Arrays.copyOfRange(content, off.toInt, off.toInt + len)
+            dHashBands(fb).foreach { bands =>
+              var j = 0
+              while (j < 64) {
+                if (((bands(j / 16) >> (15 - j % 16)) & 1) == 1) ones(j) += 1
+                j += 1
+              }
+              decoded += 1
+            }
+          }
+          i += stride
+        }
+        if (decoded == 0) None
+        else Some((0 until 4).map { k =>
+          (0 until 16).foldLeft(0) { (acc, p) =>
+            acc * 2 + (if (ones(k * 16 + p) * 2 > decoded) 1 else 0)
+          }
+        })
+      case _ => None
+    }
+  }
+
   final case class DecodedAudio(sampleRate: Int, channels: Int,
       nFrames: Int, feature: Array[Float])
 

@@ -1668,6 +1668,54 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // m07 extended to VIDEO: perceptual near-dup detection over
+    // keyframes. The real kernel ([[Multimodal.videoDHashBands]],
+    // spec-proven on an in-test MJPEG-AVI) demuxes up to 8 strided
+    // keyframes, dHashes each decoded frame, and majority-votes the 64
+    // bits — so a re-encoded/trimmed copy with a few divergent frames
+    // still collides. Rows whose bytes aren't a parseable container
+    // (this synthetic corpus) keep m07's pure-SQL byte-stride stub,
+    // which the oracle replays verbatim over the video slice. Join
+    // shape identical to m07: banded pigeonhole buckets under an
+    // occupancy cap, exact Hamming ≤ 6 on survivors; content bytes
+    // never shuffle.
+    "m08_video_phash_neardups" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
+        .filter(col("kind") === "video")
+      val realBands = udf((b: Array[Byte]) =>
+        graft.multimodal.Multimodal.videoDHashBands(b).map(_.toArray).orNull)
+      val base = media.select(col("media_id"), col("content"))
+        .withColumn("hx", upper(hex(col("content"))))
+        .withColumn("n", length(col("content")).cast(LongType))
+        .filter(col("n") >= 2)
+        .withColumn("grid", expr(
+          "transform(sequence(0, 71), i -> substring(hx, 2 * CAST(CAST(i AS BIGINT) * n DIV 72 AS INT) + 1, 2))"))
+        .withColumn("stub_bands", expr(
+          "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, p) -> " +
+            "acc * 2 + IF(grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8] > " +
+            "grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8 + 1], 1, 0)))"))
+        .withColumn("bands", coalesce(realBands(col("content")), col("stub_bands")))
+        .select(col("media_id"), col("bands"))
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("bv")).orderBy(col("media_id"))
+      val bucketed = base
+        .select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bv")))
+        .withColumn("rn", row_number().over(bw)).filter(col("rn") <= 2048)
+        .drop("rn")
+      val cand = bucketed.as("x").join(bucketed.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
+      cand
+        .join(base.select(col("media_id").as("a"), col("bands").as("ba")), Seq("a"))
+        .join(base.select(col("media_id").as("b"), col("bands").as("bb")), Seq("b"))
+        .withColumn("hamming", expr(
+          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+        .filter(col("hamming") <= 6)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // per-media byte-histogram Shannon entropy — the binary-junk /
     // encrypted-blob detector a multimodal ingest runs before decode
     // (entropy ≈ 8 ⇒ compressed/encrypted, ≈ 4-5 ⇒ text, low ⇒ padding).
@@ -2287,6 +2335,42 @@ object PipelineQueries {
     // same cap, exact Hamming via per-band bit_count(xor).
     "m07_phash_neardups" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
+        |h AS (SELECT media_id, upper(hex(content)) AS hx,
+        |        CAST(octet_length(content) AS BIGINT) AS n
+        |      FROM m WHERE octet_length(content) >= 2),
+        |g AS (SELECT media_id,
+        |        list_transform(range(0, 72),
+        |          i -> substring(hx, CAST(2 * ((i * n) // 72) + 1 AS INT), 2)) AS grid
+        |      FROM h),
+        |hs AS MATERIALIZED (SELECT media_id,
+        |    list_transform(range(0, 4), k -> CAST(list_sum(list_transform(range(0, 16), p ->
+        |      CASE WHEN grid[CAST(((k * 16 + p) // 8) * 9 + ((k * 16 + p) % 8) + 1 AS INT)] >
+        |                grid[CAST(((k * 16 + p) // 8) * 9 + ((k * 16 + p) % 8) + 2 AS INT)]
+        |           THEN (1 << (15 - p)) ELSE 0 END)) AS INT)) AS bands
+        |  FROM g),
+        |bu AS (SELECT media_id, t.k, bands[CAST(t.k + 1 AS INT)] AS bv
+        |       FROM hs, range(0, 4) t(k)),
+        |bc AS (SELECT media_id, k, bv FROM bu
+        |       QUALIFY row_number() OVER (PARTITION BY k, bv ORDER BY media_id) <= 2048),
+        |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+        |         FROM bc x JOIN bc y ON x.k = y.k AND x.bv = y.bv
+        |                           AND x.media_id < y.media_id),
+        |sc AS (SELECT cand.a, cand.b,
+        |    CAST(list_sum(list_transform(range(0, 4), i ->
+        |      bit_count(xor(ha.bands[CAST(i + 1 AS INT)], hb.bands[CAST(i + 1 AS INT)]))))
+        |      AS INT) AS hamming
+        |  FROM cand JOIN hs ha ON cand.a = ha.media_id
+        |            JOIN hs hb ON cand.b = hb.media_id)
+        |SELECT a, b, hamming FROM sc WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
+    // m08's oracle = m07's stub replay restricted to the video slice
+    // (doc_id % 3 = 2 is the fromDocuments round-robin's video row; the
+    // synthetic corpus never parses as a real container, so the
+    // keyframe-majority UDF branch never fires here — MultimodalVideoSpec
+    // drives that branch with an in-test MJPEG-AVI).
+    "m08_video_phash_neardups" ->
+      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content
+        |           FROM documents WHERE doc_id % 3 = 2),
         |h AS (SELECT media_id, upper(hex(content)) AS hx,
         |        CAST(octet_length(content) AS BIGINT) AS n
         |      FROM m WHERE octet_length(content) >= 2),
