@@ -68,6 +68,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // deterministic release of GlobalRank's two-phase pins — a full
+        // bench session issues 100+ queries and must not let cached
+        // range-shuffle partitions pile up until GC notices them
+        graft.operators.GlobalRank.releasePins()
       }
       (System.nanoTime() - t0) / 1e9
     }

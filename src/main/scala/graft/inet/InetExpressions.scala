@@ -2,7 +2,7 @@ package graft.inet
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{BinaryType, BooleanType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** UTF8String-typed entry points for the inet library, invoked from
@@ -23,24 +23,40 @@ object InetRuntime {
   def inetEqual(a: UTF8String, b: UTF8String): java.lang.Boolean =
     InetFunctions.inetEqual(a.toString, b.toString)
 
-  /** 16-byte v6-mapped sort key: `ORDER BY inet_sort_key(addr)` gives
-    * NUMERIC address order — the reference's INET-typed sort (DuckDB
-    * `inet` columns order "10.0.0.9" before "10.0.0.10"; our StringType
-    * addresses order lexically without this). IPv4 maps into the
-    * `::ffff:a.b.c.d` block so one unsigned byte-wise compare covers
-    * both families; Spark's BinaryType comparator IS unsigned
-    * lexicographic, so the key needs no companion ordering. Invalid
-    * addresses → NULL (sorts first under NULLS FIRST, like any NULL). */
-  def sortKey(s: UTF8String): Array[Byte] =
-    InetFunctions.parse(s.toString) match {
-      case Some(b) if b.length == 16 => b
-      case Some(b) if b.length == 4 =>
-        val out = new Array[Byte](16)
-        out(10) = 0xff.toByte; out(11) = 0xff.toByte
-        System.arraycopy(b, 0, out, 12, 4)
+  /** 17-byte family-tagged sort key: `ORDER BY inet_sort_key(addr)`
+    * gives the reference's INET-typed order (DuckDB's `inet` extension
+    * follows Postgres semantics: compare FAMILY first — every IPv4
+    * before every IPv6 — then the address numerically, so "10.0.0.9"
+    * sorts before "10.0.0.10" and both before "::1"; our StringType
+    * addresses order lexically without this). Layout: 1 family byte
+    * (0x00 = v4, 0x01 = v6, textual family — "::ffff:1.2.3.4" is v6)
+    * followed by the 16 address bytes (v4 placed in the `::ffff:` block
+    * for a uniform within-family compare). Spark's BinaryType comparator
+    * IS unsigned lexicographic, so the key needs no companion ordering.
+    * Invalid addresses → NULL (sorts first under NULLS FIRST). */
+  def sortKey(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    InetFunctions.parse(str) match {
+      case Some(b) if b.length == 16 =>
+        val out = new Array[Byte](17)
+        out(0) = 0x01.toByte
+        System.arraycopy(b, 0, out, 1, 16)
+        out
+      case Some(b) => // 4 bytes
+        val out = new Array[Byte](17)
+        out(11) = 0xff.toByte; out(12) = 0xff.toByte
+        System.arraycopy(b, 0, out, 13, 4)
         out
       case _ => null
     }
+  }
+
+  def host(s: UTF8String): UTF8String = {
+    val r = InetFunctions.host(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def family(s: UTF8String): java.lang.Integer = InetFunctions.family(s.toString)
+  def masklen(s: UTF8String): java.lang.Integer = InetFunctions.masklen(s.toString)
 }
 
 /** Expression builders for the inet function family (codegen-native via
@@ -79,6 +95,18 @@ object InetExpressions {
     require(es.length == 1, s"inet_sort_key requires 1 argument, got ${es.length}")
     invoke("sortKey", BinaryType, es)
   }
+  def host(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"inet_host requires 1 argument, got ${es.length}")
+    invoke("host", StringType, es)
+  }
+  def family(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"inet_family requires 1 argument, got ${es.length}")
+    invoke("family", IntegerType, es)
+  }
+  def masklen(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"inet_masklen requires 1 argument, got ${es.length}")
+    invoke("masklen", IntegerType, es)
+  }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "inet_normalize" -> normalize _,
@@ -86,5 +114,8 @@ object InetExpressions {
     "is_ipv4" -> isIpv4 _,
     "is_ipv6" -> isIpv6 _,
     "inet_equal" -> inetEqual _,
-    "inet_sort_key" -> sortKey _)
+    "inet_sort_key" -> sortKey _,
+    "inet_host" -> host _,
+    "inet_family" -> family _,
+    "inet_masklen" -> masklen _)
 }

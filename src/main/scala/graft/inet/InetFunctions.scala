@@ -169,6 +169,39 @@ object InetFunctions {
   def isIpv6(s: String): java.lang.Boolean =
     if (s == null) null else java.lang.Boolean.valueOf(parseV6(s).isDefined)
 
+  /** Parse an address or CIDR literal into (address bytes, prefix bits).
+    * A bare address means a full-length prefix (32 / 128), matching
+    * Postgres/DuckDB `masklen` defaults. */
+  private def splitCidr(s: String): Option[(Array[Byte], Int)] = {
+    if (s == null) return None
+    val slash = s.lastIndexOf('/')
+    val (net, lenStr) =
+      if (slash >= 0) (s.substring(0, slash), s.substring(slash + 1)) else (s, "")
+    parse(net).flatMap { b =>
+      val maxBits = b.length * 8
+      if (slash < 0) Some((b, maxBits))
+      else if (lenStr.nonEmpty && lenStr.length <= 3 && lenStr.forall(_.isDigit)) {
+        val bits = lenStr.toInt
+        if (bits <= maxBits) Some((b, bits)) else None
+      } else None
+    }
+  }
+
+  /** The address part of an address or CIDR, canonical text, no mask —
+    * DuckDB/Postgres `host('192.168.1.5/24')` = `'192.168.1.5'`. */
+  def host(s: String): String =
+    splitCidr(s).map { case (b, _) => render(b) }.orNull
+
+  /** Address family: 4 or 6 (textual family — "::ffff:1.2.3.4" is 6). */
+  def family(s: String): java.lang.Integer =
+    splitCidr(s).map { case (b, _) =>
+      Integer.valueOf(if (b.length == 4) 4 else 6)
+    }.orNull
+
+  /** Prefix length of a CIDR; full length (32 / 128) for a bare address. */
+  def masklen(s: String): java.lang.Integer =
+    splitCidr(s).map { case (_, bits) => Integer.valueOf(bits) }.orNull
+
   /** Equality under normalization (the reference's `addr = '...'::inet`). */
   def inetEqual(a: String, b: String): java.lang.Boolean = {
     if (a == null || b == null) return null
@@ -203,6 +236,18 @@ object InetFunctions {
   def inet_sort_key(spark: SparkSession, c: Column): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("inet_sort_key", c)
+  }
+  def inet_host(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_host", c)
+  }
+  def inet_family(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_family", c)
+  }
+  def inet_masklen(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_masklen", c)
   }
 
   /** Register SQL-callable versions: inet_normalize, inet_contains,

@@ -518,10 +518,12 @@ object CoreQueries {
 
     // NUMERIC inet ordering — closes the one observable divergence from
     // the reference's INET column type (zeek_reader.cpp:144-154 makes
-    // addr DuckDB INET, whose ORDER BY is numeric: "10.0.0.9" before
-    // "10.0.0.10"; our StringType addresses sort lexically). The codegen
-    // inet_sort_key expression renders each address as its 16-byte
-    // v6-mapped key, and ranks come from GlobalRank.withGlobalIndex
+    // addr DuckDB INET, whose ORDER BY follows Postgres: family first,
+    // then numeric — "10.0.0.9" before "10.0.0.10"; our StringType
+    // addresses sort lexically). The codegen inet_sort_key expression
+    // renders each address as its 17-byte family-tagged key (0x00=v4,
+    // 0x01=v6, then 16 v6-mapped address bytes; mixed-family order is
+    // pinned by InetSortKeySpec), and ranks come from GlobalRank.withGlobalIndex
     // (range-partition + zipWithIndex — never a single-task window), so
     // the order is OBSERVABLE to the hash compare (which canonicalizes
     // row order away). The oracle re-derives numeric order from the
@@ -819,7 +821,7 @@ object CoreQueries {
         |    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
         |    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM ips)
         |SELECT row_number() OVER (ORDER BY o1, o2, o3, o4) - 1 AS rk, ip,
-        |  '00000000000000000000ffff' ||
+        |  '0000000000000000000000ffff' ||
         |    printf('%02x%02x%02x%02x', o1, o2, o3, o4) AS key_hex
         |FROM oct ORDER BY rk""".stripMargin
   )

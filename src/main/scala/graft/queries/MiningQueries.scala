@@ -1267,7 +1267,8 @@ object MiningQueries {
        |    CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
        |  FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
        |sig AS MATERIALIZED (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
-       |sigc AS (SELECT vec_id, s FROM sig
+       |sigc AS (SELECT vec_id, s FROM sig JOIN n2 USING (vec_id)
+       |         WHERE n2.n2 > 0
        |         QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
        |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
        |probes AS (SELECT sig.vec_id, xor(sig.s, masks.m) AS bucket FROM sig CROSS JOIN masks),
@@ -1546,7 +1547,8 @@ object MiningQueries {
     "e44_knn_deletion" ->
       s"""WITH $knnGraphCtes,
          |rsig AS (SELECT vec_id, s FROM sig WHERE vec_id % 17 <> 0),
-         |rsigc AS (SELECT vec_id, s FROM rsig
+         |rsigc AS (SELECT vec_id, s FROM rsig JOIN n2 USING (vec_id)
+         |          WHERE n2.n2 > 0
          |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
          |aff AS (SELECT DISTINCT vec_id FROM knn
          |        WHERE neighbor_id % 17 = 0 AND vec_id % 17 <> 0),
@@ -1585,7 +1587,8 @@ object MiningQueries {
     "e43_incremental_knn" ->
       s"""WITH $knnGraphCtes,
          |osig AS (SELECT vec_id, s FROM sig WHERE vec_id % 10 <> 0),
-         |osigc AS (SELECT vec_id, s FROM osig
+         |osigc AS (SELECT vec_id, s FROM osig JOIN n2 USING (vec_id)
+         |          WHERE n2.n2 > 0
          |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
          |oprobes AS (SELECT osig.vec_id, xor(osig.s, masks.m) AS bucket
          |            FROM osig CROSS JOIN masks),
@@ -1605,7 +1608,8 @@ object MiningQueries {
          |      WHERE na.n2 > 0 AND nb.n2 > 0),
          |oknn AS MATERIALIZED (SELECT vec_id, neighbor_id FROM oscored
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosq DESC, neighbor_id) <= 3),
-         |nsigc AS (SELECT vec_id, s FROM sig WHERE vec_id % 10 = 0
+         |nsigc AS (SELECT vec_id, s FROM sig JOIN n2 USING (vec_id)
+         |          WHERE vec_id % 10 = 0 AND n2.n2 > 0
          |          QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= 4096),
          |aff_old AS (SELECT DISTINCT p.vec_id FROM oprobes p
          |            JOIN nsigc c ON p.bucket = c.s WHERE p.vec_id <> c.vec_id),

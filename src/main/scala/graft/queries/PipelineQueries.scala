@@ -159,6 +159,50 @@ object PipelineQueries {
        |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
+  /** Shared m07/m08 banded perceptual-hash near-dup pipeline. `media`
+    * supplies (media_id, content); `realBands` is the per-kind real
+    * kernel (image dHash for m07, keyframe-majority video dHash for
+    * m08) returning four 16-bit bands or NULL when the bytes aren't
+    * decodable — NULL rows fall back to the pure-SQL byte-stride stub
+    * (9×8 hex-pair grid, lexicographic hex compare ≡ byte compare),
+    * which the oracles replay verbatim. Bands feed a d07-style
+    * pigeonhole bucket join under a per-bucket occupancy `cap`;
+    * survivors exact-Hamming ≤ `maxHamming`. Content bytes never
+    * shuffle — only (id, band) rows and the 4-int hash arrays. */
+  private[graft] def bandedHammingNearDups(media: DataFrame,
+      realBands: org.apache.spark.sql.expressions.UserDefinedFunction,
+      cap: Int = 2048, maxHamming: Int = 6): DataFrame = {
+    val base = media.select(col("media_id"), col("content"))
+      .withColumn("hx", upper(hex(col("content"))))
+      .withColumn("n", length(col("content")).cast(LongType))
+      .filter(col("n") >= 2)
+      .withColumn("grid", expr(
+        "transform(sequence(0, 71), i -> substring(hx, 2 * CAST(CAST(i AS BIGINT) * n DIV 72 AS INT) + 1, 2))"))
+      .withColumn("stub_bands", expr(
+        "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, p) -> " +
+          "acc * 2 + IF(grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8] > " +
+          "grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8 + 1], 1, 0)))"))
+      .withColumn("bands", coalesce(realBands(col("content")), col("stub_bands")))
+      .select(col("media_id"), col("bands"))
+    val bw = Window.partitionBy(col("k"), col("bv")).orderBy(col("media_id"))
+    val bucketed = base
+      .select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bv")))
+      .withColumn("rn", row_number().over(bw)).filter(col("rn") <= cap)
+      .drop("rn")
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
+    cand
+      .join(base.select(col("media_id").as("a"), col("bands").as("ba")), Seq("a"))
+      .join(base.select(col("media_id").as("b"), col("bands").as("bb")), Seq("b"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis --------------------------------------------------
     "d01_token_stats" -> ((s, d) => {
@@ -1636,36 +1680,7 @@ object PipelineQueries {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
       val realBands = udf((b: Array[Byte]) =>
         graft.multimodal.Multimodal.dHashBands(b).map(_.toArray).orNull)
-      val base = media.select(col("media_id"), col("content"))
-        .withColumn("hx", upper(hex(col("content"))))
-        .withColumn("n", length(col("content")).cast(LongType))
-        .filter(col("n") >= 2)
-        .withColumn("grid", expr(
-          "transform(sequence(0, 71), i -> substring(hx, 2 * CAST(CAST(i AS BIGINT) * n DIV 72 AS INT) + 1, 2))"))
-        .withColumn("stub_bands", expr(
-          "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, p) -> " +
-            "acc * 2 + IF(grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8] > " +
-            "grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8 + 1], 1, 0)))"))
-        .withColumn("bands", coalesce(realBands(col("content")), col("stub_bands")))
-        .select(col("media_id"), col("bands"))
-      val bw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k"), col("bv")).orderBy(col("media_id"))
-      val bucketed = base
-        .select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bv")))
-        .withColumn("rn", row_number().over(bw)).filter(col("rn") <= 2048)
-        .drop("rn")
-      val cand = bucketed.as("x").join(bucketed.as("y"),
-          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
-            col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
-      cand
-        .join(base.select(col("media_id").as("a"), col("bands").as("ba")), Seq("a"))
-        .join(base.select(col("media_id").as("b"), col("bands").as("bb")), Seq("b"))
-        .withColumn("hamming", expr(
-          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
-        .filter(col("hamming") <= 6)
-        .select(col("a"), col("b"), col("hamming"))
-        .orderBy(col("a"), col("b"))
+      bandedHammingNearDups(media, realBands)
     }),
 
     // m07 extended to VIDEO: perceptual near-dup detection over
@@ -1684,36 +1699,7 @@ object PipelineQueries {
         .filter(col("kind") === "video")
       val realBands = udf((b: Array[Byte]) =>
         graft.multimodal.Multimodal.videoDHashBands(b).map(_.toArray).orNull)
-      val base = media.select(col("media_id"), col("content"))
-        .withColumn("hx", upper(hex(col("content"))))
-        .withColumn("n", length(col("content")).cast(LongType))
-        .filter(col("n") >= 2)
-        .withColumn("grid", expr(
-          "transform(sequence(0, 71), i -> substring(hx, 2 * CAST(CAST(i AS BIGINT) * n DIV 72 AS INT) + 1, 2))"))
-        .withColumn("stub_bands", expr(
-          "transform(sequence(0, 3), k -> aggregate(sequence(0, 15), 0, (acc, p) -> " +
-            "acc * 2 + IF(grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8] > " +
-            "grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8 + 1], 1, 0)))"))
-        .withColumn("bands", coalesce(realBands(col("content")), col("stub_bands")))
-        .select(col("media_id"), col("bands"))
-      val bw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k"), col("bv")).orderBy(col("media_id"))
-      val bucketed = base
-        .select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bv")))
-        .withColumn("rn", row_number().over(bw)).filter(col("rn") <= 2048)
-        .drop("rn")
-      val cand = bucketed.as("x").join(bucketed.as("y"),
-          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
-            col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
-      cand
-        .join(base.select(col("media_id").as("a"), col("bands").as("ba")), Seq("a"))
-        .join(base.select(col("media_id").as("b"), col("bands").as("bb")), Seq("b"))
-        .withColumn("hamming", expr(
-          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
-        .filter(col("hamming") <= 6)
-        .select(col("a"), col("b"), col("hamming"))
-        .orderBy(col("a"), col("b"))
+      bandedHammingNearDups(media, realBands)
     }),
 
     // per-media byte-histogram Shannon entropy — the binary-junk /

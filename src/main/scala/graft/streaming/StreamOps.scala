@@ -216,10 +216,22 @@ object StreamOps {
     * dimension rows are dropped. */
   def asofLookupLarge(batch: DataFrame, dim: DataFrame, keyCol: String,
       streamTimeCol: String, dimTimeCol: String, prefix: String = "dim_"): DataFrame = {
-    val payloadCols = dim.columns.filterNot(c => c == keyCol || c == dimTimeCol).toSeq
+    // resolve keyCol/dimTimeCol against the dimension with the SESSION
+    // resolver (case-insensitive by default) — the merge join resolves
+    // names that way, so a case-mismatched keyCol must exclude the key
+    // from the payload here too, not surface later as a confusing
+    // unionByName column mismatch
+    val resolver = dim.sparkSession.sessionState.conf.resolver
+    def resolved(name: String, what: String): String =
+      dim.columns.find(resolver(_, name)).getOrElse(throw new IllegalArgumentException(
+        s"$what column '$name' not found in dimension columns ${dim.columns.toSeq}"))
+    val dimKey = resolved(keyCol, "key")
+    val dimTime = resolved(dimTimeCol, "dimension time")
+    val payloadCols =
+      dim.columns.filterNot(c => resolver(c, dimKey) || resolver(c, dimTime)).toSeq
     val dimClean = dim
-      .filter(col(keyCol).isNotNull && col(dimTimeCol).isNotNull)
-      .select((Seq(keyCol, dimTimeCol) ++ payloadCols).map(col): _*)
+      .filter(col(dimKey).isNotNull && col(dimTime).isNotNull)
+      .select((Seq(dimKey, dimTime) ++ payloadCols).map(col): _*)
     val matched = graft.plans.AsofMergeJoin.asofBackward(
       batch.filter(col(keyCol).isNotNull && col(streamTimeCol).isNotNull),
       dimClean, Seq(keyCol), streamTimeCol, dimTimeCol, rightPrefix = prefix)

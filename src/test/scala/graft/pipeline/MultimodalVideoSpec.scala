@@ -114,6 +114,28 @@ class MultimodalVideoSpec extends AnyFunSuite {
   /** A real MJPEG AVI: each movi frame chunk is an actual JPEG encoded
     * in-test with ImageIO (solid-color 16×12 frames at distinct gray
     * levels), so the asserted pixel statistics are ground truth. */
+  /** Assemble an MJPEG AVI container around the given JPEG frames. */
+  private def mjpegAviOf(frames: Array[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val avih = cc("avih") ++ le32(56) ++ (
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ new Array[Byte](16))
+    val hdrl = cc("LIST") ++ le32(4 + avih.length) ++ cc("hdrl") ++ avih
+    val movi = {
+      val chunks = frames.flatMap(f =>
+        cc("00dc") ++ le32(f.length) ++ f ++ (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]))
+      cc("LIST") ++ le32(4 + chunks.length) ++ cc("movi") ++ chunks
+    }
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def jpegOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   private def buildMjpegAvi(): (Array[Byte], Array[Array[Byte]]) = {
     val frames = Array.tabulate(4) { i =>
       val img = new java.awt.image.BufferedImage(16, 12,
@@ -123,22 +145,9 @@ class MultimodalVideoSpec extends AnyFunSuite {
         g.setColor(new java.awt.Color(40 + 60 * i, 40 + 60 * i, 40 + 60 * i))
         g.fillRect(0, 0, 16, 12)
       } finally g.dispose()
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", baos)
-      baos.toByteArray
+      jpegOf(img)
     }
-    val avih = cc("avih") ++ le32(56) ++ (
-      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(4) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(16) ++ le32(12) ++ new Array[Byte](16))
-    val hdrl = cc("LIST") ++ le32(4 + avih.length) ++ cc("hdrl") ++ avih
-    val movi = {
-      val chunks = frames.flatMap(f =>
-        cc("00dc") ++ le32(f.length) ++ f ++ (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]))
-      cc("LIST") ++ le32(4 + chunks.length) ++ cc("movi") ++ chunks
-    }
-    val body = cc("AVI ") ++ hdrl ++ movi
-    (cc("RIFF") ++ le32(body.length) ++ body, frames)
+    (mjpegAviOf(frames, 16, 12), frames)
   }
 
   test("mjpeg avi: demuxed frame bytes are the exact in-test JPEGs (pixel digests)") {
@@ -181,6 +190,67 @@ class MultimodalVideoSpec extends AnyFunSuite {
     assert(row.width == 320 && row.height == 240 && row.n_frames == 4)
     assert(row.feature.sameElements(stub.feature),
       "undecodable frames must keep the deterministic stub feature")
+  }
+
+  /** A horizontal-gradient frame: luminance rises (or falls, reversed)
+    * left→right, so the 9×8 dHash grid compares are all decided the same
+    * way — a stable fingerprint that survives JPEG re-encoding. */
+  private def gradientFrame(w: Int, h: Int, reverse: Boolean, shift: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val base = (if (reverse) (w - 1 - x) else x) * 200 / w + shift
+      val v = math.max(0, math.min(255, base))
+      var y = 0
+      while (y < h) { img.setRGB(x, y, (v << 16) | (v << 8) | v); y += 1 }
+      x += 1
+    }
+    img
+  }
+
+  private def gradientVideo(n: Int, reverse: Boolean, shift: Int): Array[Byte] =
+    mjpegAviOf(Array.tabulate(n)(i => jpegOf(gradientFrame(90, 80, reverse, shift + i))), 90, 80)
+
+  test("videoDHashBands: majority-vote keyframe hash — 4 bands, near-dup within Hamming 6, junk None") {
+    def ham(x: Seq[Int], y: Seq[Int]) =
+      x.zip(y).map { case (p, q) => Integer.bitCount(p ^ q) }.sum
+    val a = Multimodal.videoDHashBands(gradientVideo(6, reverse = false, shift = 0)).get
+    assert(a.length == 4 && a.forall(b => b >= 0 && b <= 0xffff))
+    // a trimmed (one frame fewer), brightness-shifted re-encode: per-frame
+    // dHashes may flip a few bits, the per-bit majority vote stays close
+    val b = Multimodal.videoDHashBands(gradientVideo(5, reverse = false, shift = 6)).get
+    assert(ham(a, b) <= 6, s"near-dup hamming ${ham(a, b)}")
+    // the reversed gradient inverts (almost) every luminance compare
+    val c = Multimodal.videoDHashBands(gradientVideo(6, reverse = true, shift = 0)).get
+    assert(ham(a, c) >= 32, s"reversed-gradient hamming ${ham(a, c)}")
+    // non-parseable bytes → None; parseable container whose frames the
+    // JDK can't decode (non-MJPEG codec) → None (caller keeps the stub)
+    assert(Multimodal.videoDHashBands("definitely not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoDHashBands(buildAvi()._1).isEmpty)
+  }
+
+  test("m08 pipeline: real MJPEG videos flow through bandedHammingNearDups via the real-kernel branch") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, gradientVideo(6, reverse = false, shift = 0)),
+      (11L, gradientVideo(5, reverse = false, shift = 6)), // near-dup of 10
+      (12L, gradientVideo(6, reverse = true, shift = 0))) // far from both
+    val media = rows.toDF("media_id", "content")
+    val realBands = org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      Multimodal.videoDHashBands(b).map(_.toArray).orNull)
+    val got = graft.queries.PipelineQueries.bandedHammingNearDups(media, realBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 11L)), s"got $got")
+    // and these rows really took the real branch, not the byte stub:
+    // the stub over container bytes differs from the decoded-frame hash
+    val stubOnly = graft.queries.PipelineQueries.bandedHammingNearDups(media,
+      org.apache.spark.sql.functions.udf((_: Array[Byte]) => null: Array[Int]))
+    val aReal = Multimodal.videoDHashBands(rows.head._2).get
+    assert(stubOnly.collect() != null) // stub path executes without error
+    assert(Multimodal.dHashBands(rows.head._2).isEmpty,
+      "container bytes are not an image — only videoDHashBands can hash them")
+    assert(aReal.length == 4)
   }
 
   test("resize: mjpeg video rows get a real resized keyframe") {
