@@ -121,17 +121,22 @@ object CoreQueries {
     }),
 
     // --- joins ---------------------------------------------------------
-    // Broadcast hints only on the true dimension side (the filtered
-    // customer segment). The orders⋈customer result is SF-LINEAR (~20%
-    // of orders) — a forced broadcast there is an OOM at 100× because
-    // explicit hints are not size-gated and AQE cannot override them;
-    // stats/AQE pick broadcast at small SF and degrade to a shuffle
-    // join at scale on their own.
+    // Unconditional broadcast hints only on the true dimension side
+    // (the filtered customer segment). The orders⋈customer result is
+    // SF-LINEAR (~20% of orders) — a forced broadcast there is an OOM
+    // at 100× because explicit hints are not size-gated and AQE cannot
+    // override them. It gets the STATS-GATED hint instead
+    // ([[graft.operators.Joins.broadcastIfSmall]], proxied by the two
+    // scan-level inputs): zero-shuffle broadcast at bench SF, automatic
+    // fall-through to AQE's shuffle join once the estimate outgrows
+    // autoBroadcastJoinThreshold.
     "q03_shipping_priority" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
-      l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+      l.join(
+          graft.operators.Joins.broadcastIfSmall(
+            o.join(broadcast(c), o("o_custkey") === c("c_custkey")), o, c),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"))
@@ -139,16 +144,23 @@ object CoreQueries {
         .limit(10)
     }),
 
-    // Hints only on region (5 rows) and nation (25 rows) — constant-size
-    // dimensions at every SF. The ASIA customer slice is ~20% of the
-    // customer table (SF-linear), so its join strategy is left to
-    // stats/AQE: broadcast at bench SF, shuffle join at 100×.
+    // Unconditional hints only on region (5 rows) and nation (25
+    // rows) — constant-size dimensions at every SF. The SF-LINEAR
+    // sides (ASIA customer slice ~20% of customers, supplier, orders)
+    // get the stats-gated hint: at bench SF every one fits the
+    // broadcast threshold and the whole chain is map-only (the r7
+    // plan, minus its OOM risk); as SF grows each gate closes
+    // independently — orders first (largest), then customers, then
+    // supplier — degrading join-by-join to AQE shuffle joins.
     "q05_local_supplier" -> ((s, d) => {
+      import graft.operators.Joins.broadcastIfSmall
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d).join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
-      val c = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      val o = Tables.orders(s, d)
-      val sup = Tables.supplier(s, d)
+      val cust = Tables.customer(s, d)
+      val c = broadcastIfSmall(
+        cust.join(broadcast(n), col("c_nationkey") === col("n_nationkey")), cust)
+      val o = broadcastIfSmall(Tables.orders(s, d))
+      val sup = broadcastIfSmall(Tables.supplier(s, d))
       val l = Tables.lineitem(s, d)
       l.join(sup, l("l_suppkey") === sup("s_suppkey"))
         .join(o, col("l_orderkey") === o("o_orderkey"))
