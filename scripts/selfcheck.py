@@ -18,7 +18,9 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # ScaleGen output: a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))

@@ -528,25 +528,31 @@ object CoreQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
-    // NUMERIC inet ordering — closes the one observable divergence from
-    // the reference's INET column type (zeek_reader.cpp:144-154 makes
-    // addr DuckDB INET, whose ORDER BY follows Postgres: family first,
-    // then numeric — "10.0.0.9" before "10.0.0.10"; our StringType
+    // MIXED-FAMILY inet ordering — closes the one observable divergence
+    // from the reference's INET column type (zeek_reader.cpp:144-154
+    // makes addr DuckDB INET, whose ORDER BY follows Postgres: FAMILY
+    // first — every IPv4 before every IPv6 — then numeric within the
+    // family, so "10.0.0.9" sorts before "10.0.0.10"; our StringType
     // addresses sort lexically). The codegen inet_sort_key expression
     // renders each address as its 17-byte family-tagged key (0x00=v4,
-    // 0x01=v6, then 16 v6-mapped address bytes; mixed-family order is
-    // pinned by InetSortKeySpec), and ranks come from GlobalRank.withGlobalIndex
-    // (range-partition + zipWithIndex — never a single-task window), so
-    // the order is OBSERVABLE to the hash compare (which canonicalizes
-    // row order away). The oracle re-derives numeric order from the
-    // octets and the key bytes from hex — same total order, no inet
-    // extension needed. IPs are deterministic octet mixes that force
-    // 1-, 2-, and 3-digit octets to interleave (the lexical trap).
+    // 0x01=v6, then 16 v6-mapped address bytes), and ranks come from
+    // GlobalRank.withGlobalIndex (range-partition + zipWithIndex —
+    // never a single-task window), so the order is OBSERVABLE to the
+    // hash compare (which canonicalizes row order away). Every 5th
+    // event contributes an fd00::/16 address instead of a v4 one, so
+    // the family-first rule itself is oracle-verified, not just
+    // spec-pinned. The oracle re-derives the total order from (family,
+    // octets | group) and the key bytes from hex — same order, no inet
+    // extension needed. v4 octet mixes force 1-, 2-, and 3-digit
+    // octets to interleave (the lexical trap).
     "q151_inet_order" -> ((s, d) => {
       val ips = Tables.events(s, d).select(
-          concat(lit("10."), (col("event_id") % 200).cast(StringType), lit("."),
-            ((col("event_id") * 7) % 256).cast(StringType), lit("."),
-            ((col("event_id") * 13) % 256).cast(StringType)).as("ip"))
+          when(col("event_id") % 5 === 4,
+            concat(lit("fd00::"), lower(hex((col("event_id") * 11) % 4096))))
+          .otherwise(
+            concat(lit("10."), (col("event_id") % 200).cast(StringType), lit("."),
+              ((col("event_id") * 7) % 256).cast(StringType), lit("."),
+              ((col("event_id") * 13) % 256).cast(StringType))).as("ip"))
         .distinct()
       val keyed = ips.withColumn("k",
         graft.inet.InetFunctions.inet_sort_key(s, col("ip")))
@@ -823,18 +829,23 @@ object CoreQueries {
     // q28_approx_distinct: intentionally no oracle — HLL sketches differ
     // across engines; driver records a rows-only check.
 
+    // family-first total order re-derived arithmetically: fam sorts v4
+    // (0) before v6 (1), then octets / the last v6 group; key_hex is
+    // the 17-byte tagged key spelled out per family.
     "q151_inet_order" ->
-      """WITH ips AS (SELECT DISTINCT '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
-        |    CAST((event_id * 7) % 256 AS VARCHAR) || '.' ||
-        |    CAST((event_id * 13) % 256 AS VARCHAR) AS ip FROM events),
-        |oct AS (SELECT ip,
-        |    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
-        |    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
-        |    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
-        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM ips)
-        |SELECT row_number() OVER (ORDER BY o1, o2, o3, o4) - 1 AS rk, ip,
-        |  '0000000000000000000000ffff' ||
-        |    printf('%02x%02x%02x%02x', o1, o2, o3, o4) AS key_hex
-        |FROM oct ORDER BY rk""".stripMargin
+      """WITH raw AS (SELECT DISTINCT
+        |    CASE WHEN event_id % 5 = 4 THEN 1 ELSE 0 END AS fam,
+        |    CASE WHEN event_id % 5 = 4 THEN (event_id * 11) % 4096 ELSE event_id % 200 END AS a,
+        |    CASE WHEN event_id % 5 = 4 THEN 0 ELSE (event_id * 7) % 256 END AS b,
+        |    CASE WHEN event_id % 5 = 4 THEN 0 ELSE (event_id * 13) % 256 END AS c
+        |  FROM events)
+        |SELECT row_number() OVER (ORDER BY fam, a, b, c) - 1 AS rk,
+        |  CASE WHEN fam = 1 THEN 'fd00::' || printf('%x', a)
+        |       ELSE '10.' || CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.' ||
+        |            CAST(c AS VARCHAR) END AS ip,
+        |  CASE WHEN fam = 1 THEN '01fd00' || repeat('0', 24) || printf('%04x', a)
+        |       ELSE '00' || repeat('0', 20) || 'ffff' ||
+        |            printf('%02x%02x%02x%02x', 10, a, b, c) END AS key_hex
+        |FROM raw ORDER BY rk""".stripMargin
   )
 }
