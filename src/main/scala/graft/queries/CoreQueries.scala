@@ -192,12 +192,22 @@ object CoreQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Pre-aggregate the fact side BEFORE the left join (the canonical
+    // 100-TB rewrite; q07 read 2.7× on 10× data as a raw join): the
+    // per-custkey counts ride the shuffle with map-side partial
+    // aggregation — ~|customers| rows cross the wire instead of every
+    // order row — and the join then carries ONE row per customer.
+    // Exactly the raw left join's counts: count(o_orderkey) =
+    // Σ per-key counts; count(*) = matched rows + 1 per orderless
+    // customer = Σ coalesce(cnt, 1). The oracle stays the raw join.
     "q07_left_join_counts" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
       Tables.customer(s, d)
-        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))
-        .agg(count(col("o_orderkey")).as("order_cnt"), count(lit(1)).as("row_cnt"))
+        .agg(sum(coalesce(col("cnt"), lit(0L))).as("order_cnt"),
+          sum(coalesce(col("cnt"), lit(1L))).as("row_cnt"))
         .orderBy(col("c_mktsegment"))
     }),
 
