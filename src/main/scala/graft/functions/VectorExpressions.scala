@@ -21,9 +21,15 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any
 
-  /** Java source for the loop body; receives element-getter snippets. */
-  protected def loopCode(a: String, b: String, n: String, getA: String => String,
-      getB: String => String, result: String, isNull: String): String
+  /** Java source for the loop body; receives element-getter snippets.
+    * Implementations MUST name every local via `ctx.freshName` — two
+    * instances of the same expression in one generated function (a
+    * predicate with two scores, a fused projection) otherwise collide
+    * ("Redefinition of local variable") and Janino silently drops the
+    * WHOLE predicate/projection to interpreted mode. */
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String,
+      isNull: String): String
 
   private def floatElem(dt: DataType): Option[Boolean] = dt match {
     case ArrayType(FloatType, _)  => Some(true)
@@ -65,7 +71,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${loopCode(a, b, n, i => s"(double) $a.$getterA($i)",
+         |  ${loopCode(ctx, a, b, n, i => s"(double) $a.$getterA($i)",
                 i => s"(double) $b.$getterB($i)", ev.value.toString, ev.isNull.toString)}
          |}
        """.stripMargin
@@ -88,17 +94,21 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
-  override protected def loopCode(a: String, b: String, n: String,
-      getA: String => String, getB: String => String, result: String, isNull: String): String =
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     s"""
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double x = ${getA("i")}; double y = ${getB("i")};
-       |  dot += x * y; na += x * x; nb += y * y;
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = ${getA(i)}; double $y = ${getB(i)};
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |if (na == 0.0 || nb == 0.0) { $isNull = true; }
-       |else { $result = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)); }
+       |if ($na == 0.0 || $nb == 0.0) { $isNull = true; }
+       |else { $result = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
@@ -117,13 +127,15 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     }
     java.lang.Double.valueOf(dot)
   }
-  override protected def loopCode(a: String, b: String, n: String,
-      getA: String => String, getB: String => String, result: String, isNull: String): String =
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String = {
+    val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
     s"""
-       |double dot = 0.0;
-       |for (int i = 0; i < $n; i++) { dot += ${getA("i")} * ${getB("i")}; }
-       |$result = dot;
+       |double $dot = 0.0;
+       |for (int $i = 0; $i < $n; $i++) { $dot += ${getA(i)} * ${getB(i)}; }
+       |$result = $dot;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_product"
@@ -143,13 +155,15 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     }
     java.lang.Double.valueOf(math.sqrt(s))
   }
-  override protected def loopCode(a: String, b: String, n: String,
-      getA: String => String, getB: String => String, result: String, isNull: String): String =
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String,
+      getA: String => String, getB: String => String, result: String, isNull: String): String = {
+    val s0 = ctx.freshName("s"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
     s"""
-       |double s = 0.0;
-       |for (int i = 0; i < $n; i++) { double d = ${getA("i")} - ${getB("i")}; s += d * d; }
-       |$result = java.lang.Math.sqrt(s);
+       |double $s0 = 0.0;
+       |for (int $i = 0; $i < $n; $i++) { double $d = ${getA(i)} - ${getB(i)}; $s0 += $d * $d; }
+       |$result = java.lang.Math.sqrt($s0);
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "l2_distance"
@@ -191,14 +205,15 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long s = 0L;
-         |  for (int i = 0; i < $n; i++) { s += $a.getLong(i) * $b.getLong(i); }
-         |  ${ev.value} = s;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getLong($i) * $b.getLong($i); }
+         |  ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -240,14 +255,15 @@ case class LongL2Sq(left: Expression, right: Expression) extends BinaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long s = 0L;
-         |  for (int i = 0; i < $n; i++) { long d = $a.getLong(i) - $b.getLong(i); s += d * d; }
-         |  ${ev.value} = s;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { long $d = $a.getLong($i) - $b.getLong($i); $s += $d * $d; }
+         |  ${ev.value} = $s;
          |}
        """.stripMargin
     })

@@ -49,6 +49,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("TWO instances in one generated function compile (fresh local names)") {
+    // regression: fixed local names (`i`, `s`, `dot`) collide when two
+    // instances land in the same generated method ("Redefinition of
+    // local variable") and Janino silently drops the whole projection
+    // to interpreted mode. Generating the projection DIRECTLY (instead
+    // of through an executed plan) turns that silent fallback into a
+    // thrown CompileException, so this test FAILS on regression.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.{ArrayType, LongType, FloatType}
+    val la = BoundReference(0, ArrayType(LongType), nullable = true)
+    val lb = BoundReference(1, ArrayType(LongType), nullable = true)
+    val fa = BoundReference(2, ArrayType(FloatType), nullable = true)
+    val fb = BoundReference(3, ArrayType(FloatType), nullable = true)
+    GenerateMutableProjection.generate(Seq(
+      LongDot(la, lb), LongDot(lb, la), LongL2Sq(la, lb), LongL2Sq(lb, la),
+      CosineSim(fa, fb), CosineSim(fb, fa), DotProduct(fa, fb),
+      DotProduct(fb, fa), L2Distance(fa, fb), L2Distance(fb, fa)))
+    // and end-to-end: one projection mixing every scorer twice
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(1L, 2L), Array(3L, 4L)))
+      .toDF("a", "b", "qa", "qb").createOrReplaceTempView("two_vecs")
+    val r = spark.sql(
+      """SELECT long_dot(qa, qb) + long_dot(qb, qa) AS d2,
+        |  long_l2sq(qa, qb) + long_l2sq(qb, qa) AS l2,
+        |  dot_product(a, b) + dot_product(b, a) AS dp,
+        |  l2_distance(a, b) + l2_distance(b, a) AS ld,
+        |  cosine_sim(a, b) + cosine_sim(b, a) AS cs
+        |FROM two_vecs""".stripMargin).collect().head
+    assert(r.getLong(0) == 22L && r.getLong(1) == 16L)
+    assert(math.abs(r.getDouble(2) - 22.0) < 1e-9)
+  }
+
   test("zero-norm input yields NULL") {
     import spark.implicits._
     VectorExpressions.registerAll(spark)
