@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    cliques — a verbatim copy would multiply MinHash bucket pairs
   *    C(N,2)-fold, overstating super-linearity), while within-replica
   *    near-dup structure and ~2/3 of token statistics stay intact.
-  *  - `embeddings.embedding` cyclically rotates by the replica index:
-  *    norms and coordinate distributions are preserved, but replicas
-  *    decorrelate (rotated random vectors are near-orthogonal), so ANN
+  *  - `embeddings.embedding` cyclically rotates by the replica index
+  *    AND sign-flips coordinates under a per-(replica, coordinate)
+  *    murmur3 bit: norms and coordinate magnitudes are preserved, but
+  *    replicas decorrelate (expected cross-replica cosine 0) at any
+  *    factor — rotation alone repeats every `dims` replicas — so ANN
   *    bucket occupancy and top-k structure scale linearly too.
   *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> <factor>
@@ -89,14 +91,22 @@ object ScaleGen {
         "CASE WHEN __rep = 0 THEN text ELSE array_join(transform(split(text, ' '), " +
           "(w, i) -> IF(i % 3 = 0, concat(w, '~', __rep), w)), ' ') END"))), 8)
 
+    // rotation alone collides once factor exceeds dims (replicas r and
+    // r+dims would carry IDENTICAL vectors under fresh ids — fake exact-dup
+    // structure that inflates ANN pair counts super-linearly), so each
+    // replica also flips coordinate signs under a deterministic per-(rep,
+    // coordinate) murmur3 bit: norms and coordinate magnitudes are
+    // preserved exactly, replicas stay pairwise near-orthogonal (expected
+    // cross-replica cosine 0, std ~1/sqrt(dims)) at ANY factor
     val emb = read("embeddings")
     val dims = emb.select(size(col("embedding"))).head.getInt(0)
     write("embeddings", replicate(emb,
       Map("vec_id" -> stride(emb, "vec_id")),
       rewrite = Map("embedding" -> expr(
-        s"CASE WHEN __rep = 0 THEN embedding ELSE concat(" +
+        s"CASE WHEN __rep = 0 THEN embedding ELSE transform(concat(" +
           s"slice(embedding, CAST(__rep % $dims + 1 AS INT), $dims - __rep % $dims), " +
-          s"slice(embedding, 1, CAST(__rep % $dims AS INT))) END"))), 4)
+          s"slice(embedding, 1, CAST(__rep % $dims AS INT))), " +
+          s"(v, i) -> IF(pmod(hash(i, __rep), 2) = 0, -v, v)) END"))), 4)
 
     spark.stop()
   }

@@ -44,6 +44,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q08: rank filter pushes a partial WindowGroupLimit below the shuffle") {
+    // rn <= 3 must prune to ≤3 rows per key map-side (WindowGroupLimit
+    // partial + final pair) — without it every order row crosses the
+    // window shuffle and the rank filter only runs after the full
+    // per-key sort. This is the optimization that keeps q08's shuffle
+    // bounded by 3×|keys| instead of |orders| at 100×.
+    val p = plan("q08_window_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown missing:\n" + p.take(3000))
+  }
+
   test("q15: top-k uses TakeOrderedAndProject, not a global sort") {
     val p = plan("q15_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
