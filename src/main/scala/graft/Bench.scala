@@ -46,11 +46,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // fewer initial shuffle partitions win at bench scale (sf0.1 tasks are
-    // tiny; measured ~25% total at 8 vs 32) — AQE coalescing handles the
-    // rest, and real deployments size this to the cluster, not the bench
+    // shuffle partitions sized to the DATA, the way a real deployment
+    // sizes them to cluster+input: ~32 MB of source parquet per
+    // partition, floored at 8 (sf0.1 tasks are tiny; measured ~25%
+    // total win at 8 vs 32 there) and capped at the core count. A
+    // fixed small count is a small-SF tune that silently caps every
+    // big shuffle: at sf10 (2 GB) shuffle=8 left 3/4 of the cores idle
+    // through q05/q09/q29's exchanges — 32 took the headline total
+    // from 219 s to 186 s (sums of per-query mins, quiet host).
+    val dataBytes =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case _: Exception => 0L }
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.min(cpus.toInt, 8).toString)
+      math.min(cpus.toInt,
+        math.max(8L, dataBytes / (32L << 20)).toInt).toString)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

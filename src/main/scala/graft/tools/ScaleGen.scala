@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   *    shift by their referenced table's stride, so join fan-outs and
   *    selectivities are preserved exactly (each replica is an
   *    independent sub-universe; region/nation stay fixed like TPC-H).
-  *  - `documents.text` salts every 3rd word with the replica index:
-  *    cross-replica shingle Jaccard drops to ~0 (no fake near-dup
-  *    cliques — a verbatim copy would multiply MinHash bucket pairs
-  *    C(N,2)-fold, overstating super-linearity), while within-replica
-  *    near-dup structure and ~2/3 of token statistics stay intact.
+  *  - `documents.text` salts every 2nd word with the replica index:
+  *    every word-n-gram (n ≥ 2) then contains a salted word, so
+  *    cross-replica shingle overlap is EXACTLY zero and MinHash/LSH
+  *    pair structure scales linearly. (Salting only every 3rd word
+  *    left ~1/3 of 2-shingles shared — cross-replica Jaccard ~0.2,
+  *    which at 100 replicas grew C(100,2) band collisions per source
+  *    doc and made d06 read 22× on 10× data, a generator artifact,
+  *    not an engine cost.) Within-replica near-dup structure and half
+  *    of the token statistics stay intact.
   *  - `embeddings.embedding` cyclically rotates by the replica index
   *    AND sign-flips coordinates under a per-(replica, coordinate)
   *    murmur3 bit: norms and coordinate magnitudes are preserved, but
@@ -89,7 +93,7 @@ object ScaleGen {
       Map("doc_id" -> stride(docs, "doc_id")),
       rewrite = Map("text" -> expr(
         "CASE WHEN __rep = 0 THEN text ELSE array_join(transform(split(text, ' '), " +
-          "(w, i) -> IF(i % 3 = 0, concat(w, '~', __rep), w)), ' ') END"))), 8)
+          "(w, i) -> IF(i % 2 = 0, concat(w, '~', __rep), w)), ' ') END"))), 8)
 
     // rotation alone collides once factor exceeds dims (replicas r and
     // r+dims would carry IDENTICAL vectors under fresh ids — fake exact-dup
