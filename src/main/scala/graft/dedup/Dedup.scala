@@ -130,10 +130,21 @@ object Dedup {
     * within-bucket pair product is bounded — and `bucketCap` bounds it
     * deterministically even for pathological floods. `carry` columns are
     * shipped through the buckets so downstream verification needs no
-    * join back. */
+    * join back.
+    *
+    * `withEstimate = false` drops the `est_jaccard` column — and with it
+    * the only reason to ship signatures through the band shuffle: bucket
+    * members shrink from (id + numHashes longs) to the bare id, cutting
+    * shuffle volume ~65× at the default 64/16 config. The candidate PAIR
+    * SET is identical either way (band keys and the [[capMembers]] sample
+    * depend only on the signature and `hash(id)`, both computed before
+    * the member struct is built). Callers that exact-verify candidates
+    * anyway — [[minhashNearDups]] — never need the estimate. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 2,
-      carryText: Boolean = false, bucketCap: Int = 1000): DataFrame = {
+      carryText: Boolean = false, bucketCap: Int = 1000,
+      withEstimate: Boolean = true): DataFrame = {
+    require(withEstimate || !carryText, "carryText requires withEstimate")
     val rows = numHashes / bands
     val carried = if (carryText) Seq(col(textCol).as("text")) else Seq.empty
     // drop null-text docs BEFORE banding: their null signatures would all
@@ -142,7 +153,8 @@ object Dedup {
     val sig = docs.select(Seq(col(idCol).as("id"),
       minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
       .filter(col("sig").isNotNull)
-    val memberCols = Seq(col("id"), col("sig")) ++ (if (carryText) Seq(col("text")) else Nil)
+    val memberCols = Seq(col("id")) ++ (if (withEstimate) Seq(col("sig")) else Nil) ++
+      (if (carryText) Seq(col("text")) else Nil)
     val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
@@ -153,6 +165,9 @@ object Dedup {
     val txt = if (carryText)
       ", 'ta', if(m.id <= n.id, m.text, n.text), 'tb', if(m.id <= n.id, n.text, m.text)"
     else ""
+    val est = if (withEstimate)
+      ", 'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))"
+    else ""
     // within-bucket pairs (i < j), then global dedup. The member array is
     // bound ONCE as a lambda variable (`transform(array(members), ms -> …)`)
     // so the capped-array expression upstream is evaluated a single time per
@@ -162,24 +177,29 @@ object Dedup {
       s"""flatten(flatten(transform(array(members), ms ->
          |  transform(ms, (m, i) ->
          |    transform(slice(ms, i + 2, size(ms)), n ->
-         |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
-         |        'matches', size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), eq -> eq))$txt))))))""".stripMargin)).as("p"))
-    val estCol = (col("p.matches") * 1.0 / numHashes).as("est_jaccard")
-    if (carryText)
-      pairs.select(col("p.a"), col("p.b"), estCol, col("p.ta"), col("p.tb"))
-        .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"),
-          first("ta").as("ta"), first("tb").as("tb"))
-    else
-      pairs.select(col("p.a"), col("p.b"), estCol)
-        .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+         |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id)$est$txt))))))""".stripMargin)).as("p"))
+    if (!withEstimate)
+      pairs.select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    else {
+      val estCol = (col("p.matches") * 1.0 / numHashes).as("est_jaccard")
+      if (carryText)
+        pairs.select(col("p.a"), col("p.b"), estCol, col("p.ta"), col("p.tb"))
+          .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"),
+            first("ta").as("ta"), first("tb").as("tb"))
+      else
+        pairs.select(col("p.a"), col("p.b"), estCol)
+          .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+    }
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates → exact shingle-set
-    * Jaccard verification ≥ `threshold`. Candidates carry only ids, and
-    * verification joins the (few) candidate pairs back to the corpus for
-    * their texts: the band-bucket shuffle then moves 64-long signatures
-    * instead of full documents replicated once per band — at corpus
-    * scale that is the difference between shuffling ~0.5 KB/doc and
+    * Jaccard verification ≥ `threshold`. Candidates carry BARE IDS
+    * (`withEstimate = false` — the exact verify below decides membership,
+    * so the LSH estimate would be dead weight), and verification joins
+    * the (few) candidate pairs back to the corpus for their texts: the
+    * band-bucket shuffle then moves one id per (doc, band) instead of
+    * full documents — or signatures — replicated once per band; at
+    * corpus scale that is the difference between shuffling ~16 B/doc and
     * ~16× the corpus text volume. The text join-back broadcasts ONLY the
     * id-tagged pair rows (no text in the broadcast, so its size is a few
     * dozen bytes per candidate pair): the corpus streams map-side through
@@ -191,7 +211,7 @@ object Dedup {
       threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 2, bucketCap: Int = 1000): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
-      shingleSize, carryText = false, bucketCap = bucketCap)
+      shingleSize, carryText = false, bucketCap = bucketCap, withEstimate = false)
     val t = docs.select(col(idCol), col(textCol))
     val jacc = udf { (x: String, y: String) =>
       if (x == null || y == null) None // SQL null-propagation, not an NPE
@@ -204,37 +224,44 @@ object Dedup {
     }
     // one row per pair ENDPOINT (ids only) → broadcast onto the corpus →
     // regroup matched texts per pair
-    val tagged = cands.select(col("a"), col("b"), col("est_jaccard"),
+    val tagged = cands.select(col("a"), col("b"),
       explode(array(
         struct(lit("a").as("role"), col("a").as("id")),
         struct(lit("b").as("role"), col("b").as("id")))).as("m"))
-      .select(col("a"), col("b"), col("est_jaccard"), col("m.role"), col("m.id"))
+      .select(col("a"), col("b"), col("m.role"), col("m.id"))
     val matched = t.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(broadcast(tagged), "id")
-    matched.groupBy("a", "b", "est_jaccard")
+    matched.groupBy("a", "b")
       .agg(max(when(col("role") === "a", col("txt"))).as("ta"),
         max(when(col("role") === "b", col("txt"))).as("tb"))
       .withColumn("jaccard", jacc(col("ta"), col("tb")))
       .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard", "est_jaccard")
+      .select("a", "b", "jaccard")
   }
 
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over word-bigram shingle hashes: bit j of the result
-    * is the sign of the sum of ±1 votes from each shingle's hash bit j. */
+    * is the sign of the sum of ±1 votes from each shingle's hash bit j.
+    * Shingle hashes come from [[shingleHashes]] (word-hash mixing, no
+    * shingle string materialization — any uniform 64-bit family votes
+    * identically in distribution, and the signature is engine-specific
+    * by contract: the oracle-reproducible twin is [[simhash60Sql]]). */
   val simhash64: Column => Column = {
     val f = udf { (text: String) =>
       if (text == null) None // SQL null-propagation, not an NPE
       else {
+        val hs = shingleHashes(text, 2)
         val counts = new Array[Int](64)
-        shingles(text, 2).foreach { w =>
-          val h = hashString(w)
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
             j += 1
           }
+          i += 1
         }
         var out = 0L
         var j = 0

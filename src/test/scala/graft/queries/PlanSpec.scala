@@ -73,13 +73,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("user_id"), "unneeded column not pruned:\n" + p.take(2000))
   }
 
-  test("d06: minhash band shuffle carries no text column") {
+  test("d06: minhash band shuffle carries bare ids — no text, no signatures") {
     val q = graft.SparkEntry.queries("d06_minhash_neardups")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
-    // the collect_list bucket aggregation must see only (id, sig), not the
-    // document text — text joins back in only at the (tiny) pair stage
+    // the collect_list bucket aggregation must see only the doc id: text
+    // joins back in at the (tiny) pair stage, and the signature's job is
+    // done once the band key is computed — shipping it ×bands through the
+    // shuffle would be ~65× the volume for a column nothing reads
     val bucketAgg = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    assert(bucketAgg.nonEmpty, "bucket aggregation not found:\n" + p.take(2000))
     assert(!bucketAgg.contains("text"), "band buckets should not carry text:\n" + bucketAgg)
+    assert(!bucketAgg.contains("sig"), "band buckets should not carry signatures:\n" + bucketAgg)
   }
 
   test("d06: candidate pair set broadcasts onto the text join-back") {
