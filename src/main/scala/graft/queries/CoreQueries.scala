@@ -83,11 +83,20 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Three single-purpose aggregates cross-joined (all 1-row), NOT one
+    // multi-distinct agg: Spark plans two distinct aggregates in one agg
+    // via Expand — every fact row triples before the partial hash
+    // aggregate, the dominant cost at sf10 (5.5 s, the worst scaler in
+    // the bench). Split, each branch scans ONE pruned parquet column
+    // (total bytes read unchanged — columnar), dedups map-side, and
+    // shuffles only distinct keys; the count branch scans no columns at
+    // all. The branches are independent stages of one job and run
+    // concurrently.
     "q11_distinct_counts" -> ((s, d) => {
-      Tables.lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("cnt_part"),
-        countDistinct(col("l_suppkey")).as("cnt_supp"),
-        count(lit(1)).as("cnt_rows"))
+      val l = Tables.lineitem(s, d)
+      l.agg(countDistinct(col("l_partkey")).as("cnt_part"))
+        .crossJoin(l.agg(countDistinct(col("l_suppkey")).as("cnt_supp")))
+        .crossJoin(l.agg(count(lit(1)).as("cnt_rows")))
     }),
 
     "q19_case_buckets" -> ((s, d) => {
@@ -146,12 +155,20 @@ object CoreQueries {
 
     // Unconditional hints only on region (5 rows) and nation (25
     // rows) — constant-size dimensions at every SF. The SF-LINEAR
-    // sides (ASIA customer slice ~20% of customers, supplier, orders)
-    // get the stats-gated hint: at bench SF every one fits the
-    // broadcast threshold and the whole chain is map-only (the r7
-    // plan, minus its OOM risk); as SF grows each gate closes
-    // independently — orders first (largest), then customers, then
-    // supplier — degrading join-by-join to AQE shuffle joins.
+    // sides (ASIA customer slice ~20% of customers, supplier, the
+    // orders⋈customer pre-join) get the stats-gated hint: at bench SF
+    // every one fits the broadcast threshold and the whole chain is
+    // map-only; as SF grows each gate closes independently, degrading
+    // join-by-join to AQE shuffle joins.
+    //
+    // Join ORDER is the scale decision here: orders pre-joins the ASIA
+    // customer slice BEFORE meeting lineitem. The previous shape
+    // (l⋈o first, customer last) re-shuffled the full 60M-row joined
+    // fact on o_custkey at sf10 — the single most expensive exchange
+    // in the bench. Pre-joining shuffles 15M orders instead and the
+    // l⋈oc inner join prunes lineitem to the ~20% of rows with ASIA
+    // customers before the aggregate (measured at sf10: q05 12.2 s →
+    // see BASELINE.md). Inner-join reassociation — identical result.
     "q05_local_supplier" -> ((s, d) => {
       import graft.operators.Joins.broadcastIfSmall
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -159,12 +176,13 @@ object CoreQueries {
       val cust = Tables.customer(s, d)
       val c = broadcastIfSmall(
         cust.join(broadcast(n), col("c_nationkey") === col("n_nationkey")), cust)
-      val o = broadcastIfSmall(Tables.orders(s, d))
+      val oRaw = Tables.orders(s, d)
+      val oc = broadcastIfSmall(
+        oRaw.join(c, col("o_custkey") === col("c_custkey")), oRaw, cust)
       val sup = broadcastIfSmall(Tables.supplier(s, d))
       val l = Tables.lineitem(s, d)
       l.join(sup, l("l_suppkey") === sup("s_suppkey"))
-        .join(o, col("l_orderkey") === o("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey") &&
+        .join(oc, col("l_orderkey") === col("o_orderkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"),

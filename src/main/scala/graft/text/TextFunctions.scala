@@ -33,8 +33,13 @@ object TextFunctions {
   def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     size(filter(words(text), w => w.isInCollection(stopwords)))
 
+  /** `translate` (a 6-entry char map) instead of `regexp_replace`: same
+    * deletion of the 6 punctuation chars, but a per-char table lookup
+    * rather than a regex-engine pass — the regex was the hot path of the
+    * whole quality pipeline at sf10. Identical values, so the DuckDB
+    * oracle keeps the regexp form. */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+    length(text) - length(translate(text, ".,;:!?", ""))
 
   /** Composite quality score in [0,1]: balanced length, low punctuation
     * density, healthy stopword ratio. Deterministic double arithmetic
