@@ -45,6 +45,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // iteration aid: SPARK_GRAFT_ONLY=q05,q08 times just the named
+    // queries (prefix match on headline names); unset = full headline,
+    // which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => headline.filter(n => ps.exists(n.startsWith))
+      case None => headline
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions sized to the DATA, the way a real deployment
     // sizes them to cluster+input: ~32 MB of source parquet per
@@ -93,7 +102,7 @@ object Bench {
     // warm-up: same query shapes on the tiny SF → codegen cache + JIT warm
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      headline.foreach { n =>
+      selected.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { // fatal errors (OOM etc.) must still kill the run
@@ -111,7 +120,7 @@ object Bench {
     // parse is unchanged; `queries_min` is the extra diagnostic.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val times: Map[String, Seq[Double]] =
-      (1 to passes).flatMap(_ => headline.map(n => n -> run(n)))
+      (1 to passes).flatMap(_ => selected.map(n => n -> run(n)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -121,9 +130,9 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    val med = headline.map(n => n -> median(times(n)))
+    val med = selected.map(n => n -> median(times(n)))
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsMin = headline.map(n => "\"" + n + "\":" + minOk(times(n)))
+    val qsMin = selected.map(n => "\"" + n + "\":" + minOk(times(n)))
       .mkString("{", ",", "}")
     val total = med.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"sf":"$sfDir"}""")

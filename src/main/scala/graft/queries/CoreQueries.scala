@@ -230,10 +230,19 @@ object CoreQueries {
     }),
 
     // --- windows --------------------------------------------------------
+    // One shuffle, not two: the window needs o_custkey clustering and the
+    // deterministic output needs a global (o_custkey, …) order. A hash
+    // window shuffle followed by orderBy range-shuffles the ENTIRE output
+    // a second time (15M rows at sf10). RangePartitioning(o_custkey)
+    // satisfies BOTH requirements — equal keys can't straddle a range
+    // boundary, and it is a valid prefix of the output OrderedDistribution
+    // — so the explicit repartitionByRange makes the final sort a cheap
+    // in-partition re-sort with no second exchange.
     "q08_window_topn" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
+        .repartitionByRange(col("o_custkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
@@ -245,6 +254,7 @@ object CoreQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
+        .repartitionByRange(col("o_custkey"))
         .withColumn("run_total", d2(sum(dec(col("o_totalprice"))).over(w)))
         .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))

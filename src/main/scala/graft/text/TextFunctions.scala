@@ -33,13 +33,15 @@ object TextFunctions {
   def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     size(filter(words(text), w => w.isInCollection(stopwords)))
 
-  /** `translate` (a 6-entry char map) instead of `regexp_replace`: same
-    * deletion of the 6 punctuation chars, but a per-char table lookup
-    * rather than a regex-engine pass — the regex was the hot path of the
-    * whole quality pipeline at sf10. Identical values, so the DuckDB
-    * oracle keeps the regexp form. */
+  /** `regexp_count` over the char class instead of
+    * `length - length(regexp_replace(...))`: identical value (every match
+    * is one char), but counts matches in place without allocating the
+    * stripped copy of the document. (`translate` was also tried and is
+    * ~2× SLOWER than the regex at sf10 — Spark's StringTranslate walks a
+    * boxed per-char map.) The DuckDB oracle keeps the regexp_replace
+    * form; values are identical. */
   def punctCount(text: Column): Column =
-    length(text) - length(translate(text, ".,;:!?", ""))
+    regexp_count(text, lit("[.,;:!?]"))
 
   /** Composite quality score in [0,1]: balanced length, low punctuation
     * density, healthy stopword ratio. Deterministic double arithmetic
