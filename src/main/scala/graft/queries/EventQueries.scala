@@ -120,9 +120,14 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // gap-based sessionization (30-minute inactivity threshold)
+    // Single-shuffle shape (the q08/q09 pattern): RangePartitioning on
+    // user_id serves the lag window's clustering, the per-user groupBy,
+    // AND the deterministic final ORDER BY — without it the ordered
+    // output costs a second full exchange of the aggregate.
     "q29_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       events(s, d)
+        .repartitionByRange(col("user_id"))
         .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
         .withColumn("new_session",
           when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))

@@ -176,6 +176,9 @@ object ExtendedQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(s, d)
+        // single-shuffle shape (q08/q09 pattern): range partitioning by
+        // o_custkey serves the window AND the final ordered output
+        .repartitionByRange(col("o_custkey"))
         .select(col("o_custkey"), col("o_orderkey"),
           first(col("o_orderkey")).over(w).as("first_key"),
           last(col("o_orderkey")).over(w).as("last_key"),

@@ -722,6 +722,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q29/q54: one range exchange serves window + aggregate + ordered output") {
+    // the q08/q09 single-shuffle shape: RangePartitioning on the window
+    // key satisfies the window's clustering, the per-key aggregate's
+    // distribution AND the final ORDER BY's ordering — a plan with any
+    // hash exchange (or a second range exchange) pays a full extra pass
+    // over the fact table at 100×
+    for (name <- Seq("q29_sessionize", "q54_first_last_window")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name re-shuffled after the range partition:\n" + p.take(3000))
+      val ranges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+      assert(ranges == 1, s"$name: expected exactly 1 range exchange, got $ranges:\n" + p.take(3000))
+    }
+  }
+
   test("d68: the only window partitions per source — never a global sort") {
     val p = plan("d68_source_quota")
     assert(p.contains("windowspecdefinition(source"), p.take(3000))
