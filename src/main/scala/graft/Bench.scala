@@ -95,6 +95,7 @@ object Bench {
         // bench session issues 100+ queries and must not let cached
         // range-shuffle partitions pile up until GC notices them
         graft.operators.GlobalRank.releasePins()
+        graft.operators.Lineage.releaseAll(spark) // drop per-query cut blocks
       }
       (System.nanoTime() - t0) / 1e9
     }

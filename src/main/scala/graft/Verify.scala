@@ -23,7 +23,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally graft.operators.GlobalRank.releasePins() // see Bench.run
+      } finally {
+        graft.operators.GlobalRank.releasePins() // see Bench.run
+        graft.operators.Lineage.releaseAll(spark) // drop per-query cut blocks
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

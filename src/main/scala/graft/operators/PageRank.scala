@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * the first shuffle, AQE reuses the exchange) plus one map-side-
   * combinable sum per destination. State per round is one row per node;
   * contributions never materialize per-edge beyond the shuffle stream.
-  * For long chains (> ~8 iterations) callers should `localCheckpoint`
-  * every few rounds to cut lineage — same recipe as DedupClusters.
+  * The edge list, node/degree tables, and each round's rank vector are
+  * materialized via [[Lineage.cut]] — without it every round replays all
+  * earlier rounds per reference and the plan grows with `iters`.
   */
 object PageRank {
 
@@ -29,12 +30,16 @@ object PageRank {
     * string columns). Every node starts with `base` millionth-mass;
     * p'(v) = base*15/100 + 85 * Σ_{u→v} (p(u) div out(u)) div 100,
     * all in integer arithmetic. Returns (node, val). */
-  def integerPageRank(edges: DataFrame, iters: Int = 5,
+  def integerPageRank(edges0: DataFrame, iters: Int = 5,
       base: Long = 1000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // cut: the caller's edge derivation and the node/degree tables are
+    // referenced by every iteration — materialize each once; the per-round
+    // cut on ranks stops the plan (and recomputation) growing with iters
+    val edges = Lineage.cut(edges0)
+    val nodes = Lineage.cut(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
+    val deg = Lineage.cut(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
     var ranks = nodes.select(col("node"), lit(base).as("val"))
     val hold = base * 15L / 100L
     for (_ <- 1 to iters) {
@@ -43,9 +48,9 @@ object PageRank {
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = Lineage.cut(nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
-          (lit(hold) + expr("(85 * coalesce(s, 0L)) div 100")).as("val"))
+          (lit(hold) + expr("(85 * coalesce(s, 0L)) div 100")).as("val")))
     }
     ranks
   }
@@ -58,16 +63,18 @@ object PageRank {
     * [[integerPageRank]]; the seed flag rides the node table, so rounds
     * cost exactly what the global variant costs. Seeds start with
     * `base` mass, everything else at zero. */
-  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+  def personalizedPageRank(edges0: DataFrame, seeds: DataFrame, iters: Int = 5,
       base: Long = 1000000L): DataFrame = {
+    // cut: same round-reuse structure as [[integerPageRank]]
+    val edges = Lineage.cut(edges0)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    val marked = nodes
+    val deg = Lineage.cut(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    val marked = Lineage.cut(nodes
       .join(seeds.select(col("node")).distinct().withColumn("sflag", lit(1)),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("sflag"), lit(0)).as("is_seed"))
+      .select(col("node"), coalesce(col("sflag"), lit(0)).as("is_seed")))
     var ranks = marked.select(col("node"), (col("is_seed") * base).as("val"))
     val hold = base * 15L / 100L
     for (_ <- 1 to iters) {
@@ -76,9 +83,9 @@ object PageRank {
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      ranks = marked.join(contrib, marked("node") === contrib("dst"), "left")
+      ranks = Lineage.cut(marked.join(contrib, marked("node") === contrib("dst"), "left")
         .select(marked("node"),
-          (col("is_seed") * hold + expr("(85 * coalesce(s, 0L)) div 100")).as("val"))
+          (col("is_seed") * hold + expr("(85 * coalesce(s, 0L)) div 100")).as("val")))
     }
     ranks
   }

@@ -37,10 +37,13 @@ object Triangles {
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    // cut: the oriented edge list is read three times (both wedge sides +
+    // the closing-edge probe) — materialize it once so the dedup/degree
+    // joins above don't replay per reference
+    val oriented = Lineage.cut(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst")))
     // wedges u→v, u→w with π(v) < π(w); the closing edge is then
     // oriented v→w, so one equi-join on (v, w) finds it
     val dstBefore = col("x.ddst") < col("y.ddst") ||

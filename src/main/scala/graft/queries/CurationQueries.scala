@@ -121,12 +121,16 @@ object CurationQueries {
             "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
           .as("bgs"))
       val sizes = bg.select(col("doc_id"), size(col("bgs")).as("n"))
-      val e = bg.select(col("doc_id"), explode(col("bgs")).as("s"))
+      // cut: the exploded bigram stream backs the df counts AND the kept
+      // join; kept backs both self-join sides; the thresholded pairs back
+      // the pair counts and both doc-set projections
+      val e = graft.operators.Lineage.cut(
+        bg.select(col("doc_id"), explode(col("bgs")).as("s")))
       val dfc = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val nPruned = dfc.filter(col("df") > maxDf)
         .agg(count(lit(1)).as("n_pruned_keys"))
-      val kept = e.join(
-        dfc.filter(col("df") <= maxDf && col("df") > 1).select(col("s")), "s")
+      val kept = graft.operators.Lineage.cut(e.join(
+        dfc.filter(col("df") <= maxDf && col("df") > 1).select(col("s")), "s"))
       val co = kept.as("x").join(kept.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -135,8 +139,8 @@ object CurationQueries {
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
         .withColumn("j", col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-      val pairs = jacc.crossJoin(thresholds)
-        .filter(col("j") >= col("threshold"))
+      val pairs = graft.operators.Lineage.cut(jacc.crossJoin(thresholds)
+        .filter(col("j") >= col("threshold")))
       val nPairs = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
       val nDocs = pairs.select(col("threshold"), col("a").as("doc"))
         .union(pairs.select(col("threshold"), col("b")))
@@ -291,9 +295,11 @@ object CurationQueries {
         .crossJoin(radii).join(masks, col("mradius") <= col("radius"))
         .withColumn("bucket", expr("qsig").bitwiseXOR(col("m")))
         .select("radius", "query_id", "qv", "bucket")
-      val cand = c.join(broadcast(q), Seq("bucket"))
+      // cut: the bucket-candidate scan backs the top-5 ranking AND the
+      // per-radius candidate counts
+      val cand = graft.operators.Lineage.cut(c.join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr("cosine_sim(qv, cv)"))
+        .withColumn("cos", expr("cosine_sim(qv, cv)")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("radius"), col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -357,17 +363,18 @@ object CurationQueries {
     "e26_top_eigvec" -> ((s, d) => {
       val qv = Tables.embeddings(s, d).select(col("vec_id"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-      val cells = qv
+      // cut: the Gram-matrix aggregation backs x1 and both matvec rounds
+      val cells = graft.operators.Lineage.cut(qv
         .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
         .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
         .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g0"))
         .withColumn("g", expr("(g0 + 1099511627776) div 1048576 - 1048576"))
-        .select("i", "j", "g")
+        .select("i", "j", "g"))
       val x1 = cells.groupBy(col("i").as("p")).agg(sum(col("g")).as("x")) // x0 = all ones
       def matvec(x: DataFrame) = cells
         .join(broadcast(x.withColumnRenamed("p", "j")), "j")
         .groupBy(col("i").as("p")).agg(sum(col("g") * col("x")).as("x"))
-      val x3 = matvec(matvec(x1))
+      val x3 = graft.operators.Lineage.cut(matvec(matvec(x1)))
       val norm = x3.agg(
         sum(col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0))).as("n2"))
         .select(sqrt(col("n2").cast(DoubleType)).as("norm"))

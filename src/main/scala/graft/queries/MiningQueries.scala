@@ -141,9 +141,12 @@ object MiningQueries {
     "q133_link_prediction" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      // cut: the self-join backs both union directions AND the
+      // existing-edge anti join (q137 rule)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
       val sym = e.select(col("pa").as("s"), col("pb").as("t"))
         .union(e.select(col("pb"), col("pa")))
       val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("dg"))
@@ -212,8 +215,11 @@ object MiningQueries {
           .filter(col("cid") =!= col("vec_id")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("vec_id"), col("cid"))
-      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
+      // cut: the LSH graph backs the probe edges, the two-hop join, and
+      // the hit check
+      val g = graft.operators.Lineage.cut(
+        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+          .select(col("vec_id"), col("neighbor_id")))
       val gp = g.filter(col("vec_id") < 8)
       val two = gp.select(col("vec_id"), col("neighbor_id").as("mid"))
         .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
@@ -258,10 +264,13 @@ object MiningQueries {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val newEmb = emb.filter(col("vec_id") % 10 === 0)
       val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
-      val gOld = knnGraphQuantized(oldEmb, topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
+      // cut: the old graph backs the update-scoring join AND the
+      // is_new_edge probe; c2's candidates back both the re-rank and
+      // the affected-node filter
+      val gOld = graft.operators.Lineage.cut(knnGraphQuantized(oldEmb, topK = 3)
+        .select(col("vec_id"), col("neighbor_id")))
       val c1 = knnCandidatesBetween(newEmb, emb)
-      val c2 = knnCandidatesBetween(oldEmb, newEmb)
+      val c2 = graft.operators.Lineage.cut(knnCandidatesBetween(oldEmb, newEmb))
       val base = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
         .withColumn("n2", ldot(s)(col("q"), col("q")))
@@ -300,8 +309,10 @@ object MiningQueries {
     "e44_knn_deletion" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val remEmb = emb.filter(col("vec_id") % 17 =!= 0)
-      val gFull = knnGraphQuantized(emb, topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
+      // cut: the full graph backs the affected-set filter and the
+      // is_new_edge probe
+      val gFull = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
+        .select(col("vec_id"), col("neighbor_id")))
       val affected = gFull.filter(col("neighbor_id") % 17 === 0)
         .filter(col("vec_id") % 17 =!= 0)
         .select(col("vec_id")).distinct()
@@ -371,8 +382,11 @@ object MiningQueries {
     // superset of e40's, so its best neighbor is never worse.
     "e47_nn_descent_reverse" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
+      // cut: the graph backs both union directions of the generalized
+      // neighborhood
+      val g = graft.operators.Lineage.cut(
+        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+          .select(col("vec_id"), col("neighbor_id")))
       val gen = g.union(
           g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
         .distinct()
@@ -401,7 +415,9 @@ object MiningQueries {
       val emb = Tables.embeddings(s, d)
       labelProp(emb.select(col("vec_id"), col("label"))
           .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
-        knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id")),
+        // cut: every propagation round joins the same graph
+        graft.operators.Lineage.cut(
+          knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id"))),
         rounds = 2)
         .orderBy(col("vec_id"))
     }),
@@ -421,8 +437,9 @@ object MiningQueries {
       val base = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
         .withColumn("n2", ldot(s)(col("q"), col("q")))
-      val edges = knnGraphQuantized(emb, topK = 3)
-        .select(col("vec_id").as("node"), col("neighbor_id"))
+      // cut: the kNN graph is walked by every beam round — build it once
+      val edges = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
+        .select(col("vec_id").as("node"), col("neighbor_id")))
       val qs = base.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
       val entry = base.agg(min(col("vec_id")).as("node"))
@@ -442,11 +459,13 @@ object MiningQueries {
         val expanded = frontier.join(edges, Seq("node"))
           .select(col("qid"), col("neighbor_id").as("node")).distinct()
           .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
-        val kept = score(expanded)
+        // cut: each round's survivors seed the next frontier AND the
+        // visited set — without it round r replays rounds 1..r-1's scoring
+        val kept = graft.operators.Lineage.cut(score(expanded)
           .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= 4)
-          .drop("rn")
+          .drop("rn"))
         frontier = kept.select(col("qid"), col("node"))
-        visited = visited.union(kept)
+        visited = graft.operators.Lineage.cut(visited.union(kept))
       }
       visited.filter(col("node") =!= col("qid"))
         .withColumn("rk", row_number().over(beamW)).filter(col("rk") <= 3)
@@ -592,7 +611,9 @@ object MiningQueries {
       val q = emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
         .withColumn("n2", ldot(s)(col("q"), col("q")))
-      val d2 = ivfCoarseD2(s, emb, nLists = 16)
+      // cut: the coarse-quantizer distances back the corpus assignment
+      // AND the query-cell ranking
+      val d2 = graft.operators.Lineage.cut(ivfCoarseD2(s, emb, nLists = 16))
       val aw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
       val assign = d2.withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
@@ -601,9 +622,12 @@ object MiningQueries {
         .withColumn("cr", row_number().over(aw)).filter(col("cr") <= 4)
         .select(col("vec_id").as("qid"), col("cell"), col("cr"))
       val probes = Seq(1, 2, 4).toDF("nprobe")
-      val cand = qcells.join(broadcast(probes), col("cr") <= col("nprobe"))
-        .join(assign, Seq("cell"))
-        .select(col("nprobe"), col("qid"), col("cid"))
+      // cut: the candidate table backs the top-5 scoring AND the
+      // per-nprobe candidate counts
+      val cand = graft.operators.Lineage.cut(
+        qcells.join(broadcast(probes), col("cr") <= col("nprobe"))
+          .join(assign, Seq("cell"))
+          .select(col("nprobe"), col("qid"), col("cid")))
       val qside = q.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("na"))
       def score(df: DataFrame) = df
@@ -645,9 +669,13 @@ object MiningQueries {
     "q137_neighborhood_function" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      // cut: the co-purchase self-join is referenced by every expansion
+      // round — materialize it once instead of re-deriving per round
+      // (was ~100 planned parquet scans / 15 s at sf0.01)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
       val sym = e.select(col("pa").as("es"), col("pb").as("et"))
         .union(e.select(col("pb"), col("pa")))
       val seeds = sym.select(col("es")).distinct().filter(col("es") < 100)
@@ -686,9 +714,11 @@ object MiningQueries {
     "q141_assortativity" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      // cut: the self-join feeds both union directions (q137 rule)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
       val sym = e.select(col("pa").as("s0"), col("pb").as("t0"))
         .union(e.select(col("pb"), col("pa")))
       val deg = sym.groupBy(col("s0")).agg(count(lit(1)).as("dg"))
@@ -718,8 +748,9 @@ object MiningQueries {
     // self-join on the reversed pair — two narrow (id, id) streams, an
     // equi-join on the pair key, nothing quadratic anywhere.
     "e38_mutual_nn" -> ((s, d) => {
-      val knn = knnGraphQuantized(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3)
+      // cut: the kNN graph build backs both self-join sides
+      val knn = graft.operators.Lineage.cut(knnGraphQuantized(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3))
       val t1 = knn.filter(col("rk") === 1)
         .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("qdot"))
       t1.as("x").join(t1.as("y"),
@@ -738,9 +769,11 @@ object MiningQueries {
     "q140_degree_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      // cut: the self-join feeds both union directions (q137 rule)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
       val sym = e.select(col("pa").as("s0"), col("pb").as("t0"))
         .union(e.select(col("pb"), col("pa")))
       val deg = sym.groupBy(col("s0")).agg(count(lit(1)).as("deg"))
@@ -769,9 +802,11 @@ object MiningQueries {
     "q138_hyperball" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      // cut: the co-purchase self-join feeds every register round (q137 rule)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
       val sym = e.select(col("pa").as("es"), col("pb").as("et"))
         .union(e.select(col("pb"), col("pa")))
       hyperballEstimates(sym, rounds = 2, k = 32).orderBy(col("node"))
@@ -828,15 +863,20 @@ object MiningQueries {
     // already scales.
     "q143_modularity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
+      // cut: the kNN graph build (LSH multiprobe + scoring) is the
+      // expensive producer and is referenced by every labelProp round
+      // plus both modularity terms — materialize it once
+      val g = graft.operators.Lineage.cut(
+        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+          .select(col("vec_id"), col("neighbor_id")))
       val lbl = labelProp(
         emb.select(col("vec_id"), col("label"))
           .withColumn("label",
             when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
         g, rounds = 2)
         .filter(col("label").isNotNull).select(col("vec_id"), col("label"))
-      modularityByCommunity(g, lbl).orderBy(col("label"))
+      modularityByCommunity(g, graft.operators.Lineage.cut(lbl))
+        .orderBy(col("label"))
     }),
 
     // one NN-descent refinement round over the e28 kNN graph (Dong et
@@ -920,10 +960,12 @@ object MiningQueries {
     for (_ <- 1 to rounds) {
       val nbr = sym.join(reg, sym("et") === reg("node"))
         .select(sym("es").as("node"), col("reg"))
-      reg = reg.union(nbr)
+      // cut: round r's registers feed round r+1's neighbor join AND its
+      // own union — each round would otherwise replay all earlier merges
+      reg = graft.operators.Lineage.cut(reg.union(nbr)
         .select(col("node"), explode(col("reg")).as("h"))
         .groupBy(col("node"))
-        .agg(expr(s"slice(array_sort(collect_set(h)), 1, $k)").as("reg"))
+        .agg(expr(s"slice(array_sort(collect_set(h)), 1, $k)").as("reg")))
     }
     // md5 hex sorts uniformly; the kth smallest's leading-60-bit
     // fraction v/16^15 estimates the register's fill rate, so
@@ -943,7 +985,9 @@ object MiningQueries {
     val perRound = (1 to rounds).map { r =>
       val expanded = reach.join(sym, reach("node") === sym("es"))
         .select(col("seed"), col("et").as("node"))
-      reach = reach.union(expanded).distinct()
+      // cut: round r's reach feeds round r+1's expansion AND its own
+      // count — without the cut each round re-executes every earlier one
+      reach = graft.operators.Lineage.cut(reach.union(expanded).distinct())
       reach.groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
         .select(col("seed"), lit(r.toLong).as("r"), col("n_reach"))
     }
@@ -1010,7 +1054,10 @@ object MiningQueries {
       val newly = votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("label")).withColumn("rnd", lit(r))
-      labeled = labeled.union(newly)
+      // cut: round r's labels feed round r+1's anti-join, vote join AND
+      // the final left join — each round would otherwise replay all
+      // earlier rounds' windows and joins per reference
+      labeled = graft.operators.Lineage.cut(labeled.union(newly))
     }
     nodes.select(col("vec_id"))
       .join(labeled, Seq("vec_id"), "left")
@@ -1022,10 +1069,14 @@ object MiningQueries {
     * probe nodes (id < `probeMax`) over canonical undirected edges
     * (pa < pb). Hubs past `degCap` report NULL n_tri/lcc (their wedge
     * space is the thing the cap exists to avoid). */
-  private[graft] def localClustering(e: DataFrame, probeMax: Long,
+  private[graft] def localClustering(e0: DataFrame, probeMax: Long,
       degCap: Long): DataFrame = {
-    val sym = e.select(col("pa").as("z"), col("pb").as("t"))
-      .union(e.select(col("pb"), col("pa")))
+    // cut: the caller's edge derivation is read by both wedge sides and
+    // the closing-edge probe; sym by the degree table and both wedge ends
+    val e = graft.operators.Lineage.cut(e0)
+    val sym = graft.operators.Lineage.cut(
+      e.select(col("pa").as("z"), col("pb").as("t"))
+        .union(e.select(col("pb"), col("pa"))))
     val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("dg"))
     val centers = deg.filter(col("z") < probeMax && col("dg") >= 2 && col("dg") <= degCap)
     val za = sym.join(centers.select(col("z")), Seq("z"))
@@ -1051,9 +1102,11 @@ object MiningQueries {
   private[graft] def modularityByCommunity(g: DataFrame, lbl: DataFrame): DataFrame = {
     val ue = g.select(least(col("vec_id"), col("neighbor_id")).as("a"),
       greatest(col("vec_id"), col("neighbor_id")).as("b")).distinct()
-    val le = ue
+    // cut: the labeled edge table feeds the m scalar, the within-community
+    // count, and both degree projections — one materialization, four reads
+    val le = graft.operators.Lineage.cut(ue
       .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), Seq("a"))
-      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), Seq("b"))
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), Seq("b")))
     val m = le.agg(count(lit(1)).as("m"))
     val lc = le.filter(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("lc"))
@@ -1076,8 +1129,11 @@ object MiningQueries {
     * current neighbors plus neighbors-of-neighbors of `g`, rescored
     * with the integer-exact quantized dot over `emb`'s vectors, new
     * top-`topK` per node; is_new marks edges absent from `g`. */
-  private[graft] def nnDescentRound(g: DataFrame, emb: DataFrame,
+  private[graft] def nnDescentRound(g0: DataFrame, emb: DataFrame,
       topK: Int): DataFrame = {
+    // cut: the input graph backs both two-hop sides, the candidate
+    // union, and the is_new probe — four reads of the caller's build
+    val g = graft.operators.Lineage.cut(g0)
     val base = emb.select(col("vec_id"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
       .withColumn("n2", ldot(emb.sparkSession)(col("q"), col("q")))
@@ -1122,10 +1178,11 @@ object MiningQueries {
         .crossJoin(broadcast(offs))
         .select((col("gx") + col("dx")).as("gx"),
           (col("gy") + col("dy")).as("gy"), col("lbl"))
-      cur = cur.select(col("gx"), col("gy"), col("cnt"))
+      // cut: round r's labels back round r+1's self and neighbor sides
+      cur = graft.operators.Lineage.cut(cur.select(col("gx"), col("gy"), col("cnt"))
         .join(nb, Seq("gx", "gy"))
         .groupBy(col("gx"), col("gy"), col("cnt"))
-        .agg(min(col("lbl")).as("lbl"))
+        .agg(min(col("lbl")).as("lbl")))
     }
     val cs = cur.groupBy(col("lbl")).agg(sum(col("cnt")).as("cluster_points"))
     cells.join(cur.select(col("gx"), col("gy"), col("lbl").as("cluster")),
@@ -1146,10 +1203,12 @@ object MiningQueries {
     val f1 = dt.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .crossJoin(broadcast(nd))
       .filter(col("c1") * lit(1.0) >= lit(minItem) * col("nd")).select(col("w"))
-    val kept = dt.join(broadcast(f1), Seq("w"))
-    val p = kept.as("a").join(kept.as("b"),
+    // cut: the frequent-item-filtered stream backs both pair sides and
+    // the triple extension; the pair stream backs f2 and the extension
+    val kept = graft.operators.Lineage.cut(dt.join(broadcast(f1), Seq("w")))
+    val p = graft.operators.Lineage.cut(kept.as("a").join(kept.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
-      .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"), col("b.w").as("w2"))
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"), col("b.w").as("w2")))
     val f2 = p.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .crossJoin(broadcast(nd))
       .filter(col("c2") * lit(1.0) >= lit(minSet) * col("nd"))

@@ -379,8 +379,10 @@ object PipelineQueries {
     // composition on the cluster machinery; the histogram and the 1-row
     // stats are both aggregate-of-aggregate shuffles over cluster ids.
     "d66_dedup_impact" -> ((s, d) => {
-      val cl = DedupClusters.nearDupClusters(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.5)
+      // cut: the clustering (MinHash + components) backs the histogram
+      // AND the corpus totals
+      val cl = graft.operators.Lineage.cut(DedupClusters.nearDupClusters(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5))
       val hist = cl.groupBy(col("cluster_size"))
         .agg(countDistinct(col("cluster")).as("n_clusters"))
       val stats = cl.agg(count(lit(1)).as("n_docs"),

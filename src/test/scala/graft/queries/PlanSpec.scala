@@ -12,8 +12,19 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  // the returned text includes the plans of any Lineage.cut segments the
+  // query materialized while being built — shapes that execute inside a
+  // cut are invisible in the final plan (it sees only the checkpoint
+  // scan) but must stay pinned
+  private def plan(name: String): String = {
+    graft.operators.Lineage.recordPlans = true
+    graft.operators.Lineage.clearRecordedPlans()
+    try {
+      val top = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      (graft.operators.Lineage.recordedPlans :+ top).mkString("\n--- cut ---\n")
+    } finally graft.operators.Lineage.recordPlans = false
+  }
 
   // q03/q05 assert only that the TRUE dimension side is broadcast — the
   // SF-linear sides (date-filtered orders⋈customer, ASIA customers) carry
