@@ -603,11 +603,14 @@ object EventQueries {
     // the exchange), and step tables only shrink.
     "q80_funnel" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_type"), col("tus"))
-      val a = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("tus")).as("ta"))
-      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
-        .filter(col("tus") >= col("ta"))
-        .groupBy("user_id").agg(min(col("tus")).as("tb"))
+      // cut each step: step r feeds step r+1's join AND its own count —
+      // the funnel would otherwise replay the whole prefix per step
+      val a = graft.operators.Lineage.cut(ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("ta")))
+      val b = graft.operators.Lineage.cut(
+        ev.filter(col("event_type") === "click").join(a, "user_id")
+          .filter(col("tus") >= col("ta"))
+          .groupBy("user_id").agg(min(col("tus")).as("tb")))
       val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
         .filter(col("tus") >= col("tb"))
         .groupBy("user_id").agg(min(col("tus")).as("tc"))
@@ -663,11 +666,13 @@ object EventQueries {
     "q150_capped_funnel" -> ((s, d) => {
       val cap = 86400000000L // 24 h in µs
       val ev = events(s, d).select(col("user_id"), col("event_type"), col("tus"))
-      val a = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("tus")).as("ta"))
-      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
-        .filter(col("tus") >= col("ta") && col("tus") <= col("ta") + cap)
-        .groupBy("user_id").agg(min(col("tus")).as("tb"))
+      // cut each step (the q80 rule)
+      val a = graft.operators.Lineage.cut(ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("ta")))
+      val b = graft.operators.Lineage.cut(
+        ev.filter(col("event_type") === "click").join(a, "user_id")
+          .filter(col("tus") >= col("ta") && col("tus") <= col("ta") + cap)
+          .groupBy("user_id").agg(min(col("tus")).as("tb")))
       val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
         .filter(col("tus") >= col("tb") && col("tus") <= col("tb") + cap)
         .groupBy("user_id").agg(min(col("tus")).as("tc"))

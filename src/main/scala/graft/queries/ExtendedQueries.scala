@@ -679,8 +679,10 @@ object ExtendedQueries {
     // order-keyed self-join and the pair aggregation. All scores are
     // single-division integer ratios → bit-identical across engines.
     "q110_market_basket" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      // cut: the distinct basket-item table backs the basket total, the
+      // item counts, and both self-join sides — four replays without it
+      val li = graft.operators.Lineage.cut(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
       val totals = li.agg(countDistinct(col("ok")).as("total"))
       val item = li.groupBy("pk").agg(count(lit(1)).as("c"))
       val pairs = li.as("a").join(li.as("b"),

@@ -583,7 +583,10 @@ object MiningQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
       val assign = d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      val occ = assign.groupBy(col("cell")).agg(count(lit(1)).as("occupancy"))
+      // cut: the occupancy table backs the imbalance stats AND the report
+      // — without it the whole coarse assignment replays twice
+      val occ = graft.operators.Lineage.cut(
+        assign.groupBy(col("cell")).agg(count(lit(1)).as("occupancy")))
       val stats = occ.agg(count(lit(1)).as("n_used"),
           sum(col("occupancy")).as("n"),
           sum(col("occupancy") * col("occupancy")).as("ss"))

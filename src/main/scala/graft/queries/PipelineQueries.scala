@@ -945,8 +945,11 @@ object PipelineQueries {
     "d24_bm25" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tk = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
+      // cut: the token stream backs doc lengths, document frequencies,
+      // and term frequencies — three full re-tokenizations without it
+      val tk = graft.operators.Lineage.cut(
+        docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= ""))
       val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       val dfreq = tk.select("doc_id", "term").distinct()
@@ -1475,9 +1478,10 @@ object PipelineQueries {
     "e15_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tk = docs.select(col("doc_id"),
+      // cut: the token stream backs dl/dfreq/tf (the d24 rule)
+      val tk = graft.operators.Lineage.cut(docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("term"))
-        .filter(col("term") =!= "")
+        .filter(col("term") =!= ""))
       val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       val dfreq = tk.select("doc_id", "term").distinct()
