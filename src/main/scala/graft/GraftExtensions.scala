@@ -45,6 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextNormalize.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    // fused single-pass token/stopword/punct counters + language profile
+    ext.injectFunction((FunctionIdentifier("text_stats"), info("text_stats"),
+      graft.functions.TextStats.builder _))
+    ext.injectFunction((FunctionIdentifier("lang_profile"), info("lang_profile"),
+      { es: Seq[Expression] =>
+        if (es.length != 1)
+          throw new IllegalArgumentException(
+            s"lang_profile requires exactly 1 argument, got ${es.length}")
+        graft.functions.LangProfile(es.head, graft.text.TextFunctions.LangMarkers)
+      }))
     // literal-CIDR containment filters gain a pushable prefix conjunct
     // (reaches the zeek scan's pre-parse filter eval — see the rule doc)
     ext.injectOptimizerRule(_ => new graft.plans.InetContainsPrefixRule)

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data pipelines: tokenization
   * stats, quality scoring, stopword-based language scoring, document
-  * fingerprinting. All are composed from built-in (codegen'd) Spark
-  * functions — no UDFs — so they stay inside whole-stage codegen and cost
-  * one pass over the string at 100 TB scale.
+  * fingerprinting. Composed from built-in (codegen'd) Spark functions —
+  * no UDFs — so they stay inside whole-stage codegen; the hot token/
+  * stopword/punctuation counters additionally share ONE fused native
+  * pass over the string ([[graft.functions.TextStats]]) instead of
+  * re-splitting the document per statistic.
   */
 object TextFunctions {
 
@@ -15,7 +17,18 @@ object TextFunctions {
     * variant is [[bpeTokenCount]]). */
   def words(text: Column): Column = split(text, "\\s+")
 
-  def tokenCount(text: Column): Column = size(words(text))
+  /** struct(n_tokens, stop_cnt, punct_cnt) in one fused codegen pass;
+    * split-equivalent semantics property-pinned by `TextStatsSpec`.
+    * [[tokenCount]]/[[stopwordCount]]/[[punctCount]]/[[qualityScore]]
+    * all extract fields of this ONE expression, so any subset used in
+    * the same projection costs a single string scan (codegen
+    * subexpression elimination unifies the equal instances). */
+  def textStats(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graft.GraftSql.expression(text), stopwords))
+
+  def tokenCount(text: Column): Column = textStats(text).getField("n_tokens")
 
   /** BPE-ish subword proxy: maximal letter runs, digit runs, and
     * non-alphanumeric symbol runs (whitespace dropped) — a cheap
@@ -31,25 +44,23 @@ object TextFunctions {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
   def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
-    size(filter(words(text), w => w.isInCollection(stopwords)))
+    textStats(text, stopwords).getField("stop_cnt")
 
-  /** `regexp_count` over the char class instead of
-    * `length - length(regexp_replace(...))`: identical value (every match
-    * is one char), but counts matches in place without allocating the
-    * stripped copy of the document. (`translate` was also tried and is
-    * ~2× SLOWER than the regex at sf10 — Spark's StringTranslate walks a
-    * boxed per-char map.) The DuckDB oracle keeps the regexp_replace
-    * form; values are identical. */
+  /** Counted in the same fused pass (the regex form —
+    * `regexp_count(text, "[.,;:!?]")` — is what the DuckDB oracle keeps,
+    * via `length - length(regexp_replace(...))`; values are identical). */
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[.,;:!?]"))
+    textStats(text).getField("punct_cnt")
 
   /** Composite quality score in [0,1]: balanced length, low punctuation
     * density, healthy stopword ratio. Deterministic double arithmetic
-    * (identical expression order cross-engine). */
+    * (identical expression order cross-engine); all three counters come
+    * from the one shared [[textStats]] pass. */
   def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val stopRatio = stopwordCount(text) * lit(1.0) / n
-    val punctRatio = punctCount(text) * lit(1.0) / greatest(length(text), lit(1))
+    val st = textStats(text)
+    val n = st.getField("n_tokens")
+    val stopRatio = st.getField("stop_cnt") * lit(1.0) / n
+    val punctRatio = st.getField("punct_cnt") * lit(1.0) / greatest(length(text), lit(1))
     val lenScore = least(n, lit(200)) * lit(1.0) / lit(200.0)
     least(greatest(lenScore * lit(0.5) + stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2), lit(0.0)), lit(1.0))
   }
@@ -86,36 +97,28 @@ object TextFunctions {
   }
 
   /** Single-pass language profile: all four scores + the argmax guess in
-    * one tokenization. Composed column expressions re-tokenize per score
-    * (Catalyst's CollapseProject inlines the shared array alias — measured
-    * 4.6s vs 0.6s at sf0.1), so this is a UDF by design; semantics are
-    * identical to [[langScore]]/[[langGuess]]. */
-  val langProfile: Column => Column = {
-    val markerSets: Seq[(String, Set[String])] =
-      LangMarkers.map { case (l, ms) => l -> ms.toSet }
-    val f = udf { (text: String) =>
-      if (text == null) null // SQL null-propagation, not an NPE
-      else {
-        val ws = text.toLowerCase.split("\\s+")
-        val scores = markerSets.map { case (l, ms) =>
-          var c = 0
-          var i = 0
-          while (i < ws.length) { if (ms.contains(ws(i))) c += 1; i += 1 }
-          l -> c
-        }
-        val mx = scores.map(_._2).max
-        val guess = if (mx <= 0) "und" else scores.find(_._2 == mx).get._1
-        (scores(0)._2, scores(1)._2, scores(2)._2, scores(3)._2, guess)
-      }
-    }
-    c => f(c)
-  }
+    * one tokenization, returning struct(_1.._4 scores, _5 guess).
+    * Composed column expressions re-tokenize per score (Catalyst's
+    * CollapseProject inlines the shared array alias — measured 4.6s vs
+    * 0.6s at sf0.1); this was a tuple UDF, now a native codegen
+    * expression ([[graft.functions.LangProfile]] — no String conversion,
+    * no lowercase copy, no split array; UDF-equivalence property-pinned
+    * in `TextStatsSpec`). Semantics identical to
+    * [[langScore]]/[[langGuess]]. */
+  val langProfile: Column => Column = c =>
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.LangProfile(
+        org.apache.spark.sql.graft.GraftSql.expression(c), LangMarkers))
 
   /** Canonical-form content fingerprint: lowercase, collapse whitespace,
-    * md5. Equal fingerprints = exact duplicates modulo
-    * case/whitespace. */
+    * md5. Equal fingerprints = exact duplicates modulo case/whitespace.
+    * The canonicalization is one fused pass
+    * ([[graft.functions.CanonicalText]]) instead of
+    * `lower(regexp_replace(...))`'s regex engine + two copies. */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.CanonicalText(
+        org.apache.spark.sql.graft.GraftSql.expression(text))))
 
   /** Linear quality-classifier logit (fastText/logreg-shaped scorer over
     * the engine's own text features, with fixed illustrative weights —
