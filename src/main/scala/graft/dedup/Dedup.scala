@@ -56,7 +56,7 @@ object Dedup {
     * hashes (sort + dedup replaces the string set). ~3× faster than
     * string-building at corpus scale; any uniform 64-bit family works for
     * MinHash. */
-  private[dedup] def shingleHashes(text: String, n: Int): Array[Long] = {
+  private[graft] def shingleHashes(text: String, n: Int): Array[Long] = {
     val ws = text.split("\\s+")
     val wh = new Array[Long](ws.length)
     var i = 0
@@ -84,31 +84,15 @@ object Dedup {
 
   /** MinHash signature of the text's shingle set: sigs(i) = min over
     * shingles of (a_i * h(s) + b_i), with deterministic per-permutation
-    * coefficients. Returned as an array column of `numHashes` longs. */
-  def minhashSignature(numHashes: Int = 64, shingleSize: Int = 2): Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) null else {
-      val hs = shingleHashes(text, shingleSize)
-      val sig = new Array[Long](numHashes)
-      var i = 0
-      while (i < numHashes) {
-        val a = mix64(2 * i + 1) | 1L // odd multiplier
-        val b = mix64(1000003L * i)
-        var best = Long.MaxValue
-        var j = 0
-        while (j < hs.length) {
-          val v = a * hs(j) + b
-          if (v < best) best = v
-          j += 1
-        }
-        sig(i) = best
-        i += 1
-      }
-      sig
-      }
-    }
-    f.apply(_)
-  }
+    * coefficients. Returned as an array column of `numHashes` longs.
+    * Native codegen expression ([[graft.functions.MinhashSig]], kernel
+    * [[SignatureKernel]]) — bit-identical to the former Scala UDF (the
+    * equivalence is property-pinned in `SignatureKernelSpec`), minus the
+    * String conversion, regex split, and per-word allocations. */
+  def minhashSignature(numHashes: Int = 64, shingleSize: Int = 2): Column => Column =
+    c => org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.MinhashSig(
+        org.apache.spark.sql.graft.GraftSql.expression(c), numHashes, shingleSize))
 
   /** Deterministic hot-bucket cap: a bucket with more than `cap` members
     * (an identical/boilerplate-document flood) would expand O(k²) pairs
@@ -247,30 +231,10 @@ object Dedup {
     * shingle string materialization — any uniform 64-bit family votes
     * identically in distribution, and the signature is engine-specific
     * by contract: the oracle-reproducible twin is [[simhash60Sql]]). */
-  val simhash64: Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) None // SQL null-propagation, not an NPE
-      else {
-        val hs = shingleHashes(text, 2)
-        val counts = new Array[Int](64)
-        var i = 0
-        while (i < hs.length) {
-          val h = hs(i)
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-            j += 1
-          }
-          i += 1
-        }
-        var out = 0L
-        var j = 0
-        while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
-        Some(out)
-      }
-    }
-    f.apply(_)
-  }
+  val simhash64: Column => Column =
+    c => org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.Simhash64(
+        org.apache.spark.sql.graft.GraftSql.expression(c)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
     * 4×16-bit block indexing: by pigeonhole, any pair within Hamming ≤ 3
