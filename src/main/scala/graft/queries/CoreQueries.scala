@@ -161,14 +161,19 @@ object CoreQueries {
     // map-only; as SF grows each gate closes independently, degrading
     // join-by-join to AQE shuffle joins.
     //
-    // Join ORDER is the scale decision here: orders pre-joins the ASIA
-    // customer slice BEFORE meeting lineitem. The previous shape
-    // (l⋈o first, customer last) re-shuffled the full 60M-row joined
-    // fact on o_custkey at sf10 — the single most expensive exchange
-    // in the bench. Pre-joining shuffles 15M orders instead and the
-    // l⋈oc inner join prunes lineitem to the ~20% of rows with ASIA
-    // customers before the aggregate (measured at sf10: q05 12.2 s →
-    // see BASELINE.md). Inner-join reassociation — identical result.
+    // Join ORDER is the scale decision here, twice over:
+    // 1. orders pre-joins the ASIA customer slice BEFORE meeting
+    //    lineitem (the earlier shape — customer last — re-shuffled the
+    //    full 60M-row joined fact on o_custkey at sf10, the single most
+    //    expensive exchange in the bench; pre-joining shuffles 15M
+    //    orders instead).
+    // 2. lineitem meets the SELECTIVE oc side FIRST, supplier second:
+    //    the l⋈oc inner join cuts the fact to the ~20% of rows with
+    //    ASIA customers, so only that remainder re-shuffles on
+    //    l_suppkey — l⋈sup-first shuffled all 60M rows on suppkey and
+    //    THEN all 60M (+width of s_nationkey) again on orderkey
+    //    (measured at sf10: 10.6 s → 7.5 s from this swap alone).
+    // Inner-join reassociation both times — identical result.
     "q05_local_supplier" -> ((s, d) => {
       import graft.operators.Joins.broadcastIfSmall
       val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -181,9 +186,9 @@ object CoreQueries {
         oRaw.join(c, col("o_custkey") === col("c_custkey")), oRaw, cust)
       val sup = broadcastIfSmall(Tables.supplier(s, d))
       val l = Tables.lineitem(s, d)
-      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
-        .join(oc, col("l_orderkey") === col("o_orderkey") &&
-          col("s_nationkey") === col("c_nationkey"))
+      l.join(oc, l("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey") &&
+          sup("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_items"))
