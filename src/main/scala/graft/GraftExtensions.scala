@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CosineSim, DotProduct, L2Distance}
 
@@ -54,6 +54,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"lang_profile requires exactly 1 argument, got ${es.length}")
         graft.functions.LangProfile(es.head, graft.text.TextFunctions.LangMarkers)
+      }))
+    // exact fixed-point money math at long speed (scale literal required)
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name requires a literal int scale, got $other")
+    }
+    ext.injectFunction((FunctionIdentifier("exact_cents"), info("exact_cents"),
+      { es: Seq[Expression] =>
+        require(es.length == 2, s"exact_cents(x, scale) requires 2 arguments, got ${es.length}")
+        graft.functions.ExactSum.centsExpr(es.head, intLit(es(1), "exact_cents"))
+      }))
+    ext.injectFunction((FunctionIdentifier("sum_split128"), info("sum_split128"),
+      { es: Seq[Expression] =>
+        require(es.length == 2, s"sum_split128(units, scale) requires 2 arguments, got ${es.length}")
+        graft.functions.SumSplit128(es.head, intLit(es(1), "sum_split128"))
       }))
     // literal-CIDR containment filters gain a pushable prefix conjunct
     // (reaches the zeek scan's pre-parse filter eval — see the rule doc)

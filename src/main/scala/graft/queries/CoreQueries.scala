@@ -44,29 +44,40 @@ object CoreQueries {
   // DuckDB oracle yields float64 254462.0 — different string forms.
   private def d2(c: Column): Column = c.cast(DoubleType)
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  // The TPC-H revenue term price×(1−discount) as exact scale-4 long
+  // units: price_cents × (100 − disc_cents). Feed to ExactSum.sumUnits
+  // (_, 4) — bit-identical to d2(sum(decP(price) × oneMinusD(disc)))
+  // at long-sum speed (see q01's note and functions/ExactSum.scala).
+  private def revenueUnits: Column =
+    graft.functions.ExactSum.cents(col("l_extendedprice"), 2) *
+      (lit(100L) - graft.functions.ExactSum.cents(col("l_discount"), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation ---------------------------------------------------
     "q01_pricing_summary" -> ((s, d) => {
-      // Narrow, range-safe decimal casts keep every per-row op and both
-      // partial-sum buffers in Spark's COMPACT (long-backed) decimal
-      // path: (9,2)×(4,2) → (14,4) multiplies as long×long, where the
-      // old (18,2)×(18,2) → (37,4) forced BigDecimal per row. Ranges:
-      // price < 10^7 (TPC-H max ~110k), quantity ≤ 50, discount ≤ 0.10;
-      // the derived sum types (19,2)/(24,4) still hold 10^12-row totals,
-      // so the overflow-safety contract is unchanged — and the VALUES
-      // are identical (exact decimal math at any sufficient precision),
-      // so the oracle keeps its (18,2) casts.
-      val decQ = col("l_quantity").cast(DecimalType(9, 2))
-      val decP = col("l_extendedprice").cast(DecimalType(9, 2))
-      val decD = col("l_discount").cast(DecimalType(4, 2))
+      // Exact fixed-point sums at LONG speed ([[graft.functions
+      // .ExactSum]]): per row, exact_cents reproduces the double→decimal
+      // cast's unscaled long (codegen StaticInvoke), the discounted term
+      // is pure long arithmetic at scale 4 (cents × (100 − disc_cents)),
+      // and SumSplit128 accumulates into a base-2^31 split long state
+      // that holds 2^93 summed units — overflow-safe far past 10^12-row
+      // 100-TB totals, where both a plain SUM(BIGINT) (wraps/throws) and
+      // Spark's decimal SUM buffers (per-row Decimal alloc + overflow
+      // check; measured 6× slower over 60M rows) fall short. Values are
+      // bit-identical to the decimal formulation (ExactSumSpec), so the
+      // oracle keeps its (18,2) casts. exact_cents(l_extendedprice)
+      // appears in two aggregates but is computed once per row
+      // (whole-stage codegen subexpression elimination).
+      val uQ = graft.functions.ExactSum.cents(col("l_quantity"), 2)
+      val uP = graft.functions.ExactSum.cents(col("l_extendedprice"), 2)
+      val uDisc = uP * (lit(100L) - graft.functions.ExactSum.cents(col("l_discount"), 2))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          d2(sum(decQ)).as("sum_qty"),
-          d2(sum(decP)).as("sum_base_price"),
-          d2(sum(decP * (lit(1).cast(DecimalType(4, 2)) - decD))).as("sum_disc_price"),
+          graft.functions.ExactSum.sumUnits(uQ, 2).as("sum_qty"),
+          graft.functions.ExactSum.sumUnits(uP, 2).as("sum_base_price"),
+          graft.functions.ExactSum.sumUnits(uDisc, 4).as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("count_order"))
@@ -74,12 +85,16 @@ object CoreQueries {
     }),
 
     "q06_revenue_forecast" -> ((s, d) => {
+      // price_cents × disc_cents = scale-4 units, summed exactly at
+      // long speed (see q01's rationale)
+      val units = graft.functions.ExactSum.cents(col("l_extendedprice"), 2) *
+        graft.functions.ExactSum.cents(col("l_discount"), 2)
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(d2(sum(decP(col("l_extendedprice")) * decD(col("l_discount")))).as("revenue"),
+        .agg(graft.functions.ExactSum.sumUnits(units, 4).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -106,7 +121,8 @@ object CoreQueries {
             .when(col("l_quantity") < 30, "medium")
             .otherwise("large"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.ExactSum.sumExact(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy(col("bucket"))
     }),
 
@@ -148,7 +164,7 @@ object CoreQueries {
             o.join(broadcast(c), o("o_custkey") === c("c_custkey")), o, c),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"))
+        .agg(graft.functions.ExactSum.sumUnits(revenueUnits, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -190,7 +206,7 @@ object CoreQueries {
         .join(sup, col("l_suppkey") === sup("s_suppkey") &&
           sup("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(d2(sum(decP(col("l_extendedprice")) * oneMinusD(col("l_discount")))).as("revenue"),
+        .agg(graft.functions.ExactSum.sumUnits(revenueUnits, 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -258,6 +274,11 @@ object CoreQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Decimal sum kept HERE deliberately: running-window frames
+      // re-evaluate the aggregate per row, where the built-in decimal
+      // sum's return-the-buffer evaluate beats ExactSum's state
+      // reconstruction (measured 3.7 vs 4.9 s at sf10); the ExactSum
+      // rewrite only pays off in hash aggregates (q01/q03/q05/...).
       Tables.orders(s, d)
         .repartitionByRange(col("o_custkey"))
         .withColumn("run_total", d2(sum(dec(col("o_totalprice"))).over(w)))
@@ -309,11 +330,15 @@ object CoreQueries {
     // difference between expanding 10^12 rows and expanding a few
     // thousand.
     "q16_rollup" -> ((s, d) => {
+      // inner 60M-row pass sums exact cent units at long speed; the
+      // outer lattice re-sums the ≤6 exact DECIMAL(38,0) partials and
+      // scales back — identical values, decimal math only on the tiny side
       val base = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("c"), sum(dec(col("l_quantity"))).as("q"))
+        .agg(count(lit(1)).as("c"), graft.functions.ExactSum.sumUnitsRaw(
+          graft.functions.ExactSum.cents(col("l_quantity"), 2)).as("q"))
       base.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("c")).as("cnt"), d2(sum(col("q"))).as("sum_qty"))
+        .agg(sum(col("c")).as("cnt"), d2(sum(col("q")) / lit(100)).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
@@ -405,7 +430,8 @@ object CoreQueries {
     "q24_date_funcs" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("cnt"), d2(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.ExactSum.sumExact(col("o_totalprice"), 2).as("sum_price"))
         .orderBy(col("yr"), col("mo"))
     }),
 
@@ -485,7 +511,8 @@ object CoreQueries {
     "q40_having" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), d2(sum(dec(col("o_totalprice")))).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.ExactSum.sumExact(col("o_totalprice"), 2).as("total"))
         .filter(col("n_orders") >= 8)
         .orderBy(col("o_custkey"))
     }),
