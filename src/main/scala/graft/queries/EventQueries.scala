@@ -142,7 +142,8 @@ object EventQueries {
         .groupBy((col("tus") - pmod(col("tus"), lit(3600L * 1000000L))).as("hour_us"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+          // exact cents sum at long speed (see functions/ExactSum.scala)
+          graft.functions.ExactSum.sumExact(col("value"), 2).as("sum_value"))
         .orderBy(col("hour_us"), col("event_type"))
     }),
 
