@@ -142,6 +142,39 @@ object Dedup {
     val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    if (!withEstimate) {
+      // Bare-id scale path: `collect_list` is an ObjectHashAggregate over
+      // n·bands groups, nearly all singletons — at sf10 that object agg
+      // was 80% of the candidate stage. Count buckets with a CODEGEN hash
+      // agg instead, keep only the >1 buckets (a tiny set for any
+      // non-flood corpus; AQE sizes the join at runtime, broadcasting it
+      // map-side normally and degrading to a shuffle join for floods),
+      // cap deterministically with the same (hash(id), id) order
+      // capMembers uses, and self-join the survivors. Pair set is
+      // IDENTICAL to the struct path's (all within-bucket unordered
+      // pairs of the same capped member sets).
+      val bandRows = banded.select(col("band_key"), col("id"))
+      val hot = bandRows.groupBy("band_key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select("band_key")
+      // SHUFFLE_MERGE on purpose: a broadcast of `hot` would stream
+      // bandRows map-side and RECOMPUTE every signature (the probe side
+      // has no exchange to reuse); with both branches shuffling on
+      // band_key, the bandRows exchange is computed once and REUSED
+      // (count agg + join probe), so the signature pass happens exactly
+      // once. The window below needs the same partitioning anyway.
+      val member = bandRows.join(hot.hint("SHUFFLE_MERGE"), "band_key")
+      val w = Window.partitionBy("band_key").orderBy(hash(col("id")), col("id"))
+      val capped = member.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= bucketCap)
+      val left = capped.select(col("band_key"), col("id").as("__ia"), col("__rn").as("__ra"))
+      val right = capped.select(col("band_key").as("__bk2"), col("id").as("__ib"),
+        col("__rn").as("__rb"))
+      return left.join(right,
+          left("band_key") === col("__bk2") && col("__ra") < col("__rb"))
+        .select(least(col("__ia"), col("__ib")).as("a"),
+          greatest(col("__ia"), col("__ib")).as("b"))
+        .distinct()
+    }
     val buckets = banded.groupBy("band_key")
       .agg(collect_list(struct(memberCols: _*)).as("members"))
       .filter(size(col("members")) > 1)
