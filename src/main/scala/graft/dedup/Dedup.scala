@@ -284,18 +284,29 @@ object Dedup {
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))
-    val buckets = blocked.groupBy("blk", "blk_val")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .withColumn("members", capMembers(bucketCap))
-    // member array bound once as a lambda var — see minhashCandidates
-    buckets.select(explode(expr(
-      """flatten(flatten(transform(array(members), ms ->
-        |  transform(ms, (m, i) ->
-        |    transform(slice(ms, i + 2, size(ms)), n ->
-        |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
-        |        'hamming', bit_count(m.sim ^ n.sim)))))))""".stripMargin)).as("p"))
-      .select("p.a", "p.b", "p.hamming")
+    // Same count-filter + capped-self-join shape as minhashCandidates'
+    // bare-id path (and for the same reasons): no per-bucket member
+    // arrays (ObjectHashAggregate), no nested-lambda pair expansion
+    // (non-codegen); the pair product runs as one codegen SortMergeJoin
+    // with the Hamming filter applied join-side, before the dedup
+    // shuffle. Member selection under the cap is the identical
+    // deterministic (hash(id), id) order, so the pair set is unchanged.
+    val hot = blocked.groupBy("blk", "blk_val").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("blk", "blk_val")
+    val member = blocked.join(hot.hint("SHUFFLE_MERGE"), Seq("blk", "blk_val"))
+    val w = Window.partitionBy("blk", "blk_val").orderBy(hash(col("id")), col("id"))
+    val capped = member.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap)
+    val left = capped.select(col("blk"), col("blk_val"),
+      col("id").as("__ia"), col("sim").as("__sa"), col("__rn").as("__ra"))
+    val right = capped.select(col("blk").as("__bk2"), col("blk_val").as("__bv2"),
+      col("id").as("__ib"), col("sim").as("__sb"), col("__rn").as("__rb"))
+    left.join(right,
+        left("blk") === col("__bk2") && left("blk_val") === col("__bv2") &&
+          col("__ra") < col("__rb"))
+      .select(least(col("__ia"), col("__ib")).as("a"),
+        greatest(col("__ia"), col("__ib")).as("b"),
+        expr("bit_count(__sa ^ __sb)").as("hamming"))
       .filter(col("hamming") <= maxHamming) // filter BEFORE the dedup shuffle
       .distinct()
   }
