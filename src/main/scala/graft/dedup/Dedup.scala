@@ -142,39 +142,6 @@ object Dedup {
     val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    if (!withEstimate) {
-      // Bare-id scale path: `collect_list` is an ObjectHashAggregate over
-      // n·bands groups, nearly all singletons — at sf10 that object agg
-      // was 80% of the candidate stage. Count buckets with a CODEGEN hash
-      // agg instead, keep only the >1 buckets (a tiny set for any
-      // non-flood corpus; AQE sizes the join at runtime, broadcasting it
-      // map-side normally and degrading to a shuffle join for floods),
-      // cap deterministically with the same (hash(id), id) order
-      // capMembers uses, and self-join the survivors. Pair set is
-      // IDENTICAL to the struct path's (all within-bucket unordered
-      // pairs of the same capped member sets).
-      val bandRows = banded.select(col("band_key"), col("id"))
-      val hot = bandRows.groupBy("band_key").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).select("band_key")
-      // SHUFFLE_MERGE on purpose: a broadcast of `hot` would stream
-      // bandRows map-side and RECOMPUTE every signature (the probe side
-      // has no exchange to reuse); with both branches shuffling on
-      // band_key, the bandRows exchange is computed once and REUSED
-      // (count agg + join probe), so the signature pass happens exactly
-      // once. The window below needs the same partitioning anyway.
-      val member = bandRows.join(hot.hint("SHUFFLE_MERGE"), "band_key")
-      val w = Window.partitionBy("band_key").orderBy(hash(col("id")), col("id"))
-      val capped = member.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= bucketCap)
-      val left = capped.select(col("band_key"), col("id").as("__ia"), col("__rn").as("__ra"))
-      val right = capped.select(col("band_key").as("__bk2"), col("id").as("__ib"),
-        col("__rn").as("__rb"))
-      return left.join(right,
-          left("band_key") === col("__bk2") && col("__ra") < col("__rb"))
-        .select(least(col("__ia"), col("__ib")).as("a"),
-          greatest(col("__ia"), col("__ib")).as("b"))
-        .distinct()
-    }
     val buckets = banded.groupBy("band_key")
       .agg(collect_list(struct(memberCols: _*)).as("members"))
       .filter(size(col("members")) > 1)
@@ -284,29 +251,18 @@ object Dedup {
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))
-    // Same count-filter + capped-self-join shape as minhashCandidates'
-    // bare-id path (and for the same reasons): no per-bucket member
-    // arrays (ObjectHashAggregate), no nested-lambda pair expansion
-    // (non-codegen); the pair product runs as one codegen SortMergeJoin
-    // with the Hamming filter applied join-side, before the dedup
-    // shuffle. Member selection under the cap is the identical
-    // deterministic (hash(id), id) order, so the pair set is unchanged.
-    val hot = blocked.groupBy("blk", "blk_val").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select("blk", "blk_val")
-    val member = blocked.join(hot.hint("SHUFFLE_MERGE"), Seq("blk", "blk_val"))
-    val w = Window.partitionBy("blk", "blk_val").orderBy(hash(col("id")), col("id"))
-    val capped = member.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= bucketCap)
-    val left = capped.select(col("blk"), col("blk_val"),
-      col("id").as("__ia"), col("sim").as("__sa"), col("__rn").as("__ra"))
-    val right = capped.select(col("blk").as("__bk2"), col("blk_val").as("__bv2"),
-      col("id").as("__ib"), col("sim").as("__sb"), col("__rn").as("__rb"))
-    left.join(right,
-        left("blk") === col("__bk2") && left("blk_val") === col("__bv2") &&
-          col("__ra") < col("__rb"))
-      .select(least(col("__ia"), col("__ib")).as("a"),
-        greatest(col("__ia"), col("__ib")).as("b"),
-        expr("bit_count(__sa ^ __sb)").as("hamming"))
+    val buckets = blocked.groupBy("blk", "blk_val")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .withColumn("members", capMembers(bucketCap))
+    // member array bound once as a lambda var — see minhashCandidates
+    buckets.select(explode(expr(
+      """flatten(flatten(transform(array(members), ms ->
+        |  transform(ms, (m, i) ->
+        |    transform(slice(ms, i + 2, size(ms)), n ->
+        |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id),
+        |        'hamming', bit_count(m.sim ^ n.sim)))))))""".stripMargin)).as("p"))
+      .select("p.a", "p.b", "p.hamming")
       .filter(col("hamming") <= maxHamming) // filter BEFORE the dedup shuffle
       .distinct()
   }
