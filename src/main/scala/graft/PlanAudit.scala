@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scale audit over the whole driver contract: builds every
-  * `SparkEntry.queries` physical plan (no execution) and reports, per
-  * query, the number of shuffle exchanges, broadcast exchanges, and any
-  * scale-hostile operator (CartesianProduct, unpartitioned Window,
-  * single-partition global sort feeding a non-terminal op).
+  * `SparkEntry.queries` physical plan — no action is run on the result,
+  * though CONSTRUCTION itself executes any eager lineage-cut segments
+  * ([[graft.operators.Lineage.cut]] is an eager localCheckpoint, so
+  * cut-containing queries like q137 run their producer jobs at build
+  * time) — and reports, per query, the number of shuffle exchanges,
+  * broadcast exchanges, and any scale-hostile operator
+  * (CartesianProduct, unpartitioned Window, single-partition global
+  * sort feeding a non-terminal op).
   *
   * Usage: `sbt "runMain graft.PlanAudit [sfDir] [minShuffles]"` — prints a
   * TSV sorted by shuffle count, worst first. Iteration aid for keeping the
@@ -46,9 +50,11 @@ object PlanAudit {
         // jobs while the query is BUILT, before any action on the result
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
-        // collect() executes THIS df's QueryExecution — count() would build
-        // (and execute) a different one, leaving the inspected plan cold
-        val n = df.collect().length
+        // execute THIS df's QueryExecution without materializing rows on
+        // the driver — df.count()/noop-write would build (and execute) a
+        // DIFFERENT QueryExecution, leaving the inspected plan cold, and
+        // collect() could exhaust driver memory on large results
+        val n = df.queryExecution.toRdd.count()
         val secs = (System.nanoTime() - t0) / 1e9
         val s = df.queryExecution.executedPlan.toString
         val shuffles = count(s, "Exchange hashpartitioning") +

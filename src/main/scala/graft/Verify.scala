@@ -10,12 +10,29 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the in-process master — the cluster-
+    // credibility runs set `local-cluster[2,16,8192]` (2 worker JVMs,
+    // real executor launch via SPARK_HOME, real block-manager fetch and
+    // broadcast transport) to exercise everything one JVM cannot.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs are launched from SPARK_HOME with only the Spark
+      // jars — hand them this build's classes (same machine, plain path)
+      builder
+        .config("spark.executor.extraClassPath", BenchEnv.classesDir)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+    }
+    val spark = builder.getOrCreate()
+    // a configured checkpoint dir flips every Lineage.cut to the
+    // reliable (executor-loss-tolerant) fabric — see operators/Lineage
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>

@@ -25,17 +25,27 @@ object SignatureKernel {
   private final val Golden = 0x9e3779b97f4a7c15L
 
   /** [[Dedup.hashString]] over the UTF-16 units of the UTF-8 slice
-    * [st, en). */
+    * [st, en). A multi-byte sequence truncated at the slice end (invalid
+    * UTF-8 — possible via binary→string casts) hashes as U+FFFD, the
+    * replacement char `new String(bytes, UTF_8)` decodes it to; the
+    * bound also keeps every `getByte` inside [st, en), so a malformed
+    * lead byte can never drive an unsafe read past `numBytes`. Interior
+    * well-formedness (continuation bytes in 0x80–0xBF) is assumed, as it
+    * is everywhere UTF8String columns originate from real sources. */
   private def hashWord(s: UTF8String, st: Int, en: Int): Long = {
     var h = Prime
     var i = st
     while (i < en) {
       val b0 = s.getByte(i) & 0xff
-      if (b0 < 0x80) {
+      val need = if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+      if (i + need > en) {
+        h = 31 * h + 0xfffd
+        i = en
+      } else if (need == 1) {
         h = 31 * h + b0; i += 1
-      } else if (b0 < 0xe0) {
+      } else if (need == 2) {
         h = 31 * h + (((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)); i += 2
-      } else if (b0 < 0xf0) {
+      } else if (need == 3) {
         h = 31 * h + (((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
           (s.getByte(i + 2) & 0x3f)); i += 3
       } else {

@@ -133,7 +133,9 @@ object TextStats {
     val stops = es.drop(1).map { e =>
       require(e.foldable && e.dataType == StringType,
         "text_stats stopword arguments must be string literals")
-      e.eval(null).asInstanceOf[UTF8String].toString
+      val v = e.eval(null) // CAST(NULL AS STRING) is foldable+string but evals null
+      require(v != null, "text_stats stopword arguments must be string literals")
+      v.asInstanceOf[UTF8String].toString
     }
     TextStats(es.head,
       if (stops.isEmpty) graft.text.TextFunctions.DefaultStopwords else stops)

@@ -57,6 +57,18 @@ object InetRuntime {
   }
   def family(s: UTF8String): java.lang.Integer = InetFunctions.family(s.toString)
   def masklen(s: UTF8String): java.lang.Integer = InetFunctions.masklen(s.toString)
+  def netmask(s: UTF8String): UTF8String = {
+    val r = InetFunctions.netmask(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def broadcastAddr(s: UTF8String): UTF8String = {
+    val r = InetFunctions.broadcastAddr(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def setMasklen(s: UTF8String, bits: Int): UTF8String = {
+    val r = InetFunctions.setMasklen(s.toString, bits)
+    if (r == null) null else UTF8String.fromString(r)
+  }
 }
 
 /** Expression builders for the inet function family (codegen-native via
@@ -107,6 +119,20 @@ object InetExpressions {
     require(es.length == 1, s"inet_masklen requires 1 argument, got ${es.length}")
     invoke("masklen", IntegerType, es)
   }
+  def netmask(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"inet_netmask requires 1 argument, got ${es.length}")
+    invoke("netmask", StringType, es)
+  }
+  def broadcastAddr(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"inet_broadcast requires 1 argument, got ${es.length}")
+    invoke("broadcastAddr", StringType, es)
+  }
+  def setMasklen(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"inet_set_masklen requires 2 arguments, got ${es.length}")
+    StaticInvoke(InetRuntime.getClass, StringType, "setMasklen", es,
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true)
+  }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "inet_normalize" -> normalize _,
@@ -117,5 +143,8 @@ object InetExpressions {
     "inet_sort_key" -> sortKey _,
     "inet_host" -> host _,
     "inet_family" -> family _,
-    "inet_masklen" -> masklen _)
+    "inet_masklen" -> masklen _,
+    "inet_netmask" -> netmask _,
+    "inet_broadcast" -> broadcastAddr _,
+    "inet_set_masklen" -> setMasklen _)
 }

@@ -202,6 +202,55 @@ object InetFunctions {
   def masklen(s: String): java.lang.Integer =
     splitCidr(s).map { case (_, bits) => Integer.valueOf(bits) }.orNull
 
+  /** Canonical text with an explicit prefix unless it is full-length —
+    * Postgres/DuckDB `inet` output form ("1.2.3.4/24" but "1.2.3.4",
+    * never "1.2.3.4/32"). */
+  private def renderCidr(b: Array[Byte], bits: Int): String =
+    if (bits == b.length * 8) render(b) else render(b) + "/" + bits
+
+  /** The network mask of the prefix as an address — Postgres
+    * `netmask('192.168.1.5/24')` = `'255.255.255.0'` (a full-length
+    * inet: no suffix on the result). v6 analogously
+    * (`'…/64'` → `'ffff:ffff:ffff:ffff::'`). */
+  def netmask(s: String): String =
+    splitCidr(s).map { case (b, bits) =>
+      val m = new Array[Byte](b.length)
+      var i = 0
+      var rem = bits
+      while (i < m.length) {
+        m(i) = (if (rem >= 8) 0xff
+                else if (rem <= 0) 0x00
+                else (0xff << (8 - rem)) & 0xff).toByte
+        rem -= 8; i += 1
+      }
+      render(m)
+    }.orNull
+
+  /** Host bits set to 1, prefix kept — Postgres
+    * `broadcast('192.168.1.5/24')` = `'192.168.1.255/24'`; a bare
+    * address (full-length prefix) is its own broadcast. */
+  def broadcastAddr(s: String): String =
+    splitCidr(s).map { case (b, bits) =>
+      val out = b.clone()
+      var i = 0
+      var rem = bits
+      while (i < out.length) {
+        if (rem <= 0) out(i) = 0xff.toByte
+        else if (rem < 8) out(i) = (out(i) | (0xff >>> rem)).toByte
+        rem -= 8; i += 1
+      }
+      renderCidr(out, bits)
+    }.orNull
+
+  /** Replace the prefix length, address bits unchanged — Postgres inet
+    * `set_masklen('192.168.1.5/24', 16)` = `'192.168.1.5/16'`. NULL on
+    * an out-of-range length for the address family. */
+  def setMasklen(s: String, bits: Int): String =
+    splitCidr(s) match {
+      case Some((b, _)) if bits >= 0 && bits <= b.length * 8 => renderCidr(b, bits)
+      case _ => null
+    }
+
   /** Equality under normalization (the reference's `addr = '...'::inet`). */
   def inetEqual(a: String, b: String): java.lang.Boolean = {
     if (a == null || b == null) return null
@@ -248,6 +297,18 @@ object InetFunctions {
   def inet_masklen(spark: SparkSession, c: Column): Column = {
     registerAll(spark)
     org.apache.spark.sql.functions.call_function("inet_masklen", c)
+  }
+  def inet_netmask(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_netmask", c)
+  }
+  def inet_broadcast(spark: SparkSession, c: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_broadcast", c)
+  }
+  def inet_set_masklen(spark: SparkSession, c: Column, bits: Column): Column = {
+    registerAll(spark)
+    org.apache.spark.sql.functions.call_function("inet_set_masklen", c, bits)
   }
 
   /** Register SQL-callable versions: inet_normalize, inet_contains,

@@ -13,15 +13,16 @@ import org.apache.spark.sql.DataFrame
   * q137's 3-round reach expansion planned ~100 parquet scans and measured
   * <20% exchange reuse at runtime before cutting.
   *
-  * `cut` materializes the frame once (eager `localCheckpoint`: executor
-  * memory/disk blocks, lineage truncated to an RDD scan) so every later
-  * reference reads the materialized blocks. On a multi-executor cluster
-  * the same call is correct as-is — blocks live on executors and survive
-  * task retries, though NOT executor loss; jobs at the 100-TB tier that
-  * cannot afford recomputation-on-loss should swap in
-  * `spark.sparkContext.setCheckpointDir` + `checkpoint()` to reliable
-  * storage. The cut is semantically invisible: values, schema, and
-  * determinism are unchanged.
+  * `cut` materializes the frame once (lineage truncated to an RDD scan)
+  * so every later reference reads the materialized data. Two fabrics:
+  * local (eager `localCheckpoint` — executor memory/disk blocks, which
+  * survive task retries but NOT executor loss) and reliable (eager
+  * `checkpoint()` to the configured checkpoint directory, surviving
+  * executor loss). The no-arg `cut` auto-selects reliable whenever
+  * `sparkContext.setCheckpointDir` has been called, so a 100-TB job
+  * opts every iterative family into failure-tolerant materialization
+  * with one session-setup line. The cut is semantically invisible:
+  * values, schema, and determinism are unchanged in both modes.
   */
 object Lineage {
   /** When true, [[cut]] records the executed plan of every frame it
@@ -43,11 +44,30 @@ object Lineage {
 
   /** Materialize `df` and truncate its lineage; returns the checkpointed
     * frame. Call on any frame a loop or multi-branch query references
-    * more than once when its producer is more than a scan. */
-  def cut(df: DataFrame): DataFrame = {
+    * more than once when its producer is more than a scan.
+    *
+    * `reliable = false` → eager `localCheckpoint` (executor memory/disk
+    * blocks; fast, but blocks die with their executor).
+    * `reliable = true`  → eager `checkpoint()` to the session's
+    * configured checkpoint directory (HDFS/object store on a real
+    * cluster), which survives executor loss — the mode a 100-TB job
+    * that cannot afford recomputation-on-loss selects by calling
+    * `spark.sparkContext.setCheckpointDir(...)` up front. Values,
+    * schema, and determinism are identical in both modes
+    * (`LineageSpec` proves it); only the storage fabric differs. */
+  def cut(df: DataFrame, reliable: Boolean): DataFrame = {
     if (recordPlans) recorded.add(df.queryExecution.executedPlan.toString)
-    df.localCheckpoint()
+    if (reliable) df.checkpoint() else df.localCheckpoint()
   }
+
+  /** [[cut]] with the mode auto-selected from session state: reliable
+    * whenever a checkpoint directory is configured, local otherwise.
+    * Every iterative family (PageRank, Triangles, beam search, the ANN
+    * graph builds) cuts through here, so pointing
+    * `sparkContext.setCheckpointDir` at reliable storage upgrades all
+    * of them to failure-tolerant materialization with no code change. */
+  def cut(df: DataFrame): DataFrame =
+    cut(df, reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
   /** Deterministically drop every persisted RDD in the session — the
     * release point a long single-session sweep (Verify's 281 queries,

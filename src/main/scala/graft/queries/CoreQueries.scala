@@ -65,7 +65,13 @@ object CoreQueries {
       // Spark's decimal SUM buffers (per-row Decimal alloc + overflow
       // check; measured 6× slower over 60M rows) fall short. Values are
       // bit-identical to the decimal formulation (ExactSumSpec), so the
-      // oracle keeps its (18,2) casts. exact_cents(l_extendedprice)
+      // oracle keeps its (18,2) casts. One deliberate divergence from
+      // the pre-round-9 plan: that plan cast through DECIMAL(9,2)/(4,2),
+      // which NULLs any input past 10^7 — exact_cents stays real up to
+      // ~9.2e16 unscaled, matching the (18,2) ORACLE rather than the
+      // replaced narrow casts if inputs ever exceed TPC-H's documented
+      // ranges (wider correctness, not a regression).
+      // exact_cents(l_extendedprice)
       // appears in two aggregates but is computed once per row
       // (whole-stage codegen subexpression elimination).
       val uQ = graft.functions.ExactSum.cents(col("l_quantity"), 2)

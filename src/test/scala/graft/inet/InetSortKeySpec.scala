@@ -84,6 +84,33 @@ class InetSortKeySpec extends AnyFunSuite {
     assert(r.isNullAt(8) && r.isNullAt(9))
   }
 
+  test("inet_netmask / inet_broadcast / inet_set_masklen (Postgres inet semantics)") {
+    InetFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT inet_netmask('192.168.1.5/24') AS nm4, inet_broadcast('192.168.1.5/24') AS bc4, " +
+        " inet_set_masklen('192.168.1.5/24', 16) AS sm4, inet_netmask('10.0.0.1') AS nmbare, " +
+        " inet_broadcast('10.1.2.3') AS bcbare, inet_netmask('2001:db8::7/64') AS nm6, " +
+        " inet_broadcast('2001:db8::7/64') AS bc6, inet_set_masklen('1.2.3.4/24', 32) AS smfull, " +
+        " inet_netmask('10.0.0.0/19') AS nm19, inet_broadcast('10.32.5.9/19') AS bc19, " +
+        " inet_set_masklen('10.0.0.1', 33) AS smbad, inet_netmask('junk') AS bad").collect().head
+    assert(r.getString(0) == "255.255.255.0" && r.getString(1) == "192.168.1.255/24")
+    assert(r.getString(2) == "192.168.1.5/16")
+    assert(r.getString(3) == "255.255.255.255" && r.getString(4) == "10.1.2.3")
+    assert(r.getString(5) == "ffff:ffff:ffff:ffff::")
+    assert(r.getString(6) == "2001:db8::ffff:ffff:ffff:ffff/64")
+    assert(r.getString(7) == "1.2.3.4") // full length renders without suffix
+    assert(r.getString(8) == "255.255.224.0" && r.getString(9) == "10.32.31.255/19")
+    assert(r.isNullAt(10) && r.isNullAt(11))
+    // Column API routes through the same StaticInvoke expressions
+    import spark.implicits._
+    val c = Seq("172.16.9.200/12").toDF("a").select(
+      InetFunctions.inet_netmask(spark, col("a")),
+      InetFunctions.inet_broadcast(spark, col("a")),
+      InetFunctions.inet_set_masklen(spark, col("a"), lit(24))).collect().head
+    assert(c.getString(0) == "255.240.0.0" && c.getString(1) == "172.31.255.255/12" &&
+      c.getString(2) == "172.16.9.200/24")
+  }
+
   test("ORDER BY inet_sort_key(id_orig_h) over a zeek table is numeric") {
     val dir = graft.zeek.ZeekFixtures.tempDir()
     val rows = Seq("10.0.0.10", "10.0.0.9", "10.0.0.100", "192.168.0.2",

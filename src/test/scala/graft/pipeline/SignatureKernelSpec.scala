@@ -72,6 +72,50 @@ class SignatureKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated UTF-8 (invalid input) hashes as U+FFFD — no unsafe read") {
+    // binary→string casts can yield invalid UTF-8; a truncated multi-byte
+    // sequence must neither read past the buffer nor diverge from the
+    // String path, which decodes each truncated maximal subpart to U+FFFD
+    def bytes(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val cases = Seq(
+      bytes('a', 'b', 0xe4, 0xbd),       // 3-byte seq, 2 bytes present, at end
+      bytes(0xc3),                       // lone 2-byte lead
+      bytes('x', ' ', 0xf0, 0x9f),       // 4-byte seq truncated after 2
+      bytes(0xe4, ' ', 'a'),             // truncated lead mid-string before ws
+      bytes(0xe4, 0xbd, ' ', 'o', 'k'),  // truncated token then a valid one
+      bytes('w', 0xf0))                  // 4-byte lead as final byte of a token
+    cases.foreach { bs =>
+      val viaKernel = SignatureKernel.shingleHashes(UTF8String.fromBytes(bs), 2)
+      val viaString = Dedup.shingleHashes(new String(bs, java.nio.charset.StandardCharsets.UTF_8), 2)
+      assert(viaKernel.toSeq == viaString.toSeq,
+        s"truncated-UTF8 divergence on ${bs.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
+  test("d07 pair-set baseline is pinned on the fixed sf0.001/sf0.01 corpora") {
+    // d07 is a rows-only sketch in the driver gate (no DuckDB oracle), so
+    // nothing outside this spec would notice its pair set drifting. The
+    // round-9 String→native kernel swap legitimately moved sf0.01 from 14
+    // to 13 pairs; THESE sets are the shipped kernel's baseline — any
+    // future "bit-identical" refactor must reproduce them exactly.
+    val expected = Map(
+      "/root/testdata/sf0.001" -> Set(
+        (8L, 12L), (8L, 360L), (12L, 360L), (26L, 176L), (56L, 157L),
+        (77L, 459L), (99L, 174L), (110L, 467L), (144L, 161L), (211L, 404L),
+        (229L, 263L), (270L, 329L), (328L, 428L), (474L, 498L)),
+      "/root/testdata/sf0.01" -> Set(
+        (31L, 383L), (44L, 446L), (45L, 413L), (58L, 293L), (70L, 447L),
+        (98L, 290L), (152L, 178L), (166L, 323L), (267L, 413L), (295L, 374L),
+        (310L, 389L), (393L, 420L), (435L, 486L)))
+    expected.foreach { case (sf, exp) =>
+      assume(new java.io.File(sf).isDirectory, s"$sf not present")
+      val got = graft.SparkEntry.queries("d07_simhash_neardups")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp,
+        s"d07 pair set drifted at $sf: +${got -- exp} -${exp -- got}")
+    }
+  }
+
   test("null text propagates to null signature") {
     import spark.implicits._
     val r = Seq(Option.empty[String]).toDF("text").select(

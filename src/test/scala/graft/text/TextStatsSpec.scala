@@ -106,6 +106,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 3 && r.getInt(1) == 1)
   }
 
+  test("text_stats builder rejects a foldable NULL stopword with a clear error") {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    // CAST(NULL AS STRING) is foldable and string-typed but evals to null —
+    // must raise the same analysis-time IllegalArgumentException as a
+    // non-literal, not an NPE at plan time
+    val nullStr = Cast(Literal(null, org.apache.spark.sql.types.NullType), StringType)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.TextStats.builder(Seq(Literal("x"), nullStr))
+    }
+    assert(e.getMessage.contains("must be string literals"))
+  }
+
   test("native lang_profile == the tuple-UDF formulation it replaced") {
     import spark.implicits._
     // the previous implementation, inlined as the oracle
