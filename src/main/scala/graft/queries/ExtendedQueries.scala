@@ -427,21 +427,26 @@ object ExtendedQueries {
     // Spark's count_min_sketch aggregate + the graft cms_estimate probe
     // (Spark ships the writer but no SQL reader). The sketch is a real
     // partial/merge aggregate over the fact stream; the 1-row sketch
-    // broadcasts against the key table for probing. At eps=0.001 the
-    // sketch width (~2718) dwarfs the supplier key space at every test
-    // SF, so estimates equal exact counts deterministically (seed 42) —
-    // which is what makes the exact-count oracle hash-checkable; the
-    // ScalaTest property (exact <= est <= exact + eps*N) is the
-    // guarantee that survives at 100 TB key cardinalities.
+    // broadcasts against the key table for probing. The ORACLE checks
+    // the formal CMS guarantee — exact ≤ est ≤ exact + ceil(eps·N) — as
+    // a boolean, with the output rows chosen by EXACT counts (both
+    // SF-stable). Until round 10 it asserted est == exact, which only
+    // holds while the sketch width (~2718 at eps=0.001) dwarfs the key
+    // space: the sf1 sweep (10k suppliers) broke it the moment real
+    // collisions appeared — the sketch WORKING as designed. The
+    // ScalaTest property spec pins the same bound end-to-end.
     "q74_cms_heavy_hitters" -> ((s, d) => {
       graft.functions.SketchExpressions.registerAll(s)
       val li = Tables.lineitem(s, d)
-      val sk = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+      val sk = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_rows"))
       val keys = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
       keys.crossJoin(broadcast(sk))
         .select(col("l_suppkey"), col("exact_cnt"),
-          expr("cms_estimate(sk, l_suppkey)").as("est_cnt"))
-        .orderBy(col("est_cnt").desc, col("l_suppkey").asc)
+          (expr("cms_estimate(sk, l_suppkey)") >= col("exact_cnt") &&
+            expr("cms_estimate(sk, l_suppkey)") <=
+              col("exact_cnt") + ceil(col("n_rows") * lit(0.001))).as("est_ok"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey").asc)
         .limit(10)
     }),
 
@@ -1529,8 +1534,8 @@ object ExtendedQueries {
 
     "q74_cms_heavy_hitters" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey)
-        |SELECT l_suppkey, exact_cnt, exact_cnt AS est_cnt
-        |FROM c ORDER BY est_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+        |SELECT l_suppkey, exact_cnt, TRUE AS est_ok
+        |FROM c ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "q72_array_set_ops" ->
       """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part WHERE p_partkey < 400),

@@ -1144,10 +1144,19 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("slr"))
         .select(col("doc_id"), col("n_toks"),
-          // + 0.0 canonicalizes IEEE negative zero: round() of a tiny
-          // negative ratio yields -0.0 in DuckDB but 0.0 here, and the
-          // driver compares rendered text (caught at sf0.1)
-          (round(col("slr").cast(DoubleType) / col("n_toks"), 4) + lit(0.0)).as("dsir_weight"))
+          // The final round(slr/n_toks, 4) is INTEGER-EXACT half-up
+          // (away from zero), not round-of-double: slr is DECIMAL(18,6)
+          // so slr·10^6 is an exact long and the quotient's half-up
+          // rounding is pure integer arithmetic. The sf1 sweep caught a
+          // doc whose true weight was an EXACT decimal tie
+          // (-0.0639/18 = -0.00355) where Spark's and DuckDB's
+          // round-of-double disagree (shortest-decimal vs binary tie
+          // handling); ties cannot exist in integer space. The trailing
+          // + 0.0 canonicalizes IEEE negative zero (caught at sf0.1).
+          ((expr("CASE WHEN slr >= 0 THEN 1 ELSE -1 END") *
+            floor((abs(col("slr") * lit(1000000)).cast(LongType) +
+              lit(50L) * col("n_toks")) / (lit(100L) * col("n_toks")))
+            ).cast(DoubleType) / lit(10000.0) + lit(0.0)).as("dsir_weight"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1192,13 +1201,15 @@ object PipelineQueries {
 
     // per-label embedding centroids over the first 8 dimensions — the
     // class-prototype computation (avg is order-insensitive to 1e-13 at
-    // this scale; round(4) pins the cross-engine value)
+    // this scale; round(4) pins the cross-engine value; + 0.0
+    // canonicalizes IEEE negative zero — a tiny negative centroid
+    // rounded to 4 dp rendered -0.0 vs 0.0 across engines at sf1)
     "e09_label_centroids" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")))
         .filter(col("pos") < 8)
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("col").cast(DoubleType)), 4).as("centroid"),
+        .agg((round(avg(col("col").cast(DoubleType)), 4) + lit(0.0)).as("centroid"),
           count(lit(1)).as("n"))
         .select(col("label"), (col("pos") + 1).as("pos"), col("centroid"), col("n"))
         .orderBy(col("label"), col("pos"))
@@ -2657,7 +2668,10 @@ object PipelineQueries {
         |       FROM model CROSS JOIN tot),
         |s AS (SELECT doc_id, count(*) AS n_toks, sum(lr.lr) AS slr
         |      FROM t JOIN lr USING (b) GROUP BY doc_id)
-        |SELECT doc_id, n_toks, round(CAST(slr AS DOUBLE) / n_toks, 4) + 0.0 AS dsir_weight
+        |SELECT doc_id, n_toks,
+        |  CAST((CASE WHEN slr >= 0 THEN 1 ELSE -1 END) *
+        |       ((abs(CAST(slr * 1000000 AS BIGINT)) + 50 * n_toks) // (100 * n_toks))
+        |    AS DOUBLE) / 10000.0 + 0.0 AS dsir_weight
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // int8 codes at a fixed power-of-two scale: floor(v*256) is exact,
@@ -2743,7 +2757,7 @@ object PipelineQueries {
 
     "e09_label_centroids" ->
       """SELECT label, CAST(t.i AS INT) AS pos,
-        | round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 4) AS centroid,
+        | round(avg(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 4) + 0.0 AS centroid,
         | count(*) AS n
         |FROM embeddings, range(1, 9) t(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
