@@ -126,12 +126,19 @@ object Q05Prune {
       // 10 GB); values chosen so sf10's oc (~hundreds of MB) creates and
       // sf10's lineitem (~1.4 GB scan) applies
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "4g",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "16m")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "16m") ++
+      // bloom2: ALSO open the item-count gates (defaults 4M max / 1M
+      // expected — sf10's orders side estimates ~15M rows)
+      (if (variant == "bloom2") Map(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "32000000",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems" -> "16000000",
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "268435456")
+      else Map.empty)
 
     variant match {
-      case "base" | "bloom" =>
+      case "base" | "bloom" | "bloom2" =>
         val spark = session(sfDir, aqe = true,
-          if (variant == "bloom") bloomOpen else Map.empty)
+          if (variant.startsWith("bloom")) bloomOpen else Map.empty)
         spark.sparkContext.setLogLevel("WARN")
         q05(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
         val secs = time3(() =>
@@ -149,9 +156,23 @@ object Q05Prune {
         val spark = session(sfDir, aqe = true,
           Map("spark.sql.warehouse.dir" -> s"$work/warehouse"))
         spark.sparkContext.setLogLevel("WARN")
+        // prep's in-memory catalog dies with its JVM; re-declare the
+        // bucketed layout over the files it wrote (bucket spec + sort
+        // order are a TABLE property, not a file property)
+        def ensureBucketed(name: String, key: String): Unit =
+          if (!spark.catalog.tableExists(name)) {
+            val path = s"$work/warehouse/$name"
+            val ddl = spark.read.parquet(path).schema.toDDL
+            spark.sql(s"""CREATE TABLE $name ($ddl) USING parquet
+              CLUSTERED BY ($key) SORTED BY ($key) INTO 64 BUCKETS
+              LOCATION '$path'""")
+          }
         def frames(): (DataFrame, DataFrame) =
-          if (variant == "bucketed") (spark.table("q05_l"), spark.table("q05_o"))
-          else (spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          if (variant == "bucketed") {
+            ensureBucketed("q05_l", "l_orderkey")
+            ensureBucketed("q05_o", "o_orderkey")
+            (spark.table("q05_l"), spark.table("q05_o"))
+          } else (spark.read.parquet(s"$sfDir/lineitem.parquet"),
             spark.read.parquet(s"$sfDir/orders.parquet"))
         val (l, o) = frames()
         val df0 = q05Reordered(spark, l, o, sfDir)
