@@ -326,6 +326,107 @@ case class KmvMergeEstimate(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** The k smallest DISTINCT values of a string column, ascending — bit-
+  * identical to `slice(array_sort(collect_set(x)), 1, k)` (same binary
+  * UTF8String ordering, same set semantics, same truncation) but with
+  * BOUNDED state. `collect_set` holds a group's ENTIRE local distinct
+  * set in the aggregation buffer and ships it through the shuffle
+  * before the slice ever truncates: q138's register merge collected up
+  * to 32·degree md5-hex strings per node per round (576M exploded rows
+  * through the exchange at sf1). This aggregate holds ≤ k values at
+  * every stage, so map-side partials emit ≤ k strings per group and
+  * the shuffle carries the truncated registers — the aggregation
+  * equivalent of the bare-id band-shuffle rule. Measured on q138 in
+  * BASELINE.md (round 10). */
+case class MinKStrings(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "min_k_strings requires k >= 1")
+
+  override def prettyName: String = "min_k_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_k_strings input must be string, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
+
+  private def add(buf: java.util.TreeSet[UTF8String], v: UTF8String): Unit = {
+    // clone before storing: eval'd UTF8Strings can point into a reused
+    // row buffer, and the buffer must own its bytes across rows
+    if (buf.size < k) buf.add(v.clone())
+    else if (v.compareTo(buf.last) < 0) {
+      buf.add(v.clone()); if (buf.size > k) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[UTF8String], input: InternalRow)
+      : java.util.TreeSet[UTF8String] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[UTF8String],
+      b2: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[UTF8String]): Any = {
+    val vals = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { vals(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
+  }
+
+  override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] = {
+    var total = 4
+    val it0 = buf.iterator()
+    while (it0.hasNext) total += 4 + it0.next().numBytes()
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val b = it.next().getBytes
+      bb.putInt(b.length)
+      bb.put(b)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[UTF8String]()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      s.add(UTF8String.fromBytes(b))
+      i += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinKStrings =
+    copy(child = newChild)
+}
+
 /** KMV set algebra: intersection / union / Jaccard ESTIMATES between two
   * stored `kmv_state` sketches — the audience-overlap / cross-corpus-
   * contamination probe that runs on summary-table states without ever
@@ -422,7 +523,20 @@ object KmvSketch {
       case Seq(a, b, Literal(k: Long, LongType))   => KmvPairStats(a, b, k.toInt)
       case es => throw new IllegalArgumentException(
         s"kmv_pair_stats(stateA, stateB, k-literal) — got ${es.length} arguments")
+    },
+    "min_k_strings" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => MinKStrings(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => MinKStrings(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"min_k_strings(value, k-literal) — got ${es.length} arguments")
     })
+
+  /** Column form of [[MinKStrings]] — the bounded-state replacement for
+    * `slice(array_sort(collect_set(c)), 1, k)`. */
+  def minKStrings(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      MinKStrings(org.apache.spark.sql.graft.GraftSql.expression(c), k)
+        .toAggregateExpression())
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

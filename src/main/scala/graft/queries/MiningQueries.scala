@@ -964,11 +964,15 @@ object MiningQueries {
       val nbr = sym.join(reg, sym("et") === reg("node"))
         .select(sym("es").as("node"), col("reg"))
       // cut: round r's registers feed round r+1's neighbor join AND its
-      // own union — each round would otherwise replay all earlier merges
+      // own union — each round would otherwise replay all earlier merges.
+      // min_k_strings == slice(array_sort(collect_set(h)), 1, k) bit for
+      // bit, but with ≤k-element state: collect_set shipped every node's
+      // full 32·degree distinct register set through the exchange before
+      // truncating (the q138 sf1 wall-clock hog; BASELINE round 10)
       reg = graft.operators.Lineage.cut(reg.union(nbr)
         .select(col("node"), explode(col("reg")).as("h"))
         .groupBy(col("node"))
-        .agg(expr(s"slice(array_sort(collect_set(h)), 1, $k)").as("reg")))
+        .agg(graft.functions.KmvSketch.minKStrings(col("h"), k).as("reg")))
     }
     // md5 hex sorts uniformly; the kth smallest's leading-60-bit
     // fraction v/16^15 estimates the register's fill rate, so

@@ -52,6 +52,38 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(sample(df.union(df)) == s1) // duplicates cannot re-draw
   }
 
+  test("min_k_strings == slice(array_sort(collect_set), 1, k) bit for bit") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    val rnd = new scala.util.Random(2026L)
+    // groups with < k, == k, and >> k distinct values; duplicates; empty
+    // strings; multi-byte; and enough rows across partitions to force
+    // partial/merge + serialize round-trips
+    val rows = (1 to 20000).map { _ =>
+      val g = rnd.nextInt(20)
+      val v = rnd.nextInt(g * 40 + 2) // group g has up to 40g+2 distinct
+      (g, if (v == 0) "" else if (v == 1) s"你好$v" else s"h${v}x")
+    }
+    val df = rows.toDF("g", "v").repartition(13)
+    for (k <- Seq(1, 5, 32)) {
+      val got = df.groupBy("g")
+        .agg(KmvSketch.minKStrings(col("v"), k).as("r"),
+          expr(s"slice(array_sort(collect_set(v)), 1, $k)").as("exp"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k group=${r.getInt(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+      }
+    }
+    // SQL registration path + null handling (nulls skipped like collect_set)
+    val s = Seq((1, Some("b")), (1, None), (1, Some("a")), (1, Some("b")))
+      .toDF("g", "v")
+    s.createOrReplaceTempView("mks")
+    val viaSql = spark.sql("SELECT min_k_strings(v, 2) FROM mks GROUP BY g")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("a", "b"))
+  }
+
   test("null inputs are ignored, not hashed") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
