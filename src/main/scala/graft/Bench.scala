@@ -83,6 +83,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GC-driven fallback for reliable-checkpoint file cleanup; the
+      // deterministic path is Lineage.releaseAll(alsoCheckpoints) below
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     if (master.startsWith("local-cluster")) {
       builder
         .config("spark.executor.extraClassPath", BenchEnv.classesDir)
@@ -106,7 +109,8 @@ object Bench {
         // bench session issues 100+ queries and must not let cached
         // range-shuffle partitions pile up until GC notices them
         graft.operators.GlobalRank.releasePins()
-        graft.operators.Lineage.releaseAll(spark) // drop per-query cut blocks
+        // cut blocks AND completed rdd-N checkpoint dirs — see Verify
+        graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GC-driven fallback for reliable-checkpoint file cleanup; the
+      // deterministic path is Lineage.releaseAll(alsoCheckpoints) below
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     if (master.startsWith("local-cluster")) {
       // executor JVMs are launched from SPARK_HOME with only the Spark
       // jars — hand them this build's classes (same machine, plain path)
@@ -42,7 +45,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         graft.operators.GlobalRank.releasePins() // see Bench.run
-        graft.operators.Lineage.releaseAll(spark) // drop per-query cut blocks
+        // drop per-query cut blocks AND completed rdd-N checkpoint dirs —
+        // a 281-query sweep with SPARK_GRAFT_CHECKPOINT_DIR set would
+        // otherwise grow the dir unboundedly (nothing deletes reliable
+        // checkpoint files by default)
+        graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

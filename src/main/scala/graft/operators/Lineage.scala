@@ -57,7 +57,23 @@ object Lineage {
     * (`LineageSpec` proves it); only the storage fabric differs. */
   def cut(df: DataFrame, reliable: Boolean): DataFrame = {
     if (recordPlans) recorded.add(df.queryExecution.executedPlan.toString)
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    if (reliable) {
+      // Eager checkpoint() runs TWO jobs over the producer: the count that
+      // materializes the frame, then the checkpoint job that writes the
+      // files — and the write job RECOMPUTES full lineage unless blocks
+      // are cached. Persist first so the write job reads the blocks the
+      // count job computed, then drop the cache (the checkpoint files are
+      // the data from here on). The checkpoint is built over a FRESH
+      // Dataset on the same logical plan: `df`'s own physical plan may
+      // already be forced (recordPlans above does exactly that), and a
+      // pre-forced plan would bypass the cache — recreating the frame
+      // makes planning happen after cacheQuery, so the InMemoryRelation
+      // is actually in the executed tree.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try org.apache.spark.sql.graft.GraftSql
+        .ofRows(df.sparkSession, df.queryExecution.logical).checkpoint()
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
   }
 
   /** [[cut]] with the mode auto-selected from session state: reliable
@@ -77,6 +93,29 @@ object Lineage {
     * call mid-query (a cut frame's blocks are its only data — lineage
     * is truncated, so unpersisting it is unrecoverable). GC-driven
     * ContextCleaner remains the fallback for interactive use. */
-  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseAll(spark: org.apache.spark.sql.SparkSession,
+      alsoCheckpoints: Boolean = false): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    if (alsoCheckpoints) releaseCheckpoints(spark)
+  }
+
+  /** Delete every completed `rdd-N` directory under the session's
+    * checkpoint dir. `unpersist` frees only block-manager blocks;
+    * RELIABLE checkpoint files are plain filesystem data that nothing
+    * deletes by default (`spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is false, and even on it is GC-driven), so a
+    * 281-query sweep with a checkpoint dir configured grows it
+    * unboundedly — at large SF that is a disk-exhaustion bug, not
+    * hygiene. Same contract as [[releaseAll]]: call BETWEEN queries
+    * only — a cut frame's checkpoint files are its only data. */
+  def releaseCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getCheckpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("rdd-"))
+            fs.delete(st.getPath, true): Unit
+        }
+    }
 }

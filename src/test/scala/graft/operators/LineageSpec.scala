@@ -37,15 +37,45 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body` with a checkpoint dir configured, then clear it.
+    * SparkContext has no unsetCheckpointDir, so the teardown clears the
+    * private var via reflection — GUARDED: if the reflection ever breaks
+    * (Spark upgrade, JDK module restrictions), this fails LOUDLY naming
+    * the leaked state instead of letting every later suite's no-arg
+    * `cut()` silently flip to reliable mode. */
+  private def withCheckpointDir[T](dir: java.io.File)(body: => T): T = {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "spec assumes no checkpoint dir configured up front")
+    spark.sparkContext.setCheckpointDir(dir.getPath)
+    try body
+    finally {
+      try {
+        val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(spark.sparkContext, None)
+      } catch {
+        case e: Throwable => throw new IllegalStateException(
+          "FAILED to clear SparkContext.checkpointDir after a reliable-cut " +
+            "test — the dir is still configured, so later suites' no-arg " +
+            "Lineage.cut() would silently run in reliable mode", e)
+      }
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  private def files(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+
   test("reliable cut: equal results, lineage truncated, auto-selected by checkpoint dir") {
-    val dir = new java.io.File("target/lineage-spec-ckpt")
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
       .groupBy("k").agg(sum("id").as("s"))
     val local = Lineage.cut(df, reliable = false)
-    assert(spark.sparkContext.getCheckpointDir.isEmpty,
-      "spec assumes no checkpoint dir configured up front")
-    try {
-      spark.sparkContext.setCheckpointDir(dir.getPath)
+    withCheckpointDir(new java.io.File("target/lineage-spec-ckpt")) {
+      val dir = new java.io.File("target/lineage-spec-ckpt")
       // explicit reliable mode
       val rel = Lineage.cut(df, reliable = true)
       assert(rel.schema == df.schema)
@@ -53,8 +83,6 @@ class LineageSpec extends AnyFunSuite {
       val p = rel.queryExecution.executedPlan.toString
       assert(!p.contains("HashAggregate"), "producer survived the reliable cut:\n" + p)
       // checkpoint files actually landed in reliable storage
-      def files(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
       assert(files(dir).nonEmpty, "reliable checkpoint wrote no files")
       // the no-arg overload auto-selects reliable while a dir is
       // configured: a fresh rdd-N checkpoint dir appears under `dir`
@@ -63,17 +91,34 @@ class LineageSpec extends AnyFunSuite {
       assert((files(dir).map(_.getPath).toSet -- before).nonEmpty,
         "no-arg cut did not auto-select reliable mode with a checkpoint dir set")
       assert(auto.orderBy("k").collect().toSeq == local.orderBy("k").collect().toSeq)
-    } finally {
-      // SparkContext has no unsetCheckpointDir; clear the private conf so
-      // later suites (and this one's local-mode assumption) see none
-      val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(spark.sparkContext, None)
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(rm)
-        x.delete(): Unit
-      }
-      rm(dir)
+    }
+  }
+
+  test("reliable cut executes the producer exactly once (write job reads cache)") {
+    // eager checkpoint() = a count job + a checkpoint-write job; without
+    // the persist inside cut, the write job recomputes full lineage and
+    // every producer row is evaluated twice
+    val acc = spark.sparkContext.longAccumulator("producer-rows")
+    val tick = udf { (x: Long) => acc.add(1L); x }
+    val df = spark.range(0, 100, 1, 4).toDF("id").select(tick(col("id")).as("id"))
+    withCheckpointDir(new java.io.File("target/lineage-spec-ckpt-once")) {
+      val rel = Lineage.cut(df, reliable = true)
+      assert(acc.value == 100L,
+        s"producer ran ${acc.value / 100.0} times during the reliable cut (want 1)")
+      assert(rel.count() == 100L)
+      assert(acc.value == 100L, "reading the cut re-ran the producer")
+    }
+  }
+
+  test("releaseAll(alsoCheckpoints) deletes completed rdd-N checkpoint dirs") {
+    val dir = new java.io.File("target/lineage-spec-ckpt-clean")
+    withCheckpointDir(dir) {
+      val cut = Lineage.cut(Seq(1L, 2L, 3L).toDF("id"), reliable = true)
+      assert(cut.count() == 3)
+      assert(files(dir).nonEmpty, "no checkpoint files written")
+      Lineage.releaseAll(spark, alsoCheckpoints = true)
+      val left = files(dir).filter(_.getPath.contains("rdd-"))
+      assert(left.isEmpty, s"rdd-N checkpoint data survived release: $left")
     }
   }
 
