@@ -41,6 +41,16 @@ object Dedup {
     else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct.toArray
   }
 
+  /** Column form of [[shingles]]: the native codegen expression
+    * ([[graft.functions.Shingles]], kernel
+    * [[SignatureKernel.shingleStrings]]) — bit-identical values and
+    * order (property-pinned in `SignatureKernelSpec`), no per-row
+    * String/regex round-trip. NULL text → NULL array, exactly like the
+    * Scala UDF it replaces. */
+  private[graft] def shinglesCol(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.Shingles(org.apache.spark.sql.graft.GraftSql.expression(c), n))
+
   // ---- exact dedup -----------------------------------------------------
 
   /** Exact duplicate groups by canonical fingerprint; keeps the minimum id
@@ -337,7 +347,7 @@ object Dedup {
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 2,
       minShared: Int = 3): DataFrame = {
-    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    def sh(c: Column): Column = shinglesCol(c, shingleSize)
     val c = corpus.select(col(idCol).as("corpus_id"), explode(sh(col(textCol))).as("s"))
     val e = evalSet.select(col(idCol).as("eval_id"), explode(sh(col(textCol))).as("s"))
     c.join(broadcast(e), "s")
@@ -370,7 +380,7 @@ object Dedup {
       minShared: Int = 3, estimatedItems: Long = 1L << 20): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.BloomFunctions.registerAll(spark)
-    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    def sh(c: Column): Column = shinglesCol(c, shingleSize)
     val c = corpus.select(col(idCol).as("corpus_id"), explode(sh(col(textCol))).as("s"))
     val e = evalSet.select(col(idCol).as("eval_id"), explode(sh(col(textCol))).as("s"))
     val filterBytes = e.select(call_function("bloom_agg",
@@ -395,7 +405,7 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|).  All shuffles key on shingle or pair ids. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 2, maxDf: Int = 100): DataFrame = {
-    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    def sh(c: Column): Column = shinglesCol(c, shingleSize)
     val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
     val pruned = exploded.join(
@@ -425,7 +435,7 @@ object Dedup {
     * honest prune). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, shingleSize: Int = 2, maxDf: Int = 1000000): DataFrame = {
-    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    def sh(c: Column): Column = shinglesCol(c, shingleSize)
     val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
     val pruned = exploded.join(
@@ -535,7 +545,7 @@ object Dedup {
     // candidates are verified away, so completeness is preserved
     val tau = new java.math.BigDecimal(threshold)
       .setScale(18, java.math.RoundingMode.FLOOR)
-    val sh = udf((t: String) => if (t == null) null else shingles(t, shingleSize))
+    def sh(c: Column): Column = shinglesCol(c, shingleSize)
     val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
     // rarest-first per-doc token order; prefix length n - ceil(tau*n) + 1

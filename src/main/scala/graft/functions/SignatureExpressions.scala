@@ -41,6 +41,37 @@ case class MinhashSig(child: Expression, numHashes: Int, shingleSize: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** shingles(text, n) → array<string>: the distinct word n-gram shingles
+  * in first-seen order — bit-identical to the Scala-UDF formulation over
+  * [[graft.dedup.Dedup.shingles]] (property-pinned in
+  * `SignatureKernelSpec`), minus the UTF8String→String conversion, regex
+  * split, per-slice mkString, and result re-encoding. Used on every
+  * full-corpus shingle-explode path (decontamination, inverted-index /
+  * prefix joins), where the per-row UDF round-trip was the last
+  * interpreted stage in an otherwise codegen'd pipeline. */
+case class Shingles(child: Expression, shingleSize: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires a string argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.dedup.SignatureKernel.shinglesData(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.SignatureKernel.shinglesData($c, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
 /** simhash64(text) → bigint: per-bit majority vote over the word-bigram
   * shingle hashes, fused into one native pass; bit-identical to the
   * Scala-UDF form (see [[graft.dedup.SignatureKernel]]). */

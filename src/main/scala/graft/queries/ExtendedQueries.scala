@@ -428,13 +428,21 @@ object ExtendedQueries {
     // (Spark ships the writer but no SQL reader). The sketch is a real
     // partial/merge aggregate over the fact stream; the 1-row sketch
     // broadcasts against the key table for probing. The ORACLE checks
-    // the formal CMS guarantee — exact ≤ est ≤ exact + ceil(eps·N) — as
-    // a boolean, with the output rows chosen by EXACT counts (both
-    // SF-stable). Until round 10 it asserted est == exact, which only
-    // holds while the sketch width (~2718 at eps=0.001) dwarfs the key
-    // space: the sf1 sweep (10k suppliers) broke it the moment real
-    // collisions appeared — the sketch WORKING as designed. The
-    // ScalaTest property spec pins the same bound end-to-end.
+    // the formal CMS guarantee as a boolean, with the output rows chosen
+    // by EXACT counts (both SF-stable). Until round 10 it asserted
+    // est == exact, which only holds while the sketch width (~2718 at
+    // eps=0.001) dwarfs the key space: the sf1 sweep (10k suppliers)
+    // broke it the moment real collisions appeared — the sketch WORKING
+    // as designed. The asserted bound is exact ≤ est ≤ exact +
+    // 3·ceil(eps·N): the textbook 1× bound holds only with confidence
+    // 0.99 PER KEY (depth 5 at delta=0.01), so on a brand-new dataset a
+    // top-10 key has ~10% total chance of deterministically violating it
+    // — a gate must not fail on the sketch meeting its own contract. At
+    // 3× the per-row Markov bound is 1/(3e) and the per-key failure
+    // probability (1/(3e))^5 ≈ 3e-5 — SF-stable in practice. A FAILURE
+    // here therefore means a real defect (under-estimate, or error far
+    // outside the sketch's guarantee), not an unlucky dataset. The
+    // ScalaTest property spec pins the tight 1× bound on a fixed corpus.
     "q74_cms_heavy_hitters" -> ((s, d) => {
       graft.functions.SketchExpressions.registerAll(s)
       val li = Tables.lineitem(s, d)
@@ -445,7 +453,7 @@ object ExtendedQueries {
         .select(col("l_suppkey"), col("exact_cnt"),
           (expr("cms_estimate(sk, l_suppkey)") >= col("exact_cnt") &&
             expr("cms_estimate(sk, l_suppkey)") <=
-              col("exact_cnt") + ceil(col("n_rows") * lit(0.001))).as("est_ok"))
+              col("exact_cnt") + lit(3) * ceil(col("n_rows") * lit(0.001))).as("est_ok"))
         .orderBy(col("exact_cnt").desc, col("l_suppkey").asc)
         .limit(10)
     }),
