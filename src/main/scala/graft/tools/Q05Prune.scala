@@ -160,13 +160,8 @@ object Q05Prune {
         // bucketed layout over the files it wrote (bucket spec + sort
         // order are a TABLE property, not a file property)
         def ensureBucketed(name: String, key: String): Unit =
-          if (!spark.catalog.tableExists(name)) {
-            val path = s"$work/warehouse/$name"
-            val ddl = spark.read.parquet(path).schema.toDDL
-            spark.sql(s"""CREATE TABLE $name ($ddl) USING parquet
-              CLUSTERED BY ($key) SORTED BY ($key) INTO 64 BUCKETS
-              LOCATION '$path'""")
-          }
+          graft.operators.Bucketing.declareBucketed(
+            spark, name, s"$work/warehouse/$name", key, 64)
         def frames(): (DataFrame, DataFrame) =
           if (variant == "bucketed") {
             ensureBucketed("q05_l", "l_orderkey")
