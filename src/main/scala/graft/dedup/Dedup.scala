@@ -207,15 +207,6 @@ object Dedup {
     val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands,
       shingleSize, carryText = false, bucketCap = bucketCap, withEstimate = false)
     val t = docs.select(col(idCol), col(textCol))
-    val jacc = udf { (x: String, y: String) =>
-      if (x == null || y == null) None // SQL null-propagation, not an NPE
-      else {
-        val sa = shingles(x, shingleSize).toSet
-        val sb = shingles(y, shingleSize).toSet
-        val inter = sa.intersect(sb).size
-        Some(inter.toDouble / (sa.size + sb.size - inter))
-      }
-    }
     // one row per pair ENDPOINT (ids only) → broadcast onto the corpus →
     // regroup matched texts per pair
     val tagged = cands.select(col("a"), col("b"),
@@ -228,9 +219,21 @@ object Dedup {
     matched.groupBy("a", "b")
       .agg(max(when(col("role") === "a", col("txt"))).as("ta"),
         max(when(col("role") === "b", col("txt"))).as("tb"))
-      .withColumn("jaccard", jacc(col("ta"), col("tb")))
+      .withColumn("jaccard", exactJaccard(col("ta"), col("tb"), shingleSize))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** Exact shingle-set Jaccard of two texts, as built-ins over the native
+    * [[shinglesCol]] arrays (already distinct, so sizes are set sizes and
+    * `array_intersect` is set intersection). NULL text propagates to a
+    * NULL score, like the Scala UDF this replaces. Per-candidate-pair
+    * work, but keeping it native keeps the whole verify stage in
+    * whole-stage codegen. */
+  private def exactJaccard(ta: Column, tb: Column, shingleSize: Int): Column = {
+    val (sa, sb) = (shinglesCol(ta, shingleSize), shinglesCol(tb, shingleSize))
+    val inter = size(array_intersect(sa, sb))
+    inter * 1.0 / (size(sa) + size(sb) - inter)
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -496,20 +499,11 @@ object Dedup {
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"))
       .distinct()
-    val jacc = udf { (x: String, y: String) =>
-      if (x == null || y == null) None
-      else {
-        val sa = shingles(x, shingleSize).toSet
-        val sb = shingles(y, shingleSize).toSet
-        val inter = sa.intersect(sb).size
-        Some(inter.toDouble / (sa.size + sb.size - inter))
-      }
-    }
     val texts = all.select(col("id"), col("txt"))
     cand
       .join(texts.select(col("id").as("a"), col("txt").as("ta")), "a")
       .join(texts.select(col("id").as("b"), col("txt").as("tb")), "b")
-      .withColumn("jaccard", jacc(col("ta"), col("tb")))
+      .withColumn("jaccard", exactJaccard(col("ta"), col("tb"), shingleSize))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

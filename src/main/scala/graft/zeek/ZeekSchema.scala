@@ -111,6 +111,41 @@ object ZeekSchema {
     finally in.close()
   }
 
+  /** Headers of ALL files, read on a bounded thread pool, results in
+    * file order. union_by_name must open every file at PLAN time
+    * (reference: src/zeek_scanner.cpp:506-589 — which does it serially,
+    * as this repo also did through round 10); at the 100-TB shape that
+    * is tens of thousands of hourly rotated logs on an object store,
+    * i.e. tens of thousands of SEQUENTIAL driver-side open+read round
+    * trips, each dominated by latency, not the ~KB of header bytes.
+    * Parallel reads change only wall-clock: results are reassembled in
+    * the lexicographic file order, so first-seen field order and the
+    * choice of reported error (the first failing file in sort order)
+    * are identical to the serial loop. Pool size 16 bounds driver FD /
+    * memory pressure; single-file binds skip the pool entirely. */
+  private def parseHeaders(files: Seq[String],
+      conf: Configuration): Seq[Either[Exception, ZeekHeader]] = {
+    def one(f: String): Either[Exception, ZeekHeader] =
+      try Right(parseHeader(f, conf))
+      catch { case e: Exception => Left(e) }
+    if (files.lengthCompare(2) < 0) files.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.length, 16),
+        (r: Runnable) => {
+          val t = new Thread(r, "zeek-header-read")
+          t.setDaemon(true)
+          t
+        })
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Either[Exception, ZeekHeader]]] =
+          files.map(f => () => one(f))
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally { pool.shutdown(): Unit }
+    }
+  }
+
   /** Strict mode: the first valid file's header is the schema; other files
     * are validated per-partition at scan time (src/zeek_scanner.cpp:481-505). */
   private def bindStrict(files: Seq[String], lengths: Map[String, Long],
@@ -139,13 +174,13 @@ object ZeekSchema {
     * or bind error; absent fields → NULL (src/zeek_scanner.cpp:506-589). */
   private def bindUnion(files: Seq[String], lengths: Map[String, Long],
       opts: ZeekOptions, conf: Configuration): ZeekBind = {
-    val headers = files.map { f =>
-      try Some(parseHeader(f, conf))
-      catch {
-        case _: Exception if opts.ignoreFileErrors => None
-        case e: Exception =>
-          throw new ZeekFormatException(s"Failed to read Zeek log '$f': ${e.getMessage}")
-      }
+    val headers = files.zip(parseHeaders(files, conf)).map {
+      case (_, Right(h)) => Some(h)
+      case (_, Left(_)) if opts.ignoreFileErrors => None
+      case (f, Left(e)) =>
+        // first failing file in sort order — same file and message the
+        // serial loop reported (it just stopped reading there)
+        throw new ZeekFormatException(s"Failed to read Zeek log '$f': ${e.getMessage}")
     }
     val valid = files.zip(headers).collect { case (f, Some(h)) => (f, h) }
     if (valid.isEmpty)
