@@ -14,6 +14,18 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 ONLY = set(sys.argv[3:])
 
 con = duckdb.connect()
+# Opt-in resource caps for large-SF sweeps: an uncapped DuckDB oracle at
+# sf10 spilled ~60 GB of temp and took the whole box down (round 11).
+# GRAFT_DUCKDB_MEMLIMIT (e.g. "24GB") also routes temp spill to
+# GRAFT_DUCKDB_TMP (default /tmp/duckdb_oracle_tmp) with a hard cap so a
+# runaway oracle fails alone instead of starving the engine under test.
+_mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+if _mem:
+    _tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_oracle_tmp")
+    os.makedirs(_tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{_mem}'")
+    con.execute(f"SET temp_directory='{_tmp}'")
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('GRAFT_DUCKDB_TMPLIMIT', '40GB')}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{SF}/{t}.parquet"

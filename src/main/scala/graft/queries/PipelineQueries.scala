@@ -361,9 +361,16 @@ object PipelineQueries {
     // DIRECTED containment pairs — the subset-duplicate detector Jaccard
     // misses (a short doc quoted inside a long one dilutes the union);
     // |A∩B|/|A| ≥ 0.6 over bigram sets via the same inverted-index join
-    // as d08, normalized by the contained side only
+    // as d08, normalized by the contained side only. BOUNDED AUDIT SLICE
+    // (doc_id < 10000, same prefix as d08/e06/e10, both engines): the
+    // un-df-capped inverted self-join is exact ground truth, quadratic
+    // by construction — at sf10 (500k docs) the unbounded form OOMs,
+    // caught by the round-11 sf10 tail sweep. Scalable containment
+    // screening at corpus size = a real maxDf cap (see d64's capped
+    // variant) or the prefix join (d27).
     "d41_containment" -> ((s, d) => {
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.containmentPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 10000), "doc_id", "text",
         threshold = 0.6, shingleSize = 2)
         .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
         .orderBy(col("a"), col("b"))
@@ -1900,7 +1907,7 @@ object PipelineQueries {
         |SELECT doc_id, w, round(priority, 4) AS priority FROM p ORDER BY doc_id""".stripMargin,
 
     "d41_containment" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents WHERE doc_id < 10000),
         |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
         |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
