@@ -14,13 +14,28 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 ONLY = set(sys.argv[3:])
 
 con = duckdb.connect()
-# Opt-in resource caps for large-SF sweeps: an uncapped DuckDB oracle at
-# sf10 spilled ~60 GB of temp and took the whole box down (round 11).
+# Resource caps for large-SF sweeps: an uncapped DuckDB oracle at sf10
+# spilled ~60 GB of temp and took the whole box down (round 11).
 # GRAFT_DUCKDB_MEMLIMIT (e.g. "24GB") also routes temp spill to
 # GRAFT_DUCKDB_TMP (default /tmp/duckdb_oracle_tmp) with a hard cap so a
 # runaway oracle fails alone instead of starving the engine under test.
+# DEFAULT-ON at large SF (round-11 verdict ask): when the sf dir holds
+# >= 100 MB of parquet (sf1 is ~183 MB; the gate SFs are <= 17 MB), the
+# caps apply even with no env var; GRAFT_DUCKDB_MEMLIMIT=none opts out.
+def _dirsize(p):
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
 _mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
-if _mem:
+if _mem is None and _dirsize(SF) >= 100 << 20:
+    _mem = "24GB"
+if _mem and _mem.lower() not in ("none", "off", "0"):
     _tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_oracle_tmp")
     os.makedirs(_tmp, exist_ok=True)
     con.execute(f"SET memory_limit='{_mem}'")

@@ -216,24 +216,36 @@ object Dedup {
       .select(col("a"), col("b"), col("m.role"), col("m.id"))
     val matched = t.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(broadcast(tagged), "id")
-    matched.groupBy("a", "b")
+    val paired = matched.groupBy("a", "b")
       .agg(max(when(col("role") === "a", col("txt"))).as("ta"),
         max(when(col("role") === "b", col("txt"))).as("tb"))
-      .withColumn("jaccard", exactJaccard(col("ta"), col("tb"), shingleSize))
+    withExactJaccard(paired, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
 
-  /** Exact shingle-set Jaccard of two texts, as built-ins over the native
-    * [[shinglesCol]] arrays (already distinct, so sizes are set sizes and
-    * `array_intersect` is set intersection). NULL text propagates to a
-    * NULL score, like the Scala UDF this replaces. Per-candidate-pair
-    * work, but keeping it native keeps the whole verify stage in
-    * whole-stage codegen. */
-  private def exactJaccard(ta: Column, tb: Column, shingleSize: Int): Column = {
-    val (sa, sb) = (shinglesCol(ta, shingleSize), shinglesCol(tb, shingleSize))
+  /** Adds an exact shingle-set Jaccard `jaccard` column from the frame's
+    * `ta`/`tb` text columns, as built-ins over the native [[shinglesCol]]
+    * arrays (already distinct, so sizes are set sizes and
+    * `array_intersect` is set intersection). Each side's shingle array is
+    * materialized in its own projection first: the Shingles expression is
+    * non-cheap and multiply referenced, so `CollapseProject` will not
+    * inline it back — single evaluation per side is structural, not a
+    * bet on runtime subexpression elimination. NULL text (either side)
+    * yields a NULL score under ANY conf: without the explicit guard,
+    * `spark.sql.ansi.enabled=false` makes `size(NULL)` = −1, and a
+    * both-NULL pair would score (−1)/(−1) = 1.0 and pass the threshold.
+    * Per-candidate-pair work, but keeping it native keeps the whole
+    * verify stage in whole-stage codegen. */
+  private def withExactJaccard(df: DataFrame, shingleSize: Int): DataFrame = {
+    val (sa, sb) = (col("__sa"), col("__sb"))
     val inter = size(array_intersect(sa, sb))
-    inter * 1.0 / (size(sa) + size(sb) - inter)
+    df.withColumn("__sa", shinglesCol(col("ta"), shingleSize))
+      .withColumn("__sb", shinglesCol(col("tb"), shingleSize))
+      .withColumn("jaccard",
+        when(sa.isNull || sb.isNull, lit(null).cast("double"))
+          .otherwise(inter * 1.0 / (size(sa) + size(sb) - inter)))
+      .drop("__sa", "__sb")
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -500,10 +512,10 @@ object Dedup {
         greatest(col("x.id"), col("y.id")).as("b"))
       .distinct()
     val texts = all.select(col("id"), col("txt"))
-    cand
+    val paired = cand
       .join(texts.select(col("id").as("a"), col("txt").as("ta")), "a")
       .join(texts.select(col("id").as("b"), col("txt").as("tb")), "b")
-      .withColumn("jaccard", exactJaccard(col("ta"), col("tb"), shingleSize))
+    withExactJaccard(paired, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -50,10 +50,30 @@ object Bucketing {
     * the files [[writeBucketed]] (or any Spark bucketBy writer with the
     * same key/count) produced. No data is read or moved — the files MUST
     * actually have the declared layout (Spark trusts the metadata; a
-    * wrong declaration silently mis-joins). No-op if `table` exists. */
+    * wrong declaration silently mis-joins).
+    *
+    * If `table` already exists it is NOT recreated, but its catalog
+    * bucket spec is validated against the arguments: a stale or
+    * unbucketed table of the same name would otherwise silently forfeit
+    * (or worse, mis-declare) the exchange elimination the caller is
+    * relying on — exactly the hazard the paragraph above warns about.
+    * Mismatches throw instead of no-op'ing. */
   def declareBucketed(spark: SparkSession, table: String, path: String,
       key: String, buckets: Int): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (spark.catalog.tableExists(table)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val ok = meta.bucketSpec.exists(bs =>
+        bs.numBuckets == buckets &&
+          bs.bucketColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase) &&
+          bs.sortColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase))
+      if (!ok) throw new IllegalStateException(
+        s"declareBucketed('$table'): table exists with bucket spec " +
+          s"${meta.bucketSpec.getOrElse("<none>")}, caller declared " +
+          s"CLUSTERED/SORTED BY ($key) INTO $buckets BUCKETS — refusing " +
+          "to trust a mismatched layout (joins would silently lose " +
+          "co-location or mis-bucket); DROP the table or fix the call")
+    } else {
       val ddl = spark.read.parquet(path).schema.toDDL
       spark.sql(s"""CREATE TABLE $table ($ddl) USING parquet
         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS

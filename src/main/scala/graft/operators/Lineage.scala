@@ -69,10 +69,17 @@ object Lineage {
       // pre-forced plan would bypass the cache — recreating the frame
       // makes planning happen after cacheQuery, so the InMemoryRelation
       // is actually in the executed tree.
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Respect a caller-owned cache: if the frame is already persisted,
+      // the checkpoint write reads those blocks — persisting again would
+      // be a no-op, but the finally-unpersist would silently DROP the
+      // caller's cache entry. Only manage the cache this call created.
+      val ownCache =
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (ownCache)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try org.apache.spark.sql.graft.GraftSql
         .ofRows(df.sparkSession, df.queryExecution.logical).checkpoint()
-      finally df.unpersist(blocking = false)
+      finally if (ownCache) df.unpersist(blocking = false)
     } else df.localCheckpoint()
   }
 

@@ -159,6 +159,25 @@ object PipelineQueries {
        |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
 
+  /** Appends a constant-size slice of derived NEAR-DUP mutants to a media
+    * frame: for each row with media_id < `idsBelow`, a copy at
+    * media_id + 10⁹ whose content has byte 0 replaced by 'Z' (0x5A).
+    * Only grid cell 0 of the 9×8 byte-stride stub can change (for
+    * content ≥ 72 bytes each later cell samples a strictly positive
+    * offset), and cell 0 feeds exactly one comparison — so each
+    * (original, mutant) pair has stub-dHash Hamming ≤ 1 and MUST surface
+    * in the ≤ 6 near-dup output. This keeps the m07/m08 contract rows
+    * provably nonzero on BOTH engines (the oracles derive the identical
+    * mutants in hex space): two engines agreeing on an empty result
+    * proves nothing about the banded join actually finding anything.
+    * Constant rows (≤ idsBelow) at any SF — free at 100 TB. */
+  private def withNearDupMutants(media: DataFrame, idsBelow: Int): DataFrame =
+    media.unionByName(media
+      .filter(col("media_id") < idsBelow)
+      .withColumn("media_id", col("media_id") + lit(1000000000L))
+      .withColumn("content", concat(lit(Array('Z'.toByte)),
+        substring(col("content"), 2, Int.MaxValue))))
+
   /** Shared m07/m08 banded perceptual-hash near-dup pipeline. `media`
     * supplies (media_id, content); `realBands` is the per-kind real
     * kernel (image dHash for m07, keyframe-majority video dHash for
@@ -1720,7 +1739,7 @@ object PipelineQueries {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d)).toDF
       val realBands = udf((b: Array[Byte]) =>
         graft.multimodal.Multimodal.dHashBands(b).map(_.toArray).orNull)
-      bandedHammingNearDups(media, realBands)
+      bandedHammingNearDups(withNearDupMutants(media, idsBelow = 3), realBands)
     }),
 
     // m07 extended to VIDEO: perceptual near-dup detection over
@@ -1739,7 +1758,7 @@ object PipelineQueries {
         .filter(col("kind") === "video")
       val realBands = udf((b: Array[Byte]) =>
         graft.multimodal.Multimodal.videoDHashBands(b).map(_.toArray).orNull)
-      bandedHammingNearDups(media, realBands)
+      bandedHammingNearDups(withNearDupMutants(media, idsBelow = 6), realBands)
     }),
 
     // per-media byte-histogram Shannon entropy — the binary-junk /
@@ -2359,12 +2378,19 @@ object PipelineQueries {
     // m07's oracle replays the SQL stub verbatim (the synthetic corpus
     // never sniffs as an image, so the UDF branch never fires): hex-pair
     // grid, band packing as Σ bit·2^(15−p), pigeonhole buckets under the
-    // same cap, exact Hamming via per-band bit_count(xor).
+    // same cap, exact Hamming via per-band bit_count(xor). The hm CTE
+    // derives the same constant near-dup mutants as the Spark side's
+    // withNearDupMutants (media_id < 3, byte 0 → 'Z' ≡ hex '5A', id
+    // + 10⁹) so the contract verifies on a provably NONZERO pair set.
     "m07_phash_neardups" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
-        |h AS (SELECT media_id, upper(hex(content)) AS hx,
+        |h0 AS (SELECT media_id, upper(hex(content)) AS hx,
         |        CAST(octet_length(content) AS BIGINT) AS n
         |      FROM m WHERE octet_length(content) >= 2),
+        |h AS (SELECT media_id, hx, n FROM h0
+        |      UNION ALL
+        |      SELECT media_id + 1000000000, '5A' || substring(hx, 3), n
+        |      FROM h0 WHERE media_id < 3),
         |g AS (SELECT media_id,
         |        list_transform(range(0, 72),
         |          i -> substring(hx, CAST(2 * ((i * n) // 72) + 1 AS INT), 2)) AS grid
@@ -2398,9 +2424,13 @@ object PipelineQueries {
     "m08_video_phash_neardups" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content
         |           FROM documents WHERE doc_id % 3 = 2),
-        |h AS (SELECT media_id, upper(hex(content)) AS hx,
+        |h0 AS (SELECT media_id, upper(hex(content)) AS hx,
         |        CAST(octet_length(content) AS BIGINT) AS n
         |      FROM m WHERE octet_length(content) >= 2),
+        |h AS (SELECT media_id, hx, n FROM h0
+        |      UNION ALL
+        |      SELECT media_id + 1000000000, '5A' || substring(hx, 3), n
+        |      FROM h0 WHERE media_id < 6),
         |g AS (SELECT media_id,
         |        list_transform(range(0, 72),
         |          i -> substring(hx, CAST(2 * ((i * n) // 72) + 1 AS INT), 2)) AS grid

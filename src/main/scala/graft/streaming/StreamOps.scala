@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState, MapState}
@@ -272,13 +272,16 @@ object StreamOps {
       exactConfirm: Boolean = true): DataFrame = {
     val spark = evalSet.sparkSession
     graft.functions.BloomFunctions.registerAll(spark)
-    val shUdf = udf((t: String) =>
-      if (t == null) null else graft.dedup.Dedup.shingles(t, shingleSize))
+    // native codegen shingler ([[graft.functions.Shingles]]) — the same
+    // property-pinned kernel the batch decontamination paths use, so
+    // stream and batch agree bit-for-bit on what a shingle is. NULL text
+    // → NULL array, exactly like the Scala UDF this replaces.
+    def sh(c: Column): Column = graft.dedup.Dedup.shinglesCol(c, shingleSize)
 
     // static side, evaluated once at plan time (distributed agg; the
     // driver holds only the serialized sketch / the distinct eval set)
     val evalShingles = evalSet
-      .select(explode(shUdf(col(textCol))).as("s")).distinct()
+      .select(explode(sh(col(textCol))).as("s")).distinct()
     val filterBytes = evalShingles
       .select(call_function("bloom_agg", xxhash64(col("s")), lit(estimatedItems)).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -289,22 +292,31 @@ object StreamOps {
         .withColumn("contaminated", lit(false))
     }
 
-    val mightCount = size(filter(shUdf(col(textCol)), s =>
+    val mightCount = size(filter(sh(col(textCol)), s =>
       call_function("bloom_might_contain", lit(filterBytes), xxhash64(s)))).cast("long")
 
     val counted =
       if (!exactConfirm) docs.withColumn("n_shared", mightCount)
       else {
-        val set = spark.sparkContext.broadcast(
-          evalShingles.collect().map(_.getString(0)).toSet)
-        val exactCount = udf((shs: Seq[String]) =>
-          if (shs == null) 0L else shs.count(set.value.contains).toLong)
+        // exact confirm, fully native: |doc shingles ∩ eval shingles| via
+        // array_intersect against the distinct eval-shingle array shipped
+        // as one plan literal (both sides are distinct sets, so intersect
+        // size IS the shared count; sorted for a deterministic plan).
+        // Eval sets are benchmark-sized by construction — the literal is
+        // the same few MB the replaced broadcast Set held, now inside
+        // whole-stage codegen instead of a per-row Scala UDF round-trip.
+        // greatest(0, ·) pins the NULL-text row to 0 like the old UDF
+        // (unreachable via the bloom gate at sane minShared, where
+        // might = −1 already short-circuits, but structural is better).
+        val evalArr = evalShingles.collect().map(_.getString(0)).sorted
+        val exactCount = greatest(lit(0L),
+          size(array_intersect(sh(col(textCol)), typedlit(evalArr))).cast("long"))
         // bloom first (cheap, codegen'd): only docs the bloom already
         // implicates pay the exact set lookups
         docs.withColumn("__might", mightCount)
           .withColumn("n_shared",
             when(col("__might") < minShared, lit(0L))
-              .otherwise(exactCount(shUdf(col(textCol)))))
+              .otherwise(exactCount))
           .drop("__might")
       }
     counted.withColumn("contaminated", col("n_shared") >= minShared)

@@ -71,6 +71,37 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("declareBucketed: existing table with a mismatched bucket spec throws, matching spec no-ops") {
+    assume(new java.io.File(sf).isDirectory, s"$sf not present")
+    spark.sql("DROP TABLE IF EXISTS bkt_spec_guard")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      Bucketing.writeBucketed(li, "bkt_spec_guard", "l_orderkey", 8)
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED bkt_spec_guard")
+        .filter(col("col_name") === "Location").head().getString(1)
+        .stripPrefix("file:")
+      // matching declaration over the existing table: benign no-op
+      Bucketing.declareBucketed(spark, "bkt_spec_guard", loc, "l_orderkey", 8)
+      // wrong bucket COUNT: the silent-mis-join hazard — must throw
+      val eCount = intercept[IllegalStateException] {
+        Bucketing.declareBucketed(spark, "bkt_spec_guard", loc, "l_orderkey", 16)
+      }
+      assert(eCount.getMessage.contains("bkt_spec_guard"))
+      // wrong bucket KEY: must throw too
+      intercept[IllegalStateException] {
+        Bucketing.declareBucketed(spark, "bkt_spec_guard", loc, "l_partkey", 8)
+      }
+      // UNBUCKETED table of the same name: must throw, not silently
+      // forfeit the exchange elimination
+      spark.sql("DROP TABLE bkt_spec_guard")
+      li.limit(1).write.mode("overwrite").saveAsTable("bkt_spec_guard")
+      val eFlat = intercept[IllegalStateException] {
+        Bucketing.declareBucketed(spark, "bkt_spec_guard", loc, "l_orderkey", 8)
+      }
+      assert(eFlat.getMessage.contains("<none>"))
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_spec_guard")
+  }
+
   test("bucketed side alone: its exchange disappears, probe side still shuffles") {
     assume(new java.io.File(sf).isDirectory, s"$sf not present")
     spark.sql("DROP TABLE IF EXISTS bkt_spec_l3")

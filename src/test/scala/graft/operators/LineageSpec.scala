@@ -110,6 +110,25 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable cut leaves a caller-owned cache in place") {
+    // if the caller already persisted the frame, cut must use that cache
+    // but NOT unpersist it on the way out — dropping a cache the caller
+    // still relies on is a silent performance bug
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .groupBy("k").agg(sum("id").as("s"))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(df.count() == 2)
+      withCheckpointDir(new java.io.File("target/lineage-spec-ckpt-owned")) {
+        val rel = Lineage.cut(df, reliable = true)
+        assert(rel.count() == 2)
+        assert(df.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE,
+          "reliable cut unpersisted the caller's cache")
+      }
+    } finally df.unpersist(blocking = true)
+  }
+
   test("releaseAll(alsoCheckpoints) deletes completed rdd-N checkpoint dirs") {
     val dir = new java.io.File("target/lineage-spec-ckpt-clean")
     withCheckpointDir(dir) {
