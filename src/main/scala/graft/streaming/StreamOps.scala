@@ -138,17 +138,49 @@ object StreamOps {
     * Time columns must be integral (epoch micros/millis — cast
     * timestamps upstream). NULL key or time rows pass through unmatched;
     * dimension rows with NULL key/time are dropped from the snapshot.
+    * Duplicate (key, time) dimension rows collapse deterministically to
+    * the greatest payload tuple ([[collapseDimTies]]) in BOTH this and
+    * the distributed form — tie resolution never depends on topology.
     *
     * Steer by dimension size: this collect-and-broadcast form up to
     * ~100 MB of payload; beyond that, [[asofLookupLarge]] keeps the
     * dimension distributed (foreachBatch + the native as-of merge
     * join) with identical output. */
+  /** Deterministic tie collapse for an as-of dimension: rows sharing
+    * (key, effective-time) are reduced to ONE survivor — the greatest
+    * payload tuple in Spark's struct (lexicographic-by-field) ordering.
+    * Without this, "which tied row wins" depends on shuffle arrival /
+    * collect order, i.e. on cluster topology — the local[4] and
+    * local-cluster runs of the SAME lookup returned different payloads
+    * (caught by `StreamOpsSpec` under `SPARK_GRAFT_TEST_MASTER`), and a
+    * task RETRY recomputing a partition could disagree with its first
+    * run, which poisons Spark's recomputation model. A map-side partial
+    * max keeps the extra agg cheap (ties are rare; the agg shrinks the
+    * dim before the join's own shuffle). Dimensions with an UNORDERABLE
+    * payload column (e.g. a map) skip the collapse — duplicate
+    * (key, time) rows there keep engine-chosen tie resolution, which is
+    * a dimension-modeling error to begin with (an SCD effective-time
+    * should be unique per key). */
+  private def collapseDimTies(dim: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val orderable = payloadCols.forall(c =>
+      RowOrdering.isOrderable(dim.schema(c).dataType))
+    if (payloadCols.isEmpty || !orderable) dim
+    else dim.groupBy(col(keyCol), col(timeCol))
+      .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
+      .select(col(keyCol) +: col(timeCol) +:
+        payloadCols.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
   def asofLookup(stream: DataFrame, dim: DataFrame, keyCol: String,
       streamTimeCol: String, dimTimeCol: String, prefix: String = "dim_"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
     val payloadCols = dim.columns.filterNot(c => c == keyCol || c == dimTimeCol).toSeq
-    val snap = dim.select((Seq(keyCol, dimTimeCol) ++ payloadCols).map(col): _*).collect()
+    val snap = collapseDimTies(
+      dim.select((Seq(keyCol, dimTimeCol) ++ payloadCols).map(col): _*),
+      keyCol, dimTimeCol, payloadCols).collect()
     val byKey: Map[Any, (Array[Long], Array[IndexedSeq[Any]])] =
       snap.iterator.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).toArray
         .groupBy(_.get(0))
@@ -229,9 +261,10 @@ object StreamOps {
     val dimTime = resolved(dimTimeCol, "dimension time")
     val payloadCols =
       dim.columns.filterNot(c => resolver(c, dimKey) || resolver(c, dimTime)).toSeq
-    val dimClean = dim
+    val dimClean = collapseDimTies(dim
       .filter(col(dimKey).isNotNull && col(dimTime).isNotNull)
-      .select((Seq(dimKey, dimTime) ++ payloadCols).map(col): _*)
+      .select((Seq(dimKey, dimTime) ++ payloadCols).map(col): _*),
+      dimKey, dimTime, payloadCols)
     val matched = graft.plans.AsofMergeJoin.asofBackward(
       batch.filter(col(keyCol).isNotNull && col(streamTimeCol).isNotNull),
       dimClean, Seq(keyCol), streamTimeCol, dimTimeCol, rightPrefix = prefix)
