@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Build the large-SF verification-mode table (round-11 verdict ask #2).
+
+For every query in <out_local>/oracle_sql.json, establish HOW it was
+verified at this SF and emit one markdown table row:
+
+  oracle          — drivermimic (DuckDB) hash-match at this SF
+  oracle (slice)  — same, but the query is one of the documented
+                    bounded audit slices (constant id-prefix on BOTH
+                    engines; see ROUND_NOTES "Bounded audit slices")
+  bytediff        — oracle infeasible at this SF (timeout / memory) or
+                    engine-specific sketch (no oracle SQL): two
+                    independent engine topologies (local[32] vs
+                    local-cluster) must produce byte-identical results
+                    (scripts/bytediff.py canon+hash)
+  FAIL            — cross-engine divergence; fix before shipping
+
+Oracles run in a bounded process pool, each through drivermimic (which
+self-caps DuckDB memory/temp at large SF) with a per-query timeout.
+
+Usage:
+  python3 scripts/sfmodes.py <sf_dir> <out_local> <out_cluster> \
+      [timeout_sec] [parallel] [> table.md]
+
+<out_cluster> may be a not-yet-existing dir on the first pass: the
+script then just prints which names NEED a cluster-topology run (exit
+2), so the expensive cluster Verify only runs for the tail.
+"""
+import json, os, subprocess, sys
+from concurrent.futures import ThreadPoolExecutor
+
+SF = sys.argv[1]
+LOCAL = sys.argv[2]
+CLUSTER = sys.argv[3]
+TIMEOUT = float(sys.argv[4]) if len(sys.argv) > 4 else 180.0
+PAR = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+# Documented bounded audit slices (ROUND_NOTES): exact ground-truth
+# queries whose SQL itself pins a constant id-prefix on both engines.
+SLICED = {"d08_ngram_jaccard", "d41_containment", "e06_embedding_neardups",
+          "e10_embedding_clusters"}
+
+oracle = json.load(open(f"{LOCAL}/oracle_sql.json"))
+no_oracle = sorted(n for n in os.listdir(LOCAL)
+                   if os.path.isdir(os.path.join(LOCAL, n)) and n not in oracle)
+
+
+def run_oracle(name):
+    if not os.path.isdir(f"{LOCAL}/{name}"):
+        return name, "MISSING", "no spark output"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "drivermimic.py"), SF, LOCAL, name],
+            capture_output=True, text=True, timeout=TIMEOUT)
+        out = r.stdout + r.stderr
+        if f"PASS {name}" in out:
+            return name, "oracle", ""
+        if f"FAIL {name}" in out:
+            return name, "FAIL", " / ".join(out.strip().splitlines()[-2:])
+        return name, "bytediff", "oracle error: " + out.strip()[-120:].replace("\n", " ")
+    except subprocess.TimeoutExpired:
+        return name, "bytediff", f"oracle timeout >{TIMEOUT:.0f}s"
+
+
+with ThreadPoolExecutor(PAR) as ex:
+    results = dict()
+    for name, mode, why in ex.map(run_oracle, sorted(oracle)):
+        results[name] = (mode, why)
+        print(f"[{mode}] {name} {why}", file=sys.stderr)
+
+for n in no_oracle:
+    results[n] = ("bytediff", "engine-specific sketch (rows-only contract)")
+
+need_diff = sorted(n for n, (m, _) in results.items() if m == "bytediff")
+if not os.path.isdir(CLUSTER):
+    print("cluster output dir missing; names needing a cluster run:")
+    print(" ".join(need_diff))
+    sys.exit(2)
+
+diff_ok = {}
+for n in need_diff:
+    r = subprocess.run([sys.executable, os.path.join(HERE, "bytediff.py"),
+                        LOCAL, CLUSTER, n], capture_output=True, text=True)
+    diff_ok[n] = (r.returncode == 0 and f"PASS {n}" in r.stdout)
+    print(f"[bytediff {'PASS' if diff_ok[n] else 'FAIL'}] {n}", file=sys.stderr)
+
+rows, fails = [], 0
+for n in sorted(results):
+    mode, why = results[n]
+    if mode == "oracle" and n in SLICED:
+        mode, why = "oracle (slice)", "documented bounded audit slice"
+    elif mode == "bytediff":
+        mode = "bytediff PASS" if diff_ok.get(n) else "FAIL (bytediff)"
+    if mode.startswith("FAIL") or mode == "MISSING":
+        fails += 1
+    rows.append((n, mode, why))
+
+print("| query | mode @ this SF | note |")
+print("|---|---|---|")
+for n, mode, why in rows:
+    print(f"| {n} | {mode} | {why} |")
+
+from collections import Counter
+print(f"\nsummary: {Counter(m for _, m, _ in rows)}; fails={fails}",
+      file=sys.stderr)
+sys.exit(1 if fails else 0)

@@ -191,7 +191,18 @@ object PipelineQueries {
   private[graft] def bandedHammingNearDups(media: DataFrame,
       realBands: org.apache.spark.sql.expressions.UserDefinedFunction,
       cap: Int = 2048, maxHamming: Int = 6): DataFrame = {
-    val base = media.select(col("media_id"), col("content"))
+    // The banding pass is the expensive per-row work (a content-length
+    // hex render + 72-cell grid + 64 comparisons, all in INTERPRETED
+    // higher-order functions — Spark has no codegen for transform/
+    // aggregate — plus the real-decode UDF), and the plan below
+    // references it FOUR times (both sides of the bucket self-join and
+    // both exact-confirm rejoins). Without a lineage cut Spark
+    // recomputes all of it per reference: at sf10 that turned m07 from
+    // minutes into an hour+ (caught by the round-12 sharded sf10
+    // sweep). Cut once — the materialized frame is just (id, 4 ints),
+    // content bytes still never shuffle.
+    val base = graft.operators.Lineage.cut(media
+      .select(col("media_id"), col("content"))
       .withColumn("hx", upper(hex(col("content"))))
       .withColumn("n", length(col("content")).cast(LongType))
       .filter(col("n") >= 2)
@@ -202,7 +213,7 @@ object PipelineQueries {
           "acc * 2 + IF(grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8] > " +
           "grid[(k * 16 + p) DIV 8 * 9 + (k * 16 + p) % 8 + 1], 1, 0)))"))
       .withColumn("bands", coalesce(realBands(col("content")), col("stub_bands")))
-      .select(col("media_id"), col("bands"))
+      .select(col("media_id"), col("bands")))
     val bw = Window.partitionBy(col("k"), col("bv")).orderBy(col("media_id"))
     val bucketed = base
       .select(col("media_id"), posexplode(col("bands")).as(Seq("k", "bv")))
@@ -212,11 +223,16 @@ object PipelineQueries {
         col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
+    // exact confirm as a flat 4-term sum — GetArrayItem/xor/bit_count
+    // are codegen'd, unlike the interpreted zip_with+aggregate form
+    // this replaces, and this expression runs once per CANDIDATE PAIR
+    // (the hot path of the whole join)
     cand
       .join(base.select(col("media_id").as("a"), col("bands").as("ba")), Seq("a"))
       .join(base.select(col("media_id").as("b"), col("bands").as("bb")), Seq("b"))
       .withColumn("hamming", expr(
-        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+        "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+          "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))
