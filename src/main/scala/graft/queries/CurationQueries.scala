@@ -41,8 +41,17 @@ object CurationQueries {
       .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
       .groupBy("doc_id")
       .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_toks"))
+      // INTEGER-EXACT half-up round of slp/n_toks (d26's pattern): slp
+      // is DECIMAL(18,6) so slp·10⁶ is an exact long, and ties cannot
+      // exist in integer space. The sf10 sweep caught doc 197
+      // (slp = −212.8646, n = 52 → EXACTLY −4.09355) where Spark's
+      // shortest-decimal HALF_UP and DuckDB's binary round-of-double
+      // disagree on the 4dp tie. + 0.0 canonicalizes −0.0.
       .select(col("doc_id"),
-        round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
+        ((expr("CASE WHEN slp >= 0 THEN 1 ELSE -1 END") *
+          floor((abs(col("slp") * lit(1000000)).cast(LongType) +
+            lit(50L) * col("n_toks")) / (lit(100L) * col("n_toks")))
+          ).cast(DoubleType) / lit(10000.0) + lit(0.0)).as("avg_logprob"))
       .withColumn("nk", -col("avg_logprob")) // ascending nk = best-first
   }
 
@@ -645,7 +654,10 @@ object CurationQueries {
         |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
         |lp AS (SELECT tk.doc_id, CAST(ln(tf.tf * 1.0 / n.n_tokens) AS DECIMAL(18,6)) AS lp
         |       FROM tk JOIN tf USING (term) CROSS JOIN n),
-        |s AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |s AS (SELECT doc_id,
+        |        CAST((CASE WHEN sum(lp) >= 0 THEN 1 ELSE -1 END) *
+        |             ((abs(CAST(sum(lp) * 1000000 AS BIGINT)) + 50 * count(*)) // (100 * count(*)))
+        |          AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob
         |      FROM lp GROUP BY doc_id),
         |o AS (SELECT doc_id, avg_logprob,
         |        row_number() OVER (ORDER BY -avg_logprob, doc_id) AS rn FROM s),

@@ -817,8 +817,13 @@ object PipelineQueries {
         .withColumn("lp", lp.cast(DecimalType(18, 6)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        // integer-exact half-up round of slp/n_bigrams — d26's pattern;
+        // the round-of-double form diverges on exact 4dp ties at scale
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("slp").cast(DoubleType) / col("n_bigrams"), 4).as("avg_logprob"))
+          ((expr("CASE WHEN slp >= 0 THEN 1 ELSE -1 END") *
+            floor((abs(col("slp") * lit(1000000)).cast(LongType) +
+              lit(50L) * col("n_bigrams")) / (lit(100L) * col("n_bigrams")))
+            ).cast(DoubleType) / lit(10000.0) + lit(0.0)).as("avg_logprob"))
         .orderBy(col("doc_id"))
     }),
 
@@ -945,8 +950,13 @@ object PipelineQueries {
         .withColumn("lp", log(col("tf") * lit(1.0) / col("n_tokens")).cast(DecimalType(18, 6)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum(col("lp")).as("slp"))
+        // integer-exact half-up round of slp/n_toks — see pplScores
+        // (same values, same sf10 tie on doc 197) and d26
         .select(col("doc_id"), col("n_toks"),
-          round(col("slp").cast(DoubleType) / col("n_toks"), 4).as("avg_logprob"))
+          ((expr("CASE WHEN slp >= 0 THEN 1 ELSE -1 END") *
+            floor((abs(col("slp") * lit(1000000)).cast(LongType) +
+              lit(50L) * col("n_toks")) / (lit(100L) * col("n_toks")))
+            ).cast(DoubleType) / lit(10000.0) + lit(0.0)).as("avg_logprob"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2131,7 +2141,9 @@ object PipelineQueries {
         |        LEFT JOIN c1 cw1 ON b.w1 = cw1.w
         |        LEFT JOIN c1 cw2 ON b.w2 = cw2.w, stats)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |  CAST((CASE WHEN sum(lp) >= 0 THEN 1 ELSE -1 END) *
+        |       ((abs(CAST(sum(lp) * 1000000 AS BIGINT)) + 50 * count(*)) // (100 * count(*)))
+        |    AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical term arithmetic (int/int division is double in both
@@ -2629,7 +2641,10 @@ object PipelineQueries {
         |lp AS (SELECT tk.doc_id, CAST(ln(tf.tf * 1.0 / n.n_tokens) AS DECIMAL(18,6)) AS lp
         |       FROM tk JOIN tf USING (term) CROSS JOIN n),
         |s AS (SELECT doc_id, count(*) AS n_toks, sum(lp) AS slp FROM lp GROUP BY doc_id)
-        |SELECT doc_id, n_toks, round(CAST(slp AS DOUBLE) / n_toks, 4) AS avg_logprob
+        |SELECT doc_id, n_toks,
+        |  CAST((CASE WHEN slp >= 0 THEN 1 ELSE -1 END) *
+        |       ((abs(CAST(slp * 1000000 AS BIGINT)) + 50 * n_toks) // (100 * n_toks))
+        |    AS DOUBLE) / 10000.0 + 0.0 AS avg_logprob
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "d22_mixing_weights" ->
