@@ -18,8 +18,14 @@ import graft.dedup.Dedup.mix64
   *    for recall). At 100 TB the corpus is hashed once (map-only), stored
   *    bucketed, and each query touches ~corpus/2^nBits vectors.
   *
-  * Dot products use built-in higher-order functions (`zip_with` +
-  * `aggregate`) — codegen-friendly, no UDF on the corpus-size hot path.
+  * Dot products: the composable `zip_with` + `aggregate` form is kept
+  * only for tiny/driver-side shapes — Spark does NOT codegen
+  * higher-order functions (they evaluate interpreted, allocating an
+  * intermediate array per call; the round-12 sf10 sweep measured the
+  * difference on e07b's candidate scoring). Corpus-size hot paths go
+  * through the fused native expressions ([[graft.functions.CosineSim]],
+  * `long_dot`) — one inline loop inside whole-stage codegen, identical
+  * sequential double fold, bit-identical values.
   */
 object Ann {
 
@@ -130,19 +136,35 @@ object Ann {
 
   private def cosineNearDupsWith(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int, sigOf: Column => Column): DataFrame = {
-    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("s", sigOf(col("v")))
+    // Scale shape (the d06 bare-id lesson, applied to the vector side —
+    // rewritten after the round-12 sf10 sweep caught the old form):
+    // the bucket self-join ships (id, bucket) rows ONLY — the previous
+    // form carried the vector payload through the 1+nBits probe
+    // explosion (9× the corpus vector bytes through the shuffle) and
+    // scored cosine per probe COLLISION with the interpreted
+    // zip_with+aggregate fold, then max-aggregated the duplicate
+    // scores away. Now: distinct candidate pairs first (bare ids),
+    // vectors rejoin once per side, and the fused native cosine scores
+    // each pair exactly once inside whole-stage codegen. Same pair
+    // set, same cosine value (identical sequential double fold), so
+    // results are bit-identical; the work drops from O(collisions)
+    // interpreted folds to O(pairs) fused loops.
+    val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = ids.withColumn("s", sigOf(col("v"))).select(col("id"), col("s"))
     // left side: exact bucket; right side: exact + Hamming-1 probes
     val probes = (0 until nBits).map(b => lit(1 << b))
-    val probed = sig.withColumn("bucket",
-      explode(array((lit(0) +: probes).map(m => col("s").bitwiseXOR(m)): _*)))
-    val exact = sig.withColumn("bucket", col("s"))
-    exact.as("x").join(probed.as("y"),
+    val probed = sig.select(col("id"), explode(
+      array((lit(0) +: probes).map(m => col("s").bitwiseXOR(m)): _*)).as("bucket"))
+    val exact = sig.select(col("id"), col("s").as("bucket"))
+    val cand = exact.as("x").join(probed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.v"), col("y.v")).as("cos"))
-      .groupBy("a", "b").agg(max("cos").as("cos"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cand
+      .join(ids.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(ids.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("cos", fastCosine(corpus.sparkSession)(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (a, b), a < b,

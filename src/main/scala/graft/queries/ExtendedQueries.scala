@@ -721,11 +721,21 @@ object ExtendedQueries {
     // check; this is the join you actually run). Blocking recall is
     // exact here by construction (truncation preserves the prefix);
     // real pipelines OR several blocking keys.
+    // BOUNDED AUDIT SLICE (p_partkey <= 20000: the whole part table at
+    // every gate SF, a fixed-size prefix at scale — d08/d41's
+    // convention, mirrored in the oracle). TPC-H p_name's first word
+    // comes from ~92 colors, so 4-char prefix blocks grow LINEARLY with
+    // SF and the block self-join grows quadratically: at sf10 this was
+    // ~4·10^10 Jaro-Winkler evaluations (caught by the round-12 sf10
+    // sweep — the d41 failure class). The slice keeps the exact
+    // ground-truth linkage constant-cost at any SF; an unbounded
+    // production run needs finer blocking + per-block caps.
     "q111_record_linkage" -> ((s, d) => {
       graft.functions.StringSimilarity.registerAll(s)
-      val cat = Tables.part(s, d).select(col("p_partkey").as("cat_key"),
+      val part = Tables.part(s, d).filter(col("p_partkey") <= 20000)
+      val cat = part.select(col("p_partkey").as("cat_key"),
         col("p_name").as("cat_name"), substring(col("p_name"), 1, 4).as("blk"))
-      val dirty = Tables.part(s, d)
+      val dirty = part
         .select(col("p_partkey").as("dirty_key"),
           expr("substring(p_name, 1, length(p_name) - 2)").as("dirty_name"))
         .withColumn("blk", substring(col("dirty_name"), 1, 4))
@@ -1199,11 +1209,12 @@ object ExtendedQueries {
         |ORDER BY lift DESC, pa, pb LIMIT 100""".stripMargin,
 
     "q111_record_linkage" ->
-      """WITH cat AS (SELECT p_partkey AS cat_key, p_name AS cat_name,
-        |               substr(p_name, 1, 4) AS blk FROM part),
+      """WITH p0 AS (SELECT * FROM part WHERE p_partkey <= 20000),
+        |cat AS (SELECT p_partkey AS cat_key, p_name AS cat_name,
+        |               substr(p_name, 1, 4) AS blk FROM p0),
         |dirty AS (SELECT p_partkey AS dirty_key,
         |            substr(p_name, 1, length(p_name) - 2) AS dirty_name,
-        |            substr(p_name, 1, 4) AS blk FROM part),
+        |            substr(p_name, 1, 4) AS blk FROM p0),
         |scored AS (SELECT dirty_key, cat_key,
         |             jaro_winkler_similarity(dirty_name, cat_name) AS jw
         |           FROM dirty JOIN cat USING (blk)
