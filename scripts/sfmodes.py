@@ -8,11 +8,17 @@ verified at this SF and emit one markdown table row:
   oracle (slice)  — same, but the query is one of the documented
                     bounded audit slices (constant id-prefix on BOTH
                     engines; see ROUND_NOTES "Bounded audit slices")
-  bytediff        — oracle infeasible at this SF (timeout / memory) or
+  bytediff        — oracle infeasible at this SF (timeout, or a DuckDB
+                    resource-cap abort recognized by signature) or
                     engine-specific sketch (no oracle SQL): two
                     independent engine topologies (local[32] vs
                     local-cluster) must produce byte-identical results
                     (scripts/bytediff.py canon+hash)
+  ORACLE-ERROR    — drivermimic died without PASS/FAIL and without a
+                    recognized infeasibility signature; counts as a
+                    fail and needs manual triage (a broken oracle must
+                    not silently downgrade to topology bytediff, which
+                    cannot see cross-engine divergence)
   FAIL            — cross-engine divergence; fix before shipping
 
 Oracles run in a bounded process pool, each through drivermimic (which
@@ -39,7 +45,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # Documented bounded audit slices (ROUND_NOTES): exact ground-truth
 # queries whose SQL itself pins a constant id-prefix on both engines.
 SLICED = {"d08_ngram_jaccard", "d41_containment", "e06_embedding_neardups",
-          "e10_embedding_clusters"}
+          "e10_embedding_clusters", "q111_record_linkage"}
+
+# Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
+# temp-spill limits set by drivermimic at large SF). These are the
+# documented "oracle infeasible at this SF" cases that legitimately
+# downgrade to topology bytediff; any other hard death is ORACLE-ERROR.
+INFEASIBLE_SIGS = ("Out of Memory", "OutOfMemory", "memory_limit",
+                   "max_temp_directory_size", "Killed", "MemoryError")
 
 oracle = json.load(open(f"{LOCAL}/oracle_sql.json"))
 no_oracle = sorted(n for n in os.listdir(LOCAL)
@@ -50,15 +63,22 @@ def run_oracle(name):
     if not os.path.isdir(f"{LOCAL}/{name}"):
         return name, "MISSING", "no spark output"
     try:
+        # Per-worker DuckDB spill dir: PAR concurrent oracles sharing one
+        # temp_directory delete each other's spill files (spurious
+        # FAIL/crash — round-12 operational lesson, ROUND_NOTES).
+        env = {**os.environ, "GRAFT_DUCKDB_TMP": f"/tmp/duckdb_oracle_tmp_{name}"}
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "drivermimic.py"), SF, LOCAL, name],
-            capture_output=True, text=True, timeout=TIMEOUT)
+            capture_output=True, text=True, timeout=TIMEOUT, env=env)
         out = r.stdout + r.stderr
         if f"PASS {name}" in out:
             return name, "oracle", ""
         if f"FAIL {name}" in out:
             return name, "FAIL", " / ".join(out.strip().splitlines()[-2:])
-        return name, "bytediff", "oracle error: " + out.strip()[-120:].replace("\n", " ")
+        tail = out.strip()[-160:].replace("\n", " ")
+        if any(sig in out for sig in INFEASIBLE_SIGS):
+            return name, "bytediff", "oracle infeasible (resource cap): " + tail
+        return name, "ORACLE-ERROR", "oracle died: " + tail
     except subprocess.TimeoutExpired:
         return name, "bytediff", f"oracle timeout >{TIMEOUT:.0f}s"
 
@@ -92,7 +112,7 @@ for n in sorted(results):
         mode, why = "oracle (slice)", "documented bounded audit slice"
     elif mode == "bytediff":
         mode = "bytediff PASS" if diff_ok.get(n) else "FAIL (bytediff)"
-    if mode.startswith("FAIL") or mode == "MISSING":
+    if mode.startswith("FAIL") or mode in ("MISSING", "ORACLE-ERROR"):
         fails += 1
     rows.append((n, mode, why))
 

@@ -39,3 +39,4 @@ RC=0
 for p in "${PIDS[@]}"; do wait "$p" || RC=1; done
 grep -h "\[verify\]" /tmp/verify_shard_*.log || true
 echo "SHARDED_VERIFY_DONE_$RC"
+exit $RC

@@ -41,7 +41,16 @@ object Ann {
 
   /** Fused single-pass cosine via the native [[graft.functions.CosineSim]]
     * expression (registered on demand): one array walk, no intermediate
-    * allocation — the hot-path scorer for corpus-scale scans. */
+    * allocation — the hot-path scorer for corpus-scale scans.
+    *
+    * Zero-norm semantics (intended, differs from the naive
+    * `dot/(norm*norm)` form): CosineSim returns NULL for a zero-norm
+    * input, so `cos >= threshold` filters such pairs OUT. The naive
+    * form yields NaN, which Spark's total ordering compares GREATER
+    * than any threshold, silently admitting meaningless pairs.
+    * Cosine of a zero vector is undefined; dropping is correct, and
+    * the hash-checked oracles agree because the corpus contains no
+    * zero-norm vectors at any verified SF (checked through sf10). */
   private def fastCosine(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
     graft.functions.VectorExpressions.registerAll(spark)
     call_function("cosine_sim", a, b)

@@ -1,7 +1,7 @@
 package graft.inet
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** IP-address function library.
   *
@@ -262,21 +262,22 @@ object InetFunctions {
 
   // ---- Spark registration ---------------------------------------------
 
-  private val normalizeUdf = udf((s: String) => normalize(s))
-  /** Single shared instance so [[graft.plans.InetContainsPrefixRule]]
-    * can recognize the Column-API containment predicate by identity. */
-  private[graft] val containsFunction: (String, String) => java.lang.Boolean =
-    (c, a) => contains(c, a)
-  private val containsUdf = udf(containsFunction)
-  private val isV4Udf = udf((s: String) => isIpv4(s))
-  private val isV6Udf = udf((s: String) => isIpv6(s))
-  private val equalUdf = udf((a: String, b: String) => inetEqual(a, b))
+  // Column API backed by the SAME codegen-native StaticInvoke
+  // expressions as the SQL registrations (one path, not two — the
+  // ScalaUDF wrappers this replaced predated InetExpressions; retiring
+  // them also lets [[graft.plans.InetContainsPrefixRule]] match ONE
+  // expression shape). No SparkSession needed: the expression is built
+  // directly, no function-registry round-trip.
+  private def inv(build: Seq[Expression] => Expression, cs: Column*): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      build(cs.map(org.apache.spark.sql.graft.GraftSql.expression)))
 
-  def inet_normalize(c: Column): Column = normalizeUdf(c)
-  def inet_contains(cidr: Column, addr: Column): Column = containsUdf(cidr, addr)
-  def is_ipv4(c: Column): Column = isV4Udf(c)
-  def is_ipv6(c: Column): Column = isV6Udf(c)
-  def inet_equal(a: Column, b: Column): Column = equalUdf(a, b)
+  def inet_normalize(c: Column): Column = inv(InetExpressions.normalize, c)
+  def inet_contains(cidr: Column, addr: Column): Column =
+    inv(InetExpressions.contains, cidr, addr)
+  def is_ipv4(c: Column): Column = inv(InetExpressions.isIpv4, c)
+  def is_ipv6(c: Column): Column = inv(InetExpressions.isIpv6, c)
+  def inet_equal(a: Column, b: Column): Column = inv(InetExpressions.inetEqual, a, b)
 
   /** Column form of the codegen-native `inet_sort_key` (see
     * [[InetExpressions.sortKey]]): registers the SQL function on the

@@ -30,17 +30,15 @@ import graft.inet.{InetFunctions, InetRuntime}
 class InetContainsPrefixRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** (cidr, addr) argument pair when `e` is our containment predicate —
-    * either the codegen StaticInvoke form (SQL / extension registration)
-    * or the Column-API ScalaUDF (recognized by function identity). */
+    * the codegen StaticInvoke form, which since round 13 is the ONLY
+    * shape the library emits (SQL registration, extension registration,
+    * and the Column API all build [[graft.inet.InetExpressions]]'
+    * StaticInvoke; the Column-API ScalaUDF wrapper is retired). */
   private def containsArgs(e: Expression): Option[(Expression, Expression)] = e match {
     case si: StaticInvoke
         if si.staticObject == InetRuntime.getClass &&
           si.functionName == "contains" && si.arguments.length == 2 =>
       Some((si.arguments.head, si.arguments(1)))
-    case u: ScalaUDF
-        if u.children.length == 2 &&
-          (u.function.asInstanceOf[AnyRef] eq InetFunctions.containsFunction) =>
-      Some((u.children.head, u.children(1)))
     case _ => None
   }
 

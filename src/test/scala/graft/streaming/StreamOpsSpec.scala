@@ -203,6 +203,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_.mkString("|")).toSeq == want, s"\ngot=$got\nwant=$want")
   }
 
+  test("asof lookup with an UNORDERABLE (map) payload: tie collapse skips, lookup still works") {
+    import spark.implicits._
+    // MapType is not orderable (RowOrdering.isOrderable = false), so
+    // collapseDimTies must SKIP the max(struct) collapse rather than
+    // throw at analysis time. Unique (key, time) rows still resolve
+    // exactly; the duplicated (u1, 30) row keeps engine-chosen tie
+    // resolution (documented limitation — an SCD effective-time should
+    // be unique per key), so we only pin "one of the candidates, no
+    // throw" there.
+    val dim = Seq(
+      ("u1", 10L, Map("a" -> 1)), ("u1", 30L, Map("b" -> 2)),
+      ("u1", 30L, Map("b" -> 3)), ("u2", 7L, Map("c" -> 4)))
+      .toDF("user", "ft", "props")
+    val events = Seq(("u1", 20L), ("u2", 50L), ("u3", 5L), ("u1", 40L))
+      .toDF("user", "t")
+    for (out <- Seq(asofLookup(events, dim, "user", "t", "ft"),
+                    asofLookupLarge(events, dim, "user", "t", "ft"))) {
+      val rows = out.collect().map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(2)) null else r.getMap[String, Int](2).toMap)).toMap
+      assert(rows(("u1", 20L)) == Map("a" -> 1))
+      assert(rows(("u2", 50L)) == Map("c" -> 4))
+      assert(rows(("u3", 5L)) == null)
+      val tied = rows(("u1", 40L)) // duplicated dim time: either candidate
+      assert(tied == Map("b" -> 2) || tied == Map("b" -> 3), tied.toString)
+    }
+  }
+
   test("kmv_distinct runs as a streaming windowed aggregate with state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
