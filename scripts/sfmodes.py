@@ -44,8 +44,9 @@ PAR = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 HERE = os.path.dirname(os.path.abspath(__file__))
 # Documented bounded audit slices (ROUND_NOTES): exact ground-truth
 # queries whose SQL itself pins a constant id-prefix on both engines.
-SLICED = {"d08_ngram_jaccard", "d41_containment", "e06_embedding_neardups",
-          "e10_embedding_clusters", "q111_record_linkage"}
+SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
+          "e06_embedding_neardups", "e10_embedding_clusters",
+          "q111_record_linkage"}
 
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the

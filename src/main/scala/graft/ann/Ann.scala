@@ -143,6 +143,17 @@ object Ann {
     cosineNearDupsWith(corpus, idCol, vecCol, threshold, nBits,
       lshSignatureQuantized(_, nBits, dims))
 
+  /** Shared LSH pair pipeline. nBits sizing is the scale contract:
+    * candidate pairs ≈ N²·(1+nBits)/2^(nBits+1), so 2^nBits must grow
+    * with the corpus (rule of thumb: nBits ≥ log2(N) − 1, keeping
+    * expected per-bucket occupancy ≤ ~2). A fixed small nBits is
+    * quadratic in disguise — measured at sf10 (200k vectors, nBits=8 →
+    * 256 buckets): ~7·10⁸ candidates and 74 GB of spill; nBits=16 over
+    * the same corpus yields ~10⁷. Raising nBits trades recall on
+    * LOW-cosine pairs (high-cosine pairs keep near-identical
+    * signatures at any width); callers that must verify on nonzero
+    * rows at small SF plant constant exact-duplicate mutants (e07's
+    * pattern). */
   private def cosineNearDupsWith(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int, sigOf: Column => Column): DataFrame = {
     // Scale shape (the d06 bare-id lesson, applied to the vector side —

@@ -537,8 +537,17 @@ object Dedup {
     *
     * Scale design (100 TB): the inverted-index variant posts EVERY
     * token; this posts only the prefix — and rarest-first ordering
-    * makes prefix tokens exactly the low-df ones, so posting lists stay
-    * short without the lossy maxDf cutoff. The df join and candidate
+    * makes prefix tokens exactly the low-df ones, so posting lists are
+    * SHORTER than the full inverted index without the lossy maxDf
+    * cutoff. They are NOT bounded: prefix filtering constrains which
+    * tokens each doc posts, not how many docs post a given token, so a
+    * corpus-hot token that is still some docs' rarest keeps a posting
+    * list proportional to corpus size and the candidate join goes
+    * quadratic on that key (measured at sf10/500k docs: hot bigrams in
+    * thousands of prefixes → 74 GB of spill). Exact all-pairs Jaccard
+    * at scale therefore follows the audit-slice doctrine (d08/d41):
+    * run the exact join on a bounded corpus prefix; the unbounded
+    * production path is banded MinHash. The df join and candidate
     * join shuffle on the shingle; verification shuffles on the pair
     * ids. Threshold math uses exact decimal arithmetic so the prefix
     * length is never rounded short (a double ulp there would silently

@@ -427,6 +427,178 @@ case class MinKStrings(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** [[MinKStrings]] over BIGINT values — identical semantics
+  * (`slice(array_sort(collect_set(x)), 1, k)` with bounded ≤ k state),
+  * numeric ordering instead of UTF8String binary ordering. Exists for
+  * register pipelines whose elements are integer hash values: q138's
+  * HyperBall registers moved from 32-hex-char md5 strings (~40 B per
+  * element in the unsafe row) to their leading-60-bit BIGINTs (8 B) —
+  * the SAME bits its estimator already extracted via conv(substr(h))
+  * — cutting every per-round register shuffle ~5×. */
+case class MinKLongs(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "min_k_longs requires k >= 1")
+
+  override def prettyName: String = "min_k_longs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_k_longs input must be bigint, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      buf.add(v); if (buf.size > k) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val vals = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { vals(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinKLongs =
+    copy(child = newChild)
+}
+
+/** [[MinKLongs]] over ALREADY-AGGREGATED `array<bigint>` registers:
+  * `min_k_longs_merge(regs, k)` ≡ `min_k_longs(explode(regs), k)` but
+  * without the explode — each input row contributes its whole array to
+  * the ≤ k-element buffer in one update() call. The explode form
+  * multiplies the aggregation input by the register width (q138 at
+  * sf10: 180M edge rows × 32 register elements = 5.8·10⁹ rows into
+  * the partial aggregate, whose sort-based spill exhausted the disk);
+  * merging arrays keeps the input at edge-row cardinality and the
+  * register payload never leaves its array. NULL arrays are skipped;
+  * NULL elements cannot occur (registers are built containsNull =
+  * false). */
+case class MinKLongsMerge(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, "min_k_longs_merge requires k >= 1")
+
+  override def prettyName: String = "min_k_longs_merge"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_k_longs_merge input must be array<bigint>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      buf.add(v); if (buf.size > k) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { add(buf, arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val vals = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { vals(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKLongsMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKLongsMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinKLongsMerge =
+    copy(child = newChild)
+}
+
 /** KMV set algebra: intersection / union / Jaccard ESTIMATES between two
   * stored `kmv_state` sketches — the audience-overlap / cross-corpus-
   * contamination probe that runs on summary-table states without ever
@@ -529,6 +701,18 @@ object KmvSketch {
       case Seq(c, Literal(k: Long, LongType))   => MinKStrings(c, k.toInt)
       case es => throw new IllegalArgumentException(
         s"min_k_strings(value, k-literal) — got ${es.length} arguments")
+    },
+    "min_k_longs" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => MinKLongs(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => MinKLongs(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"min_k_longs(value, k-literal) — got ${es.length} arguments")
+    },
+    "min_k_longs_merge" -> {
+      case Seq(c, Literal(k: Int, IntegerType)) => MinKLongsMerge(c, k)
+      case Seq(c, Literal(k: Long, LongType))   => MinKLongsMerge(c, k.toInt)
+      case es => throw new IllegalArgumentException(
+        s"min_k_longs_merge(array, k-literal) — got ${es.length} arguments")
     })
 
   /** Column form of [[MinKStrings]] — the bounded-state replacement for
@@ -536,6 +720,19 @@ object KmvSketch {
   def minKStrings(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.GraftSql.column(
       MinKStrings(org.apache.spark.sql.graft.GraftSql.expression(c), k)
+        .toAggregateExpression())
+
+  /** Column form of [[MinKLongs]]. */
+  def minKLongs(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      MinKLongs(org.apache.spark.sql.graft.GraftSql.expression(c), k)
+        .toAggregateExpression())
+
+  /** Column form of [[MinKLongsMerge]] — min-k over `array<bigint>`
+    * inputs without the explode. */
+  def minKLongsMerge(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      MinKLongsMerge(org.apache.spark.sql.graft.GraftSql.expression(c), k)
         .toAggregateExpression())
 
   def registerAll(spark: SparkSession): Unit = {

@@ -958,30 +958,46 @@ object MiningQueries {
   private[queries] def hyperballEstimates(sym: DataFrame, rounds: Int,
       k: Int): DataFrame = {
     val nodes = sym.select(col("es").as("node")).distinct()
+    // register element = the md5's leading 60 bits AS A BIGINT (the
+    // d07b convention), not the 32-hex-char string: the estimator only
+    // ever read those 60 bits (conv(substr(h, 1, 15))), and an 8-byte
+    // long is ~5× smaller than the hex UTF8String in the unsafe row —
+    // the register payload rides EVERY per-round edge join, so this is
+    // the difference between a feasible and an ENOSPC sf10 run
+    // (round 13: string registers spilled >74 GB on the 400M-edge-row
+    // co-purchase graph). Numeric min-k over these longs equals UTF8
+    // min-k over the hex strings they prefix (hex sorts lexicographic
+    // = numeric); 60-bit collisions between distinct md5s are the only
+    // semantic difference (~N²/2⁶¹ — absent at any tested SF, and both
+    // engines compute the identical convention).
     var reg = nodes.select(col("node"),
-      array(md5(col("node").cast(StringType))).as("reg"))
+      array(conv(substring(md5(col("node").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)).as("reg"))
     for (_ <- 1 to rounds) {
       val nbr = sym.join(reg, sym("et") === reg("node"))
         .select(sym("es").as("node"), col("reg"))
       // cut: round r's registers feed round r+1's neighbor join AND its
       // own union — each round would otherwise replay all earlier merges.
-      // min_k_strings == slice(array_sort(collect_set(h)), 1, k) bit for
-      // bit, but with ≤k-element state: collect_set shipped every node's
-      // full 32·degree distinct register set through the exchange before
-      // truncating (the q138 sf1 wall-clock hog; BASELINE round 10)
+      // min_k_longs_merge == slice(array_sort(collect_set over exploded
+      // elements), 1, k) bit for bit, but with ≤k-element state AND no
+      // explode: collect_set shipped every node's full 32·degree
+      // distinct register set through the exchange before truncating
+      // (the q138 sf1 wall-clock hog; BASELINE round 10), and even the
+      // bounded-state exploded form multiplied the aggregation input by
+      // the register width — 5.8·10⁹ rows into the partial aggregate at
+      // sf10, whose sort-based spill exhausted the disk (round 13).
+      // Merging whole arrays keeps the input at edge-row cardinality.
       reg = graft.operators.Lineage.cut(reg.union(nbr)
-        .select(col("node"), explode(col("reg")).as("h"))
         .groupBy(col("node"))
-        .agg(graft.functions.KmvSketch.minKStrings(col("h"), k).as("reg")))
+        .agg(graft.functions.KmvSketch.minKLongsMerge(col("reg"), k).as("reg")))
     }
-    // md5 hex sorts uniformly; the kth smallest's leading-60-bit
-    // fraction v/16^15 estimates the register's fill rate, so
-    // |N| ≈ (k−1)/frac — one identical double expression both engines
+    // md5 hex sorts uniformly; the kth smallest's 60-bit fraction
+    // v/16^15 estimates the register's fill rate, so |N| ≈ (k−1)/frac
+    // — one identical double expression both engines
     reg.select(col("node"), size(col("reg")).cast(LongType).as("n_reg"),
       round(when(size(col("reg")) < k, size(col("reg")).cast(DoubleType))
         .otherwise(lit((k - 1).toDouble) * pow(lit(16.0), lit(15)) /
-          conv(substring(element_at(col("reg"), k), 1, 15), 16, 10)
-            .cast(LongType).cast(DoubleType)), 4).as("n_est"))
+          element_at(col("reg"), k).cast(DoubleType)), 4).as("n_est"))
   }
 
   /** q137's core: N(seed, r) for r = 1..rounds by reach-set expansion.
@@ -1801,12 +1817,13 @@ object MiningQueries {
          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
          |sym AS MATERIALIZED (SELECT pa AS s, pb AS t FROM e UNION ALL SELECT pb, pa FROM e),
          |nodes AS (SELECT DISTINCT s AS node FROM sym),
-         |r0 AS (SELECT node, [md5(CAST(node AS VARCHAR))] AS reg FROM nodes),
+         |r0 AS (SELECT node,
+         |  [('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT] AS reg
+         |  FROM nodes),
          |$rounds
          |SELECT node, CAST(len(reg) AS BIGINT) AS n_reg,
          |  round(CASE WHEN len(reg) < 32 THEN CAST(len(reg) AS DOUBLE)
-         |    ELSE 31.0 * power(16.0, 15) /
-         |      CAST(('0x' || substr(reg[32], 1, 15))::BIGINT AS DOUBLE) END, 4) AS n_est
+         |    ELSE 31.0 * power(16.0, 15) / CAST(reg[32] AS DOUBLE) END, 4) AS n_est
          |FROM r2 ORDER BY node""".stripMargin
     },
 

@@ -68,6 +68,20 @@ object PipelineQueries {
     (for (p <- 0 until nBits; d <- 0 until dims)
       yield s"($p,$d,${if (Ann.planeWeight(p, d) > 0) 1 else -1})").mkString(",")
 
+  /** e07/e07b's constant verification mutants: exact copies of the
+    * first three vectors under shifted ids. An unchanged vector has an
+    * identical LSH signature by construction (any nBits, either
+    * signature variant) and cosine 1.0 against its source, so the
+    * banded pair join must FIND these pairs at every SF — the nonzero-
+    * rows guarantee (m07/m08 doctrine) that survives the recall
+    * collapse of scaling nBits with the corpus. Constant 3 extra rows
+    * at any SF (ScaleGen replica shifts keep vec_id < 3 unique). */
+  private def withEmbeddingMutants(emb: org.apache.spark.sql.DataFrame) = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base.union(base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+  }
+
   /** The quantized-LSH top-k pipeline as a CTE chain ending in ranked
     * results `r` (query_id, neighbor_id, cos, rank) — shared by the e03b
     * twin and e22's retrieval-eval oracle. Also binds `emb`. */
@@ -1110,14 +1124,25 @@ object PipelineQueries {
     // the OTHER classic exact-similarity-join plan: prefix filtering
     // (AllPairs/PPJoin). Only the rarest n − ceil(τ·n) + 1 tokens of
     // each doc enter the candidate join (provably complete — see
-    // Dedup.setSimPrefixJoin), so posting lists stay short without
-    // d08's lossy maxDf cutoff. Runs at τ = 0.8 — prefix filtering's
+    // Dedup.setSimPrefixJoin). Runs at τ = 0.8 — prefix filtering's
     // design point (short prefixes); the planted near-dups all sit
     // above 0.8, so the pair set matching d08's oracle at this τ is
     // the correctness claim (cross-τ equality vs the inverted-index
     // join is property-tested in PipelineSpec).
+    //
+    // BOUNDED AUDIT SLICE, same doctrine and bound as d08 (round-13
+    // sf10 lesson): prefix filtering bounds which tokens post, not how
+    // often a posted token occurs — at 500k docs the corpus's hot
+    // bigrams land in thousands of prefixes and the candidate join
+    // goes quadratic on those keys (74 GB of spill, ENOSPC even solo).
+    // Exact all-pairs ground truth needs a statistically sufficient
+    // prefix of the corpus, not all of it; doc_id < 10000 covers the
+    // whole table at every gate SF and is O(const) at 100×. The
+    // unbounded sub-quadratic production path remains d06's banded
+    // MinHash; the oracle mirrors the identical slice.
     "d27_setsim_prefix_join" -> ((s, d) => {
-      Dedup.setSimPrefixJoin(Tables.documents(s, d), "doc_id", "text",
+      Dedup.setSimPrefixJoin(
+        Tables.documents(s, d).filter(col("doc_id") < 10000), "doc_id", "text",
         threshold = 0.8, shingleSize = 2)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))
@@ -1675,17 +1700,31 @@ object PipelineQueries {
     // hash-checkable twin of e07: the ENTIRE LSH pair pipeline —
     // quantized signatures, Hamming-1 banded probes, a<b pair join,
     // exact cosine, threshold — reproduced in the oracle from the same
-    // plane literals (e03b's role, for the pair path)
+    // plane literals (e03b's role, for the pair path).
+    //
+    // nBits = 16, NOT 8 (round-13 sf10 lesson): bucket count must scale
+    // with the corpus. 2⁸ = 256 buckets over sf10's 200k vectors put
+    // ~780 vectors in every exact bucket and ~7k in every probed one —
+    // ~7·10⁸ candidate pairs (quadratic per bucket), 74 GB of spill,
+    // ENOSPC even solo. 2¹⁶ buckets keep per-bucket occupancy ~3 at
+    // sf10 (candidates ≈ N²·17/2¹⁷ ≈ 10⁷) and survive the next decade.
+    // At 16 bits the accidental low-cos collisions (all 30 sf0.01 pairs
+    // were cos 0.35-0.48) vanish, so the contract would verify on zero
+    // rows — the m07/m08 trivially-green class. Same cure: union a
+    // constant slice of EXACT-DUPLICATE mutants (vec_id < 3, id + 10⁹,
+    // vector unchanged — identical signature by construction, cos 1.0),
+    // which the banded join must FIND at every SF; the oracle derives
+    // the identical mutants.
     "e07b_neardups_lsh_quantized" -> ((s, d) => {
-      Ann.cosineNearDupsQuantized(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35, nBits = 8)
+      Ann.cosineNearDupsQuantized(withEmbeddingMutants(Tables.embeddings(s, d)),
+        "vec_id", "embedding", threshold = 0.35, nBits = 16)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
 
     "e07_embedding_neardups_lsh" -> ((s, d) => {
-      Ann.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35, nBits = 8)
+      Ann.cosineNearDups(withEmbeddingMutants(Tables.embeddings(s, d)),
+        "vec_id", "embedding", threshold = 0.35, nBits = 16)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1999,7 +2038,8 @@ object PipelineQueries {
     // prefix filtering is an exact algorithm: d27 must produce exactly
     // the all-pairs Jaccard >= 0.8 set (d08's oracle at d27's threshold)
     "d27_setsim_prefix_join" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |           FROM documents WHERE doc_id < 10000),
         |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
         |         ELSE list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END AS bgs FROM w),
         |e AS (SELECT doc_id, unnest(bgs) AS s FROM bg),
@@ -2964,15 +3004,19 @@ object PipelineQueries {
     // full quantized-LSH twin: integer signature arithmetic is bit-exact
     // across engines; floor(v*1024) is exact (×1024 is a power of two)
     "e07b_neardups_lsh_quantized" ->
-      s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(8, 64)}),
-         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH planes(p, d, wt) AS (VALUES ${lshPlanesValues(16, 64)}),
+         |emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |emb AS (SELECT vec_id, e FROM emb0
+         |        UNION ALL
+         |        SELECT vec_id + 1000000000, e FROM emb0 WHERE vec_id < 3),
          |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
          |       FROM emb, range(1, 65) t(i)),
          |bits AS (SELECT un.vec_id, planes.p,
          |   CASE WHEN sum(planes.wt * CAST(floor(un.v * 1024) AS BIGINT)) > 0 THEN 1 ELSE 0 END AS b
          | FROM un JOIN planes ON un.d = planes.d GROUP BY un.vec_id, planes.p),
          |sig AS (SELECT vec_id, CAST(sum(b << p) AS INT) AS s FROM bits GROUP BY vec_id),
-         |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
+         |masks(m) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128),(256),(512),
+         |                    (1024),(2048),(4096),(8192),(16384),(32768)),
          |x AS (SELECT emb.vec_id AS a, emb.e AS va, sig.s AS bucket
          |      FROM emb JOIN sig ON emb.vec_id = sig.vec_id),
          |y AS (SELECT emb.vec_id AS b, emb.e AS vb, xor(sig.s, masks.m) AS bucket

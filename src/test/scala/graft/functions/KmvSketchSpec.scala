@@ -84,6 +84,66 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(viaSql == Seq("a", "b"))
   }
 
+  test("min_k_longs == slice(array_sort(collect_set), 1, k) bit for bit") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    val rnd = new scala.util.Random(2027L)
+    // groups with < k, == k, and >> k distinct values; duplicates;
+    // negatives; extremes; 13 partitions forces partial/merge +
+    // serialize round-trips
+    val rows = (1 to 20000).map { _ =>
+      val g = rnd.nextInt(20)
+      val v = rnd.nextInt(g * 40 + 2).toLong
+      (g, if (v == 0) Long.MinValue else if (v == 1) Long.MaxValue else v - 20)
+    }
+    val df = rows.toDF("g", "v").repartition(13)
+    for (k <- Seq(1, 5, 32)) {
+      val got = df.groupBy("g")
+        .agg(KmvSketch.minKLongs(col("v"), k).as("r"),
+          expr(s"slice(array_sort(collect_set(v)), 1, $k)").as("exp"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"k=$k group=${r.getInt(0)}: ${r.getSeq[Long](1)} != ${r.getSeq[Long](2)}")
+      }
+    }
+    // SQL registration path + null handling (nulls skipped like collect_set)
+    val s = Seq((1, Some(7L)), (1, None), (1, Some(3L)), (1, Some(7L)))
+      .toDF("g", "v")
+    s.createOrReplaceTempView("mkl")
+    val viaSql = spark.sql("SELECT min_k_longs(v, 2) FROM mkl GROUP BY g")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(3L, 7L))
+  }
+
+  test("min_k_longs_merge(arrays) == min_k_longs(exploded elements)") {
+    import spark.implicits._
+    KmvSketch.registerAll(spark)
+    val rnd = new scala.util.Random(2028L)
+    // variable-width arrays, duplicates within and across rows, empty
+    // arrays, 13 partitions for partial/merge + serialize round-trips
+    val rows = (1 to 5000).map { _ =>
+      val g = rnd.nextInt(12)
+      val w = rnd.nextInt(6)
+      (g, (0 until w).map(_ => rnd.nextInt(g * 30 + 2).toLong - 10))
+    }
+    val df = rows.toDF("g", "regs").repartition(13)
+    for (k <- Seq(1, 4, 32)) {
+      val merged = df.groupBy("g")
+        .agg(KmvSketch.minKLongsMerge(col("regs"), k).as("r"))
+      val exploded = df.select(col("g"), explode(col("regs")).as("h"))
+        .groupBy("g")
+        .agg(KmvSketch.minKLongs(col("h"), k).as("r"))
+      val m = merged.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val e = exploded.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      // explode drops groups whose every array is empty; merge keeps them
+      // with an empty register — compare on the exploded key set and pin
+      // the merge-only groups to empty
+      e.foreach { case (g, v) => assert(m(g) == v, s"k=$k group=$g") }
+      (m.keySet -- e.keySet).foreach(g => assert(m(g).isEmpty, s"k=$k group=$g"))
+    }
+  }
+
   test("null inputs are ignored, not hashed") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
