@@ -26,7 +26,13 @@ self-caps DuckDB memory/temp at large SF) with a per-query timeout.
 
 Usage:
   python3 scripts/sfmodes.py <sf_dir> <out_local> <out_cluster> \
-      [timeout_sec] [parallel] [> table.md]
+      [timeout_sec] [parallel] [state.json] [> table.md]
+
+state.json (optional) makes the sweep RESUMABLE: every per-name oracle
+result is appended there as it lands, and names already recorded as
+'oracle' / 'oracle (slice)' / 'bytediff'-by-timeout are not re-run —
+so a second pass after fixing a resource cap or a query only re-runs
+the names that actually need it.
 
 <out_cluster> may be a not-yet-existing dir on the first pass: the
 script then just prints which names NEED a cluster-topology run (exit
@@ -40,6 +46,7 @@ LOCAL = sys.argv[2]
 CLUSTER = sys.argv[3]
 TIMEOUT = float(sys.argv[4]) if len(sys.argv) > 4 else 180.0
 PAR = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+STATE = sys.argv[6] if len(sys.argv) > 6 else None
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 # Documented bounded audit slices (ROUND_NOTES): exact ground-truth
@@ -75,7 +82,18 @@ def run_oracle(name):
         if f"PASS {name}" in out:
             return name, "oracle", ""
         if f"FAIL {name}" in out:
-            return name, "FAIL", " / ".join(out.strip().splitlines()[-2:])
+            # keep the DIAGNOSTIC line (drivermimic's "FAIL <name>: ..."),
+            # not the trailing "N pass, M fail" summary
+            diag = next((l for l in out.splitlines()
+                         if l.startswith(f"FAIL {name}")), out.strip()[-160:])
+            # a DuckDB resource-cap abort inside the oracle surfaces as a
+            # caught exception ("FAIL <name>: oracle error: Out of
+            # Memory..."), not as a process death — same legitimate
+            # infeasibility downgrade as the hard-death path below
+            if any(sig in diag for sig in INFEASIBLE_SIGS):
+                return name, "bytediff", \
+                    "oracle infeasible (resource cap): " + diag[:160]
+            return name, "FAIL", diag[:300]
         tail = out.strip()[-160:].replace("\n", " ")
         if any(sig in out for sig in INFEASIBLE_SIGS):
             return name, "bytediff", "oracle infeasible (resource cap): " + tail
@@ -84,10 +102,34 @@ def run_oracle(name):
         return name, "bytediff", f"oracle timeout >{TIMEOUT:.0f}s"
 
 
+# resumable state: names whose recorded mode is terminal-good are not
+# re-run; FAIL / ORACLE-ERROR / resource-cap rows are retried so a fixed
+# query or a raised cap only costs the names that need it
+prior = {}
+if STATE and os.path.exists(STATE):
+    prior = json.load(open(STATE))
+
+
+def settled(mode, why):
+    return mode == "oracle" or (mode == "bytediff" and "timeout" in why)
+
+
+state_lock = __import__("threading").Lock()
+
+
+def save_state(results):
+    if STATE:
+        with state_lock:
+            json.dump(results, open(STATE, "w"), indent=0)
+
+
+results = {n: tuple(v) for n, v in prior.items() if settled(*v)}
+todo = sorted(n for n in oracle if n not in results)
+print(f"{len(results)} settled from state, {len(todo)} to run", file=sys.stderr)
 with ThreadPoolExecutor(PAR) as ex:
-    results = dict()
-    for name, mode, why in ex.map(run_oracle, sorted(oracle)):
+    for name, mode, why in ex.map(run_oracle, todo):
         results[name] = (mode, why)
+        save_state(results)
         print(f"[{mode}] {name} {why}", file=sys.stderr)
 
 for n in no_oracle:
