@@ -23,22 +23,30 @@ verified at this SF and emit one markdown table row:
 
 Oracles run in a bounded process pool, each through drivermimic (which
 self-caps DuckDB memory/temp at large SF) with a per-query timeout.
+The per-worker DuckDB temp cap is the TOTAL cap (GRAFT_DUCKDB_TMPLIMIT,
+default 40GB) divided by the pool width, so PAR concurrent oracles
+cannot spill PAR * total in aggregate; each worker's spill dir is
+removed when its run finishes.
 
 Usage:
   python3 scripts/sfmodes.py <sf_dir> <out_local> <out_cluster> \
       [timeout_sec] [parallel] [state.json] [> table.md]
 
 state.json (optional) makes the sweep RESUMABLE: every per-name oracle
-result is appended there as it lands, and names already recorded as
-'oracle' / 'oracle (slice)' / 'bytediff'-by-timeout are not re-run —
-so a second pass after fixing a resource cap or a query only re-runs
-the names that actually need it.
+result is appended there as it lands, together with a hash of the
+query's DEFINITION (its oracle SQL + the mtime of the spark output's
+_SUCCESS marker). A name is skipped on resume only when its recorded
+mode is terminal-good ('oracle', or 'bytediff' by timeout) AND its
+definition hash is unchanged — so editing a query, regenerating its
+spark output, or fixing its oracle SQL automatically re-runs exactly
+the names that changed. FAIL / ORACLE-ERROR / resource-cap rows are
+always retried.
 
 <out_cluster> may be a not-yet-existing dir on the first pass: the
 script then just prints which names NEED a cluster-topology run (exit
 2), so the expensive cluster Verify only runs for the tail.
 """
-import json, os, subprocess, sys
+import hashlib, json, os, re, shutil, subprocess, sys, threading
 from concurrent.futures import ThreadPoolExecutor
 
 SF = sys.argv[1]
@@ -58,23 +66,60 @@ SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the
 # documented "oracle infeasible at this SF" cases that legitimately
-# downgrade to topology bytediff; any other hard death is ORACLE-ERROR.
-INFEASIBLE_SIGS = ("Out of Memory", "OutOfMemory", "memory_limit",
-                   "max_temp_directory_size", "Killed", "MemoryError")
+# downgrade to topology bytediff. DuckDB-SPECIFIC strings only: broad
+# ones like "Killed" or "MemoryError" would let a harness bug or an
+# OOM-killed python silently downgrade instead of surfacing as
+# ORACLE-ERROR (the exact silent-downgrade failure mode the
+# ORACLE-ERROR classification exists to prevent).
+INFEASIBLE_SIGS = ("Out of Memory", "OutOfMemoryException",
+                   "memory_limit", "max_temp_directory_size")
 
 oracle = json.load(open(f"{LOCAL}/oracle_sql.json"))
 no_oracle = sorted(n for n in os.listdir(LOCAL)
                    if os.path.isdir(os.path.join(LOCAL, n)) and n not in oracle)
 
 
+def defhash(name):
+    """Hash of what this oracle run verifies: the oracle SQL plus the
+    identity (mtime+size) of the spark output parquet it compares
+    against. Changing either re-runs the name on resume."""
+    h = hashlib.sha256(oracle.get(name, "").encode())
+    marker = os.path.join(LOCAL, name, "_SUCCESS")
+    try:
+        st = os.stat(marker)
+        h.update(f"|{st.st_mtime_ns}".encode())
+    except OSError:
+        h.update(b"|no-marker")
+    for f in sorted(os.listdir(os.path.join(LOCAL, name))) \
+            if os.path.isdir(os.path.join(LOCAL, name)) else []:
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(LOCAL, name, f))
+            h.update(f"|{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _split_limit(total, par):
+    """'40GB' / 4 -> '10GB' (floor, min 1). Unparseable -> passthrough."""
+    m = re.fullmatch(r"(\d+)\s*GB", total.strip(), re.IGNORECASE)
+    if not m:
+        return total
+    return f"{max(1, int(m.group(1)) // max(1, par))}GB"
+
+
+TMP_PER_WORKER = _split_limit(os.environ.get("GRAFT_DUCKDB_TMPLIMIT", "40GB"), PAR)
+
+
 def run_oracle(name):
     if not os.path.isdir(f"{LOCAL}/{name}"):
         return name, "MISSING", "no spark output"
+    # Per-worker DuckDB spill dir: PAR concurrent oracles sharing one
+    # temp_directory delete each other's spill files (spurious
+    # FAIL/crash — round-12 operational lesson, ROUND_NOTES). The
+    # per-worker cap is total/PAR so the aggregate stays bounded.
+    tmpdir = f"/tmp/duckdb_oracle_tmp_{name}"
     try:
-        # Per-worker DuckDB spill dir: PAR concurrent oracles sharing one
-        # temp_directory delete each other's spill files (spurious
-        # FAIL/crash — round-12 operational lesson, ROUND_NOTES).
-        env = {**os.environ, "GRAFT_DUCKDB_TMP": f"/tmp/duckdb_oracle_tmp_{name}"}
+        env = {**os.environ, "GRAFT_DUCKDB_TMP": tmpdir,
+               "GRAFT_DUCKDB_TMPLIMIT": TMP_PER_WORKER}
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "drivermimic.py"), SF, LOCAL, name],
             capture_output=True, text=True, timeout=TIMEOUT, env=env)
@@ -88,8 +133,9 @@ def run_oracle(name):
                          if l.startswith(f"FAIL {name}")), out.strip()[-160:])
             # a DuckDB resource-cap abort inside the oracle surfaces as a
             # caught exception ("FAIL <name>: oracle error: Out of
-            # Memory..."), not as a process death — same legitimate
-            # infeasibility downgrade as the hard-death path below
+            # Memory..."). Match the signature ON THE DIAGNOSTIC LINE
+            # only — the same legitimate infeasibility downgrade as the
+            # hard-death path below.
             if any(sig in diag for sig in INFEASIBLE_SIGS):
                 return name, "bytediff", \
                     "oracle infeasible (resource cap): " + diag[:160]
@@ -97,24 +143,34 @@ def run_oracle(name):
         tail = out.strip()[-160:].replace("\n", " ")
         if any(sig in out for sig in INFEASIBLE_SIGS):
             return name, "bytediff", "oracle infeasible (resource cap): " + tail
+        # died without PASS/FAIL and without a recognized DuckDB cap
+        # signature (includes SIGKILL-style deaths): manual triage, never
+        # a silent downgrade
         return name, "ORACLE-ERROR", "oracle died: " + tail
     except subprocess.TimeoutExpired:
         return name, "bytediff", f"oracle timeout >{TIMEOUT:.0f}s"
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-# resumable state: names whose recorded mode is terminal-good are not
-# re-run; FAIL / ORACLE-ERROR / resource-cap rows are retried so a fixed
-# query or a raised cap only costs the names that need it
+# resumable state: {name: [mode, why, defhash]}. A name is skipped only
+# when terminal-good AND its definition hash matches; FAIL /
+# ORACLE-ERROR / resource-cap rows are retried so a fixed query or a
+# raised cap only costs the names that actually need it. Legacy
+# 2-element entries (pre-hash) are treated as stale and re-run.
 prior = {}
 if STATE and os.path.exists(STATE):
     prior = json.load(open(STATE))
 
 
-def settled(mode, why):
+def settled(entry, name):
+    if len(entry) != 3 or entry[2] != defhash(name):
+        return False
+    mode, why = entry[0], entry[1]
     return mode == "oracle" or (mode == "bytediff" and "timeout" in why)
 
 
-state_lock = __import__("threading").Lock()
+state_lock = threading.Lock()
 
 
 def save_state(results):
@@ -123,13 +179,16 @@ def save_state(results):
             json.dump(results, open(STATE, "w"), indent=0)
 
 
-results = {n: tuple(v) for n, v in prior.items() if settled(*v)}
+results = {n: (v[0], v[1]) for n, v in prior.items()
+           if n in oracle and settled(v, n)}
 todo = sorted(n for n in oracle if n not in results)
 print(f"{len(results)} settled from state, {len(todo)} to run", file=sys.stderr)
+state = {n: [m, w, defhash(n)] for n, (m, w) in results.items()}
 with ThreadPoolExecutor(PAR) as ex:
     for name, mode, why in ex.map(run_oracle, todo):
         results[name] = (mode, why)
-        save_state(results)
+        state[name] = [mode, why, defhash(name)]
+        save_state(state)
         print(f"[{mode}] {name} {why}", file=sys.stderr)
 
 for n in no_oracle:

@@ -129,9 +129,9 @@ object Ann {
     * path: each vector lands in 1 + nBits buckets; the n² pair space
     * never materializes. */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame =
+      threshold: Double, nBits: Int = 0, dims: Int = 64): DataFrame =
     cosineNearDupsWith(corpus, idCol, vecCol, threshold, nBits,
-      lshSignature(_, nBits, dims))
+      lshSignature(_, _, dims))
 
   /** [[cosineNearDups]] with the integer-quantized signature
     * ([[lshSignatureQuantized]]) — the fully hash-checkable LSH PAIR
@@ -139,23 +139,44 @@ object Ann {
     * join, and cosine in SQL from the same plane literals, the role
     * e03b plays for the top-k path. */
   def cosineNearDupsQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, dims: Int = 64): DataFrame =
+      threshold: Double, nBits: Int = 0, dims: Int = 64): DataFrame =
     cosineNearDupsWith(corpus, idCol, vecCol, threshold, nBits,
-      lshSignatureQuantized(_, nBits, dims))
+      lshSignatureQuantized(_, _, dims))
+
+  /** Occupancy-driven LSH signature width: the smallest width in
+    * [16, 30] whose bucket count 2^width keeps expected per-bucket
+    * occupancy ≤ `targetOccupancy` — i.e. ceil(n / targetOccupancy) ≤
+    * 2^width. Integer-exact (no float log near power-of-two
+    * boundaries). This is the round-13 sizing lesson AS CODE: a fixed
+    * small width is quadratic in disguise (sf10's 200k vectors at 8
+    * bits → ~7·10⁸ candidate pairs, 74 GB of spill); the floor of 16
+    * costs nothing at small corpora (the signature is an int either
+    * way; sparsely-occupied buckets just make the self-join cheaper)
+    * and keeps signatures IDENTICAL across every verified SF — n must
+    * exceed targetOccupancy·2^16 = 262,144 vectors (the decade above
+    * sf10's 200,003) before the width grows, which is exactly when the
+    * static-16 oracle twin hands off to topology bytediff. */
+  def lshBitsFor(n: Long, targetOccupancy: Int = 4): Int = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val buckets = (math.max(n, 1L) + targetOccupancy - 1) / targetOccupancy
+    var b = 16
+    while (b < 30 && (1L << b) < buckets) b += 1
+    b
+  }
 
   /** Shared LSH pair pipeline. nBits sizing is the scale contract:
     * candidate pairs ≈ N²·(1+nBits)/2^(nBits+1), so 2^nBits must grow
-    * with the corpus (rule of thumb: nBits ≥ log2(N) − 1, keeping
-    * expected per-bucket occupancy ≤ ~2). A fixed small nBits is
-    * quadratic in disguise — measured at sf10 (200k vectors, nBits=8 →
-    * 256 buckets): ~7·10⁸ candidates and 74 GB of spill; nBits=16 over
-    * the same corpus yields ~10⁷. Raising nBits trades recall on
-    * LOW-cosine pairs (high-cosine pairs keep near-identical
-    * signatures at any width); callers that must verify on nonzero
-    * rows at small SF plant constant exact-duplicate mutants (e07's
-    * pattern). */
+    * with the corpus — nBits ≤ 0 (the default) derives the width from
+    * the corpus count via [[lshBitsFor]] (one cheap column-pruned
+    * count job); an explicit nBits pins it. Raising nBits trades
+    * recall on LOW-cosine pairs (high-cosine pairs keep
+    * near-identical signatures at any width); callers that must
+    * verify on nonzero rows at small SF plant constant exact-duplicate
+    * mutants (e07's pattern). */
   private def cosineNearDupsWith(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int, sigOf: Column => Column): DataFrame = {
+      threshold: Double, nBits0: Int, sigOfBits: (Column, Int) => Column): DataFrame = {
+    val nBits = if (nBits0 > 0) nBits0 else lshBitsFor(corpus.count())
+    val sigOf: Column => Column = sigOfBits(_, nBits)
     // Scale shape (the d06 bare-id lesson, applied to the vector side —
     // rewritten after the round-12 sf10 sweep caught the old form):
     // the bucket self-join ships (id, bucket) rows ONLY — the previous
@@ -327,17 +348,38 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.registerAll(spark)
     val cs = ivfCentroids(corpus, idCol, vecCol, nLists)
-    val bc = spark.sparkContext.broadcast(cs)
-    val assign = udf((v: Seq[Float]) =>
-      if (v == null) null else Integer.valueOf(nearestCentroid(v.toArray, bc.value)))
-    val probes = udf((v: Seq[Float]) =>
-      if (v == null) null else probeList(v.toArray, bc.value, nProbe))
+    // The centroid table enters the plan as array<float> LITERALS and the
+    // corpus-side assignment runs entirely inside whole-stage codegen:
+    // nLists fused float_l2sq loops + array_min/array_position argmin
+    // (first minimum = lowest cell, the same tie rule as a scalar
+    // strict-< scan). The ScalaUDF closures over a broadcast this
+    // replaces were the ANN family's last interpreted per-row hop.
+    // float_l2sq keeps the UDF's float subtract/multiply arithmetic, so
+    // every assignment — including near-ties — is bit-identical.
+    def d2(v: Column, c: Int): Column =
+      call_function("float_l2sq", v, typedlit(cs(c).toSeq))
+    val cellOf: Column => Column = { v =>
+      val ds = array(cs.indices.map(c => d2(v, c)): _*)
+      (array_position(ds, array_min(ds)) - 1L).cast("int")
+    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", assign(col("cv")))
+      .withColumn("cell", cellOf(col("cv")))
       .filter(col("cell").isNotNull)
+    // Probe list = nProbe nearest centroids: sort_array over (d2, cell)
+    // structs ≡ the scalar sortBy(_._2) (stable, ties → lower cell).
+    // sort_array is not codegen'd, but it runs once per QUERY row — the
+    // broadcast-small side — never over the corpus.
+    val probesOf: Column => Column = { v =>
+      val pd = array(cs.indices.map(c =>
+        struct(d2(v, c).as("d2"), lit(c).as("cell"))): _*)
+      slice(sort_array(pd), 1, nProbe)
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probes(col("qv"))))
+      .filter(col("qv").isNotNull)
+      .withColumn("p", explode(probesOf(col("qv"))))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCosine(spark)(col("qv"), col("cv")))

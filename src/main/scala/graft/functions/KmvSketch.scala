@@ -517,9 +517,12 @@ case class MinKLongs(child: Expression, k: Int,
   * sf10: 180M edge rows × 32 register elements = 5.8·10⁹ rows into
   * the partial aggregate, whose sort-based spill exhausted the disk);
   * merging arrays keeps the input at edge-row cardinality and the
-  * register payload never leaves its array. NULL arrays are skipped;
-  * NULL elements cannot occur (registers are built containsNull =
-  * false). */
+  * register payload never leaves its array. NULL arrays and NULL
+  * elements are both skipped — exactly what the explode form does
+  * (explode drops a NULL array, min_k_longs skips a NULL input), so
+  * the documented equivalence holds for ANY array<bigint>, not just
+  * the containsNull = false registers this repo builds (the function
+  * is SQL-registered, so user queries can feed nullable arrays). */
 case class MinKLongsMerge(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -554,7 +557,10 @@ case class MinKLongsMerge(child: Expression, k: Int,
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       val n = arr.numElements()
-      while (i < n) { add(buf, arr.getLong(i)); i += 1 }
+      while (i < n) {
+        if (!arr.isNullAt(i)) add(buf, arr.getLong(i))
+        i += 1
+      }
     }
     buf
   }

@@ -273,6 +273,70 @@ case class LongL2Sq(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "long_l2sq"
 }
 
+/** float_l2sq(array<float>, array<float>) → double — squared L2 with the
+  * per-element subtract and multiply performed in FLOAT precision and
+  * only the accumulation in double: bit-for-bit the arithmetic of a
+  * scalar `Array[Float]` loop (`val d = a(i) - b(i); s += d * d`). This
+  * exists so the IVF cell-assignment argmin, moved from a per-row
+  * ScalaUDF over the broadcast centroid array into whole-stage codegen,
+  * ranks centroids by EXACTLY the distances the trainer's scalar loop
+  * produced — a double-precision subtract could flip a near-tie
+  * assignment and change e08's candidate set. Strict array<float> only
+  * (a double input would silently change precision); NULL on dimension
+  * mismatch. */
+case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"float_l2sq requires array<float> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i) - b.getFloat(i) // float subtract
+        s += (d * d).toDouble                 // float multiply, double sum
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    float $d = $a.getFloat($i) - $b.getFloat($i);
+         |    $s += (double) ($d * $d);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "float_l2sq"
+}
+
 object VectorExpressions {
   /** Register SQL functions cosine_sim / dot_product / l2_distance / long_dot. */
   def registerAll(spark: SparkSession): Unit = {
@@ -287,6 +351,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("l2_distance", binary("l2_distance", L2Distance.apply), "scala_udf")
     reg.createOrReplaceTempFunction("long_dot", binary("long_dot", LongDot.apply), "scala_udf")
     reg.createOrReplaceTempFunction("long_l2sq", binary("long_l2sq", LongL2Sq.apply), "scala_udf")
+    reg.createOrReplaceTempFunction("float_l2sq", binary("float_l2sq", FloatL2Sq.apply), "scala_udf")
   }
 
   /** Column helper for [[LongDot]]; registers on demand like

@@ -75,11 +75,23 @@ object PipelineQueries {
     * banded pair join must FIND these pairs at every SF — the nonzero-
     * rows guarantee (m07/m08 doctrine) that survives the recall
     * collapse of scaling nBits with the corpus. Constant 3 extra rows
-    * at any SF (ScaleGen replica shifts keep vec_id < 3 unique). */
+    * at any SF (ScaleGen replica shifts keep vec_id < 3 unique).
+    *
+    * Mutant ids are shifted by max(vec_id) + 1 — collision-free BY
+    * CONSTRUCTION at any corpus size (a fixed shift like 10⁹ collides
+    * once ScaleGen's max+1 replica striding approaches it, corrupting
+    * the a<b pair join identically on both engines, where the oracle
+    * cannot see it). The max is a single column-pruned agg, broadcast
+    * onto the constant-size mutant slice only. Mutant ids stay greater
+    * than every real id, so pair orientation (a = original, b =
+    * mutant) is unchanged. The oracle derives the same shift. */
   private def withEmbeddingMutants(emb: org.apache.spark.sql.DataFrame) = {
     val base = emb.select(col("vec_id"), col("embedding"))
+    val mx = base.agg(max(col("vec_id")).as("mx_shift"))
     base.union(base.filter(col("vec_id") < 3)
-      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+      .crossJoin(broadcast(mx))
+      .select((col("vec_id") + col("mx_shift") + lit(1L)).as("vec_id"),
+        col("embedding")))
   }
 
   /** The quantized-LSH top-k pipeline as a CTE chain ending in ranked
@@ -174,8 +186,8 @@ object PipelineQueries {
   }
 
   /** Appends a constant-size slice of derived NEAR-DUP mutants to a media
-    * frame: for each row with media_id < `idsBelow`, a copy at
-    * media_id + 10⁹ whose content has byte 0 replaced by 'Z' (0x5A).
+    * frame: for each row with media_id < `idsBelow`, a copy under a
+    * shifted id whose content has byte 0 replaced by 'Z' (0x5A).
     * Only grid cell 0 of the 9×8 byte-stride stub can change (for
     * content ≥ 72 bytes each later cell samples a strictly positive
     * offset), and cell 0 feeds exactly one comparison — so each
@@ -184,13 +196,22 @@ object PipelineQueries {
     * provably nonzero on BOTH engines (the oracles derive the identical
     * mutants in hex space): two engines agreeing on an empty result
     * proves nothing about the banded join actually finding anything.
-    * Constant rows (≤ idsBelow) at any SF — free at 100 TB. */
-  private def withNearDupMutants(media: DataFrame, idsBelow: Int): DataFrame =
+    * Constant rows (≤ idsBelow) at any SF — free at 100 TB.
+    *
+    * Mutant ids are shifted by max(media_id) + 1, not a fixed 10⁹ —
+    * collision-free at any corpus size (withEmbeddingMutants'
+    * rationale); the oracles derive the same shift from the same
+    * frame. */
+  private def withNearDupMutants(media: DataFrame, idsBelow: Int): DataFrame = {
+    val mx = media.agg(max(col("media_id")).as("mx_shift"))
     media.unionByName(media
       .filter(col("media_id") < idsBelow)
-      .withColumn("media_id", col("media_id") + lit(1000000000L))
+      .crossJoin(broadcast(mx))
+      .withColumn("media_id", col("media_id") + col("mx_shift") + lit(1L))
+      .drop("mx_shift")
       .withColumn("content", concat(lit(Array('Z'.toByte)),
         substring(col("content"), 2, Int.MaxValue))))
+  }
 
   /** Shared m07/m08 banded perceptual-hash near-dup pipeline. `media`
     * supplies (media_id, content); `realBands` is the per-kind real
@@ -1702,29 +1723,34 @@ object PipelineQueries {
     // exact cosine, threshold — reproduced in the oracle from the same
     // plane literals (e03b's role, for the pair path).
     //
-    // nBits = 16, NOT 8 (round-13 sf10 lesson): bucket count must scale
-    // with the corpus. 2⁸ = 256 buckets over sf10's 200k vectors put
-    // ~780 vectors in every exact bucket and ~7k in every probed one —
-    // ~7·10⁸ candidate pairs (quadratic per bucket), 74 GB of spill,
-    // ENOSPC even solo. 2¹⁶ buckets keep per-bucket occupancy ~3 at
-    // sf10 (candidates ≈ N²·17/2¹⁷ ≈ 10⁷) and survive the next decade.
-    // At 16 bits the accidental low-cos collisions (all 30 sf0.01 pairs
-    // were cos 0.35-0.48) vanish, so the contract would verify on zero
-    // rows — the m07/m08 trivially-green class. Same cure: union a
-    // constant slice of EXACT-DUPLICATE mutants (vec_id < 3, id + 10⁹,
-    // vector unchanged — identical signature by construction, cos 1.0),
-    // which the banded join must FIND at every SF; the oracle derives
-    // the identical mutants.
+    // Signature width is DERIVED from the corpus (Ann.lshBitsFor, the
+    // round-13 sizing lesson as code, round-13 verdict ask #5): bucket
+    // count must scale with the corpus — 2⁸ = 256 buckets over sf10's
+    // 200k vectors put ~780 vectors in every exact bucket, ~7·10⁸
+    // candidate pairs (quadratic per bucket), 74 GB of spill, ENOSPC
+    // even solo. The rule's floor of 16 keeps occupancy ≤ 4 (candidates
+    // ≈ N²·17/2¹⁷ ≈ 10⁷ at sf10) and yields EXACTLY 16 at every
+    // verified SF (the width first grows at n > 4·2¹⁶ = 262,144), so
+    // the e07b oracle can stay a static 16-bit twin; beyond that the
+    // oracle hands off to topology bytediff anyway. LshBitsSpec pins
+    // the rule. At 16 bits the accidental low-cos collisions (all 30
+    // sf0.01 pairs at 8 bits were cos 0.35-0.48) vanish, so the
+    // contract would verify on zero rows — the m07/m08 trivially-green
+    // class. Same cure: union a constant slice of EXACT-DUPLICATE
+    // mutants (vec_id < 3, id shifted past max(vec_id), vector
+    // unchanged — identical signature by construction, cos 1.0), which
+    // the banded join must FIND at every SF; the oracle derives the
+    // identical mutants.
     "e07b_neardups_lsh_quantized" -> ((s, d) => {
       Ann.cosineNearDupsQuantized(withEmbeddingMutants(Tables.embeddings(s, d)),
-        "vec_id", "embedding", threshold = 0.35, nBits = 16)
+        "vec_id", "embedding", threshold = 0.35)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
 
     "e07_embedding_neardups_lsh" -> ((s, d) => {
       Ann.cosineNearDups(withEmbeddingMutants(Tables.embeddings(s, d)),
-        "vec_id", "embedding", threshold = 0.35, nBits = 16)
+        "vec_id", "embedding", threshold = 0.35)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
@@ -2449,7 +2475,8 @@ object PipelineQueries {
     // same cap, exact Hamming via per-band bit_count(xor). The hm CTE
     // derives the same constant near-dup mutants as the Spark side's
     // withNearDupMutants (media_id < 3, byte 0 → 'Z' ≡ hex '5A', id
-    // + 10⁹) so the contract verifies on a provably NONZERO pair set.
+    // shifted past max(media_id)) so the contract verifies on a
+    // provably NONZERO pair set.
     "m07_phash_neardups" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS content FROM documents),
         |h0 AS (SELECT media_id, upper(hex(content)) AS hx,
@@ -2457,7 +2484,8 @@ object PipelineQueries {
         |      FROM m WHERE octet_length(content) >= 2),
         |h AS (SELECT media_id, hx, n FROM h0
         |      UNION ALL
-        |      SELECT media_id + 1000000000, '5A' || substring(hx, 3), n
+        |      SELECT media_id + (SELECT max(media_id) + 1 FROM m),
+        |        '5A' || substring(hx, 3), n
         |      FROM h0 WHERE media_id < 3),
         |g AS (SELECT media_id,
         |        list_transform(range(0, 72),
@@ -2497,7 +2525,8 @@ object PipelineQueries {
         |      FROM m WHERE octet_length(content) >= 2),
         |h AS (SELECT media_id, hx, n FROM h0
         |      UNION ALL
-        |      SELECT media_id + 1000000000, '5A' || substring(hx, 3), n
+        |      SELECT media_id + (SELECT max(media_id) + 1 FROM m),
+        |        '5A' || substring(hx, 3), n
         |      FROM h0 WHERE media_id < 6),
         |g AS (SELECT media_id,
         |        list_transform(range(0, 72),
@@ -3008,7 +3037,8 @@ object PipelineQueries {
          |emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |emb AS (SELECT vec_id, e FROM emb0
          |        UNION ALL
-         |        SELECT vec_id + 1000000000, e FROM emb0 WHERE vec_id < 3),
+         |        SELECT vec_id + (SELECT max(vec_id) + 1 FROM emb0), e
+         |        FROM emb0 WHERE vec_id < 3),
          |un AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS d, e[CAST(t.i AS INT)] AS v
          |       FROM emb, range(1, 65) t(i)),
          |bits AS (SELECT un.vec_id, planes.p,

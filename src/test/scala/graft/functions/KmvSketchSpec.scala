@@ -142,6 +142,19 @@ class KmvSketchSpec extends AnyFunSuite {
       e.foreach { case (g, v) => assert(m(g) == v, s"k=$k group=$g") }
       (m.keySet -- e.keySet).foreach(g => assert(m(g).isEmpty, s"k=$k group=$g"))
     }
+    // NULL elements in a nullable array<bigint> are SKIPPED, matching
+    // min_k_longs(explode(...)) whose update skips null inputs — a null
+    // read as getLong would silently insert 0 into the sketch (the
+    // function is SQL-registered, so user arrays can be nullable)
+    val nullable = Seq((1, Seq(Some(7L), None, Some(3L))),
+      (1, Seq[Option[Long]](None)), (2, Seq[Option[Long]](None, None)))
+      .toDF("g", "regs")
+    nullable.createOrReplaceTempView("mklm_nulls")
+    val viaSql = spark.sql(
+      "SELECT g, min_k_longs_merge(regs, 4) AS r FROM mklm_nulls GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql(1) == Seq(3L, 7L), "null elements must be skipped, not read as 0")
+    assert(viaSql(2).isEmpty, "all-null arrays must yield an empty register")
   }
 
   test("null inputs are ignored, not hashed") {

@@ -35,6 +35,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("float_l2sq: bit-identical to a scalar Array[Float] loop, in both eval modes") {
+    import spark.implicits._
+    VectorExpressions.registerAll(spark)
+    // float subtract/multiply, double accumulate — the EXACT arithmetic
+    // of the scalar loop the IVF assignment UDF used; a double-precision
+    // subtract differs in ulps and could flip a near-tie argmin
+    def scalar(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(41L)
+    val rows = (1 to 200).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+    df.createOrReplaceTempView("fl2")
+    // codegen path (projection) — exact equality, not tolerance
+    val got = spark.sql("SELECT float_l2sq(a, b) FROM fl2").collect().map(_.getDouble(0))
+    got.zip(rows).foreach { case (g, (a, b)) => assert(g == scalar(a, b)) }
+    // interpreted path (literal fold at analysis time would use eval)
+    val one = spark.sql(
+      "SELECT float_l2sq(CAST(array(1.5, 2.25) AS ARRAY<FLOAT>), CAST(array(0.25, -1.0) AS ARRAY<FLOAT>))")
+      .collect()(0).getDouble(0)
+    assert(one == (1.5f - 0.25f) * (1.5f - 0.25f) + (2.25f + 1.0f) * (2.25f + 1.0f))
+    // dimension mismatch → NULL; non-float elements → analysis error
+    assert(spark.sql(
+      "SELECT float_l2sq(CAST(array(1.0) AS ARRAY<FLOAT>), CAST(array(1.0, 2.0) AS ARRAY<FLOAT>))")
+      .collect()(0).isNullAt(0))
+    val err = intercept[Exception](spark.sql("SELECT float_l2sq(array(1.0), array(2.0))").collect())
+    assert(err.getMessage.contains("float_l2sq requires array<float>"))
+  }
+
   test("expressions participate in whole-stage codegen (no fallback)") {
     VectorExpressions.registerAll(spark)
     graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -423,6 +423,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("lshBitsFor: width 16 at every verified SF, occupancy-driven growth beyond") {
+    // the gate/verified corpus sizes (sf0.001 .. sf10 embeddings, + 3
+    // mutants) must ALL yield 16 — the e07b oracle is a static 16-bit
+    // twin, so a rule change that moves these moves verified hashes
+    for (n <- Seq(1L, 23L, 2003L, 20003L, 200003L, 262144L))
+      assert(Ann.lshBitsFor(n) == 16, s"n=$n")
+    // first growth exactly past targetOccupancy * 2^16
+    assert(Ann.lshBitsFor(262145L) == 17)
+    assert(Ann.lshBitsFor(4L << 17) == 17)
+    assert(Ann.lshBitsFor((4L << 17) + 1) == 18)
+    // 100 TB envelope: ~1e10 vectors → 32 G buckets capped at 2^30
+    assert(Ann.lshBitsFor(10000000000L) == 30)
+    assert(Ann.lshBitsFor(Long.MaxValue / 2) == 30)
+    // occupancy parameter participates
+    assert(Ann.lshBitsFor(262145L, targetOccupancy = 8) == 16)
+  }
+
   test("embedding near-dup pairs: LSH-found pairs are a subset of brute force, cosine exact") {
     import spark.implicits._
     val brute = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
