@@ -400,6 +400,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: corpus-side cell assignment runs inside whole-stage codegen, no UDF") {
+    // the round-14 rewrite's contract: the per-vector argmin over the
+    // centroid literals (float_l2sq + array_min/array_position) must
+    // plan as codegen'd expressions — a ScalaUDF in the corpus-side
+    // plan would put an interpreted per-row hop back on the one
+    // pass-over-every-vector path this rewrite removed
+    val df = Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+      "embedding", k = 3, nLists = 16, nProbe = 4)
+    df.collect() // finalize AQE — codegen markers only exist on executed stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan.take(1500))
+    assert(plan.contains("float_l2sq"), plan.take(1500))
+    // the filter/project band carrying the assignment sits in a
+    // WholeStageCodegen span (the `*(n)` marker on its Project/Filter)
+    val assignLine = plan.linesIterator.find(_.contains("float_l2sq")).get
+    assert(assignLine.contains("*("), assignLine.take(300))
+  }
+
   test("IVF ANN: deterministic index, recall against brute-force KNN") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
