@@ -46,7 +46,7 @@ always retried.
 script then just prints which names NEED a cluster-topology run (exit
 2), so the expensive cluster Verify only runs for the tail.
 """
-import hashlib, json, os, re, shutil, subprocess, sys, threading
+import hashlib, json, os, re, shutil, subprocess, sys, tempfile, threading
 from concurrent.futures import ThreadPoolExecutor
 
 SF = sys.argv[1]
@@ -99,11 +99,17 @@ def defhash(name):
 
 
 def _split_limit(total, par):
-    """'40GB' / 4 -> '10GB' (floor, min 1). Unparseable -> passthrough."""
-    m = re.fullmatch(r"(\d+)\s*GB", total.strip(), re.IGNORECASE)
+    """'40GB' / 4 -> '10GB' (floor, min 1), any common DuckDB size unit
+    (KB/MB/GB/TB, KiB/MiB/GiB/TiB). Unparseable -> passthrough WITH a
+    stderr warning: passthrough gives EACH of the PAR workers the total
+    cap, so the aggregate-spill bound this divide exists for is gone."""
+    m = re.fullmatch(r"(\d+)\s*([KMGT]i?B)", total.strip(), re.IGNORECASE)
     if not m:
+        print(f"sfmodes: WARNING: cannot parse GRAFT_DUCKDB_TMPLIMIT "
+              f"{total!r}; each of {par} workers gets the FULL cap "
+              f"(aggregate spill unbounded)", file=sys.stderr)
         return total
-    return f"{max(1, int(m.group(1)) // max(1, par))}GB"
+    return f"{max(1, int(m.group(1)) // max(1, par))}{m.group(2)}"
 
 
 TMP_PER_WORKER = _split_limit(os.environ.get("GRAFT_DUCKDB_TMPLIMIT", "40GB"), PAR)
@@ -116,7 +122,13 @@ def run_oracle(name):
     # temp_directory delete each other's spill files (spurious
     # FAIL/crash — round-12 operational lesson, ROUND_NOTES). The
     # per-worker cap is total/PAR so the aggregate stays bounded.
-    tmpdir = f"/tmp/duckdb_oracle_tmp_{name}"
+    # mkdtemp (not a fixed per-name path): two concurrent sfmodes
+    # invocations (an sf1 and an sf10 sweep) sharing a query name would
+    # otherwise rmtree each other's LIVE spill dir in finally — the
+    # cross-process variant of the exact clobbering the per-name dir
+    # was introduced to prevent.
+    tmpdir = tempfile.mkdtemp(
+        prefix=f"duckdb_oracle_{os.path.basename(SF.rstrip(os.sep))}_{name}_")
     try:
         env = {**os.environ, "GRAFT_DUCKDB_TMP": tmpdir,
                "GRAFT_DUCKDB_TMPLIMIT": TMP_PER_WORKER}

@@ -98,29 +98,21 @@ object Ann {
   private[graft] def planeWeight(p: Int, d: Int): Double =
     if (((mix64(p.toLong * 1000003L + d) >>> 17) & 1L) == 1L) 1.0 else -1.0
 
-  /** `nBits`-bit hyperplane signature as an int column. A compact UDF
-    * rather than an unrolled expression tree: nBits×dims element_at terms
-    * made Catalyst planning/codegen dominate runtime (measured 3s at
-    * sf0.1, nearly all planning). */
-  def lshSignature(vec: Column, nBits: Int = 12, dims: Int = 64): Column = {
-    val planes: Array[Array[Double]] =
-      Array.tabulate(nBits, dims)((p, d) => planeWeight(p, d))
-    val f = udf { (v: Seq[Float]) =>
-      var sig = 0
-      var p = 0
-      while (p < planes.length) {
-        val row = planes(p)
-        var s = 0.0
-        var d = 0
-        val n = math.min(row.length, v.length)
-        while (d < n) { s += v(d) * row(d); d += 1 }
-        if (s > 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-    f(vec)
-  }
+  /** `nBits`-bit hyperplane signature as an int column — ONE native
+    * codegen expression ([[graft.functions.HyperplaneSig]]). History of
+    * this hot path (it is the corpus-side one-pass-per-vector stage of
+    * every LSH caller, including headline e03): first a per-row ScalaUDF
+    * (interpreted hop, fences whole-stage codegen); an unrolled
+    * nBits×dims element_at tree was rejected because Catalyst planning
+    * dominated (measured 3s per query at sf0.1); the expression's
+    * doGenCode loop over the plane reference object has constant
+    * planning cost AND codegen, with arithmetic bit-identical to the
+    * retired UDF (float element × double ±1 weight, sequential double
+    * accumulate). */
+  def lshSignature(vec: Column, nBits: Int = 12, dims: Int = 64): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.HyperplaneSig(
+        org.apache.spark.sql.graft.GraftSql.expression(vec), nBits, dims, quantized = false))
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, found via hyperplane-bucket self-join with
@@ -357,7 +349,14 @@ object Ann {
     // strict-< scan). The ScalaUDF closures over a broadcast this
     // replaces were the ANN family's last interpreted per-row hop.
     // float_l2sq keeps the UDF's float subtract/multiply arithmetic, so
-    // every assignment — including near-ties — is bit-identical.
+    // every assignment — including near-ties — is bit-identical. One
+    // DELIBERATE behavior change vs the retired UDF: a corpus vector
+    // whose dimension differs from the centroids' gets float_l2sq =
+    // NULL and is DROPPED below (isNotNull), where the UDF assigned it
+    // via min-truncated distances. Dropping is the more correct
+    // semantics (a malformed vector has no meaningful nearest cell and
+    // would otherwise pollute its bucket's candidates); verified
+    // corpora are fixed-dims so no verified output moves.
     def d2(v: Column, c: Int): Column =
       call_function("float_l2sq", v, typedlit(cs(c).toSeq))
     val cellOf: Column => Column = { v =>
@@ -860,25 +859,10 @@ object Ann {
     * pipeline — signature, banding, Hamming-1 multiprobe, cosine top-k —
     * is hash-checkable against the DuckDB oracle, which embeds the same
     * plane weights as SQL literals. */
-  def lshSignatureQuantized(vec: Column, nBits: Int = 8, dims: Int = 64): Column = {
-    val planes: Array[Array[Long]] =
-      Array.tabulate(nBits, dims)((p, d) => if (planeWeight(p, d) > 0) 1L else -1L)
-    val f = udf { (v: Seq[Float]) =>
-      var sig = 0
-      var p = 0
-      while (p < planes.length) {
-        val row = planes(p)
-        var s = 0L
-        var d = 0
-        val n = math.min(row.length, v.length)
-        while (d < n) { s += row(d) * math.floor(v(d).toDouble * 1024.0).toLong; d += 1 }
-        if (s > 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-    f(vec)
-  }
+  def lshSignatureQuantized(vec: Column, nBits: Int = 8, dims: Int = 64): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.HyperplaneSig(
+        org.apache.spark.sql.graft.GraftSql.expression(vec), nBits, dims, quantized = true))
 
   /** [[lshTopK]] with the integer-quantized signature — the
     * oracle-checkable LSH path. */

@@ -1,8 +1,9 @@
 package graft.inet
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** UTF8String-typed entry points for the inet library, invoked from
@@ -69,6 +70,14 @@ object InetRuntime {
     val r = InetFunctions.setMasklen(s.toString, bits)
     if (r == null) null else UTF8String.fromString(r)
   }
+  def addrBucket(s: UTF8String, bits: Int): java.lang.Integer =
+    InetOps.addrBucket(s.toString, bits) match {
+      case Some(b) => java.lang.Integer.valueOf(b)
+      case None    => null
+    }
+  def cidrBuckets(s: UTF8String, bits: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(InetOps.cidrBuckets(s.toString, bits).toArray)
 }
 
 /** Expression builders for the inet function family (codegen-native via
@@ -133,6 +142,24 @@ object InetExpressions {
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true, returnNullable = true)
   }
+
+  /** Bucket key of one address for [[InetOps]]' bucketed CIDR equi-joins
+    * — codegen-native like the rest of the family (these two replaced the
+    * ScalaUDFs that were the inet module's last interpreted hops). Not in
+    * [[all]]: the bucket layout is the join's private contract, not a
+    * user-facing SQL function. */
+  def addrBucket(addr: Expression, bits: Int): Expression =
+    StaticInvoke(InetRuntime.getClass, IntegerType, "addrBucket",
+      Seq(addr, Literal(bits)), inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true)
+
+  /** Every bucket a CIDR spans (empty for unparseable; NULL propagates) —
+    * see [[addrBucket]]. */
+  def cidrBuckets(cidr: Expression, bits: Int): Expression =
+    StaticInvoke(InetRuntime.getClass, ArrayType(IntegerType, containsNull = false),
+      "cidrBuckets", Seq(cidr, Literal(bits)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true, returnNullable = true)
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "inet_normalize" -> normalize _,

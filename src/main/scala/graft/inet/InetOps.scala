@@ -93,10 +93,17 @@ object InetOps {
   private def bucketed(logs: DataFrame, addr: Column, nets: DataFrame,
       cidr: Column, bucketBits: Int, joinType: String): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 16, "bucketBits must be in [1,16]")
-    val bucketOfAddr = udf((a: String) =>
-      if (a == null) None else addrBucket(a, bucketBits))
-    val bucketsOfCidr = udf((c: String) =>
-      if (c == null) Seq.empty[Int] else cidrBuckets(c, bucketBits))
+    // Codegen-native bucket keys (StaticInvoke, like the rest of the
+    // inet family) — these were ScalaUDFs until round 15. NULL input
+    // propagates to a NULL bucket, which the UDFs' explicit null guards
+    // produced too (None / the explode of an empty list both drop the
+    // row, same as explode(NULL)).
+    def bucketOfAddr(a: Column): Column =
+      org.apache.spark.sql.graft.GraftSql.column(InetExpressions.addrBucket(
+        org.apache.spark.sql.graft.GraftSql.expression(a), bucketBits))
+    def bucketsOfCidr(c: Column): Column =
+      org.apache.spark.sql.graft.GraftSql.column(InetExpressions.cidrBuckets(
+        org.apache.spark.sql.graft.GraftSql.expression(c), bucketBits))
     // The caller's addr/cidr Columns are materialized into temp columns on
     // their OWN side before the join, and the residual references only
     // those temps — so logs and nets sharing column names (id, ts, …)

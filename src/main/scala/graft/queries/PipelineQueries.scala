@@ -1723,8 +1723,8 @@ object PipelineQueries {
     // exact cosine, threshold — reproduced in the oracle from the same
     // plane literals (e03b's role, for the pair path).
     //
-    // Signature width is DERIVED from the corpus (Ann.lshBitsFor, the
-    // round-13 sizing lesson as code, round-13 verdict ask #5): bucket
+    // Signature width sizing (Ann.lshBitsFor, the round-13 sizing
+    // lesson as code, round-13 verdict ask #5): bucket
     // count must scale with the corpus — 2⁸ = 256 buckets over sf10's
     // 200k vectors put ~780 vectors in every exact bucket, ~7·10⁸
     // candidate pairs (quadratic per bucket), 74 GB of spill, ENOSPC
@@ -1741,16 +1741,24 @@ object PipelineQueries {
     // unchanged — identical signature by construction, cos 1.0), which
     // the banded join must FIND at every SF; the oracle derives the
     // identical mutants.
+    // nBits is PINNED to 16 here (not left to the derived default):
+    // the oracle twin is a static 16-bit rebuild, and lshBitsFor yields
+    // exactly 16 at every verified SF anyway — but if the sizing rule
+    // ever changed, a derived width drifting off 16 would surface as an
+    // inexplicable engine divergence instead of a visible width change
+    // (round-14 ADVICE). The library default (nBits = 0 → derived) is
+    // the scale path and stays spec-pinned by LshBitsSpec; pinning here
+    // only ties the CONTRACT query to the width its oracle embeds.
     "e07b_neardups_lsh_quantized" -> ((s, d) => {
       Ann.cosineNearDupsQuantized(withEmbeddingMutants(Tables.embeddings(s, d)),
-        "vec_id", "embedding", threshold = 0.35)
+        "vec_id", "embedding", threshold = 0.35, nBits = 16)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
 
     "e07_embedding_neardups_lsh" -> ((s, d) => {
       Ann.cosineNearDups(withEmbeddingMutants(Tables.embeddings(s, d)),
-        "vec_id", "embedding", threshold = 0.35)
+        "vec_id", "embedding", threshold = 0.35, nBits = 16)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a"), col("b"))
     }),

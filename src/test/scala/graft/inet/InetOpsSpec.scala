@@ -90,6 +90,14 @@ class InetOpsSpec extends AnyFunSuite {
       "containment join must not be a nested loop:\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(2000))
+    // round-15: the bucket keys are StaticInvoke expressions like the
+    // rest of the inet family — no interpreted ScalaUDF hop on either
+    // side of the join. (The addr-side key does not APPEAR here only
+    // because the local test relation lets Catalyst constant-fold it
+    // into the LocalTableScan — itself proof it is a native expression;
+    // a ScalaUDF is never folded.)
+    assert(!p.contains("UDF"), p.take(2000))
+    assert(p.contains("static_invoke(graft.inet.InetRuntime.cidrBuckets"), p.take(2000))
   }
 
   test("security pipeline e2e: zeek conn logs × intel subnets → zeek-format hits") {
