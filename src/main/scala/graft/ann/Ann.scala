@@ -320,18 +320,6 @@ object Ann {
     best
   }
 
-  /** Top `nProbe` nearest centroids of a vector (probe list). */
-  private def probeList(v: Array[Float], cs: Array[Array[Float]], nProbe: Int): Array[Int] = {
-    cs.indices.map { c =>
-      val cv = cs(c)
-      var d2 = 0.0
-      var d = 0
-      val n = math.min(v.length, cv.length)
-      while (d < n) { val diff = v(d) - cv(d); d2 += diff * diff; d += 1 }
-      (c, d2)
-    }.sortBy(_._2).take(nProbe).map(_._1).toArray
-  }
-
   /** Approximate top-k via the IVF index: corpus vectors are assigned to
     * their nearest cell (one map-side pass, shuffle on cell id only);
     * each query joins against its `nProbe` nearest cells. At 100 TB the
@@ -415,18 +403,6 @@ object Ann {
     }
   }
 
-  /** Squared L2 between `v[offset, offset+len)` and a sub-centroid. */
-  private def subDist(v: Array[Float], cent: Array[Float], offset: Int): Double = {
-    var d2 = 0.0
-    var d = 0
-    while (d < cent.length) {
-      val diff = v(offset + d).toDouble - cent(d)
-      d2 += diff * diff
-      d += 1
-    }
-    d2
-  }
-
   /** Approximate L2 top-k via PQ asymmetric-distance (ADC) scoring.
     * The corpus is ENCODED once map-side — m small codes per vector
     * instead of `dims` floats, the ~32× memory collapse that lets a
@@ -440,15 +416,15 @@ object Ann {
     * the self-distance ≡ quantization-error invariant. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, ksub: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
     val books = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    val bc = spark.sparkContext.broadcast(books)
-    val encode = udf { (v: Seq[Float]) =>
-      if (v == null) null else encodeCodes(v.toArray, bc.value)
-    }
-    val table = udf { (v: Seq[Float]) =>
-      if (v == null) null else distTable(v.toArray, bc.value)
-    }
+    // Native kernel expressions over the FLATTENED trained codebook (a
+    // few KB serialized with the plan — replaces both the ScalaUDF
+    // closures and the explicit sparkContext.broadcast they captured);
+    // arithmetic is encodeCodes/distTable's, bit-for-bit (PqKernelSpec).
+    val subDim = books(0)(0).length
+    val flat = books.flatten.flatten
+    val encode = kernelCol(new AnnKernels.PqEncodeKernel(flat, null, m, ksub, subDim)) _
+    val table = kernelCol(new AnnKernels.PqTableKernel(flat, null, m, ksub, subDim)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", encode(col("cv")))
       .filter(col("codes").isNotNull)
@@ -456,46 +432,28 @@ object Ann {
       .withColumn("tab", table(col("qv")))
       .filter(col("tab").isNotNull)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adcUdf(col("tab"), col("codes")))
+      .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = false))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     scored.select("query_id", "neighbor_id", "adist")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Nearest code per subspace: argmin of the sub-centroid distance,
-    * strict `<` so ties keep the lowest code. */
-  private def encodeCodes(arr: Array[Float],
-      books: Array[Array[Array[Float]]]): Array[Int] =
-    Array.tabulate(books.length) { s =>
-      val cs = books(s)
-      val offset = s * cs(0).length
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val d2 = subDist(arr, cs(c), offset)
-        if (d2 < bestD) { bestD = d2; best = c }
-        c += 1
-      }
-      best
-    }
-
-  /** A vector's m×ksub distance table against the codebooks. */
-  private def distTable(arr: Array[Float],
-      books: Array[Array[Array[Float]]]): Array[Array[Double]] =
-    books.zipWithIndex.map { case (cs, s) =>
-      val offset = s * cs(0).length
-      cs.map(c => subDist(arr, c, offset))
-    }
-
-  /** ADC score: m table lookups summed in subspace order. */
-  private val adcUdf = udf { (tab: Seq[Seq[Double]], codes: Seq[Int]) =>
-    var s = 0
-    var sum = 0.0
-    while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
-    sum
-  }
+  /** Column wrappers for the ANN kernel expressions (see
+    * [[graft.functions.AnnKernelExpr]] — native, codegen-participating,
+    * zero per-row boxing; these retired the PQ/IVF-PQ/SQ8 family's
+    * per-row ScalaUDF closures). */
+  private def kernelCol(k: graft.functions.AnnKernel)(v: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.column(graft.functions.AnnKernelExpr(
+      org.apache.spark.sql.graft.GraftSql.expression(v), k))
+  private def kernelCol2(k: graft.functions.AnnKernel2)(v: Column, cell: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.column(graft.functions.AnnKernelExpr2(
+      org.apache.spark.sql.graft.GraftSql.expression(v),
+      org.apache.spark.sql.graft.GraftSql.expression(cell), k))
+  private def adcCol(tab: Column, codes: Column, longMode: Boolean): Column =
+    org.apache.spark.sql.graft.GraftSql.column(graft.functions.AdcSum(
+      org.apache.spark.sql.graft.GraftSql.expression(tab),
+      org.apache.spark.sql.graft.GraftSql.expression(codes), longMode))
 
   /** Exact-L2 re-rank of a (query_id, neighbor_id) candidate pool:
     * vectors are re-fetched for the pool alone (at scale: point lookups
@@ -553,42 +511,35 @@ object Ann {
       val c = cents(nearestCentroid(v, cents))
       Array.tabulate(v.length)(d => v(d) - c(d))
     }, m, ksub, 8)
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcB = spark.sparkContext.broadcast(books)
-
-    def residual(v: Array[Float], cell: Int): Array[Float] = {
-      val c = bcC.value(cell)
-      Array.tabulate(v.length)(d => v(d) - c(d))
-    }
-    val encode = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        val cell = nearestCentroid(arr, bcC.value)
-        (cell, encodeCodes(residual(arr, cell), bcB.value))
-      }
-    }
-    // per probed cell, the query's residual-distance table for that cell
-    val probeTabs = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        probeList(arr, bcC.value, nProbe)
-          .map(cell => (cell, distTable(residual(arr, cell), bcB.value)))
-      }
-    }
+    // Native kernels over the flattened trained state (PqKernelSpec pins
+    // them bit-identical to the retired closures). The closures' struct
+    // values are DECOMPOSED: cell and codes are two expressions on the
+    // corpus row; the query side explodes its probe list first and
+    // builds one cell's residual table per exploded row — same rows,
+    // same tables, no struct-returning closure.
+    val dims = cents(0).length
+    val subDim = books(0)(0).length
+    val centsFlat = cents.flatten
+    val booksFlat = books.flatten.flatten
+    val cellOf = kernelCol(new AnnKernels.IvfCellKernel(centsFlat, null, nLists, dims)) _
+    val codesOf = kernelCol2(new AnnKernels.IvfPqCodesKernel(
+      centsFlat, null, booksFlat, null, m, ksub, subDim, dims)) _
+    val probeOf = kernelCol(new AnnKernels.IvfProbeKernel(centsFlat, nLists, dims, nProbe)) _
+    val tableOf = kernelCol2(new AnnKernels.IvfPqTableKernel(
+      centsFlat, null, booksFlat, null, m, ksub, subDim, dims)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("enc", encode(col("cv")))
-      .filter(col("enc").isNotNull)
-      .select(col("neighbor_id"),
-        col("enc._1").as("cell"), col("enc._2").as("codes"))
+      .withColumn("cell", cellOf(col("cv")))
+      .withColumn("codes", codesOf(col("cv"), col("cell")))
+      .filter(col("codes").isNotNull)
+      .select("neighbor_id", "cell", "codes")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("probe", explode(probeTabs(col("qv"))))
-      .select(col("query_id"),
-        col("probe._1").as("cell"), col("probe._2").as("tab"))
+      .withColumn("cell", explode(probeOf(col("qv"))))
+      .withColumn("tab", tableOf(col("qv"), col("cell")))
+      .filter(col("tab").isNotNull)
+      .select("query_id", "cell", "tab")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adcUdf(col("tab"), col("codes")))
+      .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = false))
     // candidate pool by ADC — the ranking shuffle carries only
     // (ids, adist); the exact re-rank re-fetches vectors for the pool alone
     val wa = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
@@ -618,43 +569,14 @@ object Ann {
       vecCol: String, k: Int, m: Int = 4, ksub: Int = 8, dims: Int = 64): DataFrame = {
     require(dims % m == 0, s"pq: $dims dims not divisible into $m subspaces")
     val subDim = dims / m
-    val books: Array[Array[Array[Long]]] =
-      Array.tabulate(m, ksub, subDim)((s, c, d) => pqFixedCentroid(s, c, d))
-    def qv(v: Seq[Float], gd: Int): Long = math.floor(v(gd).toDouble * 1024.0).toLong
-    def subD2(v: Seq[Float], s: Int, c: Int): Long = {
-      var d = 0
-      var d2 = 0L
-      while (d < subDim) {
-        val diff = qv(v, s * subDim + d) - books(s)(c)(d)
-        d2 += diff * diff
-        d += 1
-      }
-      d2
-    }
-    val encode = udf { (v: Seq[Float]) =>
-      if (v == null || v.length < dims) null
-      else Array.tabulate(m) { s =>
-        var best = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < ksub) {
-          val d2 = subD2(v, s, c)
-          if (d2 < bestD) { bestD = d2; best = c } // strict < : ties keep the lowest code
-          c += 1
-        }
-        best
-      }
-    }
-    val table = udf { (v: Seq[Float]) =>
-      if (v == null || v.length < dims) null
-      else Array.tabulate(m, ksub)((s, c) => subD2(v, s, c))
-    }
-    val adc = udf { (tab: Seq[Seq[Long]], codes: Seq[Int]) =>
-      var s = 0
-      var sum = 0L
-      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
-      sum
-    }
+    // Native kernels in LONG mode over the fixed integer codebook —
+    // bit-for-bit the retired closures' floor(v·1024) arithmetic
+    // (PqKernelSpec), and the oracle twin's SQL rebuild is unchanged.
+    val booksFlat: Array[Long] =
+      Array.tabulate(m * ksub * subDim)(i =>
+        pqFixedCentroid(i / (ksub * subDim), (i / subDim) % ksub, i % subDim))
+    val encode = kernelCol(new AnnKernels.PqEncodeKernel(null, booksFlat, m, ksub, subDim)) _
+    val table = kernelCol(new AnnKernels.PqTableKernel(null, booksFlat, m, ksub, subDim)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", encode(col("cv")))
       .filter(col("codes").isNotNull)
@@ -662,7 +584,7 @@ object Ann {
       .withColumn("tab", table(col("qv")))
       .filter(col("tab").isNotNull)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("tab"), col("codes")))
+      .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = true))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     scored.select("query_id", "neighbor_id", "adist")
       .withColumn("rank", row_number().over(w))
@@ -699,94 +621,36 @@ object Ann {
       dims: Int = 64, candidates: Int = 25): DataFrame = {
     require(dims % m == 0, s"ivfpq: $dims dims not divisible into $m subspaces")
     val subDim = dims / m
-    val cents: Array[Array[Long]] =
-      Array.tabulate(nLists, dims)((c, d) => ivfFixedCentroid(c, d))
-    val books: Array[Array[Array[Long]]] =
-      Array.tabulate(m, ksub, subDim)((s, c, d) => ivfPqResidualCentroid(s, c, d))
-    def quant(v: Seq[Float]): Array[Long] =
-      Array.tabulate(dims)(d => math.floor(v(d).toDouble * 1024.0).toLong)
-    def cellOf(q: Array[Long]): Int = {
-      var best = 0
-      var bestD = Long.MaxValue
-      var c = 0
-      while (c < nLists) {
-        var d2 = 0L
-        var d = 0
-        while (d < dims) { val x = q(d) - cents(c)(d); d2 += x * x; d += 1 }
-        if (d2 < bestD) { bestD = d2; best = c } // strict < : ties keep the lowest cell
-        c += 1
-      }
-      best
-    }
-    def subD2(rv: Array[Long], s: Int, c: Int): Long = {
-      var d = 0
-      var d2 = 0L
-      while (d < subDim) {
-        val diff = rv(s * subDim + d) - books(s)(c)(d)
-        d2 += diff * diff
-        d += 1
-      }
-      d2
-    }
-    def residual(q: Array[Long], cell: Int): Array[Long] =
-      Array.tabulate(dims)(d => q(d) - cents(cell)(d))
-    val encode = udf { (v: Seq[Float]) =>
-      if (v == null || v.length < dims) null
-      else {
-        val q = quant(v)
-        val cell = cellOf(q)
-        val rv = residual(q, cell)
-        (cell, Array.tabulate(m) { s =>
-          var best = 0
-          var bestD = Long.MaxValue
-          var c = 0
-          while (c < ksub) {
-            val d2 = subD2(rv, s, c)
-            if (d2 < bestD) { bestD = d2; best = c } // ties keep the lowest code
-            c += 1
-          }
-          best
-        })
-      }
-    }
-    // full probe: one residual distance table per cell
-    val probeTabs = udf { (v: Seq[Float]) =>
-      if (v == null || v.length < dims) null
-      else {
-        val q = quant(v)
-        Array.tabulate(nLists) { cell =>
-          val rv = residual(q, cell)
-          (cell, Array.tabulate(m, ksub)((s, c) => subD2(rv, s, c)))
-        }
-      }
-    }
-    val quantUdf = udf { (v: Seq[Float]) =>
-      if (v == null || v.length < dims) null else quant(v)
-    }
-    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var d = 0
-      var d2 = 0L
-      while (d < a.length) { val x = a(d) - b(d); d2 += x * x; d += 1 }
-      d2
-    }
-    val adc = udf { (tab: Seq[Seq[Long]], codes: Seq[Int]) =>
-      var s = 0
-      var sum = 0L
-      while (s < codes.length) { sum += tab(s)(codes(s)); s += 1 }
-      sum
-    }
+    // Native kernels in LONG mode over the fixed integer centroids and
+    // residual codebooks — bit-for-bit the retired closures' arithmetic
+    // (PqKernelSpec); the oracle twin's SQL rebuild is unchanged. The
+    // closures' struct values are decomposed exactly like [[ivfPqTopK]]:
+    // cell + codes as two corpus-side expressions, and the full probe as
+    // explode(0..nLists-1) with one per-cell residual table each.
+    val centsFlat: Array[Long] =
+      Array.tabulate(nLists * dims)(i => ivfFixedCentroid(i / dims, i % dims))
+    val booksFlat: Array[Long] =
+      Array.tabulate(m * ksub * subDim)(i =>
+        ivfPqResidualCentroid(i / (ksub * subDim), (i / subDim) % ksub, i % subDim))
+    val cellOf = kernelCol(new AnnKernels.IvfCellKernel(null, centsFlat, nLists, dims)) _
+    val codesOf = kernelCol2(new AnnKernels.IvfPqCodesKernel(
+      null, centsFlat, null, booksFlat, m, ksub, subDim, dims)) _
+    val tableOf = kernelCol2(new AnnKernels.IvfPqTableKernel(
+      null, centsFlat, null, booksFlat, m, ksub, subDim, dims)) _
+    val quantOf = kernelCol(new AnnKernels.QuantizeKernel(1024.0, Long.MinValue, Long.MaxValue, dims)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("enc", encode(col("cv")))
-      .filter(col("enc").isNotNull)
-      .select(col("neighbor_id"),
-        col("enc._1").as("cell"), col("enc._2").as("codes"))
+      .withColumn("cell", cellOf(col("cv")))
+      .withColumn("codes", codesOf(col("cv"), col("cell")))
+      .filter(col("codes").isNotNull)
+      .select("neighbor_id", "cell", "codes")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("probe", explode(probeTabs(col("qv"))))
-      .select(col("query_id"),
-        col("probe._1").as("cell"), col("probe._2").as("tab"))
+      .withColumn("cell", explode(sequence(lit(0), lit(nLists - 1))))
+      .withColumn("tab", tableOf(col("qv"), col("cell")))
+      .filter(col("tab").isNotNull)
+      .select("query_id", "cell", "tab")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adc(col("tab"), col("codes")))
+      .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = true))
     val wa = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val pool = scored.select(col("query_id"), col("neighbor_id"), col("adist"))
       .withColumn("arank", row_number().over(wa))
@@ -794,12 +658,16 @@ object Ann {
       .select("query_id", "neighbor_id")
     // integer-exact re-rank of the pool in the quantized domain: the
     // pool is (queries × candidates)-bounded, so it BROADCASTS onto the
-    // corpus vectors — the corpus never shuffles for the re-fetch
-    val cq = corpus.select(col(idCol).as("neighbor_id"), quantUdf(col(vecCol)).as("cqv"))
-    val qq = queries.select(col(idCol).as("query_id"), quantUdf(col(vecCol)).as("qqv"))
+    // corpus vectors — the corpus never shuffles for the re-fetch.
+    // long_l2sq is the fused codegen distance; both sides carry exactly
+    // `dims` elements (same QuantizeKernel), so its equal-length
+    // contract always holds here.
+    graft.functions.VectorExpressions.registerAll(corpus.sparkSession)
+    val cq = corpus.select(col(idCol).as("neighbor_id"), quantOf(col(vecCol)).as("cqv"))
+    val qq = queries.select(col(idCol).as("query_id"), quantOf(col(vecCol)).as("qqv"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
     cq.join(broadcast(pool), Seq("neighbor_id")).join(broadcast(qq), Seq("query_id"))
-      .withColumn("d2", d2Udf(col("qqv"), col("cqv")))
+      .withColumn("d2", call_function("long_l2sq", col("qqv"), col("cqv")))
       .select("query_id", "neighbor_id", "d2")
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
@@ -817,18 +685,17 @@ object Ann {
     * ascending. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val enc = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else v.map(x => math.max(-128L, math.min(127L,
-        math.floor(x.toDouble * 256.0).toLong))).toArray
-    }
-    val d2 = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0
-      var s = 0L
-      val n = math.min(a.length, b.length)
-      while (i < n) { val diff = a(i) - b(i); s += diff * diff; i += 1 }
-      s
-    }
+    // Native kernels: QuantizeKernel is the retired `enc` closure
+    // (clamped floor(v·256), every element — dims = 0: sq8 has no
+    // trained dimensionality to enforce) and LongL2SqMin the retired
+    // `d2` (shorter-length truncation, NOT long_l2sq's NULL-on-mismatch
+    // — a NULL would rank first in the ascending window). Both
+    // bit-identical by PqKernelSpec.
+    val enc = kernelCol(new AnnKernels.QuantizeKernel(256.0, -128L, 127L, 0)) _
+    def d2(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.GraftSql.column(graft.functions.LongL2SqMin(
+        org.apache.spark.sql.graft.GraftSql.expression(a),
+        org.apache.spark.sql.graft.GraftSql.expression(b)))
     val c = corpus.select(col(idCol).as("neighbor_id"), enc(col(vecCol)).as("c8"))
       .filter(col("c8").isNotNull)
     val q = queries.select(col(idCol).as("query_id"), enc(col(vecCol)).as("q8"))
