@@ -61,7 +61,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # queries whose SQL itself pins a constant id-prefix on both engines.
 SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
           "e06_embedding_neardups", "e10_embedding_clusters",
-          "q111_record_linkage"}
+          "q111_record_linkage",
+          # round-15 sliced twins of the recursive-closure dedup family
+          # (full rows stay bytediff at sf10; the twin carries the
+          # oracle-semantics evidence there)
+          "d09s_dedup_clusters_sliced", "d14s_clean_corpus_sliced",
+          "d34s_leakage_split_sliced", "d40s_canonical_pick_sliced"}
 
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the

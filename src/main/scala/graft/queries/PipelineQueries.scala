@@ -36,6 +36,13 @@ object PipelineQueries {
     * over the exact bigram-Jaccard near-dup pair graph, through the
     * per-doc min-reachable-id label `lab(id, cluster)`. Shared WITH body
     * of the d09 / d34 / d40 oracles. */
+  /** Constant id-prefix bound for the dXXs sliced oracle twins (see the
+    * block comment at d09s): 25k docs ≈ half the sf1 corpus, where the
+    * recursive-closure oracles are proven feasible, and a constant
+    * fraction of nothing at 100 TB. At SF ≤ 0.1 it covers every doc, so
+    * the twins equal their full queries at the gate SFs. */
+  private[queries] val SliceBound = 25000L
+
   private val clusterCtes: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
       |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
@@ -454,6 +461,64 @@ object PipelineQueries {
     "d09_dedup_clusters" -> ((s, d) => {
       DedupClusters.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sliced oracle twins of the recursive-closure dedup family ----
+    // d09/d14/d34/d40's DuckDB oracles are resource-infeasible at sf10
+    // (the recursive closure spills past the cap — docs/sf10_modes.md),
+    // leaving those rows dual-topology bytediff: determinism proven,
+    // semantics only up to sf1. These twins run the SAME operators on a
+    // constant id-prefix slice (doc_id < SliceBound — pinned in the
+    // Spark source below AND derived into the oracle SQL from the full
+    // query's own string, so the two can never drift), sized well inside
+    // the oracle-proven sf1 scale: the twin's oracle hash-match at sf10
+    // closes the semantics gap the full rows leave there. At SF ≤ 0.1
+    // the slice covers the whole corpus, so the twins also hash-check
+    // end-to-end at the gate SFs. Full-corpus rows stay — the twins ADD
+    // sf10 semantics evidence, they do not replace the scale run.
+    "d09s_dedup_clusters_sliced" -> ((s, d) => {
+      DedupClusters.nearDupClusters(
+        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d14s_clean_corpus_sliced" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      docs.join(clusters, "doc_id")
+        .filter(col("doc_id") === col("cluster"))
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d34s_leakage_split_sliced" -> ((s, d) => {
+      DedupClusters.nearDupClusters(
+        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
+        "doc_id", "text", threshold = 0.5)
+        .withColumn("h", ascii(substring(md5(col("cluster").cast("string")), 1, 1)) % 10)
+        .withColumn("split",
+          when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d40s_canonical_pick_sliced" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val q = docs.select(col("doc_id"),
+        round(TextFunctions.classifierLogit(col("text")), 6).as("quality"))
+      val w = Window.partitionBy(col("cluster")).orderBy(desc("quality"), col("doc_id"))
+      clusters.join(q, "doc_id")
+        .withColumn("canonical", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("quality"), col("canonical"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1903,7 +1968,21 @@ object PipelineQueries {
         .orderBy(col("kind"))
     }))
 
-  val oracle: Map[String, String] = Map(
+  /** The dXXs sliced-twin oracles are DERIVED from the full queries' own
+    * oracle strings — every `FROM documents` source becomes the pinned
+    * id-prefix slice, so the twin's SQL can never drift from the full
+    * query's semantics (one source of truth, same guarantee the Spark
+    * side gets by calling the same operator code on filtered docs). */
+  lazy val oracle: Map[String, String] = oracleBase ++ Seq(
+    "d09s_dedup_clusters_sliced" -> "d09_dedup_clusters",
+    "d14s_clean_corpus_sliced" -> "d14_clean_corpus",
+    "d34s_leakage_split_sliced" -> "d34_leakage_split",
+    "d40s_canonical_pick_sliced" -> "d40_canonical_pick").map {
+    case (twin, full) => twin -> oracleBase(full).replace(
+      "FROM documents", s"FROM (SELECT * FROM documents WHERE doc_id < $SliceBound)")
+  }
+
+  private val oracleBase: Map[String, String] = Map(
     "d01_token_stats" ->
       s"""SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens, length(text) AS len,
          | len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ($stopList))) AS stop_cnt
