@@ -400,6 +400,43 @@ object MiningQueries {
       knnGraphQuantized(Tables.embeddings(s, d), topK = 3)
         .orderBy(col("vec_id"), col("rk"))),
 
+    // ---- sliced oracle twins of the kNN-graph family (the dXXs twin
+    // pattern from PipelineQueries, applied to the embeddings side):
+    // e28/e29/e39's DuckDB oracles OOM at sf10's 200k vectors, leaving
+    // those rows dual-topology bytediff there. The twins run the SAME
+    // operators on vec_id < VecSliceBound (inside the oracle-proven sf1
+    // scale; the whole corpus at SF ≤ 0.1), with the oracle SQL derived
+    // from the full query's own string — sf10 semantics evidence the
+    // full rows cannot carry.
+    "e28s_knn_graph_sliced" -> ((s, d) =>
+      knnGraphQuantized(
+        Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound), topK = 3)
+        .orderBy(col("vec_id"), col("rk"))),
+
+    "e29s_label_prop_sliced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
+      labelProp(emb.select(col("vec_id"), col("label"))
+          .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
+        graft.operators.Lineage.cut(
+          knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id"))),
+        rounds = 2)
+        .orderBy(col("vec_id"))
+    }),
+
+    "e39s_hubness_sliced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
+      val knn = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+      val ind = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_deg"))
+      val all = emb.select(col("vec_id"))
+        .join(ind.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      val stats = all.agg(max(col("in_deg")).as("max_in_deg"),
+        sum(when(col("in_deg") === 0, 1L).otherwise(0L)).as("n_orphans"))
+      all.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
+        .orderBy(col("vec_id"))
+    }),
+
     // semi-supervised label propagation over the e28 kNN graph — the
     // label-spreading step that turns a small labeled seed set into
     // corpus-wide weak labels (classifier bootstrapping, cluster
@@ -1518,7 +1555,27 @@ object MiningQueries {
        |FROM nc LEFT JOIN hits ON nc.nprobe = hits.nprobe CROSS JOIN nqq
        |ORDER BY nc.nprobe""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The eXXs sliced-twin oracles are DERIVED from the full queries'
+    * own oracle strings (every `FROM embeddings` source becomes the
+    * pinned id-prefix slice) — same one-source-of-truth guarantee as
+    * PipelineQueries' dXXs twins. The kNN-graph oracles are
+    * resource-infeasible at sf10 on the full 200k-vector corpus; the
+    * twin carries the oracle-semantics evidence there (the full rows
+    * keep their dual-topology bytediff mode). */
+  lazy val oracle: Map[String, String] = oracleBase ++ Seq(
+    "e28s_knn_graph_sliced" -> "e28_knn_graph",
+    "e29s_label_prop_sliced" -> "e29_label_prop",
+    "e39s_hubness_sliced" -> "e39_hubness").map {
+    case (twin, full) => twin -> oracleBase(full).replace(
+      "FROM embeddings", s"FROM (SELECT * FROM embeddings WHERE vec_id < $VecSliceBound)")
+  }
+
+  /** Constant id-prefix bound for the eXXs twins: 10k vectors — half
+    * the sf1 corpus, where every kNN oracle is proven feasible. At
+    * SF ≤ 0.1 it covers every vector, so twin ≡ full query there. */
+  private[queries] val VecSliceBound = 10000L
+
+  private val oracleBase: Map[String, String] = Map(
     "q137_neighborhood_function" -> {
       val rounds = (1 to 3).map { r =>
         val prev = if (r == 1) "r0" else s"r${r - 1}"
