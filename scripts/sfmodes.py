@@ -68,7 +68,9 @@ SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
           "d09s_dedup_clusters_sliced", "d14s_clean_corpus_sliced",
           "d34s_leakage_split_sliced", "d40s_canonical_pick_sliced",
           "e28s_knn_graph_sliced", "e29s_label_prop_sliced",
-          "e39s_hubness_sliced"}
+          "e39s_hubness_sliced",
+          "d28s_training_manifest_sliced", "d66s_dedup_impact_sliced",
+          "q95s_skyline_sliced", "q66s_range_join_sliced"}
 
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the

@@ -221,6 +221,22 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // sliced oracle twin of q66 (see q95s): the oracle's unbucketed
+    // interval join OOMs at sf10's 2M intervals × 60M points; both sides
+    // pin to constants inside the oracle-proven sf1 scale, oracle SQL
+    // derived from q66's own string.
+    "q66s_range_join_sliced" -> ((s, d) => {
+      val intervals = Tables.part(s, d).filter(col("p_partkey") < PartSliceBound)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+      val points = Tables.lineitem(s, d).filter(col("l_orderkey") < OrderSliceBound)
+        .select(col("l_extendedprice").as("price"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+        "price", "lo", "hi", bucketWidth = 50.0)
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_in_range"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- lateral join (correlated per-row top-n subquery) -----------------
     "q63_lateral" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -964,6 +980,19 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // sliced oracle twin of q95 (the PipelineQueries dXXs pattern): the
+    // oracle's NOT-EXISTS skyline is quadratic in parts and times out at
+    // sf10; this runs the same operator on p_partkey < PartSliceBound
+    // with the oracle derived from q95's own SQL. Full row keeps its
+    // sf10 bytediff mode; the twin carries oracle semantics there.
+    "q95s_skyline_sliced" -> ((s, d) => {
+      graft.operators.Skyline.skyline(
+        Tables.part(s, d).filter(col("p_partkey") < PartSliceBound)
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        Seq(("p_retailprice", false), ("p_size", true)))
+        .orderBy(col("p_partkey"))
+    }),
+
     // --- bag-semantics set operations ------------------------------------------
     // INTERSECT ALL / EXCEPT ALL (multiset counts, not distinct sets —
     // q12/q14 cover the DISTINCT forms); summarized per status so the
@@ -1087,7 +1116,25 @@ object ExtendedQueries {
               |ORDER BY o_orderkey""".stripMargin)
     }))
 
-  val oracle: Map[String, String] = Map(
+  /** q95s/q66s sliced-twin oracles, DERIVED from the full queries' own
+    * oracle strings (the PipelineQueries dXXs mechanism): q95's skyline
+    * NOT-EXISTS is quadratic in parts and times out at sf10's 2M rows;
+    * q66's interval join OOMs on 2M intervals × 60M points. The twins
+    * pin both sides to constants inside the oracle-proven sf1 scale. */
+  lazy val oracle: Map[String, String] = oracleBase ++ Map(
+    "q95s_skyline_sliced" -> oracleBase("q95_skyline").replace(
+      "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)"),
+    "q66s_range_join_sliced" -> oracleBase("q66_range_join")
+      .replace("FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)")
+      .replace("FROM lineitem",
+        s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"))
+
+  /** Constant bounds for the twins: 20k parts / 600k orderkeys — the
+    * whole corpus at SF ≤ 0.1, a constant fraction beyond. */
+  private[queries] val PartSliceBound = 20000L
+  private[queries] val OrderSliceBound = 600000L
+
+  private val oracleBase: Map[String, String] = Map(
     // the DIRECT full-table aggregate — the incremental fold must equal it
     "q116_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),

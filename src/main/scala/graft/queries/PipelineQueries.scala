@@ -508,6 +508,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "d28s_training_manifest_sliced" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
+      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      val clean = docs.join(clusters, "doc_id")
+        .filter(col("doc_id") === col("cluster"))
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val keyed = clean
+        .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))
+        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, -1)
+      keyed
+        .withColumn("pos", row_number().over(w))
+        .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(cum), lit(0)) / 1024.0).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("bin"), col("n_tokens"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    "d66s_dedup_impact_sliced" -> ((s, d) => {
+      val cl = graft.operators.Lineage.cut(DedupClusters.nearDupClusters(
+        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
+        "doc_id", "text", threshold = 0.5))
+      val hist = cl.groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"))
+      val stats = cl.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters_total"))
+      hist.crossJoin(broadcast(stats))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
+          col("n_docs"),
+          (col("n_docs") - col("n_clusters_total")).as("total_removable"))
+        .orderBy(col("cluster_size"))
+    }),
+
     "d40s_canonical_pick_sliced" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
@@ -1976,8 +2014,10 @@ object PipelineQueries {
   lazy val oracle: Map[String, String] = oracleBase ++ Seq(
     "d09s_dedup_clusters_sliced" -> "d09_dedup_clusters",
     "d14s_clean_corpus_sliced" -> "d14_clean_corpus",
+    "d28s_training_manifest_sliced" -> "d28_training_manifest",
     "d34s_leakage_split_sliced" -> "d34_leakage_split",
-    "d40s_canonical_pick_sliced" -> "d40_canonical_pick").map {
+    "d40s_canonical_pick_sliced" -> "d40_canonical_pick",
+    "d66s_dedup_impact_sliced" -> "d66_dedup_impact").map {
     case (twin, full) => twin -> oracleBase(full).replace(
       "FROM documents", s"FROM (SELECT * FROM documents WHERE doc_id < $SliceBound)")
   }
