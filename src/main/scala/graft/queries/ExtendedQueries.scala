@@ -439,6 +439,27 @@ object ExtendedQueries {
         .limit(20)
     }),
 
+    // sliced oracle twin of q75 (see q95s) — the ITERATIVE graph-SQL
+    // representative: same 5 integer pagerank rounds on the bipartite
+    // graph restricted to l_suppkey < SuppSliceBound (customers join in
+    // unsliced; the graph is what shrinks). Oracle derived from q75's
+    // own unrolled-rounds SQL.
+    "q75s_graph_pagerank_sliced" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.integerPageRank(edges, iters = 5)
+        .filter(col("node").startsWith("s"))
+        .orderBy(col("val").desc, col("node").asc)
+        .limit(20)
+    }),
+
     // --- count-min-sketch heavy hitters -------------------------------------
     // Spark's count_min_sketch aggregate + the graft cms_estimate probe
     // (Spark ships the writer but no SQL reader). The sketch is a real
@@ -516,6 +537,24 @@ object ExtendedQueries {
     // enumerates by id order — same triangles, same counts.
     "q77_triangle_count" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select("a", "b")
+      graft.operators.Triangles.perVertexTriangles(edges)
+        .select(col("v").as("suppkey"), col("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("suppkey"))
+    }),
+
+    // sliced oracle twin of q77 (see q95s): the oracle's id-order
+    // triangle enumeration over the full co-purchase graph OOMs at
+    // sf10; the graph restricted to l_suppkey < SuppSliceBound is
+    // sf0.1-sized at any SF, oracle derived from q77's own SQL.
+    "q77s_triangle_count_sliced" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
       val edges = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
@@ -1127,12 +1166,22 @@ object ExtendedQueries {
     "q66s_range_join_sliced" -> oracleBase("q66_range_join")
       .replace("FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)")
       .replace("FROM lineitem",
-        s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"))
+        s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"),
+    // graph-SQL family: the co-purchase graph restricted to suppliers
+    // below the bound (customers/orders join in unsliced — the graph is
+    // what shrinks, identically on both engines)
+    "q77s_triangle_count_sliced" -> oracleBase("q77_triangle_count").replace(
+      "FROM lineitem", s"FROM (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound)"),
+    "q75s_graph_pagerank_sliced" -> oracleBase("q75_graph_pagerank").replace(
+      "JOIN lineitem ON",
+      s"JOIN (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound) lineitem ON"))
 
-  /** Constant bounds for the twins: 20k parts / 600k orderkeys — the
-    * whole corpus at SF ≤ 0.1, a constant fraction beyond. */
+  /** Constant bounds for the twins: 20k parts / 600k orderkeys / 2k
+    * suppliers — the whole corpus at SF ≤ 0.1, a constant fraction
+    * beyond. */
   private[queries] val PartSliceBound = 20000L
   private[queries] val OrderSliceBound = 600000L
+  private[queries] val SuppSliceBound = 2000L
 
   private val oracleBase: Map[String, String] = Map(
     // the DIRECT full-table aggregate — the incremental fold must equal it
