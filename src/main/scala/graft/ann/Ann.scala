@@ -112,7 +112,8 @@ object Ann {
   def lshSignature(vec: Column, nBits: Int = 12, dims: Int = 64): Column =
     org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.HyperplaneSig(
-        org.apache.spark.sql.graft.GraftSql.expression(vec), nBits, dims, quantized = false))
+        org.apache.spark.sql.graft.GraftSql.expression(floatVec(vec)),
+        nBits, dims, quantized = false))
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, found via hyperplane-bucket self-join with
@@ -421,10 +422,16 @@ object Ann {
     // few KB serialized with the plan — replaces both the ScalaUDF
     // closures and the explicit sparkContext.broadcast they captured);
     // arithmetic is encodeCodes/distTable's, bit-for-bit (PqKernelSpec).
+    // Kernel strides come from the TRAINED shape, not the requested
+    // ksub: lloyd caps centroids at the sample size, so a corpus
+    // smaller than ksub trains fewer codes per subspace — the closures
+    // iterated cs.length and handled that; a declared-ksub stride would
+    // index past the flattened array.
     val subDim = books(0)(0).length
+    val ksubA = books(0).length
     val flat = books.flatten.flatten
-    val encode = kernelCol(new AnnKernels.PqEncodeKernel(flat, null, m, ksub, subDim)) _
-    val table = kernelCol(new AnnKernels.PqTableKernel(flat, null, m, ksub, subDim)) _
+    val encode = kernelCol(new AnnKernels.PqEncodeKernel(flat, null, m, ksubA, subDim)) _
+    val table = kernelCol(new AnnKernels.PqTableKernel(flat, null, m, ksubA, subDim)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", encode(col("cv")))
       .filter(col("codes").isNotNull)
@@ -442,13 +449,24 @@ object Ann {
   /** Column wrappers for the ANN kernel expressions (see
     * [[graft.functions.AnnKernelExpr]] — native, codegen-participating,
     * zero per-row boxing; these retired the PQ/IVF-PQ/SQ8 family's
-    * per-row ScalaUDF closures). */
+    * per-row ScalaUDF closures).
+    *
+    * [[floatVec]] keeps the vector API's width contract: the retired
+    * Seq[Float] ScalaUDFs coerced array<double> corpora via an
+    * analyzer-inserted cast, so the wrappers cast to array<float>
+    * explicitly (the kernels are float-strict by design — a silent
+    * wrong-width read would produce garbage). For float inputs
+    * SimplifyCasts elides the no-op, leaving plans — and therefore the
+    * verified byte-identity — unchanged. */
+  private def floatVec(v: Column): Column =
+    v.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = true))
   private def kernelCol(k: graft.functions.AnnKernel)(v: Column): Column =
     org.apache.spark.sql.graft.GraftSql.column(graft.functions.AnnKernelExpr(
-      org.apache.spark.sql.graft.GraftSql.expression(v), k))
+      org.apache.spark.sql.graft.GraftSql.expression(floatVec(v)), k))
   private def kernelCol2(k: graft.functions.AnnKernel2)(v: Column, cell: Column): Column =
     org.apache.spark.sql.graft.GraftSql.column(graft.functions.AnnKernelExpr2(
-      org.apache.spark.sql.graft.GraftSql.expression(v),
+      org.apache.spark.sql.graft.GraftSql.expression(floatVec(v)),
       org.apache.spark.sql.graft.GraftSql.expression(cell), k))
   private def adcCol(tab: Column, codes: Column, longMode: Boolean): Column =
     org.apache.spark.sql.graft.GraftSql.column(graft.functions.AdcSum(
@@ -517,16 +535,21 @@ object Ann {
     // corpus row; the query side explodes its probe list first and
     // builds one cell's residual table per exploded row — same rows,
     // same tables, no struct-returning closure.
+    // Trained-shape strides, not the requested nLists/ksub: lloyd caps
+    // both at the sample size (see pqTopK's note) — a declared-size
+    // stride would read past the flattened arrays on tiny corpora.
     val dims = cents(0).length
     val subDim = books(0)(0).length
+    val nListsA = cents.length
+    val ksubA = books(0).length
     val centsFlat = cents.flatten
     val booksFlat = books.flatten.flatten
-    val cellOf = kernelCol(new AnnKernels.IvfCellKernel(centsFlat, null, nLists, dims)) _
+    val cellOf = kernelCol(new AnnKernels.IvfCellKernel(centsFlat, null, nListsA, dims)) _
     val codesOf = kernelCol2(new AnnKernels.IvfPqCodesKernel(
-      centsFlat, null, booksFlat, null, m, ksub, subDim, dims)) _
-    val probeOf = kernelCol(new AnnKernels.IvfProbeKernel(centsFlat, nLists, dims, nProbe)) _
+      centsFlat, null, booksFlat, null, m, ksubA, subDim, dims)) _
+    val probeOf = kernelCol(new AnnKernels.IvfProbeKernel(centsFlat, nListsA, dims, nProbe)) _
     val tableOf = kernelCol2(new AnnKernels.IvfPqTableKernel(
-      centsFlat, null, booksFlat, null, m, ksub, subDim, dims)) _
+      centsFlat, null, booksFlat, null, m, ksubA, subDim, dims)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", cellOf(col("cv")))
       .withColumn("codes", codesOf(col("cv"), col("cell")))
@@ -729,7 +752,8 @@ object Ann {
   def lshSignatureQuantized(vec: Column, nBits: Int = 8, dims: Int = 64): Column =
     org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.HyperplaneSig(
-        org.apache.spark.sql.graft.GraftSql.expression(vec), nBits, dims, quantized = true))
+        org.apache.spark.sql.graft.GraftSql.expression(floatVec(vec)),
+        nBits, dims, quantized = true))
 
   /** [[lshTopK]] with the integer-quantized signature — the
     * oracle-checkable LSH path. */

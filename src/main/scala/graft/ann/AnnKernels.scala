@@ -76,6 +76,12 @@ object AnnKernels {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def apply(v: ArrayData): Any = {
       if (v.numElements() < m * subDim) return null
+      // quantized path: floor ONCE per element (the closures' qv was
+      // recomputed per (code, dim); hoisting it is value-identical and
+      // removes ksub× redundant floors from the corpus map pass)
+      val q: Array[Long] =
+        if (booksL == null) null
+        else Array.tabulate(m * subDim)(gd => math.floor(v.getFloat(gd).toDouble * 1024.0).toLong)
       val out = new Array[Int](m)
       var s = 0
       while (s < m) {
@@ -88,8 +94,7 @@ object AnnKernels {
             var d = 0
             val base = (s * ksub + c) * subDim
             while (d < subDim) {
-              val diff = math.floor(v.getFloat(s * subDim + d).toDouble * 1024.0).toLong -
-                booksL(base + d)
+              val diff = q(s * subDim + d) - booksL(base + d)
               d2 += diff * diff
               d += 1
             }
@@ -129,6 +134,10 @@ object AnnKernels {
       containsNull = false)
     override def apply(v: ArrayData): Any = {
       if (v.numElements() < m * subDim) return null
+      // see PqEncodeKernel: hoisted one-floor-per-element quantization
+      val q: Array[Long] =
+        if (booksL == null) null
+        else Array.tabulate(m * subDim)(gd => math.floor(v.getFloat(gd).toDouble * 1024.0).toLong)
       val rows = new Array[Any](m)
       var s = 0
       while (s < m) {
@@ -140,8 +149,7 @@ object AnnKernels {
             var d = 0
             val base = (s * ksub + c) * subDim
             while (d < subDim) {
-              val diff = math.floor(v.getFloat(s * subDim + d).toDouble * 1024.0).toLong -
-                booksL(base + d)
+              val diff = q(s * subDim + d) - booksL(base + d)
               d2 += diff * diff
               d += 1
             }
@@ -184,6 +192,16 @@ object AnnKernels {
     override def apply(v: ArrayData): Any = {
       if (centsL != null) {
         if (v.numElements() < dims) return null
+        // quantize ONCE per row (the retired closure's q = quant(v)),
+        // not once per centroid — this is the one-pass-over-every-
+        // vector corpus stage, and nLists× redundant floors would
+        // roughly double its inner-loop cost
+        val q = new Array[Long](dims)
+        var d0 = 0
+        while (d0 < dims) {
+          q(d0) = math.floor(v.getFloat(d0).toDouble * 1024.0).toLong
+          d0 += 1
+        }
         var best = 0
         var bestD = Long.MaxValue
         var c = 0
@@ -191,7 +209,7 @@ object AnnKernels {
           var d2 = 0L
           var d = 0
           while (d < dims) {
-            val x = math.floor(v.getFloat(d).toDouble * 1024.0).toLong - centsL(c * dims + d)
+            val x = q(d) - centsL(c * dims + d)
             d2 += x * x
             d += 1
           }

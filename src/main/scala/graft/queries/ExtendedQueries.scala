@@ -211,31 +211,16 @@ object ExtendedQueries {
     }),
 
     // --- bucketed range join (point-in-interval, no nested loop) ----------
-    "q66_range_join" -> ((s, d) => {
-      val intervals = Tables.part(s, d).select(col("p_partkey"),
-        (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
-      val points = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
-      graft.operators.RangeJoin.pointInInterval(points, intervals,
-        "price", "lo", "hi", bucketWidth = 50.0)
-        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_in_range"))
-        .orderBy(col("p_partkey"))
-    }),
+    "q66_range_join" -> ((s, d) =>
+      q66Body(Tables.part(s, d), Tables.lineitem(s, d))),
 
     // sliced oracle twin of q66 (see q95s): the oracle's unbucketed
     // interval join OOMs at sf10's 2M intervals × 60M points; both sides
     // pin to constants inside the oracle-proven sf1 scale, oracle SQL
-    // derived from q66's own string.
-    "q66s_range_join_sliced" -> ((s, d) => {
-      val intervals = Tables.part(s, d).filter(col("p_partkey") < PartSliceBound)
-        .select(col("p_partkey"),
-          (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
-      val points = Tables.lineitem(s, d).filter(col("l_orderkey") < OrderSliceBound)
-        .select(col("l_extendedprice").as("price"))
-      graft.operators.RangeJoin.pointInInterval(points, intervals,
-        "price", "lo", "hi", bucketWidth = 50.0)
-        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_in_range"))
-        .orderBy(col("p_partkey"))
-    }),
+    // derived from q66's own string, Spark body shared.
+    "q66s_range_join_sliced" -> ((s, d) =>
+      q66Body(Tables.part(s, d).filter(col("p_partkey") < PartSliceBound),
+        Tables.lineitem(s, d).filter(col("l_orderkey") < OrderSliceBound))),
 
     // --- lateral join (correlated per-row top-n subquery) -----------------
     "q63_lateral" -> ((s, d) => {
@@ -424,41 +409,17 @@ object ExtendedQueries {
         .limit(20)
     }),
 
-    "q75_graph_pagerank" -> ((s, d) => {
-      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      graft.operators.PageRank.integerPageRank(edges, iters = 5)
-        .filter(col("node").startsWith("s"))
-        .orderBy(col("val").desc, col("node").asc)
-        .limit(20)
-    }),
+    "q75_graph_pagerank" -> ((s, d) =>
+      q75Body(Tables.orders(s, d), Tables.lineitem(s, d))),
 
     // sliced oracle twin of q75 (see q95s) — the ITERATIVE graph-SQL
     // representative: same 5 integer pagerank rounds on the bipartite
     // graph restricted to l_suppkey < SuppSliceBound (customers join in
     // unsliced; the graph is what shrinks). Oracle derived from q75's
-    // own unrolled-rounds SQL.
-    "q75s_graph_pagerank_sliced" -> ((s, d) => {
-      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound)
-            .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      graft.operators.PageRank.integerPageRank(edges, iters = 5)
-        .filter(col("node").startsWith("s"))
-        .orderBy(col("val").desc, col("node").asc)
-        .limit(20)
-    }),
+    // own unrolled-rounds SQL, Spark body shared.
+    "q75s_graph_pagerank_sliced" -> ((s, d) =>
+      q75Body(Tables.orders(s, d),
+        Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound))),
 
     // --- count-min-sketch heavy hitters -------------------------------------
     // Spark's count_min_sketch aggregate + the graft cms_estimate probe
@@ -535,37 +496,15 @@ object ExtendedQueries {
     // ~10% of the pair space where ≥2 is ~70%). The Spark side runs the
     // degree-ordered O(m^1.5) plan (operators.Triangles); the oracle
     // enumerates by id order — same triangles, same counts.
-    "q77_triangle_count" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-      val edges = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5)
-        .select("a", "b")
-      graft.operators.Triangles.perVertexTriangles(edges)
-        .select(col("v").as("suppkey"), col("tri_cnt"))
-        .orderBy(col("tri_cnt").desc, col("suppkey"))
-    }),
+    "q77_triangle_count" -> ((s, d) => q77Body(Tables.lineitem(s, d))),
 
     // sliced oracle twin of q77 (see q95s): the oracle's id-order
     // triangle enumeration over the full co-purchase graph OOMs at
     // sf10; the graph restricted to l_suppkey < SuppSliceBound is
-    // sf0.1-sized at any SF, oracle derived from q77's own SQL.
-    "q77s_triangle_count_sliced" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-      val edges = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5)
-        .select("a", "b")
-      graft.operators.Triangles.perVertexTriangles(edges)
-        .select(col("v").as("suppkey"), col("tri_cnt"))
-        .orderBy(col("tri_cnt").desc, col("suppkey"))
-    }),
+    // sf0.1-sized at any SF, oracle derived from q77's own SQL, Spark
+    // body shared.
+    "q77s_triangle_count_sliced" -> ((s, d) =>
+      q77Body(Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound))),
 
     // --- z-order layout ------------------------------------------------------
     // Morton-curve clustering stats: bucket the fact table by the top 6
@@ -1012,25 +951,16 @@ object ExtendedQueries {
     // curve — map-side local Pareto prune, then an exact dominance
     // anti-join over the broadcast-sized candidates (operators.Skyline);
     // the full table is read once with no shuffle.
-    "q95_skyline" -> ((s, d) => {
-      graft.operators.Skyline.skyline(
-        Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
-        Seq(("p_retailprice", false), ("p_size", true)))
-        .orderBy(col("p_partkey"))
-    }),
+    "q95_skyline" -> ((s, d) => q95Body(Tables.part(s, d))),
 
     // sliced oracle twin of q95 (the PipelineQueries dXXs pattern): the
     // oracle's NOT-EXISTS skyline is quadratic in parts and times out at
-    // sf10; this runs the same operator on p_partkey < PartSliceBound
-    // with the oracle derived from q95's own SQL. Full row keeps its
-    // sf10 bytediff mode; the twin carries oracle semantics there.
-    "q95s_skyline_sliced" -> ((s, d) => {
-      graft.operators.Skyline.skyline(
-        Tables.part(s, d).filter(col("p_partkey") < PartSliceBound)
-          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
-        Seq(("p_retailprice", false), ("p_size", true)))
-        .orderBy(col("p_partkey"))
-    }),
+    // sf10; this runs the same operator BODY (one shared builder — the
+    // Spark-side no-drift guarantee) on p_partkey < PartSliceBound with
+    // the oracle derived from q95's own SQL. Full row keeps its sf10
+    // bytediff mode; the twin carries oracle semantics there.
+    "q95s_skyline_sliced" -> ((s, d) =>
+      q95Body(Tables.part(s, d).filter(col("p_partkey") < PartSliceBound))),
 
     // --- bag-semantics set operations ------------------------------------------
     // INTERSECT ALL / EXCEPT ALL (multiset counts, not distinct sets —
@@ -1182,6 +1112,54 @@ object ExtendedQueries {
   private[queries] val PartSliceBound = 20000L
   private[queries] val OrderSliceBound = 600000L
   private[queries] val SuppSliceBound = 2000L
+
+  // ---- shared bodies for each full query + its qXXs sliced twin (the
+  // Spark-side no-drift guarantee matching the derived oracle) --------
+
+  private def q95Body(parts: DataFrame): DataFrame =
+    graft.operators.Skyline.skyline(
+      parts.select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+      Seq(("p_retailprice", false), ("p_size", true)))
+      .orderBy(col("p_partkey"))
+
+  private def q66Body(parts: DataFrame, lineitem: DataFrame): DataFrame = {
+    val intervals = parts.select(col("p_partkey"),
+      (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+    val points = lineitem.select(col("l_extendedprice").as("price"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+      "price", "lo", "hi", bucketWidth = 50.0)
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def q77Body(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+      .select("a", "b")
+    graft.operators.Triangles.perVertexTriangles(edges)
+      .select(col("v").as("suppkey"), col("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("suppkey"))
+  }
+
+  private def q75Body(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    graft.operators.PageRank.integerPageRank(edges, iters = 5)
+      .filter(col("node").startsWith("s"))
+      .orderBy(col("val").desc, col("node").asc)
+      .limit(20)
+  }
 
   private val oracleBase: Map[String, String] = Map(
     // the DIRECT full-table aggregate — the incremental fold must equal it

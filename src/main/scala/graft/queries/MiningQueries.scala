@@ -396,46 +396,20 @@ object MiningQueries {
 
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
-    "e28_knn_graph" -> ((s, d) =>
-      knnGraphQuantized(Tables.embeddings(s, d), topK = 3)
-        .orderBy(col("vec_id"), col("rk"))),
+    "e28_knn_graph" -> ((s, d) => e28Body(Tables.embeddings(s, d))),
 
     // ---- sliced oracle twins of the kNN-graph family (the dXXs twin
     // pattern from PipelineQueries, applied to the embeddings side):
     // e28/e29/e39's DuckDB oracles OOM at sf10's 200k vectors, leaving
     // those rows dual-topology bytediff there. The twins run the SAME
-    // operators on vec_id < VecSliceBound (inside the oracle-proven sf1
-    // scale; the whole corpus at SF ≤ 0.1), with the oracle SQL derived
-    // from the full query's own string — sf10 semantics evidence the
-    // full rows cannot carry.
-    "e28s_knn_graph_sliced" -> ((s, d) =>
-      knnGraphQuantized(
-        Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound), topK = 3)
-        .orderBy(col("vec_id"), col("rk"))),
-
-    "e29s_label_prop_sliced" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
-      labelProp(emb.select(col("vec_id"), col("label"))
-          .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
-        graft.operators.Lineage.cut(
-          knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id"))),
-        rounds = 2)
-        .orderBy(col("vec_id"))
-    }),
-
-    "e39s_hubness_sliced" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
-      val knn = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-      val ind = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_deg"))
-      val all = emb.select(col("vec_id"))
-        .join(ind.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
-        .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
-      val stats = all.agg(max(col("in_deg")).as("max_in_deg"),
-        sum(when(col("in_deg") === 0, 1L).otherwise(0L)).as("n_orphans"))
-      all.crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
-        .orderBy(col("vec_id"))
-    }),
+    // operator bodies (one shared builder per pair — the Spark-side
+    // no-drift guarantee matching the derived oracle) on vec_id <
+    // VecSliceBound (inside the oracle-proven sf1 scale; the whole
+    // corpus at SF ≤ 0.1) — sf10 semantics evidence the full rows
+    // cannot carry.
+    "e28s_knn_graph_sliced" -> ((s, d) => e28Body(slicedEmb(s, d))),
+    "e29s_label_prop_sliced" -> ((s, d) => e29Body(slicedEmb(s, d))),
+    "e39s_hubness_sliced" -> ((s, d) => e39Body(slicedEmb(s, d))),
 
     // semi-supervised label propagation over the e28 kNN graph — the
     // label-spreading step that turns a small labeled seed set into
@@ -448,16 +422,7 @@ object MiningQueries {
     // only grows, rounds are bounded, no driver state. Every vote is
     // an integer count, so the whole spread hash-checks on top of the
     // already-exact kNN graph.
-    "e29_label_prop" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      labelProp(emb.select(col("vec_id"), col("label"))
-          .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
-        // cut: every propagation round joins the same graph
-        graft.operators.Lineage.cut(
-          knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id"))),
-        rounds = 2)
-        .orderBy(col("vec_id"))
-    }),
+    "e29_label_prop" -> ((s, d) => e29Body(Tables.embeddings(s, d))),
 
     // greedy beam search over the e28 kNN graph — the NSW/HNSW-style
     // graph-ANN SERVING pattern (the third index family next to
@@ -730,19 +695,7 @@ object MiningQueries {
     // direct serving-quality signals for the e28/e31 graph index. Pure
     // composition: one in-degree aggregate over the kNN edges + a 1-row
     // broadcast of the distribution extremes.
-    "e39_hubness" -> ((s, d) => {
-      val knn = knnGraphQuantized(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3)
-      val ind = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_deg"))
-      val all = Tables.embeddings(s, d).select(col("vec_id"))
-        .join(ind.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
-        .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
-      val stats = all.agg(max(col("in_deg")).as("max_in_deg"),
-        sum(when(col("in_deg") === 0, 1L).otherwise(0L)).as("n_orphans"))
-      all.crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
-        .orderBy(col("vec_id"))
-    }),
+    "e39_hubness" -> ((s, d) => e39Body(Tables.embeddings(s, d))),
 
     // degree assortativity (Newman 2002) — do hubs connect to hubs?
     // Pearson correlation of endpoint degrees over the directed edge
@@ -1574,6 +1527,37 @@ object MiningQueries {
     * the sf1 corpus, where every kNN oracle is proven feasible. At
     * SF ≤ 0.1 it covers every vector, so twin ≡ full query there. */
   private[queries] val VecSliceBound = 10000L
+
+  private def slicedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
+
+  // ---- shared bodies for each full query + its eXXs sliced twin (the
+  // Spark-side no-drift guarantee matching the derived oracle) --------
+
+  private def e28Body(emb: DataFrame): DataFrame =
+    knnGraphQuantized(emb, topK = 3).orderBy(col("vec_id"), col("rk"))
+
+  private def e29Body(emb: DataFrame): DataFrame =
+    labelProp(emb.select(col("vec_id"), col("label"))
+        .withColumn("label", when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
+      // cut: every propagation round joins the same graph
+      graft.operators.Lineage.cut(
+        knnGraphQuantized(emb, topK = 3).select(col("vec_id"), col("neighbor_id"))),
+      rounds = 2)
+      .orderBy(col("vec_id"))
+
+  private def e39Body(emb: DataFrame): DataFrame = {
+    val knn = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+    val ind = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_deg"))
+    val all = emb.select(col("vec_id"))
+      .join(ind.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+    val stats = all.agg(max(col("in_deg")).as("max_in_deg"),
+      sum(when(col("in_deg") === 0, 1L).otherwise(0L)).as("n_orphans"))
+    all.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
+      .orderBy(col("vec_id"))
+  }
 
   private val oracleBase: Map[String, String] = Map(
     "q137_neighborhood_function" -> {

@@ -43,6 +43,89 @@ object PipelineQueries {
     * the twins equal their full queries at the gate SFs. */
   private[queries] val SliceBound = 25000L
 
+  private def slicedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < SliceBound)
+
+  // ---- shared bodies for each full query + its dXXs sliced twin ------
+  // The Spark-side counterpart of the derived-oracle guarantee: ONE
+  // body, two document sources — an edit to the operator cannot drift
+  // the twin into vouching for different semantics than the full row.
+
+  private def d09Body(docs: DataFrame): DataFrame =
+    DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  private def d14Body(docs: DataFrame): DataFrame = {
+    val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+    docs.join(clusters, "doc_id")
+      .filter(col("doc_id") === col("cluster")) // near-dup cluster survivor
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d28Body(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+    val clean = docs.join(clusters, "doc_id")
+      .filter(col("doc_id") === col("cluster"))
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val keyed = clean
+      .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))
+      .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(cum), lit(0)) / 1024.0).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("bin"), col("n_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private def d34Body(docs: DataFrame): DataFrame =
+    DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .withColumn("h", ascii(substring(md5(col("cluster").cast("string")), 1, 1)) % 10)
+      .withColumn("split",
+        when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private def d40Body(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+    val q = docs.select(col("doc_id"),
+      round(TextFunctions.classifierLogit(col("text")), 6).as("quality"))
+    val w = Window.partitionBy(col("cluster")).orderBy(desc("quality"), col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("quality"), col("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d66Body(docs: DataFrame): DataFrame = {
+    // cut: the clustering (MinHash + components) backs the histogram
+    // AND the corpus totals
+    val cl = graft.operators.Lineage.cut(
+      DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5))
+    val hist = cl.groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"))
+    val stats = cl.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster")).as("n_clusters_total"))
+    hist.crossJoin(broadcast(stats))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
+        col("n_docs"),
+        (col("n_docs") - col("n_clusters_total")).as("total_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
   private val clusterCtes: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
       |bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
@@ -458,11 +541,7 @@ object PipelineQueries {
     // runs after pair generation. Spark side is iterative min-label
     // propagation; the oracle is a recursive CTE over the SAME pair set
     // (d06 proved the pair sets identical).
-    "d09_dedup_clusters" -> ((s, d) => {
-      DedupClusters.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5)
-        .orderBy(col("doc_id"))
-    }),
+    "d09_dedup_clusters" -> ((s, d) => d09Body(Tables.documents(s, d))),
 
     // ---- sliced oracle twins of the recursive-closure dedup family ----
     // d09/d14/d34/d40's DuckDB oracles are resource-infeasible at sf10
@@ -477,88 +556,12 @@ object PipelineQueries {
     // the slice covers the whole corpus, so the twins also hash-check
     // end-to-end at the gate SFs. Full-corpus rows stay — the twins ADD
     // sf10 semantics evidence, they do not replace the scale run.
-    "d09s_dedup_clusters_sliced" -> ((s, d) => {
-      DedupClusters.nearDupClusters(
-        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
-        "doc_id", "text", threshold = 0.5)
-        .orderBy(col("doc_id"))
-    }),
-
-    "d14s_clean_corpus_sliced" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      docs.join(clusters, "doc_id")
-        .filter(col("doc_id") === col("cluster"))
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "d34s_leakage_split_sliced" -> ((s, d) => {
-      DedupClusters.nearDupClusters(
-        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
-        "doc_id", "text", threshold = 0.5)
-        .withColumn("h", ascii(substring(md5(col("cluster").cast("string")), 1, 1)) % 10)
-        .withColumn("split",
-          when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
-        .select(col("doc_id"), col("cluster"), col("split"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "d28s_training_manifest_sliced" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      val clean = docs.join(clusters, "doc_id")
-        .filter(col("doc_id") === col("cluster"))
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      val keyed = clean
-        .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))
-        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
-      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, -1)
-      keyed
-        .withColumn("pos", row_number().over(w))
-        .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(cum), lit(0)) / 1024.0).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"), col("bin"), col("n_tokens"))
-        .orderBy(col("shard"), col("pos"))
-    }),
-
-    "d66s_dedup_impact_sliced" -> ((s, d) => {
-      val cl = graft.operators.Lineage.cut(DedupClusters.nearDupClusters(
-        Tables.documents(s, d).filter(col("doc_id") < SliceBound),
-        "doc_id", "text", threshold = 0.5))
-      val hist = cl.groupBy(col("cluster_size"))
-        .agg(countDistinct(col("cluster")).as("n_clusters"))
-      val stats = cl.agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("cluster")).as("n_clusters_total"))
-      hist.crossJoin(broadcast(stats))
-        .select(col("cluster_size"), col("n_clusters"),
-          (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
-          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
-          col("n_docs"),
-          (col("n_docs") - col("n_clusters_total")).as("total_removable"))
-        .orderBy(col("cluster_size"))
-    }),
-
-    "d40s_canonical_pick_sliced" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).filter(col("doc_id") < SliceBound)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      val q = docs.select(col("doc_id"),
-        round(TextFunctions.classifierLogit(col("text")), 6).as("quality"))
-      val w = Window.partitionBy(col("cluster")).orderBy(desc("quality"), col("doc_id"))
-      clusters.join(q, "doc_id")
-        .withColumn("canonical", row_number().over(w) === 1)
-        .select(col("doc_id"), col("cluster"), col("cluster_size"),
-          col("quality"), col("canonical"))
-        .orderBy(col("doc_id"))
-    }),
+    "d09s_dedup_clusters_sliced" -> ((s, d) => d09Body(slicedDocs(s, d))),
+    "d14s_clean_corpus_sliced" -> ((s, d) => d14Body(slicedDocs(s, d))),
+    "d34s_leakage_split_sliced" -> ((s, d) => d34Body(slicedDocs(s, d))),
+    "d28s_training_manifest_sliced" -> ((s, d) => d28Body(slicedDocs(s, d))),
+    "d66s_dedup_impact_sliced" -> ((s, d) => d66Body(slicedDocs(s, d))),
+    "d40s_canonical_pick_sliced" -> ((s, d) => d40Body(slicedDocs(s, d))),
 
     // dedup impact report — the "what does this dedup buy us" readout a
     // team reads BEFORE running d14: the cluster-size histogram of
@@ -566,23 +569,7 @@ object PipelineQueries {
     // (n_docs − n_clusters: keep one canonical per component). Pure
     // composition on the cluster machinery; the histogram and the 1-row
     // stats are both aggregate-of-aggregate shuffles over cluster ids.
-    "d66_dedup_impact" -> ((s, d) => {
-      // cut: the clustering (MinHash + components) backs the histogram
-      // AND the corpus totals
-      val cl = graft.operators.Lineage.cut(DedupClusters.nearDupClusters(
-        Tables.documents(s, d), "doc_id", "text", threshold = 0.5))
-      val hist = cl.groupBy(col("cluster_size"))
-        .agg(countDistinct(col("cluster")).as("n_clusters"))
-      val stats = cl.agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("cluster")).as("n_clusters_total"))
-      hist.crossJoin(broadcast(stats))
-        .select(col("cluster_size"), col("n_clusters"),
-          (col("cluster_size") * col("n_clusters")).as("n_docs_at_size"),
-          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
-          col("n_docs"),
-          (col("n_docs") - col("n_clusters_total")).as("total_removable"))
-        .orderBy(col("cluster_size"))
-    }),
+    "d66_dedup_impact" -> ((s, d) => d66Body(Tables.documents(s, d))),
 
     // sequence packing (offset binning): documents are packed into
     // fixed-token-capacity training bins per source shard, in doc order —
@@ -690,43 +677,13 @@ object PipelineQueries {
     // position, bin) that a loader actually consumes. Cluster survivorship
     // is the only multi-round stage; sharding + packing are one window
     // pass over md5-ordered shards.
-    "d28_training_manifest" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      val clean = docs.join(clusters, "doc_id")
-        .filter(col("doc_id") === col("cluster"))
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      val keyed = clean
-        .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))
-        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 4).cast(IntegerType))
-      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, -1)
-      keyed
-        .withColumn("pos", row_number().over(w))
-        .withColumn("bin", floor(coalesce(sum(col("n_tokens")).over(cum), lit(0)) / 1024.0).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"), col("bin"), col("n_tokens"))
-        .orderBy(col("shard"), col("pos"))
-    }),
+    "d28_training_manifest" -> ((s, d) => d28Body(Tables.documents(s, d))),
 
     // cleaned-corpus capstone: the full curation pipeline composed —
     // keep ONE doc per near-dup cluster (the min-id survivor from d09),
     // drop low-quality docs (d02's score), keep English. The shape every
     // pretraining-data pipeline ends with.
-    "d14_clean_corpus" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      docs.join(clusters, "doc_id")
-        .filter(col("doc_id") === col("cluster")) // near-dup cluster survivor
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
-    }),
+    "d14_clean_corpus" -> ((s, d) => d14Body(Tables.documents(s, d))),
 
     // intra-document repetition: 1 - distinct/total bigram ratio — the
     // boilerplate/looping-text quality signal (high repetition → drop).
@@ -829,15 +786,7 @@ object PipelineQueries {
     // (md5, 8/1/1 buckets): deterministic and resumable; the assignment
     // itself is map-only over the cluster table, so the only heavy work
     // is d09's clustering, which is already the scale-path CC.
-    "d34_leakage_split" -> ((s, d) => {
-      DedupClusters.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5)
-        .withColumn("h", ascii(substring(md5(col("cluster").cast("string")), 1, 1)) % 10)
-        .withColumn("split",
-          when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
-        .select(col("doc_id"), col("cluster"), col("split"))
-        .orderBy(col("doc_id"))
-    }),
+    "d34_leakage_split" -> ((s, d) => d34Body(Tables.documents(s, d))),
 
     // SPAN-level decontamination: instead of dropping whole contaminated
     // docs (d15), surgically remove the contaminated 5-gram spans and
@@ -1023,19 +972,7 @@ object PipelineQueries {
     // the ranking window partitions by cluster (bounded groups), so no
     // global sort. This is the "which copy survives" policy step of a
     // 100 TB dedup.
-    "d40_canonical_pick" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-      val q = docs.select(col("doc_id"),
-        round(TextFunctions.classifierLogit(col("text")), 6).as("quality"))
-      val w = Window.partitionBy(col("cluster")).orderBy(desc("quality"), col("doc_id"))
-      clusters.join(q, "doc_id")
-        .withColumn("canonical", row_number().over(w) === 1)
-        .select(col("doc_id"), col("cluster"), col("cluster_size"),
-          col("quality"), col("canonical"))
-        .orderBy(col("doc_id"))
-    }),
+    "d40_canonical_pick" -> ((s, d) => d40Body(Tables.documents(s, d))),
 
     // sliding-window chunking with overlap — the retrieval/pretraining
     // chunker: fixed 32-token windows at stride 24 (8-token overlap), so

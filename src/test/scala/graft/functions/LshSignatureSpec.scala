@@ -99,7 +99,7 @@ class LshSignatureSpec extends AnyFunSuite {
     }
   }
 
-  test("hyperplane_sig: NULL in → NULL out; non-float arrays are analysis errors") {
+  test("hyperplane_sig: NULL in → NULL out; double vectors coerce like the UDFs did") {
     import spark.implicits._
     val df = Seq((1, Some(Array(1f, 2f))), (2, None))
       .toDF("i", "v")
@@ -107,11 +107,18 @@ class LshSignatureSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
     assert(out(1) != null)
     assert(out(2) == null)
-    val bad = Seq((1, Array(1.0, 2.0))).toDF("i", "v")
-    val err = intercept[org.apache.spark.sql.AnalysisException] {
-      bad.select(graft.ann.Ann.lshSignature(col("v"))).collect()
-    }
-    assert(err.getMessage.contains("array<float>"), err.getMessage.take(300))
+    // array<double> input coerces through an analyzer-inserted cast —
+    // the retired Seq[Float] ScalaUDFs accepted double corpora the same
+    // way, and the vector API documents double[] as first-class; the
+    // signature equals the closure applied to the float-cast values
+    val dv = Array.fill(64)((new scala.util.Random(7L).nextDouble() - 0.5) * 2)
+    val got = Seq((1, dv)).toDF("i", "v")
+      .select(graft.ann.Ann.lshSignature(col("v")).as("f"),
+        graft.ann.Ann.lshSignatureQuantized(col("v")).as("q"))
+      .collect().head
+    val fv = dv.map(_.toFloat)
+    assert(got.getInt(0) == udfFloat(fv.toSeq, 12, 64))
+    assert(got.getInt(1) == udfQuant(fv.toSeq, 8, 64))
   }
 
   test("signature projection is whole-stage codegen, no UDF (e03 corpus-side plan)") {

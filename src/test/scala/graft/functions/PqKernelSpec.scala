@@ -294,6 +294,34 @@ class PqKernelSpec extends AnyFunSuite {
 
   // ---- operator-level plan pins: the five rewritten operators ----------
 
+  test("tiny corpora (fewer vectors than ksub/nLists) and double vectors still work") {
+    // lloyd caps centroids at the sample size, so a 5-vector corpus
+    // trains 5 codes per subspace against the default ksub of 8/32 —
+    // the kernels must stride by the TRAINED shape (the retired
+    // closures iterated cs.length; a declared-ksub stride read past
+    // the flattened codebook and crashed the task)
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 5)
+    val qs = emb.filter(col("vec_id") < 2)
+    for ((name, df) <- Seq(
+        "pqTopK" -> Ann.pqTopK(emb, qs, "vec_id", "embedding", k = 2),
+        "pqTopKRefined" -> Ann.pqTopKRefined(emb, qs, "vec_id", "embedding", k = 2),
+        "ivfPqTopK" -> Ann.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 2))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name on a 5-vector corpus returned no rows")
+    }
+    // double-element vectors coerce through an analyzer cast, like the
+    // retired Seq[Float] closures did (vector-API contract)
+    import spark.implicits._
+    val dd = (0L until 40L).map(i =>
+      (i, Array.fill(dims)((new scala.util.Random(i).nextDouble() - 0.5) * 2)))
+      .toDF("vec_id", "embedding")
+    val qd = dd.filter(col("vec_id") < 2)
+    assert(Ann.pqTopK(dd, qd, "vec_id", "embedding", k = 2).collect().nonEmpty)
+    assert(Ann.sq8TopK(dd, qd, "vec_id", "embedding", k = 2).collect().nonEmpty)
+    assert(Ann.ivfPqTopKQuantized(dd, qd, "vec_id", "embedding", k = 2).collect().nonEmpty)
+  }
+
   test("pq/ivfpq/sq8 operators plan UDF-free end to end") {
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = emb.filter(col("vec_id") < 3)
