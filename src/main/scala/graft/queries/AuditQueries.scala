@@ -175,6 +175,15 @@ object AuditQueries {
       cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // sliced oracle twin of d59 (the dXXs pattern; cdcChunks IS the
+    // shared body, the oracle is derived from d59's own SQL): the CDC
+    // position-expansion oracle OOMs at sf10's 500k docs; doc_id <
+    // 25000 is inside the oracle-proven sf1 scale.
+    "d59s_cdc_chunks_sliced" -> ((s, d) =>
+      cdcChunks(Tables.documents(s, d)
+          .filter(col("doc_id") < PipelineQueries.SliceBound))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Benford first-digit audit over lineitem prices — the forensic
     // data-quality screen (fabricated or truncated numeric columns
     // bend away from the log10(1+1/d) law). Digits come from the
@@ -360,7 +369,14 @@ object AuditQueries {
   private def phraseValues: String =
     phraseDefs.map { case (id, p) => s"(CAST($id AS BIGINT), '$p')" }.mkString(", ")
 
-  val oracle: Map[String, String] = Map(
+  /** d59s sliced-twin oracle DERIVED from d59's own SQL (the dXXs
+    * mechanism — see PipelineQueries). */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("d59s_cdc_chunks_sliced" -> oracleBase("d59_cdc_chunks").replace(
+      "FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id < ${PipelineQueries.SliceBound})"))
+
+  private val oracleBase: Map[String, String] = Map(
     "d60_column_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.map { c =>

@@ -55,6 +55,54 @@ object CurationQueries {
       .withColumn("nk", -col("avg_logprob")) // ascending nk = best-first
   }
 
+  /** Shared body of d49 and its d49s sliced twin (the dXXs one-body
+    * no-drift guarantee, see PipelineQueries). */
+  private def d49Body(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val maxDf = 100
+    val thresholds = Seq(0.3, 0.5, 0.7).toDF("threshold")
+    val bg = docs
+      .withColumn("ws", split(col("text"), "\\s+"))
+      .select(col("doc_id"), when(size(col("ws")) < 2,
+          array(array_join(col("ws"), " ")))
+        .otherwise(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
+        .as("bgs"))
+    val sizes = bg.select(col("doc_id"), size(col("bgs")).as("n"))
+    // cut: the exploded bigram stream backs the df counts AND the kept
+    // join; kept backs both self-join sides; the thresholded pairs back
+    // the pair counts and both doc-set projections
+    val e = graft.operators.Lineage.cut(
+      bg.select(col("doc_id"), explode(col("bgs")).as("s")))
+    val dfc = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val nPruned = dfc.filter(col("df") > maxDf)
+      .agg(count(lit(1)).as("n_pruned_keys"))
+    val kept = graft.operators.Lineage.cut(e.join(
+      dfc.filter(col("df") <= maxDf && col("df") > 1).select(col("s")), "s"))
+    val co = kept.as("x").join(kept.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val jacc = co
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("j", col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+    val pairs = graft.operators.Lineage.cut(jacc.crossJoin(thresholds)
+      .filter(col("j") >= col("threshold")))
+    val nPairs = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pairs.select(col("threshold"), col("a").as("doc"))
+      .union(pairs.select(col("threshold"), col("b")))
+      .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
+    thresholds
+      .join(nPairs, Seq("threshold"), "left").join(nDocs, Seq("threshold"), "left")
+      .crossJoin(broadcast(nPruned))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_pruned_keys"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet/RefinedWeb-style boilerplate removal: a paragraph occurring
     // in >= 3 DISTINCT documents is boilerplate (nav bars, license
@@ -118,51 +166,14 @@ object CurationQueries {
     // output. Same shingle semantics as d08/d09 (distinct bigrams;
     // single-token docs use the whole text), so the sweep is consistent
     // with the operators it tunes.
-    "d49_dedup_sweep" -> ((s, d) => {
-      import s.implicits._
-      val maxDf = 100
-      val thresholds = Seq(0.3, 0.5, 0.7).toDF("threshold")
-      val bg = Tables.documents(s, d)
-        .withColumn("ws", split(col("text"), "\\s+"))
-        .select(col("doc_id"), when(size(col("ws")) < 2,
-            array(array_join(col("ws"), " ")))
-          .otherwise(array_distinct(expr(
-            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
-          .as("bgs"))
-      val sizes = bg.select(col("doc_id"), size(col("bgs")).as("n"))
-      // cut: the exploded bigram stream backs the df counts AND the kept
-      // join; kept backs both self-join sides; the thresholded pairs back
-      // the pair counts and both doc-set projections
-      val e = graft.operators.Lineage.cut(
-        bg.select(col("doc_id"), explode(col("bgs")).as("s")))
-      val dfc = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val nPruned = dfc.filter(col("df") > maxDf)
-        .agg(count(lit(1)).as("n_pruned_keys"))
-      val kept = graft.operators.Lineage.cut(e.join(
-        dfc.filter(col("df") <= maxDf && col("df") > 1).select(col("s")), "s"))
-      val co = kept.as("x").join(kept.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("common"))
-      val jacc = co
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("j", col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-      val pairs = graft.operators.Lineage.cut(jacc.crossJoin(thresholds)
-        .filter(col("j") >= col("threshold")))
-      val nPairs = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
-      val nDocs = pairs.select(col("threshold"), col("a").as("doc"))
-        .union(pairs.select(col("threshold"), col("b")))
-        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
-      thresholds
-        .join(nPairs, Seq("threshold"), "left").join(nDocs, Seq("threshold"), "left")
-        .crossJoin(broadcast(nPruned))
-        .select(col("threshold"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          col("n_pruned_keys"))
-        .orderBy(col("threshold"))
-    }),
+    "d49_dedup_sweep" -> ((s, d) => d49Body(s, Tables.documents(s, d))),
+
+    // sliced oracle twin of d49 (the dXXs pattern; one shared body, one
+    // derived oracle): the sweep's inverted-index self-join oracle OOMs
+    // at sf10's 500k docs; the doc_id < 25000 slice is inside the
+    // oracle-proven sf1 scale.
+    "d49s_dedup_sweep_sliced" -> ((s, d) => d49Body(s,
+      Tables.documents(s, d).filter(col("doc_id") < PipelineQueries.SliceBound))),
 
     // embedding drift between corpus halves (even vs odd vec_ids) per
     // label: the monitoring probe an embedding pipeline runs across
@@ -621,7 +632,14 @@ object CurationQueries {
        |FROM nc LEFT JOIN hits ON nc.radius = hits.radius CROSS JOIN nq
        |ORDER BY nc.radius""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** d49s sliced-twin oracle DERIVED from d49's own SQL (the dXXs
+    * mechanism — see PipelineQueries). */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("d49s_dedup_sweep_sliced" -> oracleBase("d49_dedup_sweep").replace(
+      "FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id < ${PipelineQueries.SliceBound})"))
+
+  private val oracleBase: Map[String, String] = Map(
     "d57_length_trim" ->
       """WITH t AS (SELECT doc_id, source,
         |             CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_toks
