@@ -72,7 +72,11 @@ SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
           "d28s_training_manifest_sliced", "d66s_dedup_impact_sliced",
           "q95s_skyline_sliced", "q66s_range_join_sliced",
           "q77s_triangle_count_sliced", "q75s_graph_pagerank_sliced",
-          "d49s_dedup_sweep_sliced", "d59s_cdc_chunks_sliced"}
+          "d49s_dedup_sweep_sliced", "d59s_cdc_chunks_sliced",
+          # round-16 sliced twins: kNN-graph maintenance + SCD2 as-of
+          # lookup (full rows stay bytediff at sf10)
+          "e43s_incremental_knn_sliced", "e44s_knn_deletion_sliced",
+          "q149s_scd2_lookup_sliced"}
 
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the

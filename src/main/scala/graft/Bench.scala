@@ -127,7 +127,16 @@ object Bench {
         }
       }
     }
-    run("q11_distinct_counts") // parquet footer/filesystem cache for sfDir
+    // Full untimed warm-up pass at the TARGET SF. The tiny-SF pass above
+    // warms what is data-size-independent (codegen cache, JIT); it does
+    // NOT warm the OS page cache over sfDir's parquet, the shuffle
+    // service buffers, or allocation-rate-dependent JIT tiers — and two
+    // consecutive driver benches (r14 +12.6%, r15 +19%) read high purely
+    // because the driver always benches a freshly-booted host (proven
+    // noise by a 15.30 → 12.79 → 11.37 s same-bytes rerun, BASELINE.md).
+    // One discarded full pass moves that first-run penalty out of the
+    // timed passes so the reported min measures steady state.
+    selected.foreach(run)
 
     // three timed passes per query; report the per-query MIN — one
     // noisy pass on a hot host inflated r6's single-pass total by 37%

@@ -427,6 +427,11 @@ object Ann {
     // smaller than ksub trains fewer codes per subspace — the closures
     // iterated cs.length and handled that; a declared-ksub stride would
     // index past the flattened array.
+    // clear failure over an opaque IndexOutOfBounds: an empty corpus (or
+    // a degenerate sample that trained zero-length sub-books) must not
+    // silently derive a wrong kernel stride
+    require(books.nonEmpty && books(0).nonEmpty && books(0)(0).nonEmpty,
+      "pq: empty corpus/codebook — cannot derive kernel strides")
     val subDim = books(0)(0).length
     val ksubA = books(0).length
     val flat = books.flatten.flatten

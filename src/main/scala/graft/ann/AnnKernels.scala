@@ -403,6 +403,11 @@ object AnnKernels {
     * over min(v.length, dims). */
   final class IvfProbeKernel(centsF: Array[Float], nLists: Int, dims: Int,
       nProbe: Int) extends AnnKernel {
+    // keeps the selection loop total: nLists == 0 would leave best == -1
+    // and index out of bounds below (unreachable via lloyd, which trains
+    // >= 1 centroid from any non-empty sample, but the kernel itself
+    // must not rely on its caller's training path)
+    require(nLists > 0, "ivf_probe: nLists must be positive")
     override def name: String = "ivf_probe"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def apply(v: ArrayData): Any = {

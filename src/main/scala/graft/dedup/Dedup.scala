@@ -236,12 +236,15 @@ object Dedup {
     * `spark.sql.ansi.enabled=false` makes `size(NULL)` = −1, and a
     * both-NULL pair would score (−1)/(−1) = 1.0 and pass the threshold.
     * Per-candidate-pair work, but keeping it native keeps the whole
-    * verify stage in whole-stage codegen. */
-  private def withExactJaccard(df: DataFrame, shingleSize: Int): DataFrame = {
+    * verify stage in whole-stage codegen. Shared with the streaming
+    * near-dup confirm step ([[graft.streaming.StreamOps]]), which names
+    * its text columns differently — hence the column-name parameters. */
+  private[graft] def withExactJaccard(df: DataFrame, shingleSize: Int,
+      aText: String = "ta", bText: String = "tb"): DataFrame = {
     val (sa, sb) = (col("__sa"), col("__sb"))
     val inter = size(array_intersect(sa, sb))
-    df.withColumn("__sa", shinglesCol(col("ta"), shingleSize))
-      .withColumn("__sb", shinglesCol(col("tb"), shingleSize))
+    df.withColumn("__sa", shinglesCol(col(aText), shingleSize))
+      .withColumn("__sb", shinglesCol(col(bText), shingleSize))
       .withColumn("jaccard",
         when(sa.isNull || sb.isNull, lit(null).cast("double"))
           .otherwise(inter * 1.0 / (size(sa) + size(sb) - inter)))

@@ -372,8 +372,8 @@ object AuditQueries {
   /** d59s sliced-twin oracle DERIVED from d59's own SQL (the dXXs
     * mechanism — see PipelineQueries). */
   lazy val oracle: Map[String, String] = oracleBase +
-    ("d59s_cdc_chunks_sliced" -> oracleBase("d59_cdc_chunks").replace(
-      "FROM documents",
+    ("d59s_cdc_chunks_sliced" -> TwinSql.subst("d59s_cdc_chunks_sliced",
+      oracleBase("d59_cdc_chunks"), "FROM documents",
       s"FROM (SELECT * FROM documents WHERE doc_id < ${PipelineQueries.SliceBound})"))
 
   private val oracleBase: Map[String, String] = Map(

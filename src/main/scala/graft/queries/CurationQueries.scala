@@ -635,8 +635,8 @@ object CurationQueries {
   /** d49s sliced-twin oracle DERIVED from d49's own SQL (the dXXs
     * mechanism — see PipelineQueries). */
   lazy val oracle: Map[String, String] = oracleBase +
-    ("d49s_dedup_sweep_sliced" -> oracleBase("d49_dedup_sweep").replace(
-      "FROM documents",
+    ("d49s_dedup_sweep_sliced" -> TwinSql.subst("d49s_dedup_sweep_sliced",
+      oracleBase("d49_dedup_sweep"), "FROM documents",
       s"FROM (SELECT * FROM documents WHERE doc_id < ${PipelineQueries.SliceBound})"))
 
   private val oracleBase: Map[String, String] = Map(

@@ -21,8 +21,12 @@ object ExtendedQueries {
 
   /** The q93/q139 synthetic CDC feed: v1 upserts (%5), v2 tombstones
     * (%10), v3 upserts (%20). */
-  private def scd2Feed(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.orders(s, d)
+  private def scd2Feed(s: SparkSession, d: String): DataFrame =
+    scd2FeedOf(Tables.orders(s, d))
+
+  /** [[scd2Feed]] over an explicit orders frame — shared by q149 and its
+    * key-prefix-sliced twin (one builder, no drift). */
+  private def scd2FeedOf(orders: DataFrame): DataFrame = {
     val v1 = orders.filter(col("o_orderkey") % 5 === 0)
       .select(col("o_orderkey"), lit(1L).as("version"), lit("U").as("op"),
         lit("X1").as("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"))
@@ -34,6 +38,24 @@ object ExtendedQueries {
       .select(col("o_orderkey"), lit(3L).as("version"), lit("U").as("op"),
         lit("X3").as("o_orderstatus"), (col("o_totalprice") + 300).as("o_totalprice"))
     v1.unionByName(v2).unionByName(v3)
+  }
+
+  /** q149's as-of dimension lookup over explicit orders/lineitem frames
+    * — the shared full-query + q149s twin body. */
+  private def q149Body(orders: DataFrame, line: DataFrame): DataFrame = {
+    val hist = graft.operators.Scd2.buildHistory(scd2FeedOf(orders), Seq("o_orderkey"))
+    val facts = line
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 3 + 1).cast(LongType).as("asof"))
+    facts.join(hist,
+        facts("l_orderkey") === hist("o_orderkey") &&
+          col("valid_from") <= col("asof") &&
+          (col("valid_to").isNull || col("asof") < col("valid_to")),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("asof"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** q75's oracle: the SAME integer fixed-point PageRank iterations as
@@ -931,21 +953,19 @@ object ExtendedQueries {
     // whose as-of falls in a tombstone hole (deleted at v2, no v3)
     // surface with NULL attributes — the honest "key did not exist
     // then" answer, not a silent drop.
-    "q149_scd2_lookup" -> ((s, d) => {
-      val hist = graft.operators.Scd2.buildHistory(scd2Feed(s, d), Seq("o_orderkey"))
-      val facts = Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_linenumber") % 3 + 1).cast(LongType).as("asof"))
-      facts.join(hist,
-          facts("l_orderkey") === hist("o_orderkey") &&
-            col("valid_from") <= col("asof") &&
-            (col("valid_to").isNull || col("asof") < col("valid_to")),
-          "left")
-        .select(col("l_orderkey"), col("l_linenumber"), col("asof"),
-          col("o_orderstatus"), col("o_totalprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }),
+    "q149_scd2_lookup" -> ((s, d) =>
+      q149Body(Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    // sliced oracle twin of q149 (the dXXs pattern): DuckDB's planner
+    // runs the full as-of lookup's interval-residual left join >900 s
+    // at sf10; the twin key-prefix-slices BOTH sides of the equi-key
+    // (orders AND lineitem under OrderSliceBound), which is exactly the
+    // full result restricted to l_orderkey < bound — same shared body,
+    // oracle derived from q149's own SQL. Full row keeps its sf10
+    // dual-topology bytediff mode.
+    "q149s_scd2_lookup_sliced" -> ((s, d) =>
+      q149Body(Tables.orders(s, d).filter(col("o_orderkey") < OrderSliceBound),
+        Tables.lineitem(s, d).filter(col("l_orderkey") < OrderSliceBound))),
 
     // skyline (Pareto front) over part: cheapest-for-the-size trade-off
     // curve — map-side local Pareto prune, then an exact dominance
@@ -1091,20 +1111,32 @@ object ExtendedQueries {
     * q66's interval join OOMs on 2M intervals × 60M points. The twins
     * pin both sides to constants inside the oracle-proven sf1 scale. */
   lazy val oracle: Map[String, String] = oracleBase ++ Map(
-    "q95s_skyline_sliced" -> oracleBase("q95_skyline").replace(
+    "q95s_skyline_sliced" -> TwinSql.subst("q95s_skyline_sliced",
+      oracleBase("q95_skyline"),
       "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)"),
-    "q66s_range_join_sliced" -> oracleBase("q66_range_join")
-      .replace("FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)")
-      .replace("FROM lineitem",
-        s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"),
+    "q66s_range_join_sliced" -> TwinSql.subst("q66s_range_join_sliced",
+      TwinSql.subst("q66s_range_join_sliced", oracleBase("q66_range_join"),
+        "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)"),
+      "FROM lineitem",
+      s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"),
     // graph-SQL family: the co-purchase graph restricted to suppliers
     // below the bound (customers/orders join in unsliced — the graph is
     // what shrinks, identically on both engines)
-    "q77s_triangle_count_sliced" -> oracleBase("q77_triangle_count").replace(
+    "q77s_triangle_count_sliced" -> TwinSql.subst("q77s_triangle_count_sliced",
+      oracleBase("q77_triangle_count"),
       "FROM lineitem", s"FROM (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound)"),
-    "q75s_graph_pagerank_sliced" -> oracleBase("q75_graph_pagerank").replace(
+    "q75s_graph_pagerank_sliced" -> TwinSql.subst("q75s_graph_pagerank_sliced",
+      oracleBase("q75_graph_pagerank"),
       "JOIN lineitem ON",
-      s"JOIN (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound) lineitem ON"))
+      s"JOIN (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound) lineitem ON"),
+    // q149's twin slices BOTH sides of the o_orderkey = l_orderkey
+    // equi-key — the derived SQL is the full oracle with every orders
+    // and lineitem source key-prefix-bounded (3 feed arms + the facts)
+    "q149s_scd2_lookup_sliced" -> TwinSql.subst("q149s_scd2_lookup_sliced",
+      TwinSql.subst("q149s_scd2_lookup_sliced", oracleBase("q149_scd2_lookup"),
+        "FROM orders", s"FROM (SELECT * FROM orders WHERE o_orderkey < $OrderSliceBound)"),
+      "FROM lineitem",
+      s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"))
 
   /** Constant bounds for the twins: 20k parts / 600k orderkeys / 2k
     * suppliers — the whole corpus at SF ≤ 0.1, a constant fraction

@@ -260,41 +260,13 @@ object MiningQueries {
     // side, so bucket traffic is proportional to the batch; untouched
     // old nodes never appear. (The per-bucket cap applies per side —
     // at a cap-binding occupancy the delta is a documented superset.)
-    "e43_incremental_knn" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val newEmb = emb.filter(col("vec_id") % 10 === 0)
-      val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
-      // cut: the old graph backs the update-scoring join AND the
-      // is_new_edge probe; c2's candidates back both the re-rank and
-      // the affected-node filter
-      val gOld = graft.operators.Lineage.cut(knnGraphQuantized(oldEmb, topK = 3)
-        .select(col("vec_id"), col("neighbor_id")))
-      val c1 = knnCandidatesBetween(newEmb, emb)
-      val c2 = graft.operators.Lineage.cut(knnCandidatesBetween(oldEmb, newEmb))
-      val base = emb.select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", ldot(s)(col("q"), col("q")))
-      val oldScored = gOld.join(c2.select(col("vec_id")).distinct(), Seq("vec_id"))
-        .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
-        .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
-          col("n2").as("cn2")), Seq("neighbor_id"))
-        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
-        .withColumn("cosq", col("qdot").cast(DoubleType) /
-          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
-        .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
-      def top3(df: DataFrame, status: String) = df
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
-          col("neighbor_id"), col("qdot"), lit(status).as("status"))
-      top3(c1, "insert")
-        .union(top3(oldScored.union(c2), "update"))
-        .join(gOld.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
-        .select(col("vec_id"), col("rk"), col("neighbor_id"), col("qdot"),
-          col("status"), col("had").isNull.as("is_new_edge"))
-        .orderBy(col("vec_id"), col("rk"))
-    }),
+    "e43_incremental_knn" -> ((s, d) => e43Body(Tables.embeddings(s, d))),
+
+    // sliced twin (the e28s pattern): same shared body on vec_id <
+    // VecSliceBound, oracle derived from e43's own SQL — the
+    // graph-MAINTENANCE rows' sf10 oracle representative (e43/e44 full
+    // rows stay dual-topology bytediff there).
+    "e43s_incremental_knn_sliced" -> ((s, d) => e43Body(slicedEmb(s, d))),
 
     // kNN-graph DELETION maintenance — e43's counterpart for removals
     // (the GDPR/right-to-erasure path an index at scale must serve):
@@ -306,25 +278,10 @@ object MiningQueries {
     // against the remaining corpus through the same bucketed candidate
     // stage; is_new_edge marks replacement edges. The oracle is the
     // remaining-corpus rebuild restricted to affected nodes.
-    "e44_knn_deletion" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val remEmb = emb.filter(col("vec_id") % 17 =!= 0)
-      // cut: the full graph backs the affected-set filter and the
-      // is_new_edge probe
-      val gFull = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
-        .select(col("vec_id"), col("neighbor_id")))
-      val affected = gFull.filter(col("neighbor_id") % 17 === 0)
-        .filter(col("vec_id") % 17 =!= 0)
-        .select(col("vec_id")).distinct()
-      val cand = knnCandidatesBetween(remEmb.join(affected, Seq("vec_id")), remEmb)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
-      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .join(gFull.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
-        .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
-          col("neighbor_id"), col("qdot"), col("had").isNull.as("is_new_edge"))
-        .orderBy(col("vec_id"), col("rk"))
-    }),
+    "e44_knn_deletion" -> ((s, d) => e44Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e43s
+    "e44s_knn_deletion_sliced" -> ((s, d) => e44Body(slicedEmb(s, d))),
 
     // unified index-family tuning table — e25's LSH radius sweep and
     // e36's IVF nprobe sweep in ONE comparable report (family, param,
@@ -1518,8 +1475,10 @@ object MiningQueries {
   lazy val oracle: Map[String, String] = oracleBase ++ Seq(
     "e28s_knn_graph_sliced" -> "e28_knn_graph",
     "e29s_label_prop_sliced" -> "e29_label_prop",
-    "e39s_hubness_sliced" -> "e39_hubness").map {
-    case (twin, full) => twin -> oracleBase(full).replace(
+    "e39s_hubness_sliced" -> "e39_hubness",
+    "e43s_incremental_knn_sliced" -> "e43_incremental_knn",
+    "e44s_knn_deletion_sliced" -> "e44_knn_deletion").map {
+    case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
       "FROM embeddings", s"FROM (SELECT * FROM embeddings WHERE vec_id < $VecSliceBound)")
   }
 
@@ -1557,6 +1516,63 @@ object MiningQueries {
     all.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("in_deg"), col("max_in_deg"), col("n_orphans"))
       .orderBy(col("vec_id"))
+  }
+
+  private def e43Body(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val newEmb = emb.filter(col("vec_id") % 10 === 0)
+    val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    // cut: the old graph backs the update-scoring join AND the
+    // is_new_edge probe; c2's candidates back both the re-rank and
+    // the affected-node filter
+    val gOld = graft.operators.Lineage.cut(knnGraphQuantized(oldEmb, topK = 3)
+      .select(col("vec_id"), col("neighbor_id")))
+    val c1 = knnCandidatesBetween(newEmb, emb)
+    val c2 = graft.operators.Lineage.cut(knnCandidatesBetween(oldEmb, newEmb))
+    val base = emb.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      .withColumn("n2", ldot(s)(col("q"), col("q")))
+    val oldScored = gOld.join(c2.select(col("vec_id")).distinct(), Seq("vec_id"))
+      .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("n2").as("cn2")), Seq("neighbor_id"))
+      .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
+      .withColumn("cosq", col("qdot").cast(DoubleType) /
+        (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+      .select(col("vec_id"), col("neighbor_id"), col("qdot"), col("cosq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+    def top3(df: DataFrame, status: String) = df
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("qdot"), lit(status).as("status"))
+    top3(c1, "insert")
+      .union(top3(oldScored.union(c2), "update"))
+      .join(gOld.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rk"), col("neighbor_id"), col("qdot"),
+        col("status"), col("had").isNull.as("is_new_edge"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  private def e44Body(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val remEmb = emb.filter(col("vec_id") % 17 =!= 0)
+    // cut: the full graph backs the affected-set filter and the
+    // is_new_edge probe
+    val gFull = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
+      .select(col("vec_id"), col("neighbor_id")))
+    val affected = gFull.filter(col("neighbor_id") % 17 === 0)
+      .filter(col("vec_id") % 17 =!= 0)
+      .select(col("vec_id")).distinct()
+    val cand = knnCandidatesBetween(remEmb.join(affected, Seq("vec_id")), remEmb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .join(gFull.withColumn("had", lit(true)), Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rk").cast(LongType).as("rk"),
+        col("neighbor_id"), col("qdot"), col("had").isNull.as("is_new_edge"))
+      .orderBy(col("vec_id"), col("rk"))
   }
 
   private val oracleBase: Map[String, String] = Map(

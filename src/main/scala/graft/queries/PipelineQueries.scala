@@ -1955,7 +1955,7 @@ object PipelineQueries {
     "d34s_leakage_split_sliced" -> "d34_leakage_split",
     "d40s_canonical_pick_sliced" -> "d40_canonical_pick",
     "d66s_dedup_impact_sliced" -> "d66_dedup_impact").map {
-    case (twin, full) => twin -> oracleBase(full).replace(
+    case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
       "FROM documents", s"FROM (SELECT * FROM documents WHERE doc_id < $SliceBound)")
   }
 

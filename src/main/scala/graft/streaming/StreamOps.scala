@@ -519,14 +519,15 @@ object StreamOps {
     val corpusIdx = banded(corpus, corpusIdCol, corpusTextCol, "c")
     val probes = banded(stream.withWatermark(tsCol, watermarkDelay),
       idCol, textCol, "s")
-    val jacc = udf { (x: String, y: String) =>
-      val sa = graft.dedup.Dedup.shingles(x, shingleSize).toSet
-      val sb = graft.dedup.Dedup.shingles(y, shingleSize).toSet
-      val inter = sa.intersect(sb).size
-      inter.toDouble / (sa.size + sb.size - inter)
-    }
-    probes.join(corpusIdx, Seq("band_key"))
-      .withColumn("jaccard", jacc(col("s_text"), col("c_text")))
+    // exact-Jaccard confirm through the batch pipeline's native codegen
+    // expressions (Shingles + array_intersect — the same code path d06
+    // verifies with), not a per-pair ScalaUDF: identical arithmetic
+    // (shinglesCol is already distinct, so sizes are set sizes) and the
+    // confirm stage stays inside whole-stage codegen per micro-batch
+    val scored = graft.dedup.Dedup.withExactJaccard(
+      probes.join(corpusIdx, Seq("band_key")),
+      shingleSize, aText = "s_text", bText = "c_text")
+    scored
       .filter(col("jaccard") >= threshold)
       .select(col(tsCol), col("s_id"), col("c_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("s_id", "c_id")

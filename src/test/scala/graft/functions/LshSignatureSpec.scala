@@ -135,4 +135,41 @@ class LshSignatureSpec extends AnyFunSuite {
     val sigLine = plan.linesIterator.find(_.contains("hyperplane_sig")).get
     assert(sigLine.contains("*("), sigLine.take(300))
   }
+
+  test("hyperplane_sig planning cost is constant — no unrolled nBits×dims tree") {
+    // the design HyperplaneSig replaced-by-construction: unrolling the
+    // plane matrix into an expression TREE (one node per plane×dim) made
+    // a representative lshTopK spend ~3 s in analysis/optimization alone
+    // before the first task ran. That pathology regresses silently — the
+    // plan still executes, correctness specs still pass — so pin the
+    // SHAPE: the signature must stay a single expression node holding
+    // its matrix as data, and the whole optimized plan's expression-node
+    // count must grow only by lshTopK's intended per-probe literals
+    // (1 + nBits Hamming-1 probes, a few nodes each), never by ~dims
+    // nodes per bit.
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def exprNodes(nBits: Int): Int = {
+      val df = graft.ann.Ann.lshTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, nBits = nBits)
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.map(e => e.collect { case _ => 1 }.sum).sum }
+        .sum
+    }
+    val small = exprNodes(4)
+    val big = exprNodes(24)
+    // 20 extra probe buckets × a generous 8 nodes each (xor + literal +
+    // alias overhead); an unrolled tree would add ≥ 20 × 64 × 2 = 2560
+    assert(big - small <= 20 * 8, s"plan grew $small -> $big with nBits 4 -> 24")
+    assert(big < 600, s"absolute optimized-plan expression budget blown: $big")
+    // and the signature is ONE node: its only subtree is the input column
+    val sigs = {
+      val df = graft.ann.Ann.lshTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, nBits = 16)
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect { case h: HyperplaneSig => h })
+      }.flatten
+    }
+    assert(sigs.nonEmpty)
+    sigs.foreach(h => assert(h.children.size == 1, h.treeString.take(200)))
+  }
 }
