@@ -73,10 +73,17 @@ SLICED = {"d08_ngram_jaccard", "d27_setsim_prefix_join", "d41_containment",
           "q95s_skyline_sliced", "q66s_range_join_sliced",
           "q77s_triangle_count_sliced", "q75s_graph_pagerank_sliced",
           "d49s_dedup_sweep_sliced", "d59s_cdc_chunks_sliced",
-          # round-16 sliced twins: kNN-graph maintenance + SCD2 as-of
-          # lookup (full rows stay bytediff at sf10)
+          # round-16 sliced twins: every remaining oracle-capped row
+          # with expressible oracle SQL now has one (full rows stay
+          # bytediff at sf10)
           "e43s_incremental_knn_sliced", "e44s_knn_deletion_sliced",
-          "q149s_scd2_lookup_sliced"}
+          "q149s_scd2_lookup_sliced",
+          "e30s_triplet_mining_sliced", "e31s_graph_search_sliced",
+          "e34s_knn_outliers_sliced", "e38s_mutual_nn_sliced",
+          "e40s_nn_descent_sliced", "e42s_graph_recall_sliced",
+          "e47s_nn_descent_reverse_sliced", "q143s_modularity_sliced",
+          "q128s_kcore_sliced", "q138s_hyperball_sliced",
+          "q135s_ppr_sliced"}
 
 # Signatures of a DuckDB oracle hitting its OWN resource caps (memory /
 # temp-spill limits set by drivermimic at large SF). These are the

@@ -40,6 +40,26 @@ object ExtendedQueries {
     v1.unionByName(v2).unionByName(v3)
   }
 
+  /** q135's personalized-pagerank body over explicit frames — shared by
+    * the full query and the q135s twin. */
+  private def q135Body(orders: DataFrame, line: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(line.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = customer.filter(col("c_custkey") < 10)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.operators.PageRank.personalizedPageRank(edges, seeds, iters = 5)
+      .filter(col("node").startsWith("s") && col("val") > 0)
+      .orderBy(col("val").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** q149's as-of dimension lookup over explicit orders/lineitem frames
     * — the shared full-query + q149s twin body. */
   private def q149Body(orders: DataFrame, line: DataFrame): DataFrame = {
@@ -414,22 +434,17 @@ object ExtendedQueries {
     // on seeds; per-round plan identical to the global variant (the
     // seed flag rides the node table), integer fixed-point throughout,
     // unrolled-CTE oracle.
-    "q135_ppr" -> ((s, d) => {
-      val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val seeds = Tables.customer(s, d).filter(col("c_custkey") < 10)
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
-      graft.operators.PageRank.personalizedPageRank(edges, seeds, iters = 5)
-        .filter(col("node").startsWith("s") && col("val") > 0)
-        .orderBy(col("val").desc, col("node").asc)
-        .limit(20)
-    }),
+    "q135_ppr" -> ((s, d) =>
+      q135Body(Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
+
+    // sliced oracle twin of q135 (see q75s): same 5 personalized
+    // integer-pagerank rounds on the bipartite graph restricted to
+    // l_suppkey < SuppSliceBound; oracle derived from q135's own
+    // unrolled-rounds SQL, Spark body shared.
+    "q135s_ppr_sliced" -> ((s, d) =>
+      q135Body(Tables.orders(s, d),
+        Tables.lineitem(s, d).filter(col("l_suppkey") < SuppSliceBound),
+        Tables.customer(s, d))),
 
     "q75_graph_pagerank" -> ((s, d) =>
       q75Body(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -1127,6 +1142,10 @@ object ExtendedQueries {
       "FROM lineitem", s"FROM (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound)"),
     "q75s_graph_pagerank_sliced" -> TwinSql.subst("q75s_graph_pagerank_sliced",
       oracleBase("q75_graph_pagerank"),
+      "JOIN lineitem ON",
+      s"JOIN (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound) lineitem ON"),
+    "q135s_ppr_sliced" -> TwinSql.subst("q135s_ppr_sliced",
+      oracleBase("q135_ppr"),
       "JOIN lineitem ON",
       s"JOIN (SELECT * FROM lineitem WHERE l_suppkey < $SuppSliceBound) lineitem ON"),
     // q149's twin slices BOTH sides of the o_orderkey = l_orderkey

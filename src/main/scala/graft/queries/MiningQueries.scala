@@ -114,18 +114,12 @@ object MiningQueries {
     // per order); the peel itself is KCore's aggregate+semi-join rounds.
     // Output covers EVERY node (flag + final degree), so the result is
     // never empty regardless of how far the cascade runs at a given SF.
-    "q128_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
-      val sym = e.select(col("pa").as("s"), col("pb").as("t"))
-        .union(e.select(col("pb"), col("pa")))
-      graft.operators.KCore.peel(sym, k = 90, rounds = 4)
-        .select(col("node").as("p_partkey"), col("in_core"), col("deg_final"))
-        .orderBy(col("p_partkey"))
-    }),
+    "q128_kcore" -> ((s, d) => q128Body(Tables.lineitem(s, d))),
+
+    // sliced twin (the q77s pattern: the co-purchase graph restricted
+    // to l_suppkey < SuppSliceBound — the graph is what shrinks,
+    // identically on both engines); oracle derived from q128's own SQL
+    "q128s_kcore_sliced" -> ((s, d) => q128Body(slicedLineitem(s, d))),
 
     // Adamic-Adar link prediction over the co-purchase graph — "what
     // else belongs in this basket": for a query set of source nodes
@@ -196,56 +190,10 @@ object MiningQueries {
     // product); the refined candidates come from the probes' own edges
     // plus one two-hop join (≤ k² per probe); hit counts are integer
     // intersections, and the recalls are one identical division.
-    "e42_graph_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val base = emb.select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", ldot(s)(col("q"), col("q")))
-      val pr = base.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"))
-      def score(df: DataFrame): DataFrame = df
-        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
-        .withColumn("cosq", col("qdot").cast(DoubleType) /
-          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("cid"))
-      val exact = score(base
-          .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-          .crossJoin(broadcast(pr))
-          .filter(col("cid") =!= col("vec_id")))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("vec_id"), col("cid"))
-      // cut: the LSH graph backs the probe edges, the two-hop join, and
-      // the hit check
-      val g = graft.operators.Lineage.cut(
-        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-          .select(col("vec_id"), col("neighbor_id")))
-      val gp = g.filter(col("vec_id") < 8)
-      val two = gp.select(col("vec_id"), col("neighbor_id").as("mid"))
-        .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
-        .select(col("vec_id"), col("neighbor_id"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
-      val refined = score(gp.union(two).distinct()
-          .select(col("vec_id"), col("neighbor_id").as("cid"))
-          .join(broadcast(pr), Seq("vec_id"))
-          .join(base.select(col("vec_id").as("cid"), col("q").as("cq"),
-            col("n2").as("cn2")), Seq("cid")))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("vec_id"), col("cid"))
-      val hb = gp.withColumnRenamed("neighbor_id", "cid")
-        .join(exact, Seq("vec_id", "cid"))
-        .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_base"))
-      val hr = refined.join(exact, Seq("vec_id", "cid"))
-        .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_refined"))
-      pr.select(col("vec_id"))
-        .join(hb, Seq("vec_id"), "left").join(hr, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("hits_base"), lit(0L)).as("hits_base"),
-          coalesce(col("hits_refined"), lit(0L)).as("hits_refined"))
-        .withColumn("recall_base", round(col("hits_base") * lit(1.0) / 3, 4))
-        .withColumn("recall_refined", round(col("hits_refined") * lit(1.0) / 3, 4))
-        .orderBy(col("vec_id"))
-    }),
+    "e42_graph_recall" -> ((s, d) => e42Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e42s_graph_recall_sliced" -> ((s, d) => e42Body(slicedEmb(s, d))),
 
     // incremental kNN-graph maintenance — fold a NEW vector batch
     // (vec_id % 10 == 0) into the existing e28 graph over the OLD
@@ -337,19 +285,10 @@ object MiningQueries {
     // the two-hop join is bounded by (2k)² per node, everything keys on
     // node ids. The spec pins that the reverse-aware candidate set is a
     // superset of e40's, so its best neighbor is never worse.
-    "e47_nn_descent_reverse" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      // cut: the graph backs both union directions of the generalized
-      // neighborhood
-      val g = graft.operators.Lineage.cut(
-        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-          .select(col("vec_id"), col("neighbor_id")))
-      val gen = g.union(
-          g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
-        .distinct()
-      nnDescentRound(gen, emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .orderBy(col("vec_id"), col("rk"))
-    }),
+    "e47_nn_descent_reverse" -> ((s, d) => e47Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e47s_nn_descent_reverse_sliced" -> ((s, d) => e47Body(slicedEmb(s, d))),
 
     // kNN graph over the embeddings corpus, k = 3, LSH multiprobe
     // candidates, integer-exact scoring (see knnGraphQuantized).
@@ -391,46 +330,10 @@ object MiningQueries {
     // work per round is O(frontier × out-degree), independent of
     // corpus size; scoring reuses the integer-exact machinery, so the
     // whole walk (and its miss/hit pattern) hash-checks.
-    "e31_graph_search" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val base = emb.select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", ldot(s)(col("q"), col("q")))
-      // cut: the kNN graph is walked by every beam round — build it once
-      val edges = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
-        .select(col("vec_id").as("node"), col("neighbor_id")))
-      val qs = base.filter(col("vec_id") >= 100 && col("vec_id") < 105)
-        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
-      val entry = base.agg(min(col("vec_id")).as("node"))
-      def score(cand: DataFrame): DataFrame = cand
-        .join(qs, Seq("qid"))
-        .join(base.select(col("vec_id").as("node"), col("q").as("cq"), col("n2").as("cn2")),
-          Seq("node"))
-        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
-        .withColumn("cosq", col("qdot").cast(DoubleType) /
-          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
-        .select(col("qid"), col("node"), col("qdot"), col("cosq"))
-      val beamW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cosq").desc, col("node"))
-      var frontier = qs.select(col("qid")).crossJoin(broadcast(entry))
-      var visited = score(frontier)
-      for (_ <- 1 to 3) {
-        val expanded = frontier.join(edges, Seq("node"))
-          .select(col("qid"), col("neighbor_id").as("node")).distinct()
-          .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
-        // cut: each round's survivors seed the next frontier AND the
-        // visited set — without it round r replays rounds 1..r-1's scoring
-        val kept = graft.operators.Lineage.cut(score(expanded)
-          .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= 4)
-          .drop("rn"))
-        frontier = kept.select(col("qid"), col("node"))
-        visited = graft.operators.Lineage.cut(visited.union(kept))
-      }
-      visited.filter(col("node") =!= col("qid"))
-        .withColumn("rk", row_number().over(beamW)).filter(col("rk") <= 3)
-        .select(col("qid"), col("rk").cast(LongType).as("rk"), col("node"), col("qdot"))
-        .orderBy(col("qid"), col("rk"))
-    }),
+    "e31_graph_search" -> ((s, d) => e31Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e31s_graph_search_sliced" -> ((s, d) => e31Body(slicedEmb(s, d))),
 
     // hard positive/negative triplet mining — the metric-learning data
     // generator (contrastive/triplet-loss training): for every anchor,
@@ -443,25 +346,10 @@ object MiningQueries {
     // per-class argmaxes are vec_id-partitioned windows. Anchors with
     // no same/different-label candidate in their buckets emit NULLs —
     // the miss rate IS the probe-budget signal.
-    "e30_triplet_mining" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val labels = emb.select(col("vec_id"), col("label"))
-      val c = knnCandidatesQuantized(emb)
-        .join(labels.select(col("vec_id"), col("label").as("a_label")), Seq("vec_id"))
-        .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
-          Seq("neighbor_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
-      def argmax(f: DataFrame, idName: String, dotName: String) =
-        f.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("neighbor_id").as(idName), col("qdot").as(dotName))
-      val pos = argmax(c.filter(col("n_label") === col("a_label")), "pos_id", "pos_qdot")
-      val neg = argmax(c.filter(col("n_label") =!= col("a_label")), "neg_id", "neg_qdot")
-      labels.join(pos, Seq("vec_id"), "left").join(neg, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"), col("pos_id"), col("pos_qdot"),
-          col("neg_id"), col("neg_qdot"))
-        .orderBy(col("vec_id"))
-    }),
+    "e30_triplet_mining" -> ((s, d) => e30Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e30s_triplet_mining_sliced" -> ((s, d) => e30Body(slicedEmb(s, d))),
 
     // a-priori frequent itemsets (triples) over document word sets —
     // the co-occurrence pattern miner (taxonomy hints, template
@@ -697,18 +585,10 @@ object MiningQueries {
     // Pure composition on the shared candidate stage: rk = 1 rows
     // self-join on the reversed pair — two narrow (id, id) streams, an
     // equi-join on the pair key, nothing quadratic anywhere.
-    "e38_mutual_nn" -> ((s, d) => {
-      // cut: the kNN graph build backs both self-join sides
-      val knn = graft.operators.Lineage.cut(knnGraphQuantized(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), topK = 3))
-      val t1 = knn.filter(col("rk") === 1)
-        .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("qdot"))
-      t1.as("x").join(t1.as("y"),
-          col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
-            col("x.a") < col("x.b"))
-        .select(col("x.a").as("a"), col("x.b").as("b"), col("x.qdot").as("qdot"))
-        .orderBy(col("a"))
-    }),
+    "e38_mutual_nn" -> ((s, d) => e38Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e38s_mutual_nn_sliced" -> ((s, d) => e38Body(slicedEmb(s, d))),
 
     // degree-distribution profile of the co-purchase graph — the graph
     // sibling of d65's key-skew profile: the degree histogram (the
@@ -749,18 +629,10 @@ object MiningQueries {
     // injective on these ids), and the (k−1)/kth-fraction estimate is
     // one identical double expression — so even the ESTIMATES
     // hash-check against the oracle's unrolled list-algebra replay.
-    "q138_hyperball" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      // cut: the co-purchase self-join feeds every register round (q137 rule)
-      val e = graft.operators.Lineage.cut(
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
-      val sym = e.select(col("pa").as("es"), col("pb").as("et"))
-        .union(e.select(col("pb"), col("pa")))
-      hyperballEstimates(sym, rounds = 2, k = 32).orderBy(col("node"))
-    }),
+    "q138_hyperball" -> ((s, d) => q138Body(Tables.lineitem(s, d))),
+
+    // sliced twin — see q128s
+    "q138s_hyperball_sliced" -> ((s, d) => q138Body(slicedLineitem(s, d))),
 
     // k-center / farthest-first clustering init (Gonzalez 1985 — the
     // deterministic k-means++ alternative and the 2-approximation for
@@ -782,22 +654,10 @@ object MiningQueries {
     // wants flagged. Output is ids + integer qdot only, so the whole
     // index-quality probe hash-checks; ranking uses the per-row double
     // cosine (identical expression both engines), never a float sum.
-    "e34_knn_outliers" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cand = knnCandidatesQuantized(emb.select(col("vec_id"), col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
-      val agg = cand.groupBy(col("vec_id")).agg(count(lit(1)).as("n_cand"))
-      val kth = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 3)
-        .select(col("vec_id"), col("neighbor_id").as("kth_neighbor_id"),
-          col("qdot").as("kth_qdot"))
-      emb.select(col("vec_id"))
-        .join(agg, Seq("vec_id"), "left")
-        .join(kth, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          col("kth_neighbor_id"), col("kth_qdot"))
-        .orderBy(col("vec_id"))
-    }),
+    "e34_knn_outliers" -> ((s, d) => e34Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e34s_knn_outliers_sliced" -> ((s, d) => e34Body(slicedEmb(s, d))),
 
     // Newman modularity of the e29 label-propagation communities over
     // the e28 kNN graph — the community-quality readout (is the
@@ -811,23 +671,10 @@ object MiningQueries {
     // joins, and l_c/d_c/m are three partial-aggregated counts (m rides
     // as a 1-row broadcast) — nothing beyond the graph machinery that
     // already scales.
-    "q143_modularity" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      // cut: the kNN graph build (LSH multiprobe + scoring) is the
-      // expensive producer and is referenced by every labelProp round
-      // plus both modularity terms — materialize it once
-      val g = graft.operators.Lineage.cut(
-        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-          .select(col("vec_id"), col("neighbor_id")))
-      val lbl = labelProp(
-        emb.select(col("vec_id"), col("label"))
-          .withColumn("label",
-            when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
-        g, rounds = 2)
-        .filter(col("label").isNotNull).select(col("vec_id"), col("label"))
-      modularityByCommunity(g, graft.operators.Lineage.cut(lbl))
-        .orderBy(col("label"))
-    }),
+    "q143_modularity" -> ((s, d) => q143Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "q143s_modularity_sliced" -> ((s, d) => q143Body(slicedEmb(s, d))),
 
     // one NN-descent refinement round over the e28 kNN graph (Dong et
     // al. 2011 — the standard way large-scale kNN graphs converge
@@ -839,13 +686,10 @@ object MiningQueries {
     // rescoring joins the quantized-vector table on each endpoint id,
     // and the final top-k is a per-node window — no all-pairs product
     // anywhere, per-round cost O(N·k²·d).
-    "e40_nn_descent" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .select(col("vec_id"), col("neighbor_id"))
-      nnDescentRound(g, emb.select(col("vec_id"), col("embedding")), topK = 3)
-        .orderBy(col("vec_id"), col("rk"))
-    }),
+    "e40_nn_descent" -> ((s, d) => e40Body(Tables.embeddings(s, d))),
+
+    // sliced twin — see e28s/e43s
+    "e40s_nn_descent_sliced" -> ((s, d) => e40Body(slicedEmb(s, d))),
 
     // grid-density clustering (the DBSCAN/GriDBSCAN shape at corpus
     // scale): quantize the first two embedding dims to 128-wide grid
@@ -1477,9 +1321,25 @@ object MiningQueries {
     "e29s_label_prop_sliced" -> "e29_label_prop",
     "e39s_hubness_sliced" -> "e39_hubness",
     "e43s_incremental_knn_sliced" -> "e43_incremental_knn",
-    "e44s_knn_deletion_sliced" -> "e44_knn_deletion").map {
+    "e44s_knn_deletion_sliced" -> "e44_knn_deletion",
+    "e30s_triplet_mining_sliced" -> "e30_triplet_mining",
+    "e31s_graph_search_sliced" -> "e31_graph_search",
+    "e34s_knn_outliers_sliced" -> "e34_knn_outliers",
+    "e38s_mutual_nn_sliced" -> "e38_mutual_nn",
+    "e40s_nn_descent_sliced" -> "e40_nn_descent",
+    "e42s_graph_recall_sliced" -> "e42_graph_recall",
+    "e47s_nn_descent_reverse_sliced" -> "e47_nn_descent_reverse",
+    "q143s_modularity_sliced" -> "q143_modularity").map {
     case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
       "FROM embeddings", s"FROM (SELECT * FROM embeddings WHERE vec_id < $VecSliceBound)")
+  } ++ Seq(
+    // the lineitem-graph twins: the co-purchase graph restricted to
+    // l_suppkey < SuppSliceBound (the q77s slice)
+    "q128s_kcore_sliced" -> "q128_kcore",
+    "q138s_hyperball_sliced" -> "q138_hyperball").map {
+    case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
+      "FROM lineitem",
+      s"FROM (SELECT * FROM lineitem WHERE l_suppkey < ${ExtendedQueries.SuppSliceBound})")
   }
 
   /** Constant id-prefix bound for the eXXs twins: 10k vectors — half
@@ -1489,6 +1349,217 @@ object MiningQueries {
 
   private def slicedEmb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < VecSliceBound)
+
+  /** Lineitem restricted to l_suppkey < SuppSliceBound — the q77s graph
+    * slice, shared by the q128s/q138s twins. */
+  private def slicedLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_suppkey") < ExtendedQueries.SuppSliceBound)
+
+  private def e30Body(emb: DataFrame): DataFrame = {
+      val labels = emb.select(col("vec_id"), col("label"))
+      val c = knnCandidatesQuantized(emb)
+        .join(labels.select(col("vec_id"), col("label").as("a_label")), Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+          Seq("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      def argmax(f: DataFrame, idName: String, dotName: String) =
+        f.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("neighbor_id").as(idName), col("qdot").as(dotName))
+      val pos = argmax(c.filter(col("n_label") === col("a_label")), "pos_id", "pos_qdot")
+      val neg = argmax(c.filter(col("n_label") =!= col("a_label")), "neg_id", "neg_qdot")
+      labels.join(pos, Seq("vec_id"), "left").join(neg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("pos_id"), col("pos_qdot"),
+          col("neg_id"), col("neg_qdot"))
+        .orderBy(col("vec_id"))
+    }
+
+  private def e31Body(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    val emb = emb0.select(col("vec_id"), col("embedding"), col("label"))
+      val base = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+        .withColumn("n2", ldot(s)(col("q"), col("q")))
+      // cut: the kNN graph is walked by every beam round — build it once
+      val edges = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
+        .select(col("vec_id").as("node"), col("neighbor_id")))
+      val qs = base.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val entry = base.agg(min(col("vec_id")).as("node"))
+      def score(cand: DataFrame): DataFrame = cand
+        .join(qs, Seq("qid"))
+        .join(base.select(col("vec_id").as("node"), col("q").as("cq"), col("n2").as("cn2")),
+          Seq("node"))
+        .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
+        .withColumn("cosq", col("qdot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+        .select(col("qid"), col("node"), col("qdot"), col("cosq"))
+      val beamW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosq").desc, col("node"))
+      var frontier = qs.select(col("qid")).crossJoin(broadcast(entry))
+      var visited = score(frontier)
+      for (_ <- 1 to 3) {
+        val expanded = frontier.join(edges, Seq("node"))
+          .select(col("qid"), col("neighbor_id").as("node")).distinct()
+          .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
+        // cut: each round's survivors seed the next frontier AND the
+        // visited set — without it round r replays rounds 1..r-1's scoring
+        val kept = graft.operators.Lineage.cut(score(expanded)
+          .withColumn("rn", row_number().over(beamW)).filter(col("rn") <= 4)
+          .drop("rn"))
+        frontier = kept.select(col("qid"), col("node"))
+        visited = graft.operators.Lineage.cut(visited.union(kept))
+      }
+      visited.filter(col("node") =!= col("qid"))
+        .withColumn("rk", row_number().over(beamW)).filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast(LongType).as("rk"), col("node"), col("qdot"))
+        .orderBy(col("qid"), col("rk"))
+    }
+
+  private def e34Body(emb: DataFrame): DataFrame = {
+      val cand = knnCandidatesQuantized(emb.select(col("vec_id"), col("embedding")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
+      val agg = cand.groupBy(col("vec_id")).agg(count(lit(1)).as("n_cand"))
+      val kth = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 3)
+        .select(col("vec_id"), col("neighbor_id").as("kth_neighbor_id"),
+          col("qdot").as("kth_qdot"))
+      emb.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .join(kth, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("kth_neighbor_id"), col("kth_qdot"))
+        .orderBy(col("vec_id"))
+    }
+
+  private def e38Body(emb: DataFrame): DataFrame = {
+    // cut: the kNN graph build backs both self-join sides
+    val knn = graft.operators.Lineage.cut(knnGraphQuantized(
+      emb.select(col("vec_id"), col("embedding")), topK = 3))
+      val t1 = knn.filter(col("rk") === 1)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"), col("qdot"))
+      t1.as("x").join(t1.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+            col("x.a") < col("x.b"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("x.qdot").as("qdot"))
+        .orderBy(col("a"))
+    }
+
+  private def e40Body(emb: DataFrame): DataFrame = {
+      val g = knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      nnDescentRound(g, emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .orderBy(col("vec_id"), col("rk"))
+    }
+
+  private def e42Body(emb0: DataFrame): DataFrame = {
+    val s = emb0.sparkSession
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val base = emb.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
+      .withColumn("n2", ldot(s)(col("q"), col("q")))
+    val pr = base.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2"))
+    def score(df: DataFrame): DataFrame = df
+      .withColumn("qdot", ldot(s)(col("qq"), col("cq")))
+      .withColumn("cosq", col("qdot").cast(DoubleType) /
+        (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("cid"))
+    val exact = score(base
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+        .crossJoin(broadcast(pr))
+        .filter(col("cid") =!= col("vec_id")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("cid"))
+    // cut: the LSH graph backs the probe edges, the two-hop join, and
+    // the hit check
+    val g = graft.operators.Lineage.cut(
+      knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id")))
+    val gp = g.filter(col("vec_id") < 8)
+    val two = gp.select(col("vec_id"), col("neighbor_id").as("mid"))
+      .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val refined = score(gp.union(two).distinct()
+        .select(col("vec_id"), col("neighbor_id").as("cid"))
+        .join(broadcast(pr), Seq("vec_id"))
+        .join(base.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cid")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("cid"))
+    val hb = gp.withColumnRenamed("neighbor_id", "cid")
+      .join(exact, Seq("vec_id", "cid"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_base"))
+    val hr = refined.join(exact, Seq("vec_id", "cid"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("hits_refined"))
+    pr.select(col("vec_id"))
+      .join(hb, Seq("vec_id"), "left").join(hr, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("hits_base"), lit(0L)).as("hits_base"),
+        coalesce(col("hits_refined"), lit(0L)).as("hits_refined"))
+      .withColumn("recall_base", round(col("hits_base") * lit(1.0) / 3, 4))
+      .withColumn("recall_refined", round(col("hits_refined") * lit(1.0) / 3, 4))
+      .orderBy(col("vec_id"))
+  }
+
+  private def e47Body(emb: DataFrame): DataFrame = {
+    // cut: the graph backs both union directions of the generalized
+    // neighborhood
+    val g = graft.operators.Lineage.cut(
+      knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+        .select(col("vec_id"), col("neighbor_id")))
+    val gen = g.union(
+        g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+      .distinct()
+    nnDescentRound(gen, emb.select(col("vec_id"), col("embedding")), topK = 3)
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  private def q128Body(line: DataFrame): DataFrame = {
+    val li = line
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+    val sym = e.select(col("pa").as("s"), col("pb").as("t"))
+      .union(e.select(col("pb"), col("pa")))
+    graft.operators.KCore.peel(sym, k = 90, rounds = 4)
+      .select(col("node").as("p_partkey"), col("in_core"), col("deg_final"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def q138Body(line: DataFrame): DataFrame = {
+    val li = line
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      // cut: the co-purchase self-join feeds every register round (q137 rule)
+      val e = graft.operators.Lineage.cut(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
+      val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+        .union(e.select(col("pb"), col("pa")))
+      hyperballEstimates(sym, rounds = 2, k = 32).orderBy(col("node"))
+    }
+
+  private def q143Body(emb: DataFrame): DataFrame = {
+      // cut: the kNN graph build (LSH multiprobe + scoring) is the
+      // expensive producer and is referenced by every labelProp round
+      // plus both modularity terms — materialize it once
+      val g = graft.operators.Lineage.cut(
+        knnGraphQuantized(emb.select(col("vec_id"), col("embedding")), topK = 3)
+          .select(col("vec_id"), col("neighbor_id")))
+      val lbl = labelProp(
+        emb.select(col("vec_id"), col("label"))
+          .withColumn("label",
+            when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("label"))),
+        g, rounds = 2)
+        .filter(col("label").isNotNull).select(col("vec_id"), col("label"))
+      modularityByCommunity(g, graft.operators.Lineage.cut(lbl))
+        .orderBy(col("label"))
+    }
+
 
   // ---- shared bodies for each full query + its eXXs sliced twin (the
   // Spark-side no-drift guarantee matching the derived oracle) --------
