@@ -742,6 +742,26 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dups plan carries no ScalaUDF (native shingle jaccard)") {
+    // round-16 pin: the confirm stage reuses the batch pipeline's native
+    // Shingles/array_intersect expressions; a reintroduced per-pair
+    // closure would hide here (streaming plans get no bench coverage)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq((100L, "some corpus text here")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.streamingNearDups(input.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "ts", "text", corpus, "doc_id", "text")
+    val plan = out.queryExecution.analyzed
+    val udfs = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u })
+    }.flatten
+    assert(udfs.isEmpty, udfs.map(_.udfName).mkString(","))
+    assert(plan.toString.contains("shingles") || plan.toString.contains("Shingles"),
+      plan.toString.take(800))
+  }
+
   test("page-hinkley drift monitor alarms after a level shift, stays quiet on a flat stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
