@@ -135,8 +135,48 @@ object Bench {
     // because the driver always benches a freshly-booted host (proven
     // noise by a 15.30 → 12.79 → 11.37 s same-bytes rerun, BASELINE.md).
     // One discarded full pass moves that first-run penalty out of the
-    // timed passes so the reported min measures steady state.
-    selected.foreach(run)
+    // timed passes so the reported min measures steady state. Like the
+    // tiny-SF loop above, only NonFatal errors are swallowed — `run`'s
+    // catch-Throwable is for the TIMED passes (a failed query reports
+    // -1 instead of killing the whole bench); a warm-pass OOM must kill
+    // the run, not leave four timed passes measuring a post-OOM heap.
+    selected.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] target-SF warm-up $n failed: ${e.getMessage}")
+      } finally {
+        graft.operators.GlobalRank.releasePins()
+        graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
+      }
+    }
+
+    // Host-state control: a fixed 200M-iteration FP loop, single thread,
+    // timed twice (min of the two). Identical code every round, so the
+    // reading calibrates the host, not the engine: in the round-15
+    // window it was stable ±3%; in round 16's it swung 0.358 → 0.631 s
+    // minute-to-minute while same-bytes bench totals swung 13.6 → 15.7 s
+    // (BASELINE.md). Sampled BEFORE the first timed pass and again
+    // AFTER the last (the host drifts on the same minutes timescale the
+    // passes span — a single post-hoc sample could read quiet after a
+    // noisy measurement window); the reported `cpu_control` is the MAX
+    // of the two, the conservative "the host was at least this slow
+    // while the passes ran". A BENCH_rN whose cpu_control sits far
+    // above a prior round's is measuring the host, and its absolutes
+    // must be read against a same-window same-tree floor, not the
+    // prior round.
+    def cpuControl(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var s = 0.0; var i = 0
+        while (i < 200000000) { s += 1.0 / (1.0 + (i & 1023)); i += 1 }
+        if (s < 0) println(s) // keep the loop live
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val controlPre = cpuControl()
 
     // four timed passes per query; report the per-query MIN — one
     // noisy pass on a hot host inflated r6's single-pass total by 37%
@@ -151,6 +191,7 @@ object Bench {
     val times: Map[String, Seq[Double]] =
       (1 to passes).flatMap(_ => selected.map(n => n -> run(n)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val control = math.max(controlPre, cpuControl())
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.length / 2)
@@ -169,25 +210,6 @@ object Bench {
     // median AND min — goes to a JSON file for local analysis.
     val mins = selected.map(n => n -> minOk(times(n)))
     val meds = selected.map(n => n -> median(times(n)))
-    // Host-state control: a fixed 200M-iteration FP loop, single thread,
-    // timed twice (min reported). Identical code every round, so the
-    // reading calibrates the host, not the engine: in the round-15
-    // window it was stable ±3%; in round 16's it swung 0.358 → 0.631 s
-    // minute-to-minute while same-bytes bench totals swung 13.6 → 15.7 s
-    // (BASELINE.md). A BENCH_rN whose cpu_control sits far above a prior
-    // round's is measuring the host, and its absolutes must be read
-    // against a same-window same-tree floor, not the prior round.
-    def cpuControl(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var s = 0.0; var i = 0
-        while (i < 200000000) { s += 1.0 / (1.0 + (i & 1023)); i += 1 }
-        if (s < 0) println(s) // keep the loop live
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
-    }
-    val control = cpuControl()
     def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = r4(mins.map(_._2).filter(_ >= 0).sum)
@@ -197,7 +219,7 @@ object Bench {
       m(Seq(
         "metric" -> "\"total\"", "value" -> total, "unit" -> "\"sec\"",
         "stat" -> "\"min\"", "passes" -> passes.toString, "sf" -> ("\"" + sfDir + "\""),
-        "cpu_control" -> r4(control),
+        "cpu_control" -> r4(control), "cpu_control_pre" -> r4(controlPre),
         "queries" -> m(mins.map { case (k, v) => k -> v.toString }),
         "queries_median" -> m(meds.map { case (k, v) => k -> v.toString }),
         "queries_all_passes" -> m(selected.map(n =>

@@ -1126,9 +1126,12 @@ object ExtendedQueries {
     * q66's interval join OOMs on 2M intervals × 60M points. The twins
     * pin both sides to constants inside the oracle-proven sf1 scale. */
   lazy val oracle: Map[String, String] = oracleBase ++ Map(
+    // q95's oracle references part twice ("FROM part p" / "FROM part q"
+    // — both sides of the NOT EXISTS slice, by design)
     "q95s_skyline_sliced" -> TwinSql.subst("q95s_skyline_sliced",
       oracleBase("q95_skyline"),
-      "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)"),
+      "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)",
+      expected = 2),
     "q66s_range_join_sliced" -> TwinSql.subst("q66s_range_join_sliced",
       TwinSql.subst("q66s_range_join_sliced", oracleBase("q66_range_join"),
         "FROM part", s"FROM (SELECT * FROM part WHERE p_partkey < $PartSliceBound)"),
@@ -1153,7 +1156,8 @@ object ExtendedQueries {
     // and lineitem source key-prefix-bounded (3 feed arms + the facts)
     "q149s_scd2_lookup_sliced" -> TwinSql.subst("q149s_scd2_lookup_sliced",
       TwinSql.subst("q149s_scd2_lookup_sliced", oracleBase("q149_scd2_lookup"),
-        "FROM orders", s"FROM (SELECT * FROM orders WHERE o_orderkey < $OrderSliceBound)"),
+        "FROM orders", s"FROM (SELECT * FROM orders WHERE o_orderkey < $OrderSliceBound)",
+        expected = 3),
       "FROM lineitem",
       s"FROM (SELECT * FROM lineitem WHERE l_orderkey < $OrderSliceBound)"))
 

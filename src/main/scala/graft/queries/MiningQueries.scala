@@ -1317,21 +1317,23 @@ object MiningQueries {
     * twin carries the oracle-semantics evidence there (the full rows
     * keep their dual-topology bytediff mode). */
   lazy val oracle: Map[String, String] = oracleBase ++ Seq(
-    "e28s_knn_graph_sliced" -> "e28_knn_graph",
-    "e29s_label_prop_sliced" -> "e29_label_prop",
-    "e39s_hubness_sliced" -> "e39_hubness",
-    "e43s_incremental_knn_sliced" -> "e43_incremental_knn",
-    "e44s_knn_deletion_sliced" -> "e44_knn_deletion",
-    "e30s_triplet_mining_sliced" -> "e30_triplet_mining",
-    "e31s_graph_search_sliced" -> "e31_graph_search",
-    "e34s_knn_outliers_sliced" -> "e34_knn_outliers",
-    "e38s_mutual_nn_sliced" -> "e38_mutual_nn",
-    "e40s_nn_descent_sliced" -> "e40_nn_descent",
-    "e42s_graph_recall_sliced" -> "e42_graph_recall",
-    "e47s_nn_descent_reverse_sliced" -> "e47_nn_descent_reverse",
-    "q143s_modularity_sliced" -> "q143_modularity").map {
-    case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
-      "FROM embeddings", s"FROM (SELECT * FROM embeddings WHERE vec_id < $VecSliceBound)")
+    // third element = `FROM embeddings` reference count in the base
+    // oracle (TwinSql pins it — see PipelineQueries)
+    ("e28s_knn_graph_sliced", "e28_knn_graph", 1),
+    ("e29s_label_prop_sliced", "e29_label_prop", 3),
+    ("e39s_hubness_sliced", "e39_hubness", 1),
+    ("e43s_incremental_knn_sliced", "e43_incremental_knn", 2),
+    ("e44s_knn_deletion_sliced", "e44_knn_deletion", 1),
+    ("e30s_triplet_mining_sliced", "e30_triplet_mining", 2),
+    ("e31s_graph_search_sliced", "e31_graph_search", 1),
+    ("e34s_knn_outliers_sliced", "e34_knn_outliers", 1),
+    ("e38s_mutual_nn_sliced", "e38_mutual_nn", 1),
+    ("e40s_nn_descent_sliced", "e40_nn_descent", 1),
+    ("e42s_graph_recall_sliced", "e42_graph_recall", 1),
+    ("e47s_nn_descent_reverse_sliced", "e47_nn_descent_reverse", 1),
+    ("q143s_modularity_sliced", "q143_modularity", 2)).map {
+    case (twin, full, n) => twin -> TwinSql.subst(twin, oracleBase(full),
+      "FROM embeddings", s"FROM (SELECT * FROM embeddings WHERE vec_id < $VecSliceBound)", n)
   } ++ Seq(
     // the lineitem-graph twins: the co-purchase graph restricted to
     // l_suppkey < SuppSliceBound (the q77s slice)

@@ -1949,14 +1949,17 @@ object PipelineQueries {
     * query's semantics (one source of truth, same guarantee the Spark
     * side gets by calling the same operator code on filtered docs). */
   lazy val oracle: Map[String, String] = oracleBase ++ Seq(
-    "d09s_dedup_clusters_sliced" -> "d09_dedup_clusters",
-    "d14s_clean_corpus_sliced" -> "d14_clean_corpus",
-    "d28s_training_manifest_sliced" -> "d28_training_manifest",
-    "d34s_leakage_split_sliced" -> "d34_leakage_split",
-    "d40s_canonical_pick_sliced" -> "d40_canonical_pick",
-    "d66s_dedup_impact_sliced" -> "d66_dedup_impact").map {
-    case (twin, full) => twin -> TwinSql.subst(twin, oracleBase(full),
-      "FROM documents", s"FROM (SELECT * FROM documents WHERE doc_id < $SliceBound)")
+    // third element = how many `FROM documents` references the base
+    // oracle carries (TwinSql pins the count so a base edit that adds
+    // or renames one fails the derivation loudly)
+    ("d09s_dedup_clusters_sliced", "d09_dedup_clusters", 2),
+    ("d14s_clean_corpus_sliced", "d14_clean_corpus", 3),
+    ("d28s_training_manifest_sliced", "d28_training_manifest", 3),
+    ("d34s_leakage_split_sliced", "d34_leakage_split", 2),
+    ("d40s_canonical_pick_sliced", "d40_canonical_pick", 3),
+    ("d66s_dedup_impact_sliced", "d66_dedup_impact", 2)).map {
+    case (twin, full, n) => twin -> TwinSql.subst(twin, oracleBase(full),
+      "FROM documents", s"FROM (SELECT * FROM documents WHERE doc_id < $SliceBound)", n)
   }
 
   private val oracleBase: Map[String, String] = Map(

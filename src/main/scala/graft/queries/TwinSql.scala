@@ -11,10 +11,21 @@ package graft.queries
   * attributable error instead.
   */
 object TwinSql {
-  def subst(twin: String, base: String, pattern: String, replacement: String): String = {
-    val derived = base.replace(pattern, replacement)
-    require(derived != base,
-      s"twin $twin: slice pattern '$pattern' did not match the base oracle SQL")
-    derived
+  /** `expected` pins how many times `pattern` must occur in the base
+    * SQL (default 1). A count-mismatch — total miss OR a base edit that
+    * added/renamed one of several references — fails loudly instead of
+    * shipping a half-sliced twin (the replacement string itself
+    * contains the pattern, so a residual-occurrence check cannot tell
+    * "replaced" from "missed"; an exact pre-count can). A legitimate
+    * base edit that changes the reference count forces the twin author
+    * to re-verify the derivation, which is the point. */
+  def subst(twin: String, base: String, pattern: String, replacement: String,
+      expected: Int = 1): String = {
+    require(expected > 0, s"twin $twin: expected must be positive")
+    val found = base.sliding(pattern.length).count(_ == pattern)
+    require(found == expected,
+      s"twin $twin: slice pattern '$pattern' occurs $found time(s) in the base " +
+        s"oracle SQL, expected $expected — re-verify the twin derivation")
+    base.replace(pattern, replacement)
   }
 }

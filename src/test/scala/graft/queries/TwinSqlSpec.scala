@@ -22,6 +22,20 @@ class TwinSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("FROM documents"))
   }
 
+  test("subst fails loudly on a PARTIAL miss (reference count drifted)") {
+    // the round-16 hardening: a base edit that adds or renames ONE of
+    // several table references must fail the derivation, not ship a
+    // half-sliced twin that only surfaces at sf10
+    val base = "SELECT * FROM documents UNION ALL SELECT * FROM documents"
+    val e = intercept[IllegalArgumentException] {
+      TwinSql.subst("t", base, "FROM documents", "X", expected = 3)
+    }
+    assert(e.getMessage.contains("occurs 2"))
+    // and the correct pinned count passes
+    assert(TwinSql.subst("t", base, "FROM documents", "X", expected = 2) ===
+      "SELECT * X UNION ALL SELECT * X")
+  }
+
   test("every contract twin oracle derives without throwing and is sliced") {
     // forces all five lazy oracle maps (the guard runs at construction);
     // each *_sliced entry must differ from SOME base entry only by
