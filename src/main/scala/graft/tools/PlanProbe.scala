@@ -9,22 +9,50 @@ import org.apache.spark.sql.SparkSession
   * pushed filters — without timing a run.
   *
   * Usage: runMain graft.tools.PlanProbe <sfDir> <query>...
+  *
+  * SPARK_GRAFT_PLAN_DIR=<dir>: additionally write each query's
+  * `explain("formatted")` text to <dir>/<query>.txt — the audit
+  * artifact format (plans/rN/<query>_{before,after}.txt). The session
+  * mirrors Bench's data-adaptive shuffle sizing so the captured plans
+  * are the ones the bench actually runs.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q01_pricing_summary")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val dataBytes =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case _: Exception => 0L }
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt,
+        math.max(8L, dataBytes / (32L << 20)).toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    planDir.foreach(p => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
     names.foreach { n =>
-      println(s"=== $n ===")
-      println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      planDir match {
+        case Some(p) =>
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p, s"$n.txt"), txt)
+          println(s"wrote $p/$n.txt")
+        case None =>
+          println(s"=== $n ===")
+          println(df.queryExecution.executedPlan.toString)
+      }
     }
   }
 }
