@@ -81,6 +81,24 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
+      // Scan parallelism FLOOR (not a count): never plan fewer splits
+      // than cores. Inert at 100-TB scale (scans have millions of
+      // splits) and at tiny SFs with single-row-group files; it matters
+      // exactly in between — sf1/sf10 tables where 128 MB splits would
+      // otherwise leave cores idle on the first stage.
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_MINPART", cpus))
+      // AQE post-shuffle coalescing granularity. The default 1 MB floor
+      // assumes partition cost ∝ bytes, but the CPU-dense operators here
+      // (signature banding, pair-verify Jaccard, window sorts over long
+      // strings) carry 10-100 ms of compute per 64 KB of shuffle bytes —
+      // AQE's parallelism-first coalescing was folding those stages to a
+      // SINGLE task (measured: d06's bucket stage 169 ms → 80 ms with 8
+      // tasks after this change). At production shuffle volumes
+      // partitions are far above 1 MB and the floor never binds; it only
+      // governs how far small CPU-heavy stages may be squeezed.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // GC-driven fallback for reliable-checkpoint file cleanup; the

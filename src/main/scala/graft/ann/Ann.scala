@@ -56,6 +56,14 @@ object Ann {
     call_function("cosine_sim", a, b)
   }
 
+  /** Pin an expensive kernel column to one evaluation per row — see
+    * [[graft.functions.EvalOnce]]. Used on every projection whose value
+    * a later filter (written or optimizer-inferred) would otherwise
+    * substitute and re-evaluate: the encode/cell/signature kernels are
+    * the map-side cost of these operators, and the duplicated-filter
+    * shape literally doubles them. Values are bit-identical. */
+  private def once(c: Column): Column = graft.functions.EvalOnce(c)
+
   /** Exact top-k by cosine for each query vector. `queries` and `corpus`
     * both carry (idCol, vecCol); queries are assumed small → broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -184,7 +192,7 @@ object Ann {
     // results are bit-identical; the work drops from O(collisions)
     // interpreted folds to O(pairs) fused loops.
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sig = ids.withColumn("s", sigOf(col("v"))).select(col("id"), col("s"))
+    val sig = ids.withColumn("s", once(sigOf(col("v")))).select(col("id"), col("s"))
     // left side: exact bucket; right side: exact + Hamming-1 probes
     val probes = (0 until nBits).map(b => lit(1 << b))
     val probed = sig.select(col("id"), explode(
@@ -196,7 +204,7 @@ object Ann {
     cand
       .join(ids.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(ids.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .withColumn("cos", fastCosine(corpus.sparkSession)(col("va"), col("vb")))
+      .withColumn("cos", once(fastCosine(corpus.sparkSession)(col("va"), col("vb"))))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -212,7 +220,7 @@ object Ann {
     val x = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val y = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
     x.join(y, col("a") < col("b"))
-      .withColumn("cos", fastCosine(corpus.sparkSession)(col("va"), col("vb")))
+      .withColumn("cos", once(fastCosine(corpus.sparkSession)(col("va"), col("vb"))))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
@@ -353,7 +361,7 @@ object Ann {
       (array_position(ds, array_min(ds)) - 1L).cast("int")
     }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(col("cv")))
+      .withColumn("cell", once(cellOf(col("cv"))))
       .filter(col("cell").isNotNull)
     // Probe list = nProbe nearest centroids: sort_array over (d2, cell)
     // structs ≡ the scalar sortBy(_._2) (stable, ties → lower cell).
@@ -438,10 +446,10 @@ object Ann {
     val encode = kernelCol(new AnnKernels.PqEncodeKernel(flat, null, m, ksubA, subDim)) _
     val table = kernelCol(new AnnKernels.PqTableKernel(flat, null, m, ksubA, subDim)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("codes", encode(col("cv")))
+      .withColumn("codes", once(encode(col("cv"))))
       .filter(col("codes").isNotNull)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("tab", table(col("qv")))
+      .withColumn("tab", once(table(col("qv"))))
       .filter(col("tab").isNotNull)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = false))
@@ -556,13 +564,13 @@ object Ann {
     val tableOf = kernelCol2(new AnnKernels.IvfPqTableKernel(
       centsFlat, null, booksFlat, null, m, ksubA, subDim, dims)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(col("cv")))
-      .withColumn("codes", codesOf(col("cv"), col("cell")))
+      .withColumn("cell", once(cellOf(col("cv"))))
+      .withColumn("codes", once(codesOf(col("cv"), col("cell"))))
       .filter(col("codes").isNotNull)
       .select("neighbor_id", "cell", "codes")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeOf(col("qv"))))
-      .withColumn("tab", tableOf(col("qv"), col("cell")))
+      .withColumn("tab", once(tableOf(col("qv"), col("cell"))))
       .filter(col("tab").isNotNull)
       .select("query_id", "cell", "tab")
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -606,10 +614,10 @@ object Ann {
     val encode = kernelCol(new AnnKernels.PqEncodeKernel(null, booksFlat, m, ksub, subDim)) _
     val table = kernelCol(new AnnKernels.PqTableKernel(null, booksFlat, m, ksub, subDim)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("codes", encode(col("cv")))
+      .withColumn("codes", once(encode(col("cv"))))
       .filter(col("codes").isNotNull)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("tab", table(col("qv")))
+      .withColumn("tab", once(table(col("qv"))))
       .filter(col("tab").isNotNull)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcCol(col("tab"), col("codes"), longMode = true))
@@ -667,13 +675,13 @@ object Ann {
       null, centsFlat, null, booksFlat, m, ksub, subDim, dims)) _
     val quantOf = kernelCol(new AnnKernels.QuantizeKernel(1024.0, Long.MinValue, Long.MaxValue, dims)) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(col("cv")))
-      .withColumn("codes", codesOf(col("cv"), col("cell")))
+      .withColumn("cell", once(cellOf(col("cv"))))
+      .withColumn("codes", once(codesOf(col("cv"), col("cell"))))
       .filter(col("codes").isNotNull)
       .select("neighbor_id", "cell", "codes")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(sequence(lit(0), lit(nLists - 1))))
-      .withColumn("tab", tableOf(col("qv"), col("cell")))
+      .withColumn("tab", once(tableOf(col("qv"), col("cell"))))
       .filter(col("tab").isNotNull)
       .select("query_id", "cell", "tab")
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -724,9 +732,9 @@ object Ann {
       org.apache.spark.sql.graft.GraftSql.column(graft.functions.LongL2SqMin(
         org.apache.spark.sql.graft.GraftSql.expression(a),
         org.apache.spark.sql.graft.GraftSql.expression(b)))
-    val c = corpus.select(col(idCol).as("neighbor_id"), enc(col(vecCol)).as("c8"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), once(enc(col(vecCol))).as("c8"))
       .filter(col("c8").isNotNull)
-    val q = queries.select(col(idCol).as("query_id"), enc(col(vecCol)).as("q8"))
+    val q = queries.select(col(idCol).as("query_id"), once(enc(col(vecCol))).as("q8"))
       .filter(col("q8").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -774,7 +782,7 @@ object Ann {
       idCol: String, vecCol: String, k: Int, nBits: Int,
       sigOf: Column => Column): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", sigOf(col("cv")))
+      .withColumn("bucket", once(sigOf(col("cv"))))
     val probes = (0 until nBits).map(b => lit(1 << b))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qsig", sigOf(col("qv")))

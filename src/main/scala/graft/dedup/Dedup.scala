@@ -143,10 +143,19 @@ object Dedup {
     val carried = if (carryText) Seq(col(textCol).as("text")) else Seq.empty
     // drop null-text docs BEFORE banding: their null signatures would all
     // collide into one bucket per band (hash(band, null) is a constant)
-    // and generate O(k²) pairs that the downstream verify only discards
-    val sig = docs.select(Seq(col(idCol).as("id"),
-      minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
-      .filter(col("sig").isNotNull)
+    // and generate O(k²) pairs that the downstream verify only discards.
+    // The filter is on the INPUT column, not the signature: MinhashSig is
+    // null iff its input is (nullSafeEval), so the pair set is identical —
+    // but filter(sig.isNotNull) was pushed through the projection by
+    // Catalyst and re-evaluated the signature per row (Filter
+    // isnotnull(minhash_sig(text)) + Project minhash_sig(text) — the
+    // guide-§4.4 duplicated-expensive-expression shape), DOUBLING the
+    // dominant map-side cost of the whole pipeline. Filtering on the raw
+    // text instead pushes IsNotNull(text) into the parquet scan for free
+    // and the signature is computed exactly once.
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol).as("id"),
+        minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
     val memberCols = Seq(col("id")) ++ (if (withEstimate) Seq(col("sig")) else Nil) ++
       (if (carryText) Seq(col("text")) else Nil)
     val banded = sig.select(col("*"),
@@ -243,11 +252,17 @@ object Dedup {
       aText: String = "ta", bText: String = "tb"): DataFrame = {
     val (sa, sb) = (col("__sa"), col("__sb"))
     val inter = size(array_intersect(sa, sb))
-    df.withColumn("__sa", shinglesCol(col(aText), shingleSize))
-      .withColumn("__sb", shinglesCol(col(bText), shingleSize))
-      .withColumn("jaccard",
+    // __sa/__sb AND jaccard are EvalOnce-pinned: every caller filters on
+    // `jaccard >= threshold` next, and Catalyst pushed that predicate
+    // below both projections, re-deriving shingles+intersect per pair
+    // inside the Filter (then again in the Project) — 2-3× the verify
+    // stage's per-pair cost. Pinned, the filter tests the materialized
+    // column; values are bit-identical (EvalOnce is an identity).
+    df.withColumn("__sa", graft.functions.EvalOnce(shinglesCol(col(aText), shingleSize)))
+      .withColumn("__sb", graft.functions.EvalOnce(shinglesCol(col(bText), shingleSize)))
+      .withColumn("jaccard", graft.functions.EvalOnce(
         when(sa.isNull || sb.isNull, lit(null).cast("double"))
-          .otherwise(inter * 1.0 / (size(sa) + size(sb) - inter)))
+          .otherwise(inter * 1.0 / (size(sa) + size(sb) - inter))))
       .drop("__sa", "__sb")
   }
 
@@ -274,8 +289,11 @@ object Dedup {
     * identical-document floods (see [[capMembers]]). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-      .filter(col("sim").isNotNull) // null text → no signature → no buckets
+    // null text → no signature → no buckets; filter the INPUT column so
+    // the pushed-down predicate doesn't re-evaluate simhash64 per row
+    // (see minhashCandidates) — Simhash64 is null iff its input is
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))
@@ -309,9 +327,12 @@ object Dedup {
     * document size — then one groupBy(id) assembles the signature. All
     * codegen'd built-ins, no UDF. */
   def simhash60Sql(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    // t is null iff the text is (lower/split/filter all propagate null);
+    // filtering the input column avoids re-evaluating the split in the
+    // pushed-down predicate
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("t"))
-      .filter(col("t").isNotNull)
     val sh = toks.select(col("id"), explode(when(size(col("t")) < 2,
         array(array_join(col("t"), " ")))
       .otherwise(expr("array_distinct(transform(sequence(1, size(t) - 1), " +
@@ -493,9 +514,9 @@ object Dedup {
       bucketCap: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     def sigs(df: DataFrame, isFresh: Boolean) =
-      df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      df.filter(col(textCol).isNotNull) // == sig.isNotNull, minus the re-eval
+        .select(col(idCol).as("id"), col(textCol).as("txt"),
           minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig"))
-        .filter(col("sig").isNotNull)
         .withColumn("is_fresh", lit(isFresh))
     val all = sigs(corpus, isFresh = false).unionByName(sigs(fresh, isFresh = true))
     val banded = all.select(col("id"), col("sig"), col("is_fresh"),

@@ -54,6 +54,7 @@ case class AnnKernelExpr(child: Expression, kernel: AnnKernel)
     extends UnaryExpression {
   override def dataType: DataType = kernel.dataType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
   override def prettyName: String = kernel.name
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -90,6 +91,7 @@ case class AnnKernelExpr2(left: Expression, right: Expression, kernel: AnnKernel
     extends BinaryExpression {
   override def dataType: DataType = kernel.dataType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
   override def prettyName: String = kernel.name
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -132,6 +134,7 @@ case class AnnKernelExpr2(left: Expression, right: Expression, kernel: AnnKernel
 case class LongL2SqMin(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
   override def prettyName: String = "long_l2sq_min"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -182,6 +185,7 @@ case class AdcSum(left: Expression, right: Expression, longMode: Boolean)
     extends BinaryExpression {
   override def dataType: DataType = if (longMode) LongType else DoubleType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
   override def prettyName: String = if (longMode) "adc_sum_q" else "adc_sum"
 
   private def elemType: DataType = if (longMode) LongType else DoubleType

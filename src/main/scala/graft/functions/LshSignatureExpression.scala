@@ -57,6 +57,13 @@ case class HyperplaneSig(child: Expression, nBits: Int, dims: Int, quantized: Bo
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
+  // NULL in → NULL out (nullSafeEval/nullSafeCodeGen): declaring it lets
+  // the optimizer turn an inferred isnotnull(hyperplane_sig(v)) join-key
+  // constraint into isnotnull(v) AT THE SCAN instead of evaluating the
+  // whole signature a second time inside a pushed-down Filter (the
+  // bucket join in Ann.bucketTopK/cosineNearDupsWith infers exactly
+  // that constraint).
+  override def nullIntolerant: Boolean = true
   override def prettyName: String =
     if (quantized) "hyperplane_sig_q" else "hyperplane_sig"
 

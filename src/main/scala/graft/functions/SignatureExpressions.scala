@@ -19,6 +19,7 @@ case class MinhashSig(child: Expression, numHashes: Int, shingleSize: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -53,6 +54,7 @@ case class Shingles(child: Expression, shingleSize: Int) extends UnaryExpression
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -79,6 +81,7 @@ case class Simhash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

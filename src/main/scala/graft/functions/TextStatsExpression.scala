@@ -27,6 +27,7 @@ case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExp
 
   override def dataType: DataType = TextStats.schema
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -58,6 +59,7 @@ case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExp
 case class CanonicalText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -90,6 +92,7 @@ case class LangProfile(child: Expression, langs: Seq[(String, Seq[String])])
     langs.indices.map(i => StructField(s"_${i + 1}", IntegerType, nullable = false)) :+
       StructField(s"_${langs.length + 1}", StringType, nullable = false))
   override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

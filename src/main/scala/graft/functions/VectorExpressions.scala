@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   protected def compute(a: ArrayData, b: ArrayData, n: Int, aF: Boolean, bF: Boolean): Any
 
@@ -180,6 +181,7 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -230,6 +232,7 @@ case class LongL2Sq(left: Expression, right: Expression) extends BinaryExpressio
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -287,6 +290,7 @@ case class LongL2Sq(left: Expression, right: Expression) extends BinaryExpressio
 case class FloatL2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true // NULL in -> NULL out (nullSafeEval)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -506,9 +506,9 @@ object StreamOps {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val rows = numHashes / bands
     def banded(df: DataFrame, id: String, text: String, pfx: String) =
-      df.withColumn("__sig",
+      df.filter(col(text).isNotNull) // == __sig.isNotNull, minus the re-eval
+        .withColumn("__sig",
           graft.dedup.Dedup.minhashSignature(numHashes, shingleSize)(col(text)))
-        .filter(col("__sig").isNotNull)
         .select((col(id).as(s"${pfx}_id") +: (if (pfx == "s") Seq(col(tsCol)) else Nil)) ++ Seq(
           col(text).as(s"${pfx}_text"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"),
