@@ -76,10 +76,17 @@ object MiningQueries {
     // is 0/0 = NaN, and NaN sorts GREATEST in Spark, so an unguarded zero
     // vector would rank as everyone's top neighbor. Dropped at prep time
     // (both sides); the oracles carry the same WHERE n2 > 0.
+    // q/sig/n2 are EvalOnce-pinned: the n2 > 0 predicate (and the
+    // inferred isnotnull(bucket) join constraint) were being pushed
+    // below these projections, re-running the transform+dot+signature
+    // per row inside the Filter — ~2× the prep stage's per-vector cost
+    // across the whole kNN-graph family. Values are identical.
     def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-      .withColumn("sig", graft.ann.Ann.lshSignatureQuantized(col("embedding")))
-      .withColumn("n2", ldot(spark)(col("q"), col("q")))
+        graft.functions.EvalOnce(
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))")).as("q"))
+      .withColumn("sig", graft.functions.EvalOnce(
+        graft.ann.Ann.lshSignatureQuantized(col("embedding"))))
+      .withColumn("n2", graft.functions.EvalOnce(ldot(spark)(col("q"), col("q"))))
       .filter(col("n2") > 0)
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("neighbor_id"))

@@ -55,12 +55,26 @@ object PipelineQueries {
     DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
       .orderBy(col("doc_id"))
 
+  /** lang = en first (a plain pushable column filter — reaches the
+    * parquet scan), then the quality score computed ONCE in an
+    * EvalOnce-pinned projection and filtered on the materialized value.
+    * The previous `.filter(qualityScore(text) >= 0.35)` form put the
+    * whole score expression in the Filter, where its three
+    * text_stats(text) field-extracts are each generated separately
+    * (FilterExec has no cross-conjunct subexpression elimination) — 3×
+    * the fused kernel per row; a projection CSEs them to one. Inner
+    * filters commute, so the row set is identical. */
+  private def cleanDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("lang") === "en")
+      .withColumn("__st", graft.functions.EvalOnce(
+        TextFunctions.textStats(col("text"))))
+      .filter(TextFunctions.qualityScoreFrom(col("__st"), col("text")) >= 0.35)
+      .drop("__st")
+
   private def d14Body(docs: DataFrame): DataFrame = {
     val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-    docs.join(clusters, "doc_id")
+    cleanDocs(docs).join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster")) // near-dup cluster survivor
-      .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-      .filter(col("lang") === "en")
       .select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         col("cluster_size"))
@@ -70,10 +84,8 @@ object PipelineQueries {
   private def d28Body(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = DedupClusters.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
-    val clean = docs.join(clusters, "doc_id")
-      .filter(col("doc_id") === col("cluster"))
-      .filter(TextFunctions.qualityScore(col("text")) >= 0.35)
-      .filter(col("lang") === "en")
+    val clean = cleanDocs(docs).join(clusters, "doc_id")
+      .filter(col("doc_id") === col("cluster")) // see cleanDocs: same rows, 1× text_stats
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
     val keyed = clean
       .withColumn("skey", md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))))

@@ -56,8 +56,15 @@ object TextFunctions {
     * density, healthy stopword ratio. Deterministic double arithmetic
     * (identical expression order cross-engine); all three counters come
     * from the one shared [[textStats]] pass. */
-  def qualityScore(text: Column): Column = {
-    val st = textStats(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(textStats(text), text)
+
+  /** [[qualityScore]] over an ALREADY-COMPUTED [[textStats]] struct
+    * column — the shape for callers that must guarantee one text_stats
+    * evaluation per row structurally (a materialized `__st` projection)
+    * instead of relying on codegen subexpression elimination, which
+    * projections get but Filter conditions do not. */
+  def qualityScoreFrom(st: Column, text: Column): Column = {
     val n = st.getField("n_tokens")
     val stopRatio = st.getField("stop_cnt") * lit(1.0) / n
     val punctRatio = st.getField("punct_cnt") * lit(1.0) / greatest(length(text), lit(1))
