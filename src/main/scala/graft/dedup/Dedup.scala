@@ -104,6 +104,32 @@ object Dedup {
       graft.functions.MinhashSig(
         org.apache.spark.sql.graft.GraftSql.expression(c), numHashes, shingleSize))
 
+  /** Scale-gated kernel-input parallelizer (guide §2.5: "input skew —
+    * one huge unsplittable file … repartition immediately after the
+    * read"). The signature kernels below are CPU-dense map work
+    * (~50-100 µs/doc), but a parquet scan's parallelism is bounded by
+    * its ROW-GROUP count, not `files.maxPartitionBytes` — and the bench
+    * SFs ship single-row-group files, so the whole kernel pass runs in
+    * ONE task no matter how many cores the session has (measured: d06's
+    * signature stage = 461 ms single-task at sf0.1/local[32]). When the
+    * scan cannot reach the session's parallelism (estimated splits <
+    * defaultParallelism), round-robin-repartition the narrow (id, text)
+    * projection once before the kernel; when splits ≥ cores — every
+    * production-scale input — this is an identity and NO exchange is
+    * added, so it cannot hurt the 100-TB plan. Correctness: callers'
+    * results are arrival-order-independent (band/block keys are pure
+    * functions of the row; [[capMembers]] re-sorts by hash(id); pair
+    * structs use least/greatest + distinct), verified byte-identical on
+    * the full contract. */
+  private[graft] def parallelizeForKernel(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val cores = sess.sparkContext.defaultParallelism
+    val maxPB = sess.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splits = estBytes / maxPB + 1 // unknown stats → huge → identity
+    if (splits < cores) df.repartition(cores) else df
+  }
+
   /** Deterministic hot-bucket cap: a bucket with more than `cap` members
     * (an identical/boilerplate-document flood) would expand O(k²) pairs
     * inside a single task. Over the cap, keep a pseudo-random but
@@ -153,8 +179,9 @@ object Dedup {
     // dominant map-side cost of the whole pipeline. Filtering on the raw
     // text instead pushes IsNotNull(text) into the parquet scan for free
     // and the signature is computed exactly once.
-    val sig = docs.filter(col(textCol).isNotNull)
-      .select(Seq(col(idCol).as("id"),
+    val base = parallelizeForKernel(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
+    val sig = base.select(Seq(col(idCol).as("id"),
         minhashSignature(numHashes, shingleSize)(col(textCol)).as("sig")) ++ carried: _*)
     val memberCols = Seq(col("id")) ++ (if (withEstimate) Seq(col("sig")) else Nil) ++
       (if (carryText) Seq(col("text")) else Nil)
@@ -292,7 +319,8 @@ object Dedup {
     // null text → no signature → no buckets; filter the INPUT column so
     // the pushed-down predicate doesn't re-evaluate simhash64 per row
     // (see minhashCandidates) — Simhash64 is null iff its input is
-    val sh = docs.filter(col(textCol).isNotNull)
+    val sh = parallelizeForKernel(
+        docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
