@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main (driver contract): times the headline queries at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
@@ -55,62 +53,17 @@ object Bench {
       case None => headline
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle partitions sized to the DATA, the way a real deployment
-    // sizes them to cluster+input: ~32 MB of source parquet per
-    // partition, floored at 8 (sf0.1 tasks are tiny; measured ~25%
-    // total win at 8 vs 32 there) and capped at the core count. A
-    // fixed small count is a small-SF tune that silently caps every
-    // big shuffle: at sf10 (2 GB) shuffle=8 left 3/4 of the cores idle
-    // through q05/q09/q29's exchanges — 32 took the headline total
-    // from 219 s to 186 s (sums of per-query mins, quiet host).
-    val dataBytes =
-      try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
-      } catch { case _: Exception => 0L }
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.min(cpus.toInt,
-        math.max(8L, dataBytes / (32L << 20)).toInt).toString)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    // SPARK_GRAFT_MASTER: see Verify — cluster-credibility runs point
-    // this at local-cluster[…] for real multi-executor execution
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", aqe)
-      // Scan parallelism FLOOR (not a count): never plan fewer splits
-      // than cores. Inert at 100-TB scale (scans have millions of
-      // splits) and at tiny SFs with single-row-group files; it matters
-      // exactly in between — sf1/sf10 tables where 128 MB splits would
-      // otherwise leave cores idle on the first stage.
-      .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_MINPART", cpus))
-      // AQE post-shuffle coalescing granularity. The default 1 MB floor
-      // assumes partition cost ∝ bytes, but the CPU-dense operators here
-      // (signature banding, pair-verify Jaccard, window sorts over long
-      // strings) carry 10-100 ms of compute per 64 KB of shuffle bytes —
-      // AQE's parallelism-first coalescing was folding those stages to a
-      // SINGLE task (measured: d06's bucket stage 169 ms → 80 ms with 8
-      // tasks after this change). At production shuffle volumes
-      // partitions are far above 1 MB and the floor never binds; it only
-      // governs how far small CPU-heavy stages may be squeezed.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // GC-driven fallback for reliable-checkpoint file cleanup; the
-      // deterministic path is Lineage.releaseAll(alsoCheckpoints) below
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    if (master.startsWith("local-cluster")) {
-      builder
-        .config("spark.executor.extraClassPath", BenchEnv.classesDir)
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
-    }
-    val spark = builder.getOrCreate()
+    // Session config lives in BenchEnv.sessionBuilder (shared with the
+    // measurement tools so profiled metrics and captured plan artifacts
+    // come from exactly this session): data-adaptive shuffle partitions
+    // (~32 MB of source parquet each, floor 8, cap = cores — a fixed
+    // small count is a small-SF tune that silently caps every big
+    // shuffle: shuffle=8 at sf10 left 3/4 of the cores idle, 32 took
+    // the headline 219 s → 186 s), AQE, scan-parallelism floor, 64k AQE
+    // coalesce floor for CPU-dense small stages, and the
+    // SPARK_GRAFT_MASTER local-cluster branch for cluster-credibility
+    // runs. Full per-conf rationale in BenchEnv's scaladoc.
+    val spark = BenchEnv.sessionBuilder(sfDir, cpus).getOrCreate()
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .foreach(spark.sparkContext.setCheckpointDir)
     spark.sparkContext.setLogLevel("WARN")

@@ -120,12 +120,27 @@ object Dedup {
     * results are arrival-order-independent (band/block keys are pure
     * functions of the row; [[capMembers]] re-sorts by hash(id); pair
     * structs use least/greatest + distinct), verified byte-identical on
-    * the full contract. */
+    * the full contract.
+    *
+    * The gate reads size-in-bytes stats off the ANALYZED plan — already
+    * materialized when the Dataset was constructed, so the check costs
+    * nothing; calling `optimizedPlan` here ran the full optimizer a
+    * second time per invocation purely for the same size estimate (the
+    * size-only stats visitor propagates the relation's file bytes
+    * identically through either plan — no pushdown changes it).
+    *
+    * Known limit, accepted: a BYTES estimate cannot see row-group
+    * LAYOUT. One giant single-row-group file (> cores × maxPartitionBytes)
+    * gates as "already parallel enough" yet still scans as one task.
+    * Counting row groups would need driver-side footer reads at planning
+    * time on every invocation — real cost at production file counts for
+    * a pathology that production writers (bounded row-group sizes)
+    * don't produce, so the cheap bytes gate stays. */
   private[graft] def parallelizeForKernel(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val cores = sess.sparkContext.defaultParallelism
     val maxPB = sess.sessionState.conf.filesMaxPartitionBytes
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estBytes = df.queryExecution.analyzed.stats.sizeInBytes
     val splits = estBytes / maxPB + 1 // unknown stats → huge → identity
     if (splits < cores) df.repartition(cores) else df
   }

@@ -20,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * metadata, not data: every query still scans, filters and aggregates
   * the parquet inputs from scratch on every invocation, and the schema
   * itself is still derived from those inputs (once). A real deployment
-  * gets the same effect from its table catalog. Keyed by full path, so
-  * different SF dirs coexist; parquet-footer schemas for the SAME
-  * logical table are identical across SFs by construction (TESTDATA.md).
+  * gets the same effect from its table catalog. Keyed by full path PLUS
+  * the path's last-modified time, so different SF dirs coexist AND a
+  * path rewritten in the same JVM (a test regenerating a table, a tool
+  * overwriting a work dir) re-infers instead of serving a stale schema;
+  * parquet-footer schemas for the SAME logical table are identical
+  * across SFs by construction (TESTDATA.md).
   */
 object Tables {
   private val schemaCache =
@@ -36,7 +39,10 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    // one local stat call; an overwrite (file replace or directory
+    // rewrite) bumps lastModified and invalidates the cached entry
+    val key = s"$p@${new java.io.File(p).lastModified}"
+    val sch = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(p).schema)
     spark.read.schema(sch).parquet(p)
   }
 

@@ -3,7 +3,6 @@ package graft.tools
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.scheduler._
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -29,27 +28,7 @@ object BenchProfile {
       .getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else graft.Bench.headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dataBytes =
-      try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
-      } catch { case _: Exception => 0L }
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.min(cpus.toInt,
-        math.max(8L, dataBytes / (32L << 20)).toInt).toString)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_MINPART", cpus))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.BenchEnv.sessionBuilder(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- listeners ------------------------------------------------------
@@ -116,21 +95,27 @@ object BenchProfile {
     names.foreach { n =>
       taskQ.clear(); stageQ.clear(); stageCount = 0; lastExec = (0L, Map.empty)
       val t0 = System.nanoTime()
-      try runOnce(n)
-      catch { case scala.util.control.NonFatal(e) =>
-        println(s"$n FAILED: ${e.getMessage}"); return
-      } finally {
-        graft.operators.GlobalRank.releasePins()
-        graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
+      // no early `return` here: inside the foreach closure it would be a
+      // non-local return out of main — aborting the remaining queries
+      // and skipping spark.stop() — instead of skipping one query
+      val ok =
+        try { runOnce(n); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"$n FAILED: ${e.getMessage}"); false
+        } finally {
+          graft.operators.GlobalRank.releasePins()
+          graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
+        }
+      if (ok) {
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener bus is async; give it a beat to drain
+        Thread.sleep(150)
+        import scala.jdk.CollectionConverters._
+        val ts = taskQ.asScala.toSeq
+        val (durNs, ph) = lastExec
+        println(f"$n%-28s $wall%7.3f ${durNs / 1e9}%7.3f ${ph.getOrElse("analysis", 0L)}%7d ${ph.getOrElse("optimization", 0L)}%7d ${ph.getOrElse("planning", 0L)}%8d ${ts.map(_._1).sum / 1e3}%7.2f ${if (ts.isEmpty) 0L else ts.map(_._1).max}%9d ${ts.map(_._4).sum}%6d ${ts.map(_._2).sum / 1e6}%9.1f ${ts.map(_._3).sum / 1e6}%9.1f $stageCount%4d ${ts.size}%5d")
+        stageQ.asScala.foreach(println)
       }
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a beat to drain
-      Thread.sleep(150)
-      import scala.jdk.CollectionConverters._
-      val ts = taskQ.asScala.toSeq
-      val (durNs, ph) = lastExec
-      println(f"$n%-28s $wall%7.3f ${durNs / 1e9}%7.3f ${ph.getOrElse("analysis", 0L)}%7d ${ph.getOrElse("optimization", 0L)}%7d ${ph.getOrElse("planning", 0L)}%8d ${ts.map(_._1).sum / 1e3}%7.2f ${if (ts.isEmpty) 0L else ts.map(_._1).max}%9d ${ts.map(_._4).sum}%6d ${ts.map(_._2).sum / 1e6}%9.1f ${ts.map(_._3).sum / 1e6}%9.1f $stageCount%4d ${ts.size}%5d")
-      stageQ.asScala.foreach(println)
     }
     spark.stop()
   }

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-audit aid: print the executed physical plan of named contract
   * queries against a given SF dir, under the same session config the
   * bench uses. The fast feedback loop for "is this the plan you'd want
@@ -21,27 +19,7 @@ object PlanProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q01_pricing_summary")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val dataBytes =
-      try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
-      } catch { case _: Exception => 0L }
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.min(cpus.toInt,
-        math.max(8L, dataBytes / (32L << 20)).toInt).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_SCAN_MINPART", cpus))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.BenchEnv.sessionBuilder(dir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     planDir.foreach(p => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))

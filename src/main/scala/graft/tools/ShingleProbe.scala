@@ -33,15 +33,7 @@ object ShingleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dataBytes =
-      try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
-      } catch { case _: Exception => 0L }
-    val shuffle = math.min(cpus.toInt,
-      math.max(8L, dataBytes / (32L << 20)).toInt).toString
+    val shuffle = graft.BenchEnv.shufflePartitions(cpus.toInt, sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
