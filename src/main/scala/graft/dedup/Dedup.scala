@@ -152,11 +152,16 @@ object Dedup {
     * id tie-break — so task time stays bounded; recall for the degenerate
     * flood degrades gracefully (exact-duplicate floods belong to
     * [[exactDupGroups]] anyway). Buckets at or under the cap are
-    * untouched, so normal corpora see identical results. */
-  private def capMembers(cap: Int): Column =
+    * untouched, so normal corpora see identical results. `idExpr` is the
+    * member-id accessor relative to the lambda variable `m` — `"m.id"`
+    * for struct members, `"m"` for the bare-long member arrays the
+    * primitive collect aggregates produce (identical sample either way:
+    * hash() of a bigint is the same value whether it arrived as a struct
+    * field or a bare element). */
+  private def capMembers(cap: Int, idExpr: String = "m.id"): Column =
     when(size(col("members")) <= cap, col("members"))
       .otherwise(expr(
-        s"transform(slice(array_sort(transform(members, m -> struct(hash(m.id) AS hk, m.id AS tid, m AS m))), 1, $cap), e -> e.m)"))
+        s"transform(slice(array_sort(transform(members, m -> struct(hash($idExpr) AS hk, $idExpr AS tid, m AS m))), 1, $cap), e -> e.m)"))
 
   /** Candidate near-duplicate pairs via LSH banding: signatures are cut
     * into `bands` bands of `numHashes/bands` rows; docs sharing any band
@@ -203,10 +208,24 @@ object Dedup {
     val banded = sig.select(col("*"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    val buckets = banded.groupBy("band_key")
-      .agg(collect_list(struct(memberCols: _*)).as("members"))
+    // Bare-long-id buckets (the production d06 path) aggregate through
+    // [[graft.functions.CollectLongs]] — a primitive-long group buffer
+    // instead of collect_list's per-row UnsafeRow copies (§5 memory: the
+    // bucket aggregation was the GC hot spot of the whole pipeline).
+    // Same member arrays minus the 1-field struct wrapper, so the id
+    // accessor flips from m.id to m; non-long ids (generic callers) keep
+    // collect_list. withEstimate members carry the sig array — not a
+    // long — and stay on collect_list structurally.
+    val bareIds = !withEstimate &&
+      docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (bareIds)
+        banded.groupBy("band_key")
+          .agg(graft.functions.CollectLongs.collectLongs(col("id")).as("members"))
+      else
+        banded.groupBy("band_key")
+          .agg(collect_list(struct(memberCols: _*)).as("members")))
       .filter(size(col("members")) > 1)
-      .withColumn("members", capMembers(bucketCap))
+      .withColumn("members", capMembers(bucketCap, if (bareIds) "m" else "m.id"))
     val txt = if (carryText)
       ", 'ta', if(m.id <= n.id, m.text, n.text), 'tb', if(m.id <= n.id, n.text, m.text)"
     else ""
@@ -218,11 +237,12 @@ object Dedup {
     // so the capped-array expression upstream is evaluated a single time per
     // bucket even though the pair expansion references it three times —
     // projection collapse can otherwise inline a non-trivial producer per use.
+    val (mid, nid) = if (bareIds) ("m", "n") else ("m.id", "n.id")
     val pairs = buckets.select(explode(expr(
       s"""flatten(flatten(transform(array(members), ms ->
          |  transform(ms, (m, i) ->
          |    transform(slice(ms, i + 2, size(ms)), n ->
-         |      named_struct('a', least(m.id, n.id), 'b', greatest(m.id, n.id)$est$txt))))))""".stripMargin)).as("p"))
+         |      named_struct('a', least($mid, $nid), 'b', greatest($mid, $nid)$est$txt))))))""".stripMargin)).as("p"))
     if (!withEstimate)
       pairs.select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     else {
@@ -340,8 +360,19 @@ object Dedup {
     val blocked = sh.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sim, cast(blk * 16 AS INT)) & 65535"))
-    val buckets = blocked.groupBy("blk", "blk_val")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+    // (id, sim) are two bigints — bucket members aggregate through the
+    // primitive-buffer CollectLongPairs (same §5 rationale as the d06
+    // path in minhashCandidates: no per-row UnsafeRow copies, raw-long
+    // spill form); the member structs keep the id/sim field names so
+    // every downstream expression is unchanged. Non-long ids fall back.
+    val longIds = docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (longIds)
+        blocked.groupBy("blk", "blk_val")
+          .agg(graft.functions.CollectLongs
+            .collectLongPairs(col("id"), col("sim"), "id", "sim").as("members"))
+      else
+        blocked.groupBy("blk", "blk_val")
+          .agg(collect_list(struct(col("id"), col("sim"))).as("members")))
       .filter(size(col("members")) > 1)
       .withColumn("members", capMembers(bucketCap))
     // member array bound once as a lambda var — see minhashCandidates
@@ -403,8 +434,17 @@ object Dedup {
     val blocked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("shiftrightunsigned(sig, cast(blk * 15 AS INT)) & 32767"))
-    val buckets = blocked.groupBy("blk", "blk_val")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+    // primitive-buffer member collection — same rationale as
+    // [[simhashNearDups]]; [[simhash60Sql]] always emits bigint (id, sig)
+    // when the id is a bigint (the contract d07b shape)
+    val longIds = docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (longIds)
+        blocked.groupBy("blk", "blk_val")
+          .agg(graft.functions.CollectLongs
+            .collectLongPairs(col("id"), col("sig"), "id", "sig").as("members"))
+      else
+        blocked.groupBy("blk", "blk_val")
+          .agg(collect_list(struct(col("id"), col("sig"))).as("members")))
       .filter(size(col("members")) > 1)
     buckets.select(explode(expr(
       """flatten(flatten(transform(array(members), ms ->

@@ -87,11 +87,12 @@ class PlanSpec extends AnyFunSuite {
   test("d06: minhash band shuffle carries bare ids — no text, no signatures") {
     val q = graft.SparkEntry.queries("d06_minhash_neardups")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
-    // the collect_list bucket aggregation must see only the doc id: text
-    // joins back in at the (tiny) pair stage, and the signature's job is
-    // done once the band key is computed — shipping it ×bands through the
-    // shuffle would be ~65× the volume for a column nothing reads
-    val bucketAgg = p.linesIterator.filter(_.contains("collect_list")).mkString("\n")
+    // the bucket aggregation (the primitive-buffer collect_longs since
+    // round 17) must see only the doc id: text joins back in at the
+    // (tiny) pair stage, and the signature's job is done once the band
+    // key is computed — shipping it ×bands through the shuffle would be
+    // ~65× the volume for a column nothing reads
+    val bucketAgg = p.linesIterator.filter(_.contains("collect_longs")).mkString("\n")
     assert(bucketAgg.nonEmpty, "bucket aggregation not found:\n" + p.take(2000))
     assert(!bucketAgg.contains("text"), "band buckets should not carry text:\n" + bucketAgg)
     assert(!bucketAgg.contains("sig"), "band buckets should not carry signatures:\n" + bucketAgg)
