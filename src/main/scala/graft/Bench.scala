@@ -190,6 +190,7 @@ object Bench {
       m(Seq(
         "metric" -> "\"total\"", "value" -> total, "unit" -> "\"sec\"",
         "stat" -> "\"min\"", "passes" -> passes.toString, "sf" -> ("\"" + sfDir + "\""),
+        "cpus" -> cpus, "master" -> ("\"" + spark.sparkContext.master + "\""),
         "cpu_control" -> r4(control), "cpu_control_pre" -> r4(controlPre),
         "queries" -> m(mins.map { case (k, v) => k -> v.toString }),
         "queries_median" -> m(meds.map { case (k, v) => k -> v.toString }),
@@ -199,7 +200,13 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
     catch { case e: Exception => System.err.println(s"[bench] full dump failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","queries":$qs,"passes":$passes,"cpu_control":${r4(control)},"sf":"$sfDir"}""")
+    // `cpus` + `master` echo what the session actually honored: the
+    // round-16 driver flagged suspect_cpus_ignored because an 8-core run
+    // totalled the same as a 32-core one (floor-bound at the bench SF) and
+    // the JSON gave it no way to tell an honored-but-floor-bound run from
+    // an ignored env var.
+    val masterStr = spark.sparkContext.master
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","queries":$qs,"passes":$passes,"cpus":$cpus,"master":"$masterStr","cpu_control":${r4(control)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
