@@ -962,11 +962,22 @@ object MiningQueries {
       .join(g.select(col("vec_id").as("mid"), col("neighbor_id")), Seq("mid"))
       .select(col("vec_id"), col("neighbor_id"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-    val cand = g.union(two).distinct()
+    // One exchange serves candidate dedup AND the top-k window (§2.4):
+    // hash-partitioning by vec_id colocates every (vec_id, neighbor_id)
+    // pair, so the distinct's ClusteredDistribution is satisfied with NO
+    // exchange of its own, and the window below — also keyed on vec_id —
+    // reuses the same partitioning. The score joins run corpus-side last
+    // (neighbor_id first, vec_id second) so that when they plan as
+    // shuffle joins at scale, the stream leaves the LAST join already
+    // partitioned by vec_id for the window instead of by neighbor_id.
+    // Per-vec_id candidate counts are bounded (topK + fanout²), so the
+    // vec_id key cannot skew. Pair set, scores and ranks are unchanged —
+    // row_number's (cosq desc, neighbor_id) order is total per vec_id.
+    val cand = g.union(two).repartition(col("vec_id")).distinct()
     val scored = cand
-      .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
       .join(base.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
         col("n2").as("cn2")), Seq("neighbor_id"))
+      .join(base.select(col("vec_id"), col("q").as("qq"), col("n2").as("qn2")), Seq("vec_id"))
       .withColumn("qdot", ldot(emb.sparkSession)(col("qq"), col("cq")))
       .withColumn("cosq", col("qdot").cast(DoubleType) /
         (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))

@@ -670,6 +670,16 @@ class PlanSpec extends AnyFunSuite {
     // no global (unpartitioned) sort: every Sort is either inside a
     // partitioned window or the final presentation orderBy
     assert(!p.contains("windowspecdefinition()"), p.take(3000))
+    // one vec_id exchange serves candidate dedup AND the top-k window:
+    // the distinct aggregates on (vec_id, neighbor_id) over the vec_id
+    // repartition (subset clustering satisfies it) with no exchange of
+    // its own. The only pair-key exchanges allowed are the two sides of
+    // the is_new probe join — a third would be the dedup re-shuffling
+    // on the pair key again.
+    val pairKeyExchanges =
+      "hashpartitioning\\(vec_id#\\d+L, neighbor_id#".r.findAllIn(p).size
+    assert(pairKeyExchanges <= 2,
+      s"candidate dedup re-shuffled on the pair key ($pairKeyExchanges):\n" + p.take(3000))
   }
 
   test("e41: offsets broadcast into the cell equi-join; no inequality adjacency join") {
