@@ -798,18 +798,44 @@ object MiningQueries {
           element_at(col("reg"), k).cast(DoubleType)), 4).as("n_est"))
   }
 
-  /** q137's core: N(seed, r) for r = 1..rounds by reach-set expansion.
-    * `sym` needs directed edge columns (es, et); `seeds` a seed column. */
+  /** q137's core: N(seed, r) for r = 1..rounds by multi-source BFS over
+    * per-node seed BITMASKS. `sym` needs directed edge columns (es, et);
+    * `seeds` a seed column (bigint).
+    *
+    * State is (node, grp, m): bit `seed & 63` of the mask for group
+    * `seed >> 6` is set iff `node` is within r hops of `seed` — the
+    * (seed, node) reach PAIR SET compressed 64:1 into bitmask rows. The
+    * previous pair-set form re-expanded the ENTIRE reach set through the
+    * edge join every round (round r's join output is |reach_r|·deg rows,
+    * and reach saturates toward |seeds|·|nodes| on a small-world graph —
+    * 121 s of task time / 9.3 s max task at sf0.1); here every edge
+    * carries at most `ceil(seeds/64)` 24-byte mask rows per round
+    * regardless of how many seeds reach it (guide §2.3: shuffle
+    * metadata, not the pair explosion), and the per-round merge is a
+    * map-combinable bit_or instead of a pair distinct. bit_or is
+    * commutative/associative, so the masks — and the popcount-derived
+    * counts — are deterministic and EXACTLY the old distinct-pair
+    * counts: bit (g, b) of node n is set iff some ≤r-hop path
+    * seed→…→n exists, the same predicate the pair set materialized.
+    * Arithmetic is exact for ANY bigint seed (including negatives):
+    * seed == (seed >> 6) * 64 + (seed & 63) in two's complement, and
+    * bit tests use `& 1`, which is sign-extension-proof. */
   private[queries] def neighborhoodCounts(sym: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    var reach = seeds.select(col("seed"), col("seed").as("node"))
+    var state = seeds.select(col("seed").as("node"),
+      shiftright(col("seed"), 6).as("grp"),
+      expr("shiftleft(1L, CAST(seed & 63 AS INT))").as("m"))
     val perRound = (1 to rounds).map { r =>
-      val expanded = reach.join(sym, reach("node") === sym("es"))
-        .select(col("seed"), col("et").as("node"))
-      // cut: round r's reach feeds round r+1's expansion AND its own
+      val contrib = state.join(sym, state("node") === sym("es"))
+        .select(col("et").as("node"), col("grp"), col("m"))
+      // cut: round r's masks feed round r+1's expansion AND its own
       // count — without the cut each round re-executes every earlier one
-      reach = graft.operators.Lineage.cut(reach.union(expanded).distinct())
-      reach.groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
+      state = graft.operators.Lineage.cut(state.union(contrib)
+        .groupBy(col("node"), col("grp")).agg(expr("bit_or(m)").as("m")))
+      state.select(col("grp"),
+          explode(expr("filter(sequence(0, 63), b -> (shiftright(m, b) & 1) = 1)")).as("b"))
+        .select((shiftleft(col("grp"), 6) + col("b")).as("seed"))
+        .groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
         .select(col("seed"), lit(r.toLong).as("r"), col("n_reach"))
     }
     perRound.reduce(_ union _)

@@ -171,6 +171,24 @@ class AuditSpec extends AnyFunSuite {
       s"got: ${got.toSeq}")
   }
 
+  test("neighborhood function: seeds across the 64-bit mask-group boundary") {
+    // the bitmask state keys on (seed >> 6, seed & 63): 1 and 3 share
+    // group 0, 70 and 129 land in groups 1 and 2 — counts must come out
+    // per SEED, not per group, and seed values must reconstruct exactly
+    val e = Seq((1L, 3L), (3L, 70L), (70L, 129L)).toDF("pa", "pb")
+    val sym = e.select(col("pa").as("es"), col("pb").as("et"))
+      .union(e.select(col("pb"), col("pa")))
+    val seeds = Seq(1L, 70L, 129L).toDF("seed")
+    val got = MiningQueries.neighborhoodCounts(sym, seeds, rounds = 2)
+      .orderBy("seed", "r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L), (1L, 2L, 3L),     // 1 -> {1,3}, {1,3,70}
+      (70L, 1L, 3L), (70L, 2L, 4L),   // 70 -> {3,70,129}, all
+      (129L, 1L, 2L), (129L, 2L, 3L)), // 129 -> {70,129}, {3,70,129}
+      s"got: ${got.toSeq}")
+  }
+
   // -------------------------------------------------------- q138 hyperball
 
   test("hyperball: below the register cap the estimate IS the exact neighborhood size") {
