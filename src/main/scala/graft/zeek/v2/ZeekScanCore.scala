@@ -207,12 +207,32 @@ final class ZeekProjection(spec: ZeekFileSpec, boundHeader: ZeekHeader,
     }
   }
 
-  /** Tokenize a line into the reused offset arrays; returns token count. */
+  /** Tokens needed per line: no reader path touches a token past the
+    * largest projected file-field index (parseCol/writeDirect/the
+    * columnar reader all index through srcIdx, and pushed-filter columns
+    * resolve through `required` too), so tokenization stops there. On an
+    * ultra-wide log with a narrow early projection this skips the tail
+    * separator scan of every line — see tools/WideLogProbe for the
+    * measured profile. Lines SHORTER than the cap keep their semantics:
+    * nTok comes back smaller and absent fields stay NULL, exactly as
+    * with the full scan. */
+  val nTokNeeded: Int = {
+    var mx = 0
+    var i = 0
+    while (i < nReq) {
+      if (srcIdx(i) >= mx) mx = srcIdx(i) + 1
+      i += 1
+    }
+    math.min(mx, nFileFields)
+  }
+
+  /** Tokenize a line into the reused offset arrays; returns token count
+    * (capped at [[nTokNeeded]] — the lazy tail). */
   def tokenize(buf: Array[Byte], ls: Int, le: Int): Int = {
     var nTok = 0
     var start = ls
     var i = ls
-    while (i <= le && nTok < nFileFields) {
+    while (i <= le && nTok < nTokNeeded) {
       if (i == le || buf(i) == sepByte) {
         tokStart(nTok) = start
         tokEnd(nTok) = i

@@ -361,6 +361,40 @@ class ZeekDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getLong(2) == 100L)
   }
 
+  test("lazy tokenizer: early projection over a wide log — values, short-line NULLs, late column intact") {
+    // tokenization stops at the last projected file field (ZeekProjection
+    // .nTokNeeded); this pins the semantics around that cap: early
+    // fields parse exactly, a SHORT line (missing trailing fields) still
+    // NULLs them, and projecting the final field still reads it
+    val nExtra = 40
+    val fields = (Seq("ts", "a", "b") ++ (0 until nExtra).map(i => s"x$i") :+ "zlast").mkString("\t")
+    val types = (Seq("time", "count", "count") ++ (0 until nExtra).map(_ => "count") :+ "count").mkString("\t")
+    val full = (r: Int) => (Seq(s"$r.0", s"${r * 10}", s"${r * 100}") ++
+      (0 until nExtra).map(i => s"${r + i}") :+ s"${r * 1000}").mkString("\t")
+    val content =
+      s"""#separator \\x09
+         |#set_separator\t,
+         |#empty_field\t(empty)
+         |#unset_field\t-
+         |#path\twide
+         |#fields\t$fields
+         |#types\t$types
+         |${full(1)}
+         |2.0\t20\t200
+         |${full(3)}
+         |""".stripMargin
+    val dir = ZeekFixtures.tempDir()
+    val p = ZeekFixtures.write(dir, "wide.log", content)
+    val early = read(p).select(col("a"), col("b")).orderBy("a").collect()
+    assert(early.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 100L), (20L, 200L), (30L, 300L)))
+    val late = read(p).select(col("a"), col("zlast")).orderBy("a").collect()
+    // row 2 is SHORT (3 of 44 fields): zlast must come back NULL, not
+    // a stale or shifted token
+    assert(late.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq((10L, 1000L), (20L, -1L), (30L, 3000L)))
+  }
+
   test("SQL surface: zeek format usable from SQL + typical query") {
     val dir = ZeekFixtures.tempDir()
     val p = ZeekFixtures.write(dir, "conn.log", ZeekFixtures.connContent)
