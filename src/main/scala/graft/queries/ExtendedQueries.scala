@@ -766,10 +766,19 @@ object ExtendedQueries {
       val part = Tables.part(s, d).filter(col("p_partkey") <= 20000)
       val cat = part.select(col("p_partkey").as("cat_key"),
         col("p_name").as("cat_name"), substring(col("p_name"), 1, 4).as("blk"))
-      val dirty = part
+      // kernel-input spread (the d06/d07 rule, guide §2.5): the catalog
+      // side broadcasts, so every Jaro-Winkler pair evaluation runs
+      // INSIDE the probe side's scan tasks — and the audit slice is a
+      // bounded ~20k-row scan (ONE split at every SF), which serialized
+      // ~4·10⁶ JW calls onto one core (16.9 s of a 17.2 s wall at
+      // sf0.1). Round-robin spread of the tiny probe side before the
+      // join parallelizes pair scoring; the per-dirty-key argmax window
+      // re-shuffles by dirty_key anyway, so results are
+      // arrival-order-independent (total (jw, cat_key) order per key).
+      val dirty = graft.dedup.Dedup.parallelizeForKernel(part
         .select(col("p_partkey").as("dirty_key"),
           expr("substring(p_name, 1, length(p_name) - 2)").as("dirty_name"))
-        .withColumn("blk", substring(col("dirty_name"), 1, 4))
+        .withColumn("blk", substring(col("dirty_name"), 1, 4)))
       val scored = dirty.join(cat, "blk")
         .withColumn("jw", call_function("jaro_winkler", col("dirty_name"), col("cat_name")))
         .filter(col("jw") >= 0.9)

@@ -339,6 +339,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "fuzzy match must stay inside blocks (equi-join on blk):\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    // the probe side is a bounded ~20k-row slice (ONE scan split at any
+    // SF) and the catalog broadcasts, so without a spread every
+    // Jaro-Winkler pair evaluation serializes onto one core (16.9 s of
+    // a 17.2 s wall at sf0.1) — the kernel-input spread must be in the
+    // plan below the block join
+    assert(p.contains("RoundRobinPartitioning"),
+      "JW probe side lost its kernel-input spread:\n" + p.take(2000))
   }
 
   test("q107/q108: native as-of exec in the executed plan, no window, no union") {
