@@ -92,6 +92,31 @@ object Lineage {
   def cut(df: DataFrame): DataFrame =
     cut(df, reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
+  /** [[cut]] for a frame an iterative consumer joins/aggregates on
+    * `keys` EVERY round: materialize it hash-partitioned on `keys` and
+    * re-declare that layout on the checkpoint scan, so each round's
+    * join/aggregate finds the big static side already co-partitioned
+    * and exchanges only the per-round (node-sized) state.
+    *
+    * Why the re-declaration exists: under AQE `Dataset.checkpoint`
+    * captures `UnknownPartitioning` (the adaptive wrapper's report), so
+    * a plain `cut(df.repartition(...))` still re-shuffles per round —
+    * q75's 5 PageRank rounds each re-exchanged the full edge list
+    * (5 × 15.8 MB of its 103 MB sf0.1 shuffle) before this. The
+    * partition count is pinned (`repartition(n, keys)`, a shuffle
+    * origin AQE never coalesces) so the declared
+    * `HashPartitioning(keys, n)` is exactly the materialized placement
+    * — see [[org.apache.spark.sql.graft.GraftSql.declareHashPartitioning]]
+    * for the safety contract. `n` defaults to the session's shuffle
+    * partitions (scale-adaptive via BenchEnv, never a local constant). */
+  def cutPartitionedBy(df: DataFrame, keys: Seq[String],
+      numPartitions: Option[Int] = None): DataFrame = {
+    val n = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val cp = cut(df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*))
+    org.apache.spark.sql.graft.GraftSql.declareHashPartitioning(cp, keys, n)
+  }
+
   /** Deterministically drop every persisted RDD in the session — the
     * release point a long single-session sweep (Verify's 281 queries,
     * Bench's timed passes) calls BETWEEN queries so checkpoint blocks

@@ -34,12 +34,21 @@ object PageRank {
       base: Long = 1000000L): DataFrame = {
     // cut: the caller's edge derivation and the node/degree tables are
     // referenced by every iteration — materialize each once; the per-round
-    // cut on ranks stops the plan (and recomputation) growing with iters
-    val edges = Lineage.cut(edges0)
-    val nodes = Lineage.cut(edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct())
-    val deg = Lineage.cut(edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")))
+    // cut on ranks stops the plan (and recomputation) growing with iters.
+    // The edge cut is hash-partitioned on src and DECLARED so
+    // ([[Lineage.cutPartitionedBy]], guide §2.4 shared exchange): every
+    // round's contribution join then reads the edge list — the
+    // iteration's largest input, which re-shuffled once per round
+    // (5 × 15.8 MB of q75's 103 MB total shuffle at sf0.1) —
+    // co-partitioned, and exchanges only the node-sized rank vector.
+    val edges = Lineage.cutPartitionedBy(edges0, Seq("src"))
+    // nodes and deg are static too and join every round on node — same
+    // declared-layout treatment (one fixed repartition each buys
+    // iters-1 avoided per-round exchanges)
+    val nodes = Lineage.cutPartitionedBy(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct(), Seq("node"))
+    val deg = Lineage.cutPartitionedBy(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")), Seq("node"))
     var ranks = nodes.select(col("node"), lit(base).as("val"))
     val hold = base * 15L / 100L
     for (_ <- 1 to iters) {
@@ -65,16 +74,18 @@ object PageRank {
     * `base` mass, everything else at zero. */
   def personalizedPageRank(edges0: DataFrame, seeds: DataFrame, iters: Int = 5,
       base: Long = 1000000L): DataFrame = {
-    // cut: same round-reuse structure as [[integerPageRank]]
-    val edges = Lineage.cut(edges0)
+    // cut: same round-reuse structure as [[integerPageRank]], including
+    // the declared src-partitioned edge materialization (each round
+    // re-shuffles only the rank vector, never the edge list)
+    val edges = Lineage.cutPartitionedBy(edges0, Seq("src"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = Lineage.cut(edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")))
-    val marked = Lineage.cut(nodes
+    val deg = Lineage.cutPartitionedBy(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")), Seq("node"))
+    val marked = Lineage.cutPartitionedBy(nodes
       .join(seeds.select(col("node")).distinct().withColumn("sflag", lit(1)),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("sflag"), lit(0)).as("is_seed")))
+      .select(col("node"), coalesce(col("sflag"), lit(0)).as("is_seed")), Seq("node"))
     var ranks = marked.select(col("node"), (col("is_seed") * base).as("val"))
     val hold = base * 15L / 100L
     for (_ <- 1 to iters) {

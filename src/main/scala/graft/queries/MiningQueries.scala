@@ -753,8 +753,12 @@ object MiningQueries {
     * merge rounds, with the (k−1)/kth-hash-fraction cardinality
     * estimate (exact length below the k cap). `sym` needs directed
     * edge columns (es, et). Returns (node, n_reg, n_est). */
-  private[queries] def hyperballEstimates(sym: DataFrame, rounds: Int,
+  private[queries] def hyperballEstimates(sym0: DataFrame, rounds: Int,
       k: Int): DataFrame = {
+    // the edge list is static and every round joins it on et — cut it
+    // DECLARED hash(et) once (Lineage.cutPartitionedBy) so each round
+    // exchanges only the register vector, never the edges
+    val sym = graft.operators.Lineage.cutPartitionedBy(sym0, Seq("et"))
     val nodes = sym.select(col("es").as("node")).distinct()
     // register element = the md5's leading 60 bits AS A BIGINT (the
     // d07b convention), not the 32-hex-char string: the estimator only
@@ -820,8 +824,12 @@ object MiningQueries {
     * Arithmetic is exact for ANY bigint seed (including negatives):
     * seed == (seed >> 6) * 64 + (seed & 63) in two's complement, and
     * bit tests use `& 1`, which is sign-extension-proof. */
-  private[queries] def neighborhoodCounts(sym: DataFrame, seeds: DataFrame,
+  private[queries] def neighborhoodCounts(sym0: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
+    // static edge list, joined on es every round — declared hash(es)
+    // cut (same rationale as hyperballEstimates/PageRank: only the
+    // node-keyed mask state re-shuffles per round)
+    val sym = graft.operators.Lineage.cutPartitionedBy(sym0, Seq("es"))
     var state = seeds.select(col("seed").as("node"),
       shiftright(col("seed"), 6).as("grp"),
       expr("shiftleft(1L, CAST(seed & 63 AS INT))").as("m"))

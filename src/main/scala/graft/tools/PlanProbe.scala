@@ -13,6 +13,14 @@ package graft.tools
   * artifact format (plans/rN/<query>_{before,after}.txt). The session
   * mirrors Bench's data-adaptive shuffle sizing so the captured plans
   * are the ones the bench actually runs.
+  *
+  * SPARK_GRAFT_PLAN_CUTS=1: append the executed plan of every
+  * [[graft.operators.Lineage]] cut the query materialized while being
+  * built. Iterative queries do their real work INSIDE cuts (the final
+  * plan sees only checkpoint scans), so per-round exchange/join claims
+  * are only auditable with this on. Note the final plan is the cheap
+  * lazy one here, but cut plans are EXECUTED plans — building the
+  * query materializes each round.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -23,18 +31,28 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     planDir.foreach(p => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val withCuts = sys.env.get("SPARK_GRAFT_PLAN_CUTS").contains("1")
+    if (withCuts) graft.operators.Lineage.recordPlans = true
     names.foreach { n =>
+      graft.operators.Lineage.clearRecordedPlans()
       val df = graft.SparkEntry.queries(n)(spark, dir)
+      def cutsSuffix: String =
+        if (!withCuts) ""
+        else graft.operators.Lineage.recordedPlans.zipWithIndex
+          .map { case (p, i) => s"\n\n=== cut $i (executed) ===\n$p" }.mkString
       planDir match {
         case Some(p) =>
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          java.nio.file.Files.writeString(java.nio.file.Paths.get(p, s"$n.txt"), txt)
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p, s"$n.txt"),
+            txt + cutsSuffix)
           println(s"wrote $p/$n.txt")
         case None =>
           println(s"=== $n ===")
-          println(df.queryExecution.executedPlan.toString)
+          println(df.queryExecution.executedPlan.toString + cutsSuffix)
       }
+      graft.operators.GlobalRank.releasePins()
+      graft.operators.Lineage.releaseAll(spark, alsoCheckpoints = true)
     }
   }
 }

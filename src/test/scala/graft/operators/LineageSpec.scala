@@ -23,6 +23,44 @@ class LineageSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), "producer survived the cut:\n" + p)
   }
 
+  test("cutPartitionedBy: declared layout is used (no exchange) and values match cut") {
+    val df = spark.range(10000).toDF("id").withColumn("k", col("id") % 97)
+      .withColumn("v", col("id") * 3)
+    val declared = Lineage.cutPartitionedBy(df, Seq("k"))
+    val plain = Lineage.cut(df)
+    // values and schema identical to a plain cut
+    assert(declared.schema == plain.schema)
+    assert(declared.orderBy("id").collect().toSeq ==
+      plain.orderBy("id").collect().toSeq)
+    // a groupBy on the declared key must reuse the materialized layout:
+    // no Exchange anywhere in the aggregation plan (the whole point —
+    // a plain cut forgets its partitioning under AQE and re-shuffles)
+    val aggPlan = declared.groupBy("k").agg(sum("v")).queryExecution
+      .executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      "declared-cut aggregation re-shuffled:\n" + aggPlan.take(1500))
+    val plainPlan = plain.groupBy("k").agg(sum("v")).queryExecution
+      .executedPlan.toString
+    assert(plainPlan.contains("Exchange"),
+      "plain cut unexpectedly kept partitioning (declareHashPartitioning obsolete?):\n" +
+        plainPlan.take(1500))
+    // and the aggregation RESULTS agree — the declaration must describe
+    // the true physical placement, or same-key rows would split
+    assert(declared.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq ==
+      plain.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq)
+  }
+
+  test("cutPartitionedBy: co-partitioned shuffle join agrees with the plain-cut join") {
+    val left = spark.range(20000).toDF("id").withColumn("k", col("id") % 53)
+    val right = spark.range(5000).toDF("rid").withColumn("k", col("rid") % 53)
+      .withColumn("w", col("rid") + 7)
+    val declared = Lineage.cutPartitionedBy(left, Seq("k"))
+    val plain = Lineage.cut(left)
+    def gist(d: org.apache.spark.sql.DataFrame) = d.join(right, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id") + col("w")).as("s")).collect()(0)
+    assert(gist(declared) == gist(plain))
+  }
+
   test("recordPlans captures the materialized producer plan for pinning") {
     Lineage.recordPlans = true
     Lineage.clearRecordedPlans()
