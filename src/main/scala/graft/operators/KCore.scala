@@ -32,10 +32,21 @@ object KCore {
   def peel(symEdges: DataFrame, k: Int, rounds: Int,
       checkpointEvery: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val nodes = symEdges.select(col("s").as("node")).distinct()
     // materialize the symmetrized base once: every round (and the node
-    // roll-up) re-reads it, and the peel chain must not re-derive it
+    // roll-up) re-reads it, and the peel chain must not re-derive it.
+    // NOT cutPartitionedBy: declaring hash(s) here was MEASURED WORSE
+    // (q128 sf0.1 task time 56 s -> 103 s) — the declared layout removes
+    // the exchanges that double as AQE re-optimization points in the
+    // lazy 4-round semi-join chain, so the alive sides stay
+    // SortMergeJoin instead of converting to runtime broadcasts. The
+    // declared cut helps loops whose rounds each materialize (PageRank,
+    // hyperball), not a lazily-chained peel.
     var sym = symEdges.select(col("s"), col("t")).localCheckpoint()
+    // the node roll-up reads the CUT frame: deriving it from the raw
+    // symEdges replayed the caller's whole edge derivation (q128's
+    // co-purchase self-join appeared twice in the final plan — half its
+    // 56 s sf0.1 task time was that replay)
+    val nodes = sym.select(col("s").as("node")).distinct()
     var lastDeg: DataFrame = null
     for (r <- 1 to rounds) {
       val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("c"))

@@ -1574,9 +1574,12 @@ object MiningQueries {
   private def q128Body(line: DataFrame): DataFrame = {
     val li = line
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"),
+    // cut: the self-join feeds both union directions (q137 rule) — q128
+    // was the one co-purchase query WITHOUT it, so materializing sym
+    // inside KCore.peel evaluated the self-join + pair distinct twice
+    val e = graft.operators.Lineage.cut(li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct())
     val sym = e.select(col("pa").as("s"), col("pb").as("t"))
       .union(e.select(col("pb"), col("pa")))
     graft.operators.KCore.peel(sym, k = 90, rounds = 4)
