@@ -26,11 +26,16 @@ object Triangles {
     * least one triangle; each triangle contributes 1 to each of its
     * three corners. */
   def perVertexTriangles(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("a") =!= col("b"))
+    // cut: the canonicalized edge set feeds the degree aggregate AND the
+    // orientation join, and the degree table is itself joined twice
+    // (a-side, b-side) — uncut, the caller's edge derivation (q77's
+    // co-purchase self-join + pair aggregate) replayed three times
+    // (3 identical 11.3 MB stages of q77's 56 s sf0.1 profile)
+    val und = Lineage.cut(edges.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = Lineage.cut(und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
     // orient by the total order (deg, id): src is the smaller endpoint,
     // so out-degrees are O(sqrt(m))-bounded and wedge work is O(m^1.5)
     val withDeg = und
