@@ -1411,10 +1411,13 @@ object MiningQueries {
 
   private def e30Body(emb: DataFrame): DataFrame = {
       val labels = emb.select(col("vec_id"), col("label"))
-      val c = knnCandidatesQuantized(emb)
+      // cut: the labeled candidate set backs BOTH argmax branches (hard
+      // positive and hard negative) — uncut, the whole LSH bucket join +
+      // scoring + label joins evaluated twice
+      val c = graft.operators.Lineage.cut(knnCandidatesQuantized(emb)
         .join(labels.select(col("vec_id"), col("label").as("a_label")), Seq("vec_id"))
         .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
-          Seq("neighbor_id"))
+          Seq("neighbor_id")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
       def argmax(f: DataFrame, idName: String, dotName: String) =
@@ -1431,9 +1434,14 @@ object MiningQueries {
   private def e31Body(emb0: DataFrame): DataFrame = {
     val s = emb0.sparkSession
     val emb = emb0.select(col("vec_id"), col("embedding"), col("label"))
-      val base = emb.select(col("vec_id"),
+      // cut: the quantized corpus projection is read by every beam
+      // round's scoring join plus the query/entry derivations — uncut,
+      // each reference re-scanned the parquet AND re-ran the
+      // quantization transform + norm per row (21 corpus scans in the
+      // executed plan chain; 4 of them full score passes)
+      val base = graft.operators.Lineage.cut(emb.select(col("vec_id"),
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT))").as("q"))
-        .withColumn("n2", ldot(s)(col("q"), col("q")))
+        .withColumn("n2", ldot(s)(col("q"), col("q"))))
       // cut: the kNN graph is walked by every beam round — build it once
       val edges = graft.operators.Lineage.cut(knnGraphQuantized(emb, topK = 3)
         .select(col("vec_id").as("node"), col("neighbor_id")))
@@ -1471,7 +1479,10 @@ object MiningQueries {
     }
 
   private def e34Body(emb: DataFrame): DataFrame = {
-      val cand = knnCandidatesQuantized(emb.select(col("vec_id"), col("embedding")))
+      // cut: the candidate stage feeds the per-vector count AND the
+      // kth-neighbor window — uncut, the LSH bucket join + scoring ran twice
+      val cand = graft.operators.Lineage.cut(
+        knnCandidatesQuantized(emb.select(col("vec_id"), col("embedding"))))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("cosq").desc, col("neighbor_id"))
       val agg = cand.groupBy(col("vec_id")).agg(count(lit(1)).as("n_cand"))
