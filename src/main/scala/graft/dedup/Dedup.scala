@@ -528,7 +528,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 2, maxDf: Int = 100): DataFrame = {
     def sh(c: Column): Column = shinglesCol(c, shingleSize)
-    val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
+    // kernel-input spread (the q111/d06 rule): the callers pass bounded
+    // audit slices that scan as one split at every SF, and the planner
+    // broadcasts one side of the posting self-join — so the shingle
+    // explode AND the whole pair expansion ran inside that single scan
+    // task (d08: 19 s of a 21.6 s sf0.1 wall in one task)
+    val spread = parallelizeForKernel(docs)
+    val exploded = spread.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
     val pruned = exploded.join(
       exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf && col("df") > 1), "s")
@@ -558,7 +564,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, shingleSize: Int = 2, maxDf: Int = 1000000): DataFrame = {
     def sh(c: Column): Column = shinglesCol(c, shingleSize)
-    val exploded = docs.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
+    // kernel-input spread — same single-split pair-expansion pathology
+    // as [[ngramJaccardPairs]]
+    val spread = parallelizeForKernel(docs)
+    val exploded = spread.select(col(idCol).as("id"), explode(sh(col(textCol))).as("s"))
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
     val pruned = exploded.join(
       exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf && col("df") > 1), "s")
@@ -608,9 +617,14 @@ object Dedup {
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
     val w = Window.partitionBy(col("band_key"))
       .orderBy(col("is_fresh").desc, hash(col("id")), col("id"))
-    val capped = banded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= bucketCap)
-      .select("band_key", "id", "is_fresh")
+    // cut: the capped bucket table is BOTH candidate-join sides (probe
+    // x, corpus y) — uncut, each side re-derived the banding AND re-ran
+    // the minhash signature kernel over every document (the pipeline's
+    // dominant map cost) a second time
+    val capped = graft.operators.Lineage.cut(
+      banded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= bucketCap)
+        .select("band_key", "id", "is_fresh"))
     val probes = capped.filter(col("is_fresh"))
     val cand = probes.as("x").join(capped.as("y"),
         col("x.band_key") === col("y.band_key") &&
