@@ -35,22 +35,23 @@ object ShortestPaths {
   def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       checkpointEvery: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
+    // cut: every round's expansion joins the same edge list, and the
+    // caller's edge derivation can be expensive (q127 builds it from a
+    // 4-column lead window over orders) — uncut it replayed per round
+    val e = Lineage.cut(edges.select(col("src"), col("dst")))
     var settled = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     var frontier = settled.select("node")
     for (r <- 1 to rounds) {
-      // neighbors of the current frontier not yet settled = distance r
-      val discovered = frontier.join(e, frontier("node") === e("src"))
+      // neighbors of the current frontier not yet settled = distance r.
+      // cut: `discovered` feeds BOTH next round's frontier and the
+      // settled union — uncut, later rounds replayed it per reference
+      val discovered = Lineage.cut(frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(settled.select("node"), Seq("node"), "left_anti")
+        .join(settled.select("node"), Seq("node"), "left_anti"))
       frontier = discovered
       settled = settled.union(discovered.withColumn("dist", lit(r.toLong)))
-      if (r % checkpointEvery == 0 && r < rounds) {
-        // cut the per-round lineage chain
-        settled = settled.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-      }
+      if (r % checkpointEvery == 0 && r < rounds) settled = settled.localCheckpoint()
     }
     settled
   }
@@ -76,7 +77,8 @@ object ShortestPaths {
   def weightedDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       checkpointEvery: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("w"))
+    // cut: same per-round edge reuse as [[bfsDistances]]
+    val e = Lineage.cut(edges.select(col("src"), col("dst"), col("w")))
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     var frontier = dist
@@ -85,17 +87,17 @@ object ShortestPaths {
         .select(col("dst").as("node"),
           (col("dist") + col("w").cast("long")).as("cd"))
         .groupBy("node").agg(min(col("cd")).as("cd"))
-      val improved = cand
+      // cut: `improved` feeds BOTH next round's expansion (frontier) and
+      // the settled-distance union — lazily chained, each later round
+      // replayed it once per reference, compounding between checkpoints
+      val improved = Lineage.cut(cand
         .join(dist.withColumnRenamed("dist", "pd"), Seq("node"), "left")
         .filter(col("pd").isNull || col("cd") < col("pd"))
-        .select(col("node"), col("cd").as("dist"))
+        .select(col("node"), col("cd").as("dist")))
       frontier = improved
       dist = dist.union(improved)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (r % checkpointEvery == 0 && r < rounds) {
-        dist = dist.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-      }
+      if (r % checkpointEvery == 0 && r < rounds) dist = dist.localCheckpoint()
     }
     dist
   }
