@@ -1063,9 +1063,15 @@ object MiningQueries {
     * above `minSet` support has all items above it and all sub-pairs
     * above it (anti-monotonicity), so the result equals brute-force
     * triple counting — the spec pins that. */
-  private[graft] def frequentTriples(dt: DataFrame, minItem: Double,
+  private[graft] def frequentTriples(dt0: DataFrame, minItem: Double,
       minSet: Double): DataFrame = {
-    val nd = dt.agg(countDistinct(col("doc_id")).as("nd"))
+    // cut: the caller's tokenize+explode stream is read by the document
+    // count, the item counts AND the kept join — and the 1-row count is
+    // itself broadcast into four thresholds — so uncut the corpus
+    // tokenization replayed NINE times (d54's plan: 9 full text scans)
+    val dt = graft.operators.Lineage.cut(dt0)
+    val nd = graft.operators.Lineage.cut(
+      dt.agg(countDistinct(col("doc_id")).as("nd")))
     val f1 = dt.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .crossJoin(broadcast(nd))
       .filter(col("c1") * lit(1.0) >= lit(minItem) * col("nd")).select(col("w"))
