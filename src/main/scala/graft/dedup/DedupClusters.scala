@@ -44,11 +44,16 @@ object DedupClusters {
     * length-k chain must converge in O(log k) rounds, not k. */
   def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
-    // symmetric neighbor list; self-loops are harmless but add work
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+    // symmetric neighbor list; self-loops are harmless but add work.
+    // Materialized DECLARED hash(dst) (Lineage.cutPartitionedBy): every
+    // propagation round joins it on dst, and each round materializes
+    // through its own checkpoint, so the static edge side stays
+    // co-partitioned instead of re-exchanging per round (the PageRank
+    // treatment; plain checkpoints forget their layout under AQE)
+    val sym = graft.operators.Lineage.cutPartitionedBy(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .filter(col("src") =!= col("dst")), Seq("dst"))
     val touched = sym.select(col("src").as("id")).distinct()
 
     var labels = touched.withColumn("cluster", col("id")).localCheckpoint(true)
